@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Per-round benchmark: run the headline gate queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line the driver records as BENCH_r{N}.json.
+
+Each query is forced end-to-end with a noop-format write (full plan executes,
+nothing is collected to the driver), so the timing covers scan -> shuffle ->
+final stage, not just plan construction. A warm-up query runs first so JVM/
+codegen startup isn't billed to the first headline entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from finiextestingide_spark.gate import all_queries  # noqa: E402
+from finiextestingide_spark.session import build_session  # noqa: E402
+
+# One representative per engine surface (SURVEY.md §2): relational agg/join/
+# window/topk, the tick->bar->indicator spine, as-of join, discovery scan,
+# dedup (exact + MinHash-LSH), similarity search, text analysis, and the
+# recursive-EMA pandas path.
+HEADLINE = [
+    "pricing_summary",
+    "top_unshipped_orders",
+    "topk_orders_per_priority",
+    "customer_equity_curve",
+    "bars_1h",
+    "rsi_14_daily",
+    "macd_daily",
+    "asof_purchase_click",
+    "extreme_moves_hourly",
+    "volatility_regimes",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "cosine_topk_10",
+    "text_stats",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    # warm up JVM + parquet footers outside the timed region
+    qs["bars_1d"].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

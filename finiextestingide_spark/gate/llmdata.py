@@ -1,0 +1,424 @@
+"""LLM-training-data-pipeline gate queries over `documents` / `embeddings`:
+dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity search
+(brute-force cosine top-k, IVF bucket path), text analysis (tokens, quality,
+language ID, fingerprints) and multimodal-column metadata plumbing.
+
+MinHash determinism note: permutations are md5(i || '|' || shingle) compared
+as hex STRINGS — a valid uniform permutation min that reproduces exactly in
+any engine with md5 (our oracle), unlike engine-specific hash() builtins.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import text as tx
+from ._util import Query, t
+
+# Shared DuckDB CTE: distinct word 3-shingles per doc (mirror of
+# operators.dedup.word_shingles over operators.text.normalized_text).
+_SHINGLES_CTE = """
+w AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 3
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "embeddings")
+
+
+# --- exact dedup ---
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dd.exact_dedup(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "content_hash", "canonical_id", F.col("group_size").cast("long").alias("group_size"), "is_duplicate"
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_hash,
+       min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS canonical_id,
+       CAST(count(*) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS BIGINT) AS group_size,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS is_duplicate
+FROM documents
+"""
+
+
+# --- n-gram Jaccard pairs ---
+
+_J_MIN_INTER = 2
+_J_MIN_JACCARD = 0.05
+
+
+def jaccard_pairs_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dd.word_shingles(_docs(spark, sf_dir), 3)
+    out = dd.jaccard_pairs(sh, _J_MIN_INTER, _J_MIN_JACCARD)
+    return out.select(
+        "id_a", "id_b", "intersection", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+JACCARD_PAIRS_3GRAM_SQL = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {_J_MIN_INTER}
+)
+SELECT id_a, id_b, CAST(inter AS BIGINT) AS intersection,
+       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {_J_MIN_JACCARD}
+"""
+
+
+# --- MinHash + LSH candidate pairs with exact-Jaccard verification ---
+
+_MH_K = 8
+_MH_BANDS = 4
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dd.minhash_lsh_dedup(
+        _docs(spark, sf_dir), shingle_n=3, num_hashes=_MH_K, bands=_MH_BANDS, min_jaccard=0.0
+    )
+    return out.select("id_a", "id_b", "intersection", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _mh_cols() -> str:
+    return ",\n".join(
+        f"    min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(_MH_K)
+    )
+
+
+def _band_rows() -> str:
+    rows_per_band = _MH_K // _MH_BANDS
+    parts = []
+    for b in range(_MH_BANDS):
+        cols = " || '|' || ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band))
+        parts.append(f"  SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sigs")
+    return "\n  UNION ALL\n".join(parts)
+
+
+MINHASH_LSH_PAIRS_SQL = f"""
+WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id,
+{_mh_cols()}
+  FROM sh GROUP BY 1
+),
+buckets AS (
+{_band_rows()}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT cands.id_a, cands.id_b, CAST(i.c AS BIGINT) AS intersection,
+       round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS jaccard
+FROM cands
+JOIN inter i ON i.id_a = cands.id_a AND i.id_b = cands.id_b
+JOIN sizes sa ON sa.doc_id = cands.id_a
+JOIN sizes sb ON sb.doc_id = cands.id_b
+"""
+
+
+# --- SimHash signatures ---
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dd.word_shingles(_docs(spark, sf_dir), 3)
+    return dd.simhash_signatures(sh)
+
+
+SIMHASH_DOCS_SQL = f"""
+WITH {_SHINGLES_CTE},
+pos AS (
+  SELECT doc_id, p,
+         CASE WHEN ascii(substr(h, p + 1, 1)) >= 97 THEN ascii(substr(h, p + 1, 1)) - 87
+              ELSE ascii(substr(h, p + 1, 1)) - 48 END AS v
+  FROM (SELECT doc_id, md5(shingle) AS h FROM sh), UNNEST(generate_series(0, 15)) AS t(p)
+),
+votes AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN (v >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS s0,
+         sum(CASE WHEN (v >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS s1,
+         sum(CASE WHEN (v >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS s2,
+         sum(CASE WHEN v & 1 = 1 THEN 1 ELSE -1 END) AS s3
+  FROM pos GROUP BY 1, 2
+),
+digits AS (
+  SELECT doc_id, p,
+         (CASE WHEN s0 > 0 THEN 8 ELSE 0 END) + (CASE WHEN s1 > 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN s2 > 0 THEN 2 ELSE 0 END) + (CASE WHEN s3 > 0 THEN 1 ELSE 0 END) AS d
+  FROM votes
+)
+SELECT doc_id, string_agg(substr('0123456789abcdef', d + 1, 1), '' ORDER BY p) AS simhash
+FROM digits GROUP BY doc_id
+"""
+
+
+# --- brute-force cosine top-k ---
+
+_COS_ORACLE_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+_COS_ORACLE_NORM = (
+    "sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_COS_ORACLE_DOT.format(a=a, b=b)} / "
+        f"({_COS_ORACLE_NORM.format(a=a)} * {_COS_ORACLE_NORM.format(a=b)})"
+    )
+
+
+def cosine_topk_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    query = emb.where(F.col("vec_id") == 0).select("embedding")
+    vectors = emb.where(F.col("vec_id") != 0)
+    out = sim.cosine_topk(vectors, query, 10)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+COSINE_TOPK_10_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id, {_cos_sql('e.embedding', 'q.qv')} AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, round(cos, 6) AS cosine, rank
+FROM (SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank FROM s)
+WHERE rank <= 10
+"""
+
+
+# --- IVF (coarse-quantized) ANN: assign to nearest of 8 centroid vectors,
+#     probe only the query's bucket ---
+
+_IVF_NCENTROIDS = 8
+_IVF_K = 5
+
+
+def ivf_topk_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < _IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = sim.assign_centroids(emb, centroids)
+    query = emb.where(F.col("vec_id") == 0).select("embedding")
+    out = sim.ivf_topk(assigned, centroids, query, k=_IVF_K, nprobe=1)
+    return out.where(F.col("vec_id") != 0).select(
+        "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+IVF_TOPK_5_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < {_IVF_NCENTROIDS}),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_cos_sql('e.embedding', 'c.cvec')} AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS r FROM scored)
+  WHERE r = 1
+),
+probe AS (
+  SELECT centroid_id
+  FROM (SELECT c.centroid_id, {_cos_sql('c.cvec', 'q.qv')} AS pcos FROM cents c, q
+        ORDER BY pcos DESC, centroid_id LIMIT 1)
+),
+bucket AS (SELECT a.* FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id),
+s AS (
+  SELECT b.vec_id, {_cos_sql('b.embedding', 'q.qv')} AS cos
+  FROM bucket b, q
+)
+SELECT vec_id, round(cos, 6) AS cosine, rank
+FROM (SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank FROM s)
+WHERE rank <= {_IVF_K} AND vec_id <> 0
+"""
+
+
+# --- embedding-cosine near-dup pairs (label-blocked) ---
+
+_ND_MIN_COS = 0.9
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sim.neardup_pairs_blocked(_emb(spark, sf_dir), "label", _ND_MIN_COS)
+    return out.select(
+        "id_a", "id_b", F.col("label").cast("int").alias("label"), F.round("cosine", 6).alias("cosine")
+    )
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(a.label AS INTEGER) AS label,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {_ND_MIN_COS}
+"""
+
+
+# --- text statistics / quality scoring ---
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.with_text_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.col("n_stopwords").cast("long").alias("n_stopwords"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+_STOP_PAT = r"\b(" + "|".join(tx.STOPWORDS) + r")\b"
+
+TEXT_STATS_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+         CASE WHEN len(text) > 0
+              THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / len(text)
+              ELSE 0.0 END AS punct_ratio,
+         len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       round(punct_ratio, 6) AS punct_ratio,
+       CAST(n_stopwords AS BIGINT) AS n_stopwords,
+       round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             * (1.0 - punct_ratio)
+             * (1.0 - least(CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE) / n_tokens ELSE 0.0 END, 1.0)), 6) AS quality
+FROM base
+"""
+
+
+# --- heuristic language ID ---
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    out = docs.select("doc_id", "lang", tx.predict_lang(F.col("text")).alias("pred_lang"))
+    return out.withColumn("is_match", F.col("pred_lang") == F.col("lang"))
+
+
+def _marker_sql(lang: str) -> str:
+    pat = r"\b(" + "|".join(tx.LANG_MARKERS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+LANG_ID_SQL = f"""
+WITH c AS (
+  SELECT doc_id, lang,
+         {_marker_sql('en')} AS c_en,
+         {_marker_sql('de')} AS c_de,
+         {_marker_sql('fr')} AS c_fr,
+         {_marker_sql('es')} AS c_es
+  FROM documents
+),
+p AS (
+  SELECT doc_id, lang,
+         CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+              WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+              WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+              WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+              WHEN c_es = greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+              ELSE 'und' END AS pred_lang
+  FROM c
+)
+SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match FROM p
+"""
+
+
+# --- document fingerprints ---
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+DOC_FINGERPRINTS_SQL = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# --- multimodal metadata plumbing (binary columns; decode is stubbed in
+#     operators.multimodal — here we gate the schema/byte-level plumbing) ---
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).cast("long").alias("n_bytes"),
+        F.md5(blob).alias("content_md5"),
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via content hash"),
+    "jaccard_pairs_3gram": Query(jaccard_pairs_3gram, JACCARD_PAIRS_3GRAM_SQL, "n-gram Jaccard pairs"),
+    "minhash_lsh_pairs": Query(minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL, "MinHash+LSH with verify"),
+    "simhash_docs": Query(simhash_docs, SIMHASH_DOCS_SQL, "64-bit SimHash signatures"),
+    "cosine_topk_10": Query(cosine_topk_10, COSINE_TOPK_10_SQL, "brute-force cosine top-k"),
+    "ivf_topk_5": Query(ivf_topk_5, IVF_TOPK_5_SQL, "IVF-bucketed ANN"),
+    "embedding_neardup": Query(embedding_neardup, EMBEDDING_NEARDUP_SQL, "embedding near-dup pairs"),
+    "text_stats": Query(text_stats, TEXT_STATS_SQL, "token counts + quality score"),
+    "lang_id": Query(lang_id, LANG_ID_SQL, "heuristic language ID"),
+    "doc_fingerprints": Query(doc_fingerprints, DOC_FINGERPRINTS_SQL, "md5 fingerprints"),
+    "multimodal_meta": Query(multimodal_meta, MULTIMODAL_META_SQL, "binary-column metadata plumbing"),
+}

@@ -1,0 +1,380 @@
+"""Relational gate queries over the TPC-H-ish star schema.
+
+These exercise the generic relational surface Spark gives us for free
+(SURVEY §2.3 note: the reference has no generic joins — we get them from
+Catalyst) plus the reporting-aggregation shapes of §2.4 (A5-A7, A10-A11)
+re-expressed on the synthetic tables.
+
+Determinism: all double sums go through DECIMAL(18,2)/(4,2) casts (the data
+is 2-decimal money), making aggregation order irrelevant; see gate.__doc__.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ._util import Query, t
+
+_D = "decimal(18,2)"
+_CUTOFF = "2000-03-15 00:00:00"
+
+
+def _dec(c: str, typ: str = _D) -> F.Column:
+    return F.col(c).cast(typ)
+
+
+# --- Q1-style pricing summary (reference report aggregators A5-A6 shape) ---
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.expr(f"TIMESTAMP_NTZ '{_CUTOFF}'")
+    )
+    disc = _dec("l_discount", "decimal(4,2)")
+    tax = _dec("l_tax", "decimal(4,2)")
+    price = _dec("l_extendedprice")
+    disc_price = price * (F.lit(1).cast("decimal(2,0)") - disc)
+    charge = disc_price * (F.lit(1).cast("decimal(2,0)") + tax)
+    g = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("__sq"),
+            F.sum(price).alias("__sb"),
+            F.sum(disc_price).alias("__sd"),
+            F.sum(charge).alias("__sc"),
+            F.sum(disc).alias("__sdisc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    c = F.col("count_order")
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("__sq").cast("double"), 6).alias("sum_qty"),
+        F.round(F.col("__sb").cast("double"), 6).alias("sum_base_price"),
+        F.round(F.col("__sd").cast("double"), 6).alias("sum_disc_price"),
+        F.round(F.col("__sc").cast("double"), 6).alias("sum_charge"),
+        F.round(F.col("__sq").cast("double") / c, 6).alias("avg_qty"),
+        F.round(F.col("__sb").cast("double") / c, 6).alias("avg_price"),
+        F.round(F.col("__sdisc").cast("double") / c, 6).alias("avg_disc"),
+        "count_order",
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 6) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3-style shipping priority (multi-join + deterministic top-k) ---
+
+
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.expr(f"TIMESTAMP_NTZ '{_CUTOFF}'")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.expr(f"TIMESTAMP_NTZ '{_CUTOFF}'")
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(2,0)") - _dec("l_discount", "decimal(4,2)"))
+    )
+    g = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(revenue.alias("__rev"))
+        .orderBy(F.desc("__rev"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+    return g.select(
+        "l_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.round(F.col("__rev").cast("double"), 6).alias("revenue"),
+    )
+
+
+TOP_UNSHIPPED_ORDERS_SQL = f"""
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       round(CAST(rev AS DOUBLE), 6) AS revenue
+FROM (
+  SELECT l_orderkey, o_orderdate,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '{_CUTOFF}'
+    AND l_shipdate > TIMESTAMP '{_CUTOFF}'
+  GROUP BY l_orderkey, o_orderdate
+  ORDER BY rev DESC, l_orderkey
+  LIMIT 10
+)
+"""
+
+
+# --- Q5-style local-supplier revenue (6-way join, broadcast dims) ---
+
+
+def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(2,0)") - _dec("l_discount", "decimal(4,2)"))
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(revenue.alias("__rev"), F.count(F.lit(1)).alias("line_count"))
+        .select(
+            "r_name",
+            "n_name",
+            F.round(F.col("__rev").cast("double"), 6).alias("revenue"),
+            "line_count",
+        )
+    )
+
+
+REGION_NATION_REVENUE_SQL = """
+SELECT r_name, n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) AS revenue,
+       count(*) AS line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --- top-k per group (§2.6 O2/O3, §2.5 W14) ---
+
+
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+TOPK_ORDERS_PER_PRIORITY_SQL = """
+SELECT o_orderpriority, rank, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+)
+WHERE rank <= 3
+"""
+
+
+# --- rollup / grouping sets (free in Spark; §2.4 note) ---
+
+
+def order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.sum(_dec("o_totalprice")).alias("__t"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.round(F.col("__t").cast("double"), 6).alias("total_price"),
+            "n_orders",
+        )
+    )
+
+
+ORDER_ROLLUP_SQL = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+# --- running equity / drawdown over a ledger-like stream (§2.5 W11) ---
+
+
+def customer_equity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    equity = F.sum(_dec("o_totalprice")).over(w)
+    df = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        equity.alias("__eq"),
+        F.max(equity).over(w).alias("__peak"),
+    )
+    return df.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("__eq").cast("double"), 6).alias("equity"),
+        F.round(F.col("__peak").cast("double"), 6).alias("peak_equity"),
+        F.round((F.col("__peak") - F.col("__eq")).cast("double"), 6).alias("drawdown"),
+    )
+
+
+CUSTOMER_EQUITY_CURVE_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(CAST(eq AS DOUBLE), 6) AS equity,
+       round(CAST(peak AS DOUBLE), 6) AS peak_equity,
+       round(CAST(peak - eq AS DOUBLE), 6) AS drawdown
+FROM (
+  SELECT o_custkey, o_orderkey, eq,
+         max(eq) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eq
+    FROM orders
+  )
+)
+"""
+
+
+# --- OFAT parameter-sensitivity shape (§2.4 A11) ---
+
+
+def priority_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.sum(_dec("o_totalprice")).alias("__t"), F.count(F.lit(1)).alias("n_runs")
+    )
+    mean = F.col("__t").cast("double") / F.col("n_runs")
+    w = Window.partitionBy()
+    df = g.select("o_orderpriority", F.round(mean, 6).alias("mean_objective"), "n_runs")
+    return df.select(
+        "*",
+        F.round(
+            F.max("mean_objective").over(w) - F.min("mean_objective").over(w), 6
+        ).alias("influence"),
+    )
+
+
+PRIORITY_SENSITIVITY_SQL = """
+SELECT o_orderpriority, mean_objective, n_runs,
+       round(max(mean_objective) OVER () - min(mean_objective) OVER (), 6) AS influence
+FROM (
+  SELECT o_orderpriority,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean_objective,
+         count(*) AS n_runs
+  FROM orders
+  GROUP BY o_orderpriority
+)
+"""
+
+
+# --- portfolio-style roll-up with ratios recomputed from sums (§2.4 A6) ---
+
+
+def nation_order_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    nation = t(spark, sf_dir, "nation")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    g = j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("__t"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("__nf"),
+        F.max(_dec("o_totalprice")).alias("__mx"),
+    )
+    return g.select(
+        "n_name",
+        "n_orders",
+        F.round(F.col("__t").cast("double"), 6).alias("total_price"),
+        F.round(F.col("__t").cast("double") / F.col("n_orders"), 6).alias("avg_price"),
+        F.round(F.col("__nf").cast("double") / F.col("n_orders"), 6).alias("fulfilled_rate"),
+        F.round(F.col("__mx").cast("double"), 6).alias("max_price"),
+    )
+
+
+NATION_ORDER_KPIS_SQL = """
+SELECT n_name,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_price,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS fulfilled_rate,
+       round(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS max_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --- weighted average (§2.4 A6: weighted-avg latency shape) ---
+
+
+def weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_quantity")).alias("__xw"),
+        F.sum(_dec("l_quantity")).alias("__w"),
+    )
+    return g.select(
+        "l_returnflag",
+        F.round(F.col("__xw").cast("double") / F.col("__w").cast("double"), 6).alias(
+            "weighted_avg_price"
+        ),
+    )
+
+
+WEIGHTED_AVG_PRICE_SQL = """
+SELECT l_returnflag,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS weighted_avg_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "pricing_summary": Query(pricing_summary, PRICING_SUMMARY_SQL, "TPC-H Q1 shape; A5/A6 aggregations"),
+    "top_unshipped_orders": Query(top_unshipped_orders, TOP_UNSHIPPED_ORDERS_SQL, "Q3 shape; deterministic top-k"),
+    "region_nation_revenue": Query(region_nation_revenue, REGION_NATION_REVENUE_SQL, "Q5 shape; broadcast dims (J5)"),
+    "topk_orders_per_priority": Query(topk_orders_per_priority, TOPK_ORDERS_PER_PRIORITY_SQL, "W14/O2 top-k per group"),
+    "order_rollup": Query(order_rollup, ORDER_ROLLUP_SQL, "rollup/grouping sets"),
+    "customer_equity_curve": Query(customer_equity_curve, CUSTOMER_EQUITY_CURVE_SQL, "W11 running equity/drawdown"),
+    "priority_sensitivity": Query(priority_sensitivity, PRIORITY_SENSITIVITY_SQL, "A11 OFAT sensitivity"),
+    "nation_order_kpis": Query(nation_order_kpis, NATION_ORDER_KPIS_SQL, "A6 ratios-from-sums roll-up"),
+    "weighted_avg_price": Query(weighted_avg_price, WEIGHTED_AVG_PRICE_SQL, "A6 weighted average"),
+}

@@ -1,0 +1,626 @@
+"""Time-series gate queries: the reference's tick->bar->indicator->discovery
+pipeline mapped onto the driver's `events` stream table
+(event_type -> symbol, value -> price, event_id -> time_msc tiebreak).
+
+Every query is built from the operator library (operators/bars.py,
+indicators.py, gaps.py, asof.py, extremes.py, volatility.py) and paired with
+a DuckDB oracle that mirrors the exact formula flavor (SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.core import session_from_utc_hour
+from ..operators import indicators as ind
+from ..operators.asof import asof_join
+from ..operators.bars import ohlcv_bars
+from ..operators.extremes import extreme_move_candidates
+from ..operators.gaps import detect_gaps
+from ..operators.volatility import volatility_periods
+from ._util import Query, t
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "events")
+
+
+def _bars(spark: SparkSession, sf_dir: str, timeframe: str) -> DataFrame:
+    """OHLCV bars over events; volume = exact-decimal sum of value."""
+    return ohlcv_bars(
+        _events(spark, sf_dir),
+        timeframe,
+        ts="ts",
+        key="event_type",
+        price="value",
+        volume=F.col("value").cast("decimal(18,2)"),
+        tiebreak="event_id",
+    ).withColumnRenamed("event_type", "symbol")
+
+
+def _bars_cte(unit: str) -> str:
+    """DuckDB mirror of _bars as a CTE named `bars`."""
+    return f"""
+bars AS (
+  SELECT event_type AS symbol, date_trunc('{unit}', ts) AS bar_ts,
+         max(CASE WHEN rna = 1 THEN value END) AS open,
+         max(value) AS high, min(value) AS low,
+         max(CASE WHEN rnd = 1 THEN value END) AS close,
+         sum(CAST(value AS DECIMAL(18,2))) AS volume,
+         count(*) AS tick_count
+  FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY event_type, date_trunc('{unit}', ts) ORDER BY ts, event_id) AS rna,
+           row_number() OVER (PARTITION BY event_type, date_trunc('{unit}', ts) ORDER BY ts DESC, event_id DESC) AS rnd
+    FROM events
+  )
+  GROUP BY 1, 2
+)"""
+
+
+def _bar_out(bars: DataFrame) -> DataFrame:
+    return bars.select(
+        "symbol",
+        "bar_ts",
+        "open",
+        "high",
+        "low",
+        "close",
+        F.round(F.col("volume").cast("double"), 6).alias("volume"),
+        F.col("tick_count").cast("long").alias("tick_count"),
+    )
+
+
+_BAR_OUT_SQL = """
+SELECT symbol, bar_ts, open, high, low, close,
+       round(CAST(volume AS DOUBLE), 6) AS volume,
+       CAST(tick_count AS BIGINT) AS tick_count
+FROM bars
+"""
+
+
+def bars_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bar_out(_bars(spark, sf_dir, "H1"))
+
+
+def bars_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bar_out(_bars(spark, sf_dir, "D1"))
+
+
+BARS_1H_SQL = f"WITH {_bars_cte('hour')} {_BAR_OUT_SQL}"
+BARS_1D_SQL = f"WITH {_bars_cte('day')} {_BAR_OUT_SQL}"
+
+
+# --- session labeling + per-session profile (S4, A3 session summaries) ---
+
+
+def session_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    g = (
+        ev.withColumn("session", session_from_utc_hour(F.hour("ts")))
+        .groupBy("session")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("__sv"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    return g.select(
+        "session",
+        "n_ticks",
+        F.round(F.col("__sv").cast("double") / F.col("n_ticks"), 6).alias("avg_value"),
+        "n_users",
+    )
+
+
+SESSION_PROFILE_SQL = """
+SELECT CASE WHEN hour(ts) >= 22 OR hour(ts) < 8 THEN 'sydney_tokyo'
+            WHEN hour(ts) >= 8 AND hour(ts) < 16 THEN 'london'
+            WHEN hour(ts) >= 16 AND hour(ts) < 21 THEN 'new_york'
+            ELSE 'transition' END AS session,
+       count(*) AS n_ticks,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+"""
+
+
+# --- gap detection (W9) ---
+
+_EXPECTED_INTERVAL_MS = 600_000  # 10 min expected inter-event interval
+
+
+def gap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gaps = detect_gaps(
+        _events(spark, sf_dir),
+        _EXPECTED_INTERVAL_MS,
+        key="event_type",
+        ts="ts",
+        tiebreak="event_id",
+    )
+    return gaps.select(
+        F.col("key").alias("symbol"),
+        F.unix_millis("gap_start").alias("gap_start_ms"),
+        F.unix_millis("gap_end").alias("gap_end_ms"),
+        "gap_ms",
+        "gap_class",
+    )
+
+
+GAP_SCAN_SQL = f"""
+SELECT event_type AS symbol,
+       prev_ms AS gap_start_ms, ms AS gap_end_ms, ms - prev_ms AS gap_ms,
+       CASE WHEN ms - prev_ms < 5000 THEN 'SEAMLESS'
+            WHEN ms - prev_ms < 1800000 THEN 'SHORT'
+            WHEN ms - prev_ms < 14400000 THEN 'MODERATE'
+            ELSE 'LARGE' END AS gap_class
+FROM (
+  SELECT event_type, epoch_ms(ts) AS ms,
+         lag(epoch_ms(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_ms
+  FROM events
+)
+WHERE prev_ms IS NOT NULL AND ms - prev_ms > 2 * {_EXPECTED_INTERVAL_MS}
+"""
+
+
+# --- RSI (W1, SMA flavor) on daily bars ---
+
+
+def rsi_14_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ind.with_rsi(_bars(spark, sf_dir, "D1"), 14, key="symbol", ts="bar_ts")
+    return out.where(F.col("rsi").isNotNull()).select(
+        "symbol",
+        "bar_ts",
+        F.round("close", 6).alias("close"),
+        F.round("rsi", 6).alias("rsi"),
+        F.round("rsi_avg_gain", 6).alias("avg_gain"),
+        F.round("rsi_avg_loss", 6).alias("avg_loss"),
+    )
+
+
+RSI_14_DAILY_SQL = f"""
+WITH {_bars_cte('day')},
+d AS (
+  SELECT symbol, bar_ts, close,
+         close - lag(close) OVER w AS delta,
+         row_number() OVER w AS rn
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+),
+g AS (
+  SELECT symbol, bar_ts, close, rn,
+         avg(greatest(delta, 0)) OVER w2 AS gain,
+         avg(greatest(-delta, 0)) OVER w2 AS loss
+  FROM d WINDOW w2 AS (PARTITION BY symbol ORDER BY bar_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, bar_ts, round(close, 6) AS close,
+       round(CASE WHEN loss = 0 THEN 100.0 ELSE 100.0 - 100.0 / (1.0 + gain / loss) END, 6) AS rsi,
+       round(gain, 6) AS avg_gain, round(loss, 6) AS avg_loss
+FROM g WHERE rn > 14
+"""
+
+
+# --- Bollinger (W2: SMA middle, population std) on daily bars ---
+
+
+def bollinger_20_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ind.with_bollinger(_bars(spark, sf_dir, "D1"), 20, 2.0, key="symbol", ts="bar_ts")
+    return out.where(F.col("bb_middle").isNotNull()).select(
+        "symbol",
+        "bar_ts",
+        F.round("close", 6).alias("close"),
+        F.round("bb_middle", 6).alias("bb_middle"),
+        F.round("bb_upper", 6).alias("bb_upper"),
+        F.round("bb_lower", 6).alias("bb_lower"),
+        F.round("bb_position", 6).alias("bb_position"),
+    )
+
+
+BOLLINGER_20_DAILY_SQL = f"""
+WITH {_bars_cte('day')},
+b AS (
+  SELECT symbol, bar_ts, close,
+         avg(close) OVER w2 AS middle,
+         stddev_pop(close) OVER w2 AS std,
+         row_number() OVER (PARTITION BY symbol ORDER BY bar_ts) AS rn
+  FROM bars WINDOW w2 AS (PARTITION BY symbol ORDER BY bar_ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, bar_ts, round(close, 6) AS close,
+       round(middle, 6) AS bb_middle,
+       round(middle + 2.0 * std, 6) AS bb_upper,
+       round(middle - 2.0 * std, 6) AS bb_lower,
+       round(CASE WHEN middle + 2.0 * std = middle - 2.0 * std THEN 0.5
+                  ELSE least(greatest((close - (middle - 2.0 * std)) / ((middle + 2.0 * std) - (middle - 2.0 * std)), 0.0), 1.0)
+             END, 6) AS bb_position
+FROM b WHERE rn >= 20
+"""
+
+
+# --- OBV (W4) on daily bars ---
+
+
+def obv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars(spark, sf_dir, "D1").withColumn("volume", F.col("volume").cast("double"))
+    out = ind.with_obv(bars, key="symbol", ts="bar_ts")
+    return out.select("symbol", "bar_ts", F.round("obv", 6).alias("obv"))
+
+
+OBV_DAILY_SQL = f"""
+WITH {_bars_cte('day')},
+d AS (
+  SELECT symbol, bar_ts, CAST(volume AS DOUBLE) AS vol,
+         close - lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts) AS delta
+  FROM bars
+)
+SELECT symbol, bar_ts,
+       round(coalesce(sum(CAST(sign(delta) AS DOUBLE) * vol)
+                      OVER (PARTITION BY symbol ORDER BY bar_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 6) AS obv
+FROM d
+"""
+
+
+# --- ATR (W6, SMA flavor for the oracle; ewm flavor is atr_ewm_daily) ---
+
+
+def atr_sma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ind.with_atr_sma(_bars(spark, sf_dir, "D1"), 14, key="symbol", ts="bar_ts")
+    return out.where(F.col("atr").isNotNull()).select(
+        "symbol", "bar_ts", F.round("atr", 6).alias("atr")
+    )
+
+
+ATR_SMA_DAILY_SQL = f"""
+WITH {_bars_cte('day')},
+d AS (
+  SELECT symbol, bar_ts,
+         greatest(high - low,
+                  abs(high - coalesce(lag(close) OVER w, close)),
+                  abs(low - coalesce(lag(close) OVER w, close))) AS tr,
+         row_number() OVER w AS rn
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+)
+SELECT symbol, bar_ts, round(atr, 6) AS atr
+FROM (
+  SELECT symbol, bar_ts, rn,
+         avg(tr) OVER (PARTITION BY symbol ORDER BY bar_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS atr
+  FROM d
+)
+WHERE rn >= 14
+"""
+
+
+# --- as-of join (J1/J2): latest prior click per purchase, staleness flag ---
+
+_STALENESS_MS = 6 * 3600_000
+
+
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        tolerance_ms=_STALENESS_MS,
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.unix_millis("ts").alias("purchase_ms"),
+        "click_id",
+        F.round("click_value", 6).alias("click_value"),
+        (F.unix_millis("ts") - F.unix_millis("click_ts")).alias("staleness_ms"),
+        "is_stale",
+    )
+
+
+ASOF_PURCHASE_CLICK_SQL = f"""
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_ms(p.ts) AS purchase_ms,
+       c.event_id AS click_id,
+       round(c.value, 6) AS click_value,
+       epoch_ms(p.ts) - epoch_ms(c.ts) AS staleness_ms,
+       (epoch_ms(p.ts) - epoch_ms(c.ts)) > {_STALENESS_MS} AS is_stale
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# --- extreme move scan (W10) on hourly bars ---
+
+_XM_SIZE = 24
+_XM_MIN_ATR = 3.0
+_XM_MAX_ADV = 1.5
+
+
+def extreme_moves_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = ind.with_atr_sma(_bars(spark, sf_dir, "H1"), 14, key="symbol", ts="bar_ts")
+    bars = bars.withColumn("atr", F.coalesce("atr", F.lit(None)))
+    # candidates need a defined ATR on every bar in the window: SMA-ATR is
+    # null during warmup; restrict to rows where it is defined, mirrored in SQL.
+    bars = bars.where(F.col("atr").isNotNull())
+    cands = extreme_move_candidates(
+        bars, window_sizes=(_XM_SIZE,), min_atr_multiple=_XM_MIN_ATR, max_adverse_atr=_XM_MAX_ADV,
+        key="symbol", ts="bar_ts", atr="atr",
+    )
+    return cands.select(
+        F.col("key").alias("symbol"),
+        "direction",
+        F.unix_millis("start_time").alias("start_ms"),
+        F.unix_millis("end_time").alias("end_ms"),
+        "bar_count",
+        F.round("entry_price", 6).alias("entry_price"),
+        F.round("extreme_price", 6).alias("extreme_price"),
+        F.round("move_atr_multiple", 6).alias("move_atr_multiple"),
+        F.round("adverse_atr_multiple", 6).alias("adverse_atr_multiple"),
+        F.col("tick_count").cast("long").alias("tick_count"),
+    )
+
+
+EXTREME_MOVES_HOURLY_SQL = f"""
+WITH {_bars_cte('hour')},
+tr AS (
+  SELECT symbol, bar_ts, open, high, low, close, tick_count,
+         greatest(high - low,
+                  abs(high - coalesce(lag(close) OVER w, close)),
+                  abs(low - coalesce(lag(close) OVER w, close))) AS tr,
+         row_number() OVER w AS rn0
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+),
+withatr AS (
+  SELECT * FROM (
+    SELECT symbol, bar_ts, open, high, low, close, tick_count, rn0,
+           avg(tr) OVER (PARTITION BY symbol ORDER BY bar_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS atr
+    FROM tr
+  ) WHERE rn0 >= 14
+),
+anchored AS (
+  SELECT symbol, bar_ts, open, atr,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY symbol) AS total,
+         max(high) OVER fw AS window_high,
+         min(low) OVER fw AS window_low,
+         avg(atr) OVER fw AS window_atr,
+         max(bar_ts) OVER fw AS end_time,
+         sum(tick_count) OVER fw AS window_ticks
+  FROM withatr
+  WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts),
+         fw AS (PARTITION BY symbol ORDER BY bar_ts ROWS BETWEEN CURRENT ROW AND {_XM_SIZE - 1} FOLLOWING)
+),
+cand AS (
+  SELECT * FROM anchored
+  WHERE (rn - 1) % {_XM_SIZE // 4} = 0 AND rn + {_XM_SIZE} - 1 <= total AND window_atr > 0
+),
+both_dirs AS (
+  SELECT symbol, 'LONG' AS direction, epoch_ms(bar_ts) AS start_ms, epoch_ms(end_time) AS end_ms,
+         {_XM_SIZE} AS bar_count, open AS entry_price, window_high AS extreme_price,
+         (window_high - open) / window_atr AS move_atr_multiple,
+         (open - window_low) / window_atr AS adverse_atr_multiple,
+         CAST(window_ticks AS BIGINT) AS tick_count
+  FROM cand
+  UNION ALL
+  SELECT symbol, 'SHORT', epoch_ms(bar_ts), epoch_ms(end_time),
+         {_XM_SIZE}, open, window_low,
+         (open - window_low) / window_atr,
+         (window_high - open) / window_atr,
+         CAST(window_ticks AS BIGINT)
+  FROM cand
+)
+SELECT symbol, direction, start_ms, end_ms, bar_count,
+       round(entry_price, 6) AS entry_price,
+       round(extreme_price, 6) AS extreme_price,
+       round(move_atr_multiple, 6) AS move_atr_multiple,
+       round(adverse_atr_multiple, 6) AS adverse_atr_multiple,
+       tick_count
+FROM both_dirs
+WHERE move_atr_multiple >= {_XM_MIN_ATR} AND adverse_atr_multiple <= {_XM_MAX_ADV}
+"""
+
+
+# --- volatility regime periods (A3) ---
+
+_VP_GRANULARITY_H = 4
+
+
+def volatility_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = ind.with_atr_sma(_bars(spark, sf_dir, "H1"), 14, key="symbol", ts="bar_ts")
+    periods = volatility_periods(
+        bars, _VP_GRANULARITY_H, key="symbol", ts="bar_ts", atr="atr"
+    )
+    return periods.select(
+        F.col("key").alias("symbol"),
+        "period_start",
+        F.round("avg_atr", 6).alias("avg_atr"),
+        F.round("atr_ratio", 6).alias("atr_ratio"),
+        "regime",
+        F.round("atr_percentile", 6).alias("atr_percentile"),
+        F.col("tick_count").cast("long").alias("tick_count"),
+        F.col("bar_count").cast("long").alias("bar_count"),
+        F.round("price_range", 6).alias("price_range"),
+    )
+
+
+VOLATILITY_REGIMES_SQL = f"""
+WITH {_bars_cte('hour')},
+tr AS (
+  SELECT symbol, bar_ts, high, low, tick_count,
+         greatest(high - low,
+                  abs(high - coalesce(lag(close) OVER w, close)),
+                  abs(low - coalesce(lag(close) OVER w, close))) AS tr,
+         row_number() OVER w AS rn0
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+),
+withatr AS (
+  SELECT * FROM (
+    SELECT symbol, bar_ts, high, low, tick_count, rn0,
+           avg(tr) OVER (PARTITION BY symbol ORDER BY bar_ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS atr
+    FROM tr
+  ) WHERE rn0 >= 14
+),
+periods AS (
+  -- make_timestamp(us) keeps the bucket start a naive TIMESTAMP (to_timestamp
+  -- would yield TIMESTAMPTZ and depend on the session timezone); // on DOUBLE
+  -- does not floor in DuckDB, so floor() explicitly.
+  SELECT symbol,
+         make_timestamp(CAST(floor(epoch(bar_ts) / {_VP_GRANULARITY_H * 3600}) AS BIGINT) * {_VP_GRANULARITY_H * 3600} * 1000000) AS period_start,
+         avg(atr) AS avg_atr,
+         sum(tick_count) AS tick_count,
+         count(*) AS bar_count,
+         max(high) AS high, min(low) AS low
+  FROM withatr
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT symbol, period_start, avg_atr,
+         avg_atr / avg(avg_atr) OVER (PARTITION BY symbol) AS atr_ratio,
+         (rank() OVER (PARTITION BY symbol ORDER BY avg_atr) - 1) * 100.0
+           / count(*) OVER (PARTITION BY symbol) AS atr_percentile,
+         tick_count, bar_count, high, low
+  FROM periods
+)
+SELECT symbol, CAST(period_start AS TIMESTAMP) AS period_start,
+       round(avg_atr, 6) AS avg_atr,
+       round(atr_ratio, 6) AS atr_ratio,
+       CASE WHEN atr_ratio < 0.5 THEN 'VERY_LOW'
+            WHEN atr_ratio < 0.8 THEN 'LOW'
+            WHEN atr_ratio < 1.2 THEN 'MEDIUM'
+            WHEN atr_ratio < 2.0 THEN 'HIGH'
+            ELSE 'VERY_HIGH' END AS regime,
+       round(atr_percentile, 6) AS atr_percentile,
+       CAST(tick_count AS BIGINT) AS tick_count,
+       CAST(bar_count AS BIGINT) AS bar_count,
+       round(high - low, 6) AS price_range
+FROM ranked
+"""
+
+
+# --- robustness statistics (A9): daily PnL-like distribution per symbol ---
+
+_PIVOT = "2024-01-16 00:00:00"
+
+
+def robustness_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.col("event_type").alias("symbol"), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("__s"))
+    daily = daily.withColumn("day_value", F.col("__s").cast("double"))
+    stats = daily.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("__s").alias("__total"),
+        F.median("day_value").alias("__med"),
+        F.stddev_pop("day_value").alias("__std"),
+        F.sum(F.when(F.col("day") < F.expr(f"TIMESTAMP '{_PIVOT}'"), F.col("__s"))).alias("__is_s"),
+        F.count(F.when(F.col("day") < F.expr(f"TIMESTAMP '{_PIVOT}'"), 1)).alias("__is_n"),
+        F.sum(F.when(F.col("day") >= F.expr(f"TIMESTAMP '{_PIVOT}'"), F.col("__s"))).alias("__oos_s"),
+        F.count(F.when(F.col("day") >= F.expr(f"TIMESTAMP '{_PIVOT}'"), 1)).alias("__oos_n"),
+    )
+    mean = F.col("__total").cast("double") / F.col("n_days")
+    joined = daily.join(F.broadcast(stats), "symbol").groupBy(
+        "symbol", "n_days", "__total", "__med", "__std", "__is_s", "__is_n", "__oos_s", "__oos_n"
+    ).agg(
+        F.sum(
+            F.when(F.col("day_value") > F.col("__total").cast("double") / F.col("n_days"), 1).otherwise(0)
+        ).alias("__above")
+    )
+    is_mean = F.col("__is_s").cast("double") / F.col("__is_n")
+    oos_mean = F.col("__oos_s").cast("double") / F.col("__oos_n")
+    return joined.select(
+        "symbol",
+        "n_days",
+        F.round(F.col("__total").cast("double") / F.col("n_days"), 6).alias("mean_day"),
+        F.round("__med", 6).alias("median_day"),
+        F.round("__std", 6).alias("std_day"),
+        F.round(F.col("__std") / (F.col("__total").cast("double") / F.col("n_days")), 6).alias("cov"),
+        F.round(F.col("__above").cast("double") / F.col("n_days"), 6).alias("pct_above_mean"),
+        F.round(is_mean, 6).alias("is_mean"),
+        F.round(oos_mean, 6).alias("oos_mean"),
+        F.round(oos_mean / is_mean, 6).alias("wfe"),
+    )
+
+
+ROBUSTNESS_DAILY_SQL = f"""
+WITH daily AS (
+  SELECT event_type AS symbol, date_trunc('day', ts) AS day,
+         sum(CAST(value AS DECIMAL(18,2))) AS s,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT symbol,
+         count(*) AS n_days,
+         sum(s) AS total,
+         median(day_value) AS med,
+         stddev_pop(day_value) AS std,
+         sum(CASE WHEN day < TIMESTAMP '{_PIVOT}' THEN s END) AS is_s,
+         count(CASE WHEN day < TIMESTAMP '{_PIVOT}' THEN 1 END) AS is_n,
+         sum(CASE WHEN day >= TIMESTAMP '{_PIVOT}' THEN s END) AS oos_s,
+         count(CASE WHEN day >= TIMESTAMP '{_PIVOT}' THEN 1 END) AS oos_n
+  FROM daily GROUP BY 1
+),
+above AS (
+  SELECT d.symbol, sum(CASE WHEN d.day_value > CAST(st.total AS DOUBLE) / st.n_days THEN 1 ELSE 0 END) AS n_above
+  FROM daily d JOIN stats st USING (symbol) GROUP BY 1
+)
+SELECT st.symbol, st.n_days,
+       round(CAST(st.total AS DOUBLE) / st.n_days, 6) AS mean_day,
+       round(st.med, 6) AS median_day,
+       round(st.std, 6) AS std_day,
+       round(st.std / (CAST(st.total AS DOUBLE) / st.n_days), 6) AS cov,
+       round(CAST(a.n_above AS DOUBLE) / st.n_days, 6) AS pct_above_mean,
+       round(CAST(st.is_s AS DOUBLE) / st.is_n, 6) AS is_mean,
+       round(CAST(st.oos_s AS DOUBLE) / st.oos_n, 6) AS oos_mean,
+       round((CAST(st.oos_s AS DOUBLE) / st.oos_n) / (CAST(st.is_s AS DOUBLE) / st.is_n), 6) AS wfe
+FROM stats st JOIN above a USING (symbol)
+"""
+
+
+# --- EMA family: recursive, not SQL-expressible -> rows-only checks + golden
+#     pytest coverage (tests/test_indicators.py) ---
+
+
+def macd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ind.with_macd(_bars(spark, sf_dir, "D1").withColumn("volume", F.col("volume").cast("double")))
+    return out.where(F.col("macd").isNotNull()).select(
+        "symbol",
+        "bar_ts",
+        F.round("macd", 6).alias("macd"),
+        F.round("macd_signal", 6).alias("macd_signal"),
+        F.round("macd_histogram", 6).alias("macd_histogram"),
+    )
+
+
+def atr_ewm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars(spark, sf_dir, "D1").withColumn("volume", F.col("volume").cast("double"))
+    out = ind.with_atr_ewm(bars, 14, key="symbol", ts="bar_ts")
+    return out.select("symbol", "bar_ts", F.round("atr", 6).alias("atr"))
+
+
+QUERIES: dict[str, Query] = {
+    "bars_1h": Query(bars_1h, BARS_1H_SQL, "A1 tumbling OHLCV, H1"),
+    "bars_1d": Query(bars_1d, BARS_1D_SQL, "A1 tumbling OHLCV, D1"),
+    "session_profile": Query(session_profile, SESSION_PROFILE_SQL, "S4 session labels + A3 summary"),
+    "gap_scan": Query(gap_scan, GAP_SCAN_SQL, "W9 gap detection + classification"),
+    "rsi_14_daily": Query(rsi_14_daily, RSI_14_DAILY_SQL, "W1 RSI (SMA flavor)"),
+    "bollinger_20_daily": Query(bollinger_20_daily, BOLLINGER_20_DAILY_SQL, "W2 Bollinger (pop std)"),
+    "obv_daily": Query(obv_daily, OBV_DAILY_SQL, "W4 on-balance volume"),
+    "atr_sma_daily": Query(atr_sma_daily, ATR_SMA_DAILY_SQL, "W6 ATR (SMA flavor)"),
+    "asof_purchase_click": Query(asof_purchase_click, ASOF_PURCHASE_CLICK_SQL, "J1/J2 as-of join + staleness"),
+    "extreme_moves_hourly": Query(extreme_moves_hourly, EXTREME_MOVES_HOURLY_SQL, "W10 extreme-move scan"),
+    "volatility_regimes": Query(volatility_regimes, VOLATILITY_REGIMES_SQL, "A3 regime periods"),
+    "robustness_daily": Query(robustness_daily, ROBUSTNESS_DAILY_SQL, "A9 robustness distribution"),
+    "macd_daily": Query(macd_daily, None, "W3 MACD — recursive EMA, golden-tested"),
+    "atr_ewm_daily": Query(atr_ewm_daily, None, "W6 ATR ewm flavor — golden-tested"),
+}

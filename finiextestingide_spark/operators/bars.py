@@ -1,0 +1,101 @@
+"""Tick -> OHLCV bar aggregation (SURVEY.md §2.4 A1/A2).
+
+The reference resamples ticks to 7 tumbling timeframes with pandas
+(reference: vectorized_bar_renderer.py:155-212; timeframe registry
+timeframe_config_utils.py:51-59). Here it is a single hash aggregation:
+
+    groupBy(window(ts, tf), key).agg(min_by, max, min, max_by, sum, count)
+
+Scale notes:
+- One shuffle on (key, bucket); partial aggregation (map-side combine) means
+  the shuffle carries one row per (key, bucket) per input partition, not one
+  per tick — at 100 TB this is the difference between shuffling ~TBs and ~MBs.
+- open/close use min_by/max_by over a (ts, tiebreak) struct instead of a sort:
+  no per-group sort, stays in whole-stage codegen, and honors the reference's
+  stable (timestamp, time_msc) total order (shared_data_preparator.py:686-692,
+  bug #385: a non-stable sort scrambles sub-second order).
+- Gap buckets are simply absent (hash agg only materializes observed groups),
+  matching the reference's dropna() semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# M1..D1 registry — reference: timeframe_config_utils.py:51-59.
+TIMEFRAMES: dict[str, str] = {
+    "M1": "1 minute",
+    "M5": "5 minutes",
+    "M15": "15 minutes",
+    "M30": "30 minutes",
+    "H1": "1 hour",
+    "H4": "4 hours",
+    "D1": "1 day",
+}
+
+
+def ohlcv_bars(
+    ticks: DataFrame,
+    timeframe: str = "M5",
+    *,
+    ts: str = "timestamp",
+    key: str | Sequence[str] = "symbol",
+    price: str | Column = "mid",
+    volume: str | Column | None = None,
+    tiebreak: str | None = "time_msc",
+) -> DataFrame:
+    """One tumbling-window OHLCV pass.
+
+    ``timeframe`` is an M1/M5/.../D1 code or any Spark window duration.
+    ``volume=None`` counts each tick as volume 1.0.
+    """
+    duration = TIMEFRAMES.get(timeframe, timeframe)
+    keys = [key] if isinstance(key, str) else list(key)
+    p = F.col(price) if isinstance(price, str) else price
+    vol = (F.col(volume) if isinstance(volume, str) else volume) if volume is not None else F.lit(1.0)
+    order = F.struct(F.col(ts), *([F.col(tiebreak)] if tiebreak else []))
+    return (
+        ticks.groupBy(F.window(F.col(ts), duration).alias("__w"), *[F.col(k) for k in keys])
+        .agg(
+            F.min_by(p, order).alias("open"),
+            F.max(p).alias("high"),
+            F.min(p).alias("low"),
+            F.max_by(p, order).alias("close"),
+            F.sum(vol).alias("volume"),
+            F.count(F.lit(1)).alias("tick_count"),
+        )
+        .select(
+            F.col("__w.start").alias("bar_ts"),
+            *keys,
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "tick_count",
+        )
+    )
+
+
+def multi_timeframe_bars(
+    ticks: DataFrame,
+    timeframes: Sequence[str] = tuple(TIMEFRAMES),
+    **kwargs,
+) -> DataFrame:
+    """All requested timeframes in one plan (§2.4 A2).
+
+    Implemented as a union of per-timeframe aggregations over one shared scan:
+    Catalyst reuses the scan (ReusedExchange under AQE when cached), and each
+    branch is an independent partial-agg pipeline. This beats exploding a
+    timeframe list per tick (which would multiply shuffle input 7x).
+    """
+    parts = []
+    for tf in timeframes:
+        parts.append(ohlcv_bars(ticks, tf, **kwargs).withColumn("timeframe", F.lit(tf)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

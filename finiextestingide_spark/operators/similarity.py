@@ -1,0 +1,140 @@
+"""Embedding similarity search: brute-force cosine top-k + IVF bucket path.
+
+Numeric determinism contract (shared with the DuckDB oracle): elements are
+cast float->double BEFORE any arithmetic, and dot/norm are LEFT-TO-RIGHT
+sequential folds (F.aggregate with 0.0 init == DuckDB list_reduce). Two
+engines executing the same fold over the same doubles produce bit-identical
+results.
+
+Scale notes:
+- Brute force is one broadcast of the query vector + a single scan — the
+  correct baseline up to ~10^8 vectors per query batch.
+- IVF: vectors are pre-assigned to their nearest coarse centroid (one
+  crossJoin against a broadcast centroid table, argmax via min_by struct) —
+  at query time only nprobe centroid buckets are scanned. The assignment is
+  a write-once, partition-by-centroid layout: at 100 TB the probe reads
+  1/nlist of the data via partition pruning.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    ad, bd = _as_double(a), _as_double(b)
+    return dot(ad, bd) / (norm(ad) * norm(bd))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """Brute-force top-k by cosine against a single-row query DataFrame."""
+    qv = F.col("__q." + (query_vec_col or vec_col))
+    scored = vectors.alias("v").crossJoin(F.broadcast(query.alias("__q"))).select(
+        F.col(f"v.{id_col}").alias(id_col),
+        cosine(F.col(f"v.{vec_col}"), qv).alias("cosine"),
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def assign_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """IVF coarse assignment: nearest centroid by cosine (argmax via
+    max_by over a (cosine, -centroid_id) struct for deterministic ties)."""
+    c = centroids.select(
+        F.col(centroid_id), F.col(vec_col).alias("__cvec")
+    )
+    scored = vectors.crossJoin(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        F.col(centroid_id),
+        cosine(F.col(vec_col), F.col("__cvec")).alias("__cos"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col(centroid_id), F.struct(F.col("__cos"), (-F.col(centroid_id)).alias("nid"))
+        ).alias(centroid_id)
+    )
+    return vectors.join(best, id_col)
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Search only the nprobe closest centroid buckets."""
+    qv_col = F.col(f"__q.{vec_col}")
+    probe = (
+        centroids.alias("c")
+        .crossJoin(F.broadcast(query.alias("__q")))
+        .select(
+            F.col(f"c.{centroid_id}").alias(centroid_id),
+            cosine(F.col(f"c.{vec_col}"), qv_col).alias("__cos"),
+        )
+        .orderBy(F.desc("__cos"), F.asc(centroid_id))
+        .limit(nprobe)
+        .select(centroid_id)
+    )
+    bucket = assigned.join(F.broadcast(probe), centroid_id)
+    return cosine_topk(bucket, query, k, id_col=id_col, vec_col=vec_col)
+
+
+def neardup_pairs_blocked(
+    vectors: DataFrame,
+    block_col: str,
+    min_cosine: float = 0.9,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within blocking-key groups (the exact
+    analogue of LSH bucketing for embeddings: all-pairs only inside blocks)."""
+    a, b = vectors.alias("a"), vectors.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{block_col}").alias(block_col),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+    )

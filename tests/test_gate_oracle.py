@@ -1,0 +1,42 @@
+"""Mirror of the driver's correctness gate at sf0.001: every registered gate
+query must hash-match its DuckDB oracle (exact equality after
+canonicalization); oracle-less queries must at least run and keep a stable
+schema."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from finiextestingide_spark.gate import all_queries
+from finiextestingide_spark.sources.tables import TABLES
+from finiextestingide_spark.testing import compare_frames
+
+QUERIES = all_queries()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_gate_query_matches_oracle(name, spark, sf_dir, duck):
+    q = QUERIES[name]
+    spark_pdf = q.fn(spark, sf_dir).toPandas()
+    if q.sql is None:
+        # rows-only contract: runs, has columns, deterministic row count
+        assert len(spark_pdf.columns) > 0
+        again = q.fn(spark, sf_dir).toPandas()
+        assert len(again) == len(spark_pdf)
+        assert list(again.columns) == list(spark_pdf.columns)
+        return
+    oracle_pdf = duck.execute(q.sql).fetchdf()
+    issues = compare_frames(spark_pdf, oracle_pdf)
+    assert not issues, f"{name}: {issues}"

@@ -1,0 +1,183 @@
+"""Unit tests for the non-indicator operator library: bars, as-of join,
+equity/drawdown, gaps, dedup primitives, similarity, text."""
+
+from __future__ import annotations
+
+import pandas as pd
+from datetime import datetime, timedelta
+import pytest
+import pyspark.sql.functions as F
+
+from finiextestingide_spark.operators.asof import asof_join
+from finiextestingide_spark.operators.bars import multi_timeframe_bars, ohlcv_bars
+from finiextestingide_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    word_shingles,
+)
+from finiextestingide_spark.operators.equity import with_drawdown, with_excursions
+from finiextestingide_spark.operators.gaps import detect_gaps
+from finiextestingide_spark.operators.similarity import cosine_topk
+
+T0 = datetime(2026, 1, 5)
+
+
+def ts(sec: float) -> datetime:
+    return T0 + timedelta(seconds=sec)
+
+
+@pytest.fixture(scope="module")
+def ticks(spark):
+    # two symbols, ticks across two M1 buckets; duplicate-second rows with
+    # time_msc tiebreak to pin open/close stability (reference bug #385).
+    rows = [
+        ("A", ts(1), 1000, 10.0, 1.0),
+        ("A", ts(1), 1001, 11.0, 1.0),  # same second, later time_msc
+        ("A", ts(30), 1002, 12.0, 2.0),
+        ("A", ts(61), 1003, 9.0, 1.0),
+        ("B", ts(2), 2000, 100.0, 5.0),
+        ("B", ts(59), 2001, 90.0, 5.0),
+    ]
+    return spark.createDataFrame(
+        rows, "symbol string, timestamp timestamp, time_msc long, mid double, vol double"
+    )
+
+
+def test_ohlcv_bars_basic(spark, ticks):
+    out = {
+        (r["symbol"], r["bar_ts"]): r
+        for r in ohlcv_bars(ticks, "M1", volume="vol").collect()
+    }
+    a0 = out[("A", ts(0))]
+    assert (a0["open"], a0["high"], a0["low"], a0["close"]) == (10.0, 12.0, 10.0, 12.0)
+    assert a0["volume"] == 4.0 and a0["tick_count"] == 3
+    a1 = out[("A", ts(60))]
+    assert (a1["open"], a1["close"], a1["tick_count"]) == (9.0, 9.0, 1)
+    b0 = out[("B", ts(0))]
+    assert (b0["open"], b0["close"]) == (100.0, 90.0)
+    assert len(out) == 3  # gap buckets absent
+
+
+def test_ohlcv_open_close_tiebreak_on_time_msc(spark):
+    # same timestamp, distinct time_msc: open = lowest msc, close = highest
+    rows = [("A", ts(0), 5, 1.0), ("A", ts(0), 1, 2.0), ("A", ts(0), 9, 3.0)]
+    df = spark.createDataFrame(rows, "symbol string, timestamp timestamp, time_msc long, mid double")
+    r = ohlcv_bars(df, "M1").collect()[0]
+    assert r["open"] == 2.0 and r["close"] == 3.0
+
+
+def test_multi_timeframe_bars(spark, ticks):
+    out = multi_timeframe_bars(ticks, ["M1", "H1"], volume="vol").collect()
+    tfs = {r["timeframe"] for r in out}
+    assert tfs == {"M1", "H1"}
+    h1 = [r for r in out if r["timeframe"] == "H1" and r["symbol"] == "A"]
+    assert len(h1) == 1 and h1[0]["tick_count"] == 4
+
+
+def test_asof_join_backward_with_tie_and_staleness(spark):
+    left = spark.createDataFrame(
+        [("A", ts(10)), ("A", ts(20)), ("A", ts(100)), ("B", ts(10))],
+        "symbol string, ev_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("A", ts(10), 1.0), ("A", ts(15), 2.0), ("B", ts(50), 9.0)],
+        "symbol string, sig_ts timestamp, score double",
+    )
+    out = asof_join(
+        left, right, on=["symbol"], left_ts="ev_ts", right_ts="sig_ts",
+        how="left", tolerance_ms=30_000,
+    ).collect()
+    by = {(r["symbol"], r["ev_ts"]): r for r in out}
+    assert by[("A", ts(10))]["score"] == 1.0  # <= tie visible
+    assert by[("A", ts(20))]["score"] == 2.0
+    assert by[("A", ts(100))]["score"] == 2.0
+    assert by[("A", ts(100))]["is_stale"] is True  # 85s > 30s tolerance
+    assert by[("A", ts(20))]["is_stale"] is False
+    assert by[("B", ts(10))]["score"] is None  # no snapshot yet, kept by how=left
+
+
+def test_asof_inner_drops_unmatched(spark):
+    left = spark.createDataFrame([("B", ts(10))], "symbol string, ev_ts timestamp")
+    right = spark.createDataFrame(
+        [("B", ts(50), 9.0)], "symbol string, sig_ts timestamp, score double"
+    )
+    assert (
+        asof_join(left, right, on=["symbol"], left_ts="ev_ts", right_ts="sig_ts").count() == 0
+    )
+
+
+def test_drawdown_running_peak(spark):
+    rows = [("s", ts(i), e) for i, e in enumerate([100.0, 110.0, 105.0, 90.0, 120.0, 95.0])]
+    df = spark.createDataFrame(rows, "scenario_id string, ts timestamp, equity double")
+    out = [r for r in with_drawdown(df).orderBy("ts").collect()]
+    assert [r["peak_equity"] for r in out] == [100.0, 110.0, 110.0, 110.0, 120.0, 120.0]
+    assert [r["drawdown"] for r in out] == [0.0, 0.0, 5.0, 20.0, 0.0, 25.0]
+    assert out[-1]["max_drawdown"] == 25.0
+
+
+def test_excursions_mae_mfe(spark):
+    rows = [
+        ("p1", ts(1), -5.0, 99.5),
+        ("p1", ts(2), 10.0, 101.0),
+        ("p1", ts(3), -8.0, 99.2),
+        ("p1", ts(4), 3.0, 100.3),
+    ]
+    df = spark.createDataFrame(rows, "position_id string, ts timestamp, unrealized_pnl double, price double")
+    last = with_excursions(df).orderBy("ts").collect()[-1]
+    assert last["mae_pnl"] == -8.0 and last["mae_price"] == 99.2
+    assert last["mfe_pnl"] == 10.0 and last["mfe_price"] == 101.0
+
+
+def test_gap_detection_and_classification(spark):
+    rows = (
+        [("A", ts(i * 60)) for i in range(3)]
+        + [("A", ts(3 * 60 + 50 * 60))]        # 51-min gap (from ts=120s) -> MODERATE
+        + [("A", ts(3 * 60 + 50 * 60 + 60 * 60 * 6))]  # 6h gap -> LARGE
+    )
+    df = spark.createDataFrame(rows, "symbol string, timestamp timestamp")
+    gaps = detect_gaps(df, expected_interval_ms=60_000)
+    got = [(r["gap_class"], r["gap_ms"]) for r in gaps.orderBy("gap_start").collect()]
+    assert got == [("MODERATE", 51 * 60_000), ("LARGE", 6 * 3600_000)]
+
+
+def test_exact_dedup_min_id_is_canonical(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in exact_dedup(df).collect()}
+    assert out[1]["is_duplicate"] is False and out[1]["group_size"] == 2
+    assert out[2]["is_duplicate"] is True and out[2]["canonical_id"] == 1
+    assert out[3]["is_duplicate"] is False and out[3]["group_size"] == 1
+
+
+def test_jaccard_and_lsh_agree_on_obvious_pair(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again today"),
+            (3, "completely different content about spark query planning engines"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = word_shingles(docs, n=3)
+    jp = jaccard_pairs(sh, min_intersection=1, min_jaccard=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in jp} == {(1, 2)}
+    # doc1 has 10 3-shingles, doc2 has 11, all 10 shared
+    (pair,) = jp
+    assert pair["jaccard"] == pytest.approx(10 / 11)
+    sigs = minhash_signatures(sh, num_hashes=32)
+    cands = lsh_candidate_pairs(sigs, num_hashes=32, bands=16).collect()
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in cands}
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    query = spark.createDataFrame([([1.0, 0.0],)], "embedding array<double>")
+    out = cosine_topk(emb, query, k=2).orderBy("rank").collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+    assert out[0]["cosine"] == pytest.approx(1.0)
