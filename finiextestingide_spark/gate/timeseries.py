@@ -608,6 +608,56 @@ def atr_ewm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("symbol", "bar_ts", F.round("atr", 6).alias("atr"))
 
 
+# --- R1-R9: the stateful replay over events-derived ticks (rows-only: the
+#     order-fill state machine is not SQL-expressible; determinism + semantics
+#     are pinned by tests/test_replay.py golden runs) ---
+
+
+def replay_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.replay import run_backtest
+
+    ev = _events(spark, sf_dir)
+    ticks = ev.select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts").alias("timestamp"),
+        F.unix_millis("ts").alias("time_msc"),
+        F.unix_millis("ts").alias("collected_msc"),
+        (F.col("value") - 0.005).alias("bid"),
+        (F.col("value") + 0.005).alias("ask"),
+    )
+    base = {"bar_ms": "3600000", "fast": "3", "slow": "8", "equity_sample_every": "0"}
+    scen_rows = [
+        (1, "click-sma", "click", None, None, 11, 100, 5000, {**base, "strategy": "sma_cross"}),
+        (2, "view-rsi", "view", None, None, 12, 100, 5000,
+         {**base, "strategy": "rsi_reversion", "period": "9"}),
+        (3, "purchase-hold", "purchase", None, None, 13, 0, 0,
+         {**base, "strategy": "buy_hold", "sl_dist": "2.0", "tp_dist": "4.0"}),
+        (4, "error-budget", "error", 20000, 500.0, 14, 100, 5000,
+         {**base, "strategy": "sma_cross"}),
+    ]
+    scenarios = spark.createDataFrame(
+        scen_rows,
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+        "latency_max_ms int, parameters map<string,string>",
+    )
+    res = run_backtest(ticks, scenarios)
+    return res.select(
+        "scenario_id",
+        "ticks_processed",
+        "ticks_clipped",
+        "bars_closed",
+        "trades_count",
+        "wins",
+        "losses",
+        F.round("gross_profit", 6).alias("gross_profit"),
+        F.round("gross_loss", 6).alias("gross_loss"),
+        F.round("net_pnl", 6).alias("net_pnl"),
+        F.round("final_equity", 6).alias("final_equity"),
+        F.round("max_drawdown", 6).alias("max_drawdown"),
+    )
+
+
 QUERIES: dict[str, Query] = {
     "bars_1h": Query(bars_1h, BARS_1H_SQL, "A1 tumbling OHLCV, H1"),
     "bars_1d": Query(bars_1d, BARS_1D_SQL, "A1 tumbling OHLCV, D1"),
@@ -623,4 +673,7 @@ QUERIES: dict[str, Query] = {
     "robustness_daily": Query(robustness_daily, ROBUSTNESS_DAILY_SQL, "A9 robustness distribution"),
     "macd_daily": Query(macd_daily, None, "W3 MACD — recursive EMA, golden-tested"),
     "atr_ewm_daily": Query(atr_ewm_daily, None, "W6 ATR ewm flavor — golden-tested"),
+    "replay_backtest": Query(
+        replay_backtest, None, "R1-R9 stateful replay — golden-tested, deterministic"
+    ),
 }

@@ -1,0 +1,450 @@
+"""Scenario-parallel stateful replay — the backtest core (SURVEY.md §2.8).
+
+The reference forks one OS process per scenario and runs a per-tick Python
+loop through bars -> workers -> decision -> trade simulator (reference:
+python/framework/batch/batch_orchestrator.py:550-574,
+python/framework/process/process_tick_loop.py:110+,
+python/framework/trading_env/simulation/trade_simulator.py:146-236).
+
+Spark-first shape: scenarios are rows; ticks are range-joined to scenarios
+(one broadcast join = the reference's grouped scan-sharing,
+shared_data_preparator.py:624-696), then ONE ``groupBy(scenario_id)
+.applyInPandas(...)`` replaces the process pool. Each scenario's stream is
+independent, so this partitions perfectly: on a 1000-executor cluster a
+40-scenario batch is 40 tasks, a 100k-combination sweep is 100k tasks —
+no shuffle after the one scenario-attach join, no driver-side loop.
+
+Inside the group the semantics are deliberately sequential (that is the
+operator's contract — order fills depend on prior fills):
+
+- R1 tick-budget clipping: virtual clock over ``collected_msc``; a clipped
+  tick is invisible to the strategy but the broker still matches orders on
+  it (shared_data_preparator.py:462-536).
+- R2 seeded latency queue: each order is delayed by
+  ``random.Random(seed).randint(min_ms, max_ms)`` — the exact RNG sequence
+  the reference uses (seeded_delay_generator.py:15-40), so same seed =>
+  same fills, different seed => different fills.
+- R3 order matching: market orders fill on the first tick at/after the
+  latency deadline (BUY at ask, SELL at bid); SL/TP exits are broker-side
+  and immediate (trade_simulator.py:610-686, close-side price selection:
+  LONG exits at bid, SHORT at ask).
+- R4 position P&L + MAE/MFE running extrema with price-at-extreme capture
+  (portfolio_types.py:120-155).
+- R5 equity / peak / drawdown account state (portfolio_manager.py:1080-1139).
+- R7 incremental bar render: bucket floor per tick; a bar closes on the
+  first tick of the next bucket; decisions fire on bar close
+  (bar_renderer.py:123-214).
+- R9 decision logic: pluggable strategies over the closed-bar close series
+  (the reference's decision_logic/ plugins); each is O(1) per bar via
+  incremental state.
+
+Memory posture: one scenario's ticks must fit one task (the same bound the
+reference has per process). Columns are projected to 5 primitive arrays
+before the loop; 10M ticks/scenario ~= 400 MB — within executor budgets.
+Equity output is sampled every ``equity_sample_every`` ticks so the result
+row stays small.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TRADE_FIELDS = StructType(
+    [
+        StructField("trade_id", IntegerType()),
+        StructField("direction", StringType()),
+        StructField("lots", DoubleType()),
+        StructField("entry_ts", TimestampType()),
+        StructField("entry_price", DoubleType()),
+        StructField("exit_ts", TimestampType()),
+        StructField("exit_price", DoubleType()),
+        StructField("gross_pnl", DoubleType()),
+        StructField("fees", DoubleType()),
+        StructField("net_pnl", DoubleType()),
+        StructField("mae_pnl", DoubleType()),
+        StructField("mfe_pnl", DoubleType()),
+        StructField("mae_price", DoubleType()),
+        StructField("mfe_price", DoubleType()),
+        StructField("exit_reason", StringType()),
+    ]
+)
+
+EQUITY_SAMPLE_FIELDS = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("equity", DoubleType()),
+        StructField("drawdown", DoubleType()),
+    ]
+)
+
+REPLAY_RESULT_SCHEMA = StructType(
+    [
+        StructField("scenario_id", IntegerType()),
+        StructField("ticks_processed", LongType()),
+        StructField("ticks_clipped", LongType()),
+        StructField("bars_closed", LongType()),
+        StructField("trades_count", IntegerType()),
+        StructField("wins", IntegerType()),
+        StructField("losses", IntegerType()),
+        StructField("gross_profit", DoubleType()),
+        StructField("gross_loss", DoubleType()),
+        StructField("fees", DoubleType()),
+        StructField("net_pnl", DoubleType()),
+        StructField("final_equity", DoubleType()),
+        StructField("max_drawdown", DoubleType()),
+        StructField("trades", ArrayType(TRADE_FIELDS)),
+        StructField("equity_samples", ArrayType(EQUITY_SAMPLE_FIELDS)),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Strategies (R9) — incremental, O(1) per closed bar. The reference's
+# decision-logic plugins (python/framework/decision_logic/core/) follow the
+# same contract: warmup depth + a per-bar decision.
+# ---------------------------------------------------------------------------
+
+
+class SmaCross:
+    """target +1 when SMA(fast) > SMA(slow), else -1."""
+
+    def __init__(self, params: dict):
+        self.fast = int(params.get("fast", 5))
+        self.slow = int(params.get("slow", 20))
+        self.warmup = self.slow
+        self._closes: list[float] = []
+        self._fsum = 0.0
+        self._ssum = 0.0
+
+    def on_bar(self, close: float) -> int:
+        cs = self._closes
+        cs.append(close)
+        self._fsum += close
+        self._ssum += close
+        if len(cs) > self.fast:
+            self._fsum -= cs[-self.fast - 1]
+        if len(cs) > self.slow:
+            self._ssum -= cs[-self.slow - 1]
+        if len(cs) < self.warmup:
+            return 0
+        return 1 if self._fsum / self.fast > self._ssum / self.slow else -1
+
+
+class RsiReversion:
+    """SMA-flavor RSI (rsi_worker.py:96-139): long below `buy_below`, short
+    above `sell_above`, otherwise hold the previous target."""
+
+    def __init__(self, params: dict):
+        self.period = int(params.get("period", 14))
+        self.buy_below = float(params.get("buy_below", 30.0))
+        self.sell_above = float(params.get("sell_above", 70.0))
+        self.warmup = self.period + 1
+        self._deltas: list[float] = []
+        self._prev_close: float | None = None
+        self._target = 0
+
+    def on_bar(self, close: float) -> int:
+        if self._prev_close is not None:
+            self._deltas.append(close - self._prev_close)
+        self._prev_close = close
+        if len(self._deltas) < self.period:
+            return self._target
+        window = self._deltas[-self.period :]
+        gain = sum(d for d in window if d > 0) / self.period
+        loss = sum(-d for d in window if d < 0) / self.period
+        rsi = 100.0 if loss == 0 else 100.0 - 100.0 / (1.0 + gain / loss)
+        if rsi < self.buy_below:
+            self._target = 1
+        elif rsi > self.sell_above:
+            self._target = -1
+        return self._target
+
+
+class BuyHold:
+    def __init__(self, params: dict):
+        self.warmup = 1
+
+    def on_bar(self, close: float) -> int:
+        return 1
+
+
+STRATEGIES = {"sma_cross": SmaCross, "rsi_reversion": RsiReversion, "buy_hold": BuyHold}
+
+
+@dataclass
+class _Position:
+    direction: int  # +1 long, -1 short
+    lots: float
+    entry_i: int
+    entry_ms: int
+    entry_price: float
+    fees: float
+    mae_pnl: float = 0.0
+    mfe_pnl: float = 0.0
+    mae_price: float = 0.0
+    mfe_price: float = 0.0
+
+
+def _replay_one(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The per-scenario state machine. Input: one scenario's ticks (joined
+    scenario params constant within the group)."""
+    first = pdf.iloc[0]
+    sid = int(first["scenario_id"])
+    params: dict = {}
+    raw_params = first.get("parameters")
+    if isinstance(raw_params, dict):
+        params = {k: v for k, v in raw_params.items()}
+
+    strategy_name = params.get("strategy", "sma_cross")
+    strategy = STRATEGIES[strategy_name](params)
+    bar_ms = int(params.get("bar_ms", 60_000))
+    lots = float(params.get("lots", 1.0))
+    contract = float(params.get("contract_size", 1.0))
+    fee_per_side = float(params.get("fee_per_side", 0.0))
+    sl_dist = float(params["sl_dist"]) if "sl_dist" in params else None
+    tp_dist = float(params["tp_dist"]) if "tp_dist" in params else None
+    start_balance = float(params.get("start_balance", 10_000.0))
+    sample_every = int(params.get("equity_sample_every", 1000))
+
+    budget_ms = first.get("tick_processing_budget_ms")
+    budget_ms = float(budget_ms) if budget_ms is not None and not pd.isna(budget_ms) else None
+    seed = first.get("latency_seed")
+    seed = int(seed) if seed is not None and not pd.isna(seed) else 42
+    lat_min = first.get("latency_min_ms")
+    lat_min = int(lat_min) if lat_min is not None and not pd.isna(lat_min) else 0
+    lat_max = first.get("latency_max_ms")
+    lat_max = int(lat_max) if lat_max is not None and not pd.isna(lat_max) else 0
+    max_ticks = first.get("max_ticks")
+    max_ticks = int(max_ticks) if max_ticks is not None and not pd.isna(max_ticks) else None
+
+    # stable (timestamp, time_msc) total order — reference bug #385
+    pdf = pdf.sort_values(["time_msc"], kind="mergesort")
+    if max_ticks is not None:
+        pdf = pdf.iloc[:max_ticks]
+
+    ts_ms = pdf["time_msc"].to_numpy(dtype="int64")
+    coll_ms = (
+        pdf["collected_msc"].to_numpy(dtype="int64")
+        if "collected_msc" in pdf.columns
+        else ts_ms
+    )
+    bid = pdf["bid"].to_numpy(dtype="float64")
+    ask = pdf["ask"].to_numpy(dtype="float64")
+    buckets = ts_ms // bar_ms
+    n = len(ts_ms)
+
+    rng = random.Random(seed)
+    balance = start_balance
+    equity = start_balance
+    peak = start_balance
+    max_dd = 0.0
+    clock = -(2**62)
+    n_clipped = 0
+    bars_closed = 0
+    cur_bucket = -(2**62)
+    cur_close = 0.0
+    have_bar = False
+    target = 0
+    pos: _Position | None = None
+    # pending market orders: (due_ms, direction, purpose) purpose: 'open'/'close'
+    pending: list[tuple[int, int, str]] = []
+    trades: list[dict] = []
+    samples: list[dict] = []
+
+    tsl = ts_ms.tolist()
+    cl = coll_ms.tolist()
+    bl = bid.tolist()
+    al = ask.tolist()
+    bk = buckets.tolist()
+
+    def close_position(i: int, price: float, reason: str) -> None:
+        nonlocal pos, balance
+        p = pos
+        gross = p.direction * (price - p.entry_price) * contract * p.lots
+        fees = p.fees + fee_per_side * p.lots
+        balance += gross - fees
+        trades.append(
+            {
+                "trade_id": len(trades),
+                "direction": "LONG" if p.direction > 0 else "SHORT",
+                "lots": p.lots,
+                "entry_ts": pd.Timestamp(p.entry_ms, unit="ms"),
+                "entry_price": p.entry_price,
+                "exit_ts": pd.Timestamp(tsl[i], unit="ms"),
+                "exit_price": price,
+                "gross_pnl": gross,
+                "fees": fees,
+                "net_pnl": gross - fees,
+                "mae_pnl": p.mae_pnl,
+                "mfe_pnl": p.mfe_pnl,
+                "mae_price": p.mae_price,
+                "mfe_price": p.mfe_price,
+                "exit_reason": reason,
+            }
+        )
+        pos = None
+
+    for i in range(n):
+        t = tsl[i]
+        b = bl[i]
+        a = al[i]
+
+        # R1 — budget clipping (algo-invisible, broker-visible)
+        clipped = False
+        if budget_ms is not None:
+            c = cl[i]
+            if c < clock:
+                clipped = True
+                n_clipped += 1
+            else:
+                clock = c + budget_ms
+
+        # R7 — bar close on first tick of a new bucket; R9 decision
+        if bk[i] != cur_bucket:
+            if have_bar:
+                bars_closed += 1
+                new_target = strategy.on_bar(cur_close)
+                if not clipped and new_target != target:
+                    target = new_target
+                    delay = rng.randint(lat_min, lat_max) if lat_max > 0 else 0
+                    due = t + delay
+                    if pos is not None:
+                        pending.append((due, -pos.direction, "close"))
+                    if target != 0:
+                        pending.append((due, target, "open"))
+            cur_bucket = bk[i]
+            have_bar = True
+        cur_close = (b + a) / 2.0
+
+        # R2/R3 — drain latency queue in submission order
+        while pending and t >= pending[0][0]:
+            _, direction, purpose = pending.pop(0)
+            if purpose == "close":
+                if pos is not None:
+                    close_position(i, b if pos.direction > 0 else a, "SIGNAL")
+            elif pos is None:
+                price = a if direction > 0 else b
+                pos = _Position(
+                    direction=direction,
+                    lots=lots,
+                    entry_i=i,
+                    entry_ms=t,
+                    entry_price=price,
+                    fees=fee_per_side * lots,
+                    mae_price=price,
+                    mfe_price=price,
+                )
+
+        # R4 — excursion update as the price arrives (before stop evaluation,
+        # so the exit tick's adverse move is captured in MAE)
+        unreal = 0.0
+        if pos is not None:
+            mark = b if pos.direction > 0 else a
+            unreal = pos.direction * (mark - pos.entry_price) * contract * pos.lots
+            if unreal < pos.mae_pnl:
+                pos.mae_pnl = unreal
+                pos.mae_price = mark
+            if unreal > pos.mfe_pnl:
+                pos.mfe_pnl = unreal
+                pos.mfe_price = mark
+
+            # R3 — broker-side SL/TP (close-side price: LONG->bid, SHORT->ask)
+            if sl_dist is not None or tp_dist is not None:
+                move = pos.direction * (mark - pos.entry_price)
+                if sl_dist is not None and move <= -sl_dist:
+                    close_position(i, mark, "SL")
+                    unreal = 0.0
+                elif tp_dist is not None and move >= tp_dist:
+                    close_position(i, mark, "TP")
+                    unreal = 0.0
+
+        # R5 — account state
+        equity = balance + unreal
+        if equity > peak:
+            peak = equity
+        dd = peak - equity
+        if dd > max_dd:
+            max_dd = dd
+        if sample_every > 0 and i % sample_every == 0:
+            samples.append(
+                {"ts": pd.Timestamp(t, unit="ms"), "equity": equity, "drawdown": dd}
+            )
+
+    if pos is not None and n > 0:
+        close_position(n - 1, bl[n - 1] if pos.direction > 0 else al[n - 1], "END")
+        equity = balance
+
+    wins = sum(1 for tr in trades if tr["net_pnl"] > 0)
+    losses = sum(1 for tr in trades if tr["net_pnl"] < 0)
+    return pd.DataFrame(
+        [
+            {
+                "scenario_id": sid,
+                "ticks_processed": n,
+                "ticks_clipped": n_clipped,
+                "bars_closed": bars_closed,
+                "trades_count": len(trades),
+                "wins": wins,
+                "losses": losses,
+                "gross_profit": sum(tr["gross_pnl"] for tr in trades if tr["gross_pnl"] > 0),
+                "gross_loss": sum(tr["gross_pnl"] for tr in trades if tr["gross_pnl"] < 0),
+                "fees": sum(tr["fees"] for tr in trades),
+                "net_pnl": sum(tr["net_pnl"] for tr in trades),
+                "final_equity": equity if n > 0 else start_balance,
+                "max_drawdown": max_dd,
+                "trades": trades,
+                "equity_samples": samples,
+            }
+        ]
+    )
+
+
+def attach_scenarios(ticks: DataFrame, scenarios: DataFrame) -> DataFrame:
+    """Range-join ticks to scenarios (J3 scan sharing): every scenario gets
+    its slice out of ONE scan. Scenarios are tiny -> broadcast; a tick
+    belonging to k scenarios is duplicated k times, exactly the reference's
+    per-scenario package copy."""
+    cond = ticks["symbol"] == scenarios["symbol"]
+    if "start_ts" in scenarios.columns:
+        cond = cond & (
+            scenarios["start_ts"].isNull() | (ticks["timestamp"] >= scenarios["start_ts"])
+        ) & (scenarios["end_ts"].isNull() | (ticks["timestamp"] < scenarios["end_ts"]))
+    return ticks.join(F.broadcast(scenarios.drop("broker_type")), cond).drop(
+        scenarios["symbol"]
+    )
+
+
+def run_backtest(ticks: DataFrame, scenarios: DataFrame) -> DataFrame:
+    """ticks(symbol,timestamp,time_msc[,collected_msc],bid,ask) x scenarios
+    (SCENARIO_SCHEMA) -> one result row per scenario (REPLAY_RESULT_SCHEMA)."""
+    joined = attach_scenarios(ticks, scenarios)
+    return joined.groupBy("scenario_id").applyInPandas(_replay_one, REPLAY_RESULT_SCHEMA)
+
+
+def trades_table(results: DataFrame) -> DataFrame:
+    """Explode nested trades to a flat TRADE_SCHEMA-shaped table."""
+    return results.select("scenario_id", F.explode("trades").alias("t")).select(
+        "scenario_id", "t.*"
+    )
+
+
+def equity_table(results: DataFrame) -> DataFrame:
+    return results.select("scenario_id", F.explode("equity_samples").alias("e")).select(
+        "scenario_id", "e.*"
+    )

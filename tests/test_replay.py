@@ -1,0 +1,187 @@
+"""Replay operator tests — deterministic golden runs, the model the
+reference uses (tests/simulation/baseline/: same seed => same fills,
+tick counts, P&L, trade sequences)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+import pytest
+
+from finiextestingide_spark.operators.replay import (
+    REPLAY_RESULT_SCHEMA,
+    run_backtest,
+    trades_table,
+)
+
+T0_MS = 1_767_225_600_000  # 2026-01-01 00:00:00 UTC
+
+
+def make_ticks(spark, prices, symbol="X", step_ms=30_000, spread=0.02):
+    """One tick per 30s -> two ticks per 1-minute bar."""
+    rows = []
+    for i, p in enumerate(prices):
+        ms = T0_MS + i * step_ms
+        rows.append(
+            (
+                symbol,
+                datetime.utcfromtimestamp(ms / 1000.0),
+                ms,
+                ms,
+                p - spread / 2,
+                p + spread / 2,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "symbol string, timestamp timestamp, time_msc long, collected_msc long, bid double, ask double",
+    )
+
+
+def make_scenarios(spark, rows):
+    cols = (
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+        "latency_max_ms int, parameters map<string,string>"
+    )
+    return spark.createDataFrame(rows, cols)
+
+
+BASE = {
+    "strategy": "sma_cross",
+    "fast": "2",
+    "slow": "4",
+    "bar_ms": "60000",
+    "equity_sample_every": "1",
+}
+
+
+def scen(spark, sid=1, seed=7, lat=(0, 0), budget=None, max_ticks=None, **over):
+    params = {**BASE, **{k: str(v) for k, v in over.items()}}
+    return make_scenarios(
+        spark,
+        [(sid, f"s{sid}", "X", max_ticks, budget, seed, lat[0], lat[1], params)],
+    )
+
+
+# up-trend then crash: sma_cross goes long, then flips short
+PRICES = [100.0 + i * 0.5 for i in range(12)] + [105.0 - i * 1.0 for i in range(12)]
+
+
+def test_replay_counts_and_bars(spark):
+    ticks = make_ticks(spark, PRICES)
+    res = run_backtest(ticks, scen(spark)).collect()[0]
+    assert res["ticks_processed"] == 24
+    # 12 one-minute buckets; the last bar never closes (no next-bucket tick)
+    assert res["bars_closed"] == 11
+    assert res["ticks_clipped"] == 0
+
+
+def test_replay_trade_semantics_long_flip_short(spark):
+    ticks = make_ticks(spark, PRICES)
+    res = run_backtest(ticks, scen(spark)).collect()[0]
+    tr = sorted(res["trades"], key=lambda t: t["trade_id"])
+    assert len(tr) == 2
+    # first trade: long opened once SMA2 > SMA4 (warmup 4 bars), closed on flip
+    assert tr[0]["direction"] == "LONG"
+    assert tr[0]["exit_reason"] == "SIGNAL"
+    assert tr[1]["direction"] == "SHORT"
+    assert tr[1]["exit_reason"] == "END"
+    # long entered at ask, exited at bid (close-side selection)
+    assert tr[0]["gross_pnl"] == pytest.approx(
+        (tr[0]["exit_price"] - tr[0]["entry_price"]), abs=1e-12
+    )
+    # short profits from the crash
+    assert tr[1]["gross_pnl"] > 0
+    # bookkeeping identities
+    assert res["net_pnl"] == pytest.approx(sum(t["net_pnl"] for t in tr))
+    assert res["final_equity"] == pytest.approx(10_000.0 + res["net_pnl"])
+    assert res["trades_count"] == 2 and res["wins"] + res["losses"] <= 2
+
+
+def test_replay_deterministic_same_seed(spark):
+    ticks = make_ticks(spark, PRICES)
+    s = scen(spark, seed=123, lat=(1000, 40_000))
+    r1 = run_backtest(ticks, s).collect()[0]
+    r2 = run_backtest(ticks, s).collect()[0]
+    assert r1["trades"] == r2["trades"]
+    assert r1["final_equity"] == r2["final_equity"]
+
+
+def test_replay_latency_changes_fills(spark):
+    ticks = make_ticks(spark, PRICES)
+    no_lat = run_backtest(ticks, scen(spark, lat=(0, 0))).collect()[0]
+    lat = run_backtest(ticks, scen(spark, seed=9, lat=(60_000, 120_000))).collect()[0]
+    t0_entry = sorted(no_lat["trades"], key=lambda t: t["trade_id"])[0]["entry_ts"]
+    t1_entry = sorted(lat["trades"], key=lambda t: t["trade_id"])[0]["entry_ts"]
+    assert t1_entry > t0_entry  # delayed fill lands on a later tick
+
+
+def test_replay_budget_clipping_counts(spark):
+    # collected_msc == time_msc, ticks every 30s; a 45s budget clips every
+    # second tick (clock = c + 45000 > next tick's 30s-later stamp).
+    ticks = make_ticks(spark, PRICES)
+    res = run_backtest(ticks, scen(spark, budget=45_000.0)).collect()[0]
+    assert res["ticks_clipped"] == 12
+    assert res["ticks_processed"] == 24
+
+
+def test_replay_stop_loss_fires(spark):
+    # long via buy_hold, then a cliff: SL at 2.0 below entry must fire
+    prices = [100.0, 100.2, 100.4, 100.6, 90.0, 89.0, 88.0, 87.0]
+    ticks = make_ticks(spark, prices)
+    s = scen(spark, strategy="buy_hold", sl_dist=2.0)
+    tr = sorted(run_backtest(ticks, s).collect()[0]["trades"], key=lambda t: t["trade_id"])
+    assert tr[0]["exit_reason"] == "SL"
+    assert tr[0]["gross_pnl"] < 0
+    assert tr[0]["mae_pnl"] <= tr[0]["gross_pnl"]  # MAE captured at/under exit
+
+
+def test_replay_take_profit_fires(spark):
+    prices = [100.0, 100.2, 100.1, 100.3, 103.0, 103.5, 104.0, 104.5]
+    ticks = make_ticks(spark, prices)
+    s = scen(spark, strategy="buy_hold", tp_dist=1.5)
+    tr = sorted(run_backtest(ticks, s).collect()[0]["trades"], key=lambda t: t["trade_id"])
+    assert tr[0]["exit_reason"] == "TP"
+    assert tr[0]["gross_pnl"] >= 1.5 - 1e-9
+
+
+def test_replay_max_ticks(spark):
+    ticks = make_ticks(spark, PRICES)
+    res = run_backtest(ticks, scen(spark, max_ticks=10)).collect()[0]
+    assert res["ticks_processed"] == 10
+
+
+def test_replay_multi_scenario_partitioning(spark):
+    """N scenarios over one symbol = one scan, N independent groups."""
+    ticks = make_ticks(spark, PRICES)
+    scenarios = make_scenarios(
+        spark,
+        [
+            (1, "a", "X", None, None, 1, 0, 0, BASE),
+            (2, "b", "X", 10, None, 1, 0, 0, BASE),
+            (3, "c", "X", None, None, 1, 0, 0, {**BASE, "strategy": "buy_hold"}),
+        ],
+    )
+    res = {r["scenario_id"]: r for r in run_backtest(ticks, scenarios).collect()}
+    assert set(res) == {1, 2, 3}
+    assert res[1]["ticks_processed"] == 24
+    assert res[2]["ticks_processed"] == 10
+    assert res[3]["trades_count"] >= 1
+
+
+def test_trades_table_flattens(spark):
+    ticks = make_ticks(spark, PRICES)
+    out = trades_table(run_backtest(ticks, scen(spark)))
+    rows = out.collect()
+    assert len(rows) == 2
+    assert {"scenario_id", "trade_id", "direction", "net_pnl"} <= set(out.columns)
+
+
+def test_fees_reduce_net(spark):
+    ticks = make_ticks(spark, PRICES)
+    free = run_backtest(ticks, scen(spark)).collect()[0]
+    paid = run_backtest(ticks, scen(spark, fee_per_side=1.0)).collect()[0]
+    assert paid["fees"] == pytest.approx(free["fees"] + 2.0 * paid["trades_count"])
+    assert paid["net_pnl"] == pytest.approx(free["net_pnl"] - 2.0 * paid["trades_count"])
