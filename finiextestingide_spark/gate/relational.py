@@ -367,6 +367,125 @@ GROUP BY l_returnflag
 """
 
 
+# --- swap accrual (R6): overnight rollover fees, closed-form, no UDF ---
+#     positions modeled from orders: open = o_orderdate, close = last
+#     lineitem ship date; rate signed by orderkey parity; lots from totalprice.
+
+
+def swap_accrual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    from ..operators.swap import rollover_columns
+
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.max("l_shipdate").alias("close_ts"))
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("open_ts"),
+            "close_ts",
+            # fixed-point: price in cents (exact), rate in tenths (25 = 2.5)
+            (_dec("o_totalprice") * 100).cast("long").alias("price100"),
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit(25)).otherwise(F.lit(-13)).alias("rate10"),
+        )
+    )
+    nights, triples = rollover_columns(F.col("open_ts"), F.col("close_ts"))
+    out = pos.withColumn("nights", nights.cast("long")).withColumn("triple_rollovers", triples)
+    # fee = rate * lots * rollover_units with lots = price/100000; computed as
+    # an exact BIGINT at scale 1e-8, then ONE IEEE division — bit-identical in
+    # any engine, no round() boundary cases (the exact values are multiples of
+    # 1e-8, which sit ON 6-decimal half-way points).
+    fee_e8 = F.col("rate10") * F.col("price100") * (F.col("nights") + 2 * F.col("triple_rollovers"))
+    return out.select(
+        "order_key",
+        "open_ts",
+        "close_ts",
+        "nights",
+        "triple_rollovers",
+        (fee_e8 / F.lit(100000000.0)).alias("swap_fee"),
+    )
+
+
+SWAP_ACCRUAL_SQL = """
+WITH pos AS (
+  SELECT o_orderkey AS order_key, o_orderdate AS open_ts, max(l_shipdate) AS close_ts,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price100,
+         CASE WHEN o_orderkey % 2 = 0 THEN 25 ELSE -13 END AS rate10
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey, o_orderdate, o_totalprice
+),
+r AS (
+  SELECT *,
+         date_diff('day', open_ts, close_ts) AS nights,
+         (3 - isodow(open_ts + INTERVAL 1 DAY) + 7) % 7 AS off
+  FROM pos
+),
+c AS (
+  SELECT *,
+         CAST(CASE WHEN nights <= 0 THEN 0
+                   WHEN nights - 1 >= off THEN (nights - 1 - off) // 7 + 1
+                   ELSE 0 END AS BIGINT) AS triple_rollovers
+  FROM r
+)
+SELECT order_key, open_ts, close_ts, CAST(nights AS BIGINT) AS nights, triple_rollovers,
+       (rate10 * price100 * (nights + 2 * triple_rollovers)) / 100000000.0 AS swap_fee
+FROM c
+"""
+
+
+# --- profiling aggregate (A8): exact interpolated percentiles + budget +
+#     deterministic mode with explicit (count desc, bucket asc) tie-break ---
+
+
+def profiling_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, 0.5)").alias("__p50"),
+        F.expr("percentile(value, 0.95)").alias("__p95"),
+    )
+    buckets = ev.groupBy(
+        "event_type", F.floor(F.col("value") / 100).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("bn"))
+    wm = Window.partitionBy("event_type").orderBy(F.desc("bn"), F.asc("bucket"))
+    mode = (
+        buckets.withColumn("rn", F.row_number().over(wm))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("bucket").alias("mode_bucket"), F.col("bn").alias("mode_n"))
+    )
+    return pct.join(mode, "event_type").select(
+        "event_type",
+        "n",
+        F.round("__p50", 6).alias("p50"),
+        F.round("__p95", 6).alias("p95"),
+        F.round(F.col("__p95") * 1.1, 6).alias("budget_suggestion"),
+        "mode_bucket",
+        "mode_n",
+    )
+
+
+PROFILING_PERCENTILES_SQL = """
+WITH pct AS (
+  SELECT event_type, count(*) AS n,
+         quantile_cont(value, 0.5) AS p50x, quantile_cont(value, 0.95) AS p95x
+  FROM events GROUP BY event_type
+),
+b AS (
+  SELECT event_type, CAST(floor(value / 100) AS BIGINT) AS bucket, count(*) AS bn
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, bucket AS mode_bucket, bn AS mode_n,
+         row_number() OVER (PARTITION BY event_type ORDER BY bn DESC, bucket ASC) AS rn
+  FROM b
+)
+SELECT pct.event_type, pct.n, round(p50x, 6) AS p50, round(p95x, 6) AS p95,
+       round(p95x * 1.1, 6) AS budget_suggestion, m.mode_bucket, m.mode_n
+FROM pct JOIN m ON pct.event_type = m.event_type AND m.rn = 1
+"""
+
+
 QUERIES: dict[str, Query] = {
     "pricing_summary": Query(pricing_summary, PRICING_SUMMARY_SQL, "TPC-H Q1 shape; A5/A6 aggregations"),
     "top_unshipped_orders": Query(top_unshipped_orders, TOP_UNSHIPPED_ORDERS_SQL, "Q3 shape; deterministic top-k"),
@@ -377,4 +496,8 @@ QUERIES: dict[str, Query] = {
     "priority_sensitivity": Query(priority_sensitivity, PRIORITY_SENSITIVITY_SQL, "A11 OFAT sensitivity"),
     "nation_order_kpis": Query(nation_order_kpis, NATION_ORDER_KPIS_SQL, "A6 ratios-from-sums roll-up"),
     "weighted_avg_price": Query(weighted_avg_price, WEIGHTED_AVG_PRICE_SQL, "A6 weighted average"),
+    "swap_accrual": Query(swap_accrual, SWAP_ACCRUAL_SQL, "R6 overnight swap rollovers"),
+    "profiling_percentiles": Query(
+        profiling_percentiles, PROFILING_PERCENTILES_SQL, "A8 percentiles + deterministic mode"
+    ),
 }

@@ -587,8 +587,146 @@ FROM stats st JOIN above a USING (symbol)
 """
 
 
-# --- EMA family: recursive, not SQL-expressible -> rows-only checks + golden
-#     pytest coverage (tests/test_indicators.py) ---
+# --- MA-trend (W5): MA slope normalized by window volatility -> label ---
+
+
+def ma_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ind.with_ma_trend(_bars(spark, sf_dir, "D1"), 10, key="symbol", ts="bar_ts")
+    return out.where(F.col("ma_trend").isNotNull()).select(
+        "symbol",
+        "bar_ts",
+        F.round("ma_trend_slope", 6).alias("slope"),
+        F.col("ma_trend").alias("trend"),
+    )
+
+
+MA_TREND_DAILY_SQL = f"""
+WITH {_bars_cte('day')},
+b AS (
+  SELECT symbol, bar_ts,
+         avg(close) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS ma,
+         stddev_pop(close) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vol,
+         row_number() OVER w AS rn
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+),
+s AS (
+  SELECT symbol, bar_ts, rn,
+         CASE WHEN vol <> 0 THEN (ma - lag(ma) OVER (PARTITION BY symbol ORDER BY bar_ts)) / vol
+              ELSE 0.0 END AS norm
+  FROM b
+)
+SELECT symbol, bar_ts, round(norm, 6) AS slope,
+       CASE WHEN norm > 0.1 THEN 'UP' WHEN norm < -0.1 THEN 'DOWN' ELSE 'FLAT' END AS trend
+FROM s WHERE rn > 10
+"""
+
+
+# --- warmup-bar selection (P4): last N bars strictly before scenario start ---
+
+_WARMUP_SCENARIOS = [
+    ("s1", "click", "2024-01-20 00:00:00"),
+    ("s2", "view", "2024-01-25 12:00:00"),
+    ("s3", "error", "2024-01-10 06:00:00"),
+]
+
+
+def warmup_bars_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scenario_prep import warmup_bars
+
+    scen = spark.createDataFrame(
+        [(s, sym, ts) for s, sym, ts in _WARMUP_SCENARIOS],
+        "scenario string, symbol string, start_str string",
+    ).withColumn("start_ts", F.to_timestamp("start_str"))
+    out = warmup_bars(_bars(spark, sf_dir, "H1"), scen.drop("start_str"), 10)
+    return out.select(
+        "scenario",
+        "symbol",
+        "bar_ts",
+        "close",
+        F.col("tick_count").cast("long").alias("tick_count"),
+        "bars_back",
+    )
+
+
+_WARMUP_VALUES = ", ".join(f"('{s}', '{sym}', TIMESTAMP '{ts}')" for s, sym, ts in _WARMUP_SCENARIOS)
+
+WARMUP_BARS_10_SQL = f"""
+WITH {_bars_cte('hour')},
+scen(scenario, symbol, start_ts) AS (VALUES {_WARMUP_VALUES}),
+j AS (
+  SELECT scen.scenario, bars.symbol, bars.bar_ts, bars.close, bars.tick_count,
+         row_number() OVER (PARTITION BY scen.scenario ORDER BY bars.bar_ts DESC) AS bars_back
+  FROM bars JOIN scen ON bars.symbol = scen.symbol AND bars.bar_ts < scen.start_ts
+)
+SELECT scenario, symbol, bar_ts, close, CAST(tick_count AS BIGINT) AS tick_count, bars_back
+FROM j WHERE bars_back <= 10
+"""
+
+
+# --- interval-overlap coverage join (J4): indexed segments x load ranges ---
+
+_COVERAGE_RANGES = [
+    ("r1", "click", "2024-01-05 00:00:00", "2024-01-12 00:00:00"),
+    ("r2", "view", "2024-01-20 18:00:00", "2024-01-28 00:00:00"),
+    ("r3", "purchase", "2024-01-01 00:00:00", "2024-01-03 12:00:00"),
+]
+
+
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scenario_prep import interval_overlap_join
+
+    ev = _events(spark, sf_dir)
+    segments = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", "ts").alias("segment_day"),
+    ).agg(
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ranges = spark.createDataFrame(
+        _COVERAGE_RANGES, "range_id string, symbol string, s string, e string"
+    ).select(
+        "range_id",
+        "symbol",
+        F.to_timestamp("s").alias("start_ts"),
+        F.to_timestamp("e").alias("end_ts"),
+    )
+    out = interval_overlap_join(segments, ranges)
+    return out.select(
+        "range_id",
+        "symbol",
+        "segment_day",
+        F.unix_millis("min_ts").alias("min_ms"),
+        F.unix_millis("max_ts").alias("max_ms"),
+        "n_rows",
+    )
+
+
+_COVERAGE_VALUES = ", ".join(
+    f"('{r}', '{sym}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for r, sym, s, e in _COVERAGE_RANGES
+)
+
+INTERVAL_COVERAGE_SQL = f"""
+WITH seg AS (
+  SELECT event_type AS symbol, date_trunc('day', ts) AS segment_day,
+         min(epoch_ms(ts)) AS min_ms, max(epoch_ms(ts)) AS max_ms, count(*) AS n_rows
+  FROM events GROUP BY 1, 2
+),
+rng(range_id, symbol, start_ts, end_ts) AS (VALUES {_COVERAGE_VALUES})
+SELECT rng.range_id, seg.symbol, seg.segment_day, seg.min_ms, seg.max_ms, seg.n_rows
+FROM seg JOIN rng
+  ON seg.symbol = rng.symbol
+ AND epoch_ms(rng.start_ts) <= seg.max_ms
+ AND epoch_ms(rng.end_ts) >= seg.min_ms
+"""
+
+
+# --- EMA family (W3 MACD, W6 ATR-ewm): recursive — oracled via DuckDB
+#     RECURSIVE CTEs that replay the exact recurrence (expression order
+#     matches the pandas implementation term-for-term; pandas
+#     ewm(span, adjust=False) is bit-identical to the explicit recursion),
+#     plus golden pytest coverage (tests/test_indicators.py) ---
 
 
 def macd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -602,10 +740,74 @@ def macd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MACD_DAILY_SQL = f"""
+WITH RECURSIVE {_bars_cte('day')},
+c AS (
+  SELECT symbol, bar_ts, close,
+         row_number() OVER w AS rn,
+         avg(close) OVER (w ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS sma_f,
+         avg(close) OVER (w ROWS BETWEEN 25 PRECEDING AND CURRENT ROW) AS sma_s
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+),
+fe(symbol, rn, e) AS (
+  SELECT symbol, rn, sma_f FROM c WHERE rn = 12
+  UNION ALL
+  SELECT c.symbol, c.rn, (2.0/13.0) * c.close + (1.0 - 2.0/13.0) * fe.e
+  FROM c JOIN fe ON c.symbol = fe.symbol AND c.rn = fe.rn + 1
+),
+se(symbol, rn, e) AS (
+  SELECT symbol, rn, sma_s FROM c WHERE rn = 26
+  UNION ALL
+  SELECT c.symbol, c.rn, (2.0/27.0) * c.close + (1.0 - 2.0/27.0) * se.e
+  FROM c JOIN se ON c.symbol = se.symbol AND c.rn = se.rn + 1
+),
+m AS (
+  SELECT c.symbol, c.bar_ts, fe.e - se.e AS macd,
+         row_number() OVER (PARTITION BY c.symbol ORDER BY c.rn) AS srn,
+         avg(fe.e - se.e) OVER (PARTITION BY c.symbol ORDER BY c.rn
+                                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS sma_m
+  FROM c
+  JOIN fe ON c.symbol = fe.symbol AND c.rn = fe.rn
+  JOIN se ON c.symbol = se.symbol AND c.rn = se.rn
+),
+sig(symbol, srn, e) AS (
+  SELECT symbol, srn, sma_m FROM m WHERE srn = 9
+  UNION ALL
+  SELECT m.symbol, m.srn, (2.0/10.0) * m.macd + (1.0 - 2.0/10.0) * sig.e
+  FROM m JOIN sig ON m.symbol = sig.symbol AND m.srn = sig.srn + 1
+)
+SELECT m.symbol, m.bar_ts, round(m.macd, 6) AS macd,
+       round(sig.e, 6) AS macd_signal,
+       round(m.macd - sig.e, 6) AS macd_histogram
+FROM m LEFT JOIN sig ON m.symbol = sig.symbol AND m.srn = sig.srn
+"""
+
+
 def atr_ewm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = _bars(spark, sf_dir, "D1").withColumn("volume", F.col("volume").cast("double"))
     out = ind.with_atr_ewm(bars, 14, key="symbol", ts="bar_ts")
     return out.select("symbol", "bar_ts", F.round("atr", 6).alias("atr"))
+
+
+ATR_EWM_DAILY_SQL = f"""
+WITH RECURSIVE {_bars_cte('day')},
+tr AS (
+  SELECT symbol, bar_ts,
+         row_number() OVER w AS rn,
+         greatest(high - low,
+                  abs(high - lag(close) OVER w),
+                  abs(low - lag(close) OVER w)) AS tr
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+),
+ema(symbol, rn, e) AS (
+  SELECT symbol, rn, tr FROM tr WHERE rn = 1
+  UNION ALL
+  SELECT t.symbol, t.rn, (1.0 - 2.0/15.0) * ema.e + (2.0/15.0) * t.tr
+  FROM tr t JOIN ema ON t.symbol = ema.symbol AND t.rn = ema.rn + 1
+)
+SELECT t.symbol, t.bar_ts, round(ema.e, 6) AS atr
+FROM tr t JOIN ema ON t.symbol = ema.symbol AND t.rn = ema.rn
+"""
 
 
 # --- R1-R9: the stateful replay over events-derived ticks (rows-only: the
@@ -671,8 +873,11 @@ QUERIES: dict[str, Query] = {
     "extreme_moves_hourly": Query(extreme_moves_hourly, EXTREME_MOVES_HOURLY_SQL, "W10 extreme-move scan"),
     "volatility_regimes": Query(volatility_regimes, VOLATILITY_REGIMES_SQL, "A3 regime periods"),
     "robustness_daily": Query(robustness_daily, ROBUSTNESS_DAILY_SQL, "A9 robustness distribution"),
-    "macd_daily": Query(macd_daily, None, "W3 MACD — recursive EMA, golden-tested"),
-    "atr_ewm_daily": Query(atr_ewm_daily, None, "W6 ATR ewm flavor — golden-tested"),
+    "ma_trend_daily": Query(ma_trend_daily, MA_TREND_DAILY_SQL, "W5 MA-trend label"),
+    "warmup_bars_10": Query(warmup_bars_10, WARMUP_BARS_10_SQL, "P4 warmup-bar selection"),
+    "interval_coverage": Query(interval_coverage, INTERVAL_COVERAGE_SQL, "J4 interval-overlap join"),
+    "macd_daily": Query(macd_daily, MACD_DAILY_SQL, "W3 MACD — recursive-CTE oracle"),
+    "atr_ewm_daily": Query(atr_ewm_daily, ATR_EWM_DAILY_SQL, "W6 ATR ewm — recursive-CTE oracle"),
     "replay_backtest": Query(
         replay_backtest, None, "R1-R9 stateful replay — golden-tested, deterministic"
     ),

@@ -181,3 +181,68 @@ def test_cosine_topk_orders_by_similarity(spark):
     out = cosine_topk(emb, query, k=2).orderBy("rank").collect()
     assert [r["vec_id"] for r in out] == [1, 2]
     assert out[0]["cosine"] == pytest.approx(1.0)
+
+
+# --- swap accrual (R6): closed-form rollover count vs brute-force day walk ---
+
+
+def test_swap_rollovers_match_bruteforce(spark):
+    from datetime import date
+
+    from finiextestingide_spark.operators.swap import with_swap_fee
+
+    rows = []
+    d0 = date(2024, 1, 1)  # a Monday
+    for open_off in range(14):
+        for held in [0, 1, 2, 3, 6, 7, 8, 13, 14, 20, 30]:
+            o = d0 + timedelta(days=open_off)
+            rows.append((f"p{open_off}_{held}", o, o + timedelta(days=held)))
+    df = spark.createDataFrame(rows, "pid string, open_ts date, close_ts date").withColumn(
+        "swap_rate", F.lit(1.0)
+    ).withColumn("lots", F.lit(1.0))
+    out = {
+        r["pid"]: r
+        for r in with_swap_fee(df, triple_weekday=3).collect()
+    }
+    for pid, o, c in rows:
+        nights = (c - o).days
+        # brute force: midnights crossed are the starts of days o+1 .. o+nights
+        crossed = [o + timedelta(days=k) for k in range(1, nights + 1)]
+        triples = sum(1 for d in crossed if d.isoweekday() == 3)
+        r = out[pid]
+        assert r["nights"] == nights, pid
+        assert r["triple_rollovers"] == triples, pid
+        assert r["swap_fee"] == pytest.approx(nights + 2 * triples), pid
+
+
+def test_warmup_bars_and_interval_overlap(spark):
+    from finiextestingide_spark.operators.scenario_prep import (
+        interval_overlap_join,
+        warmup_bars,
+    )
+
+    bars = spark.createDataFrame(
+        [("A", ts(60 * k), 10.0 + k) for k in range(10)] + [("B", ts(60 * k), 5.0) for k in range(4)],
+        "symbol string, bar_ts timestamp, close double",
+    )
+    scen = spark.createDataFrame(
+        [("s1", "A", ts(60 * 5)), ("s2", "B", ts(60 * 100))],
+        "scenario string, symbol string, start_ts timestamp",
+    )
+    out = warmup_bars(bars, scen, 3).collect()
+    got = {(r["scenario"], r["bars_back"]): r["close"] for r in out}
+    # s1: bars strictly before minute 5 -> minutes 4,3,2
+    assert got[("s1", 1)] == 14.0 and got[("s1", 2)] == 13.0 and got[("s1", 3)] == 12.0
+    # s2: all 4 B bars qualify, capped at 3
+    assert sum(1 for r in out if r["scenario"] == "s2") == 3
+
+    files = spark.createDataFrame(
+        [("A", "f1", ts(0), ts(100)), ("A", "f2", ts(200), ts(300)), ("B", "f3", ts(0), ts(50))],
+        "symbol string, file string, min_ts timestamp, max_ts timestamp",
+    )
+    ranges = spark.createDataFrame(
+        [("r1", "A", ts(90), ts(250))],
+        "range_id string, symbol string, start_ts timestamp, end_ts timestamp",
+    )
+    hits = sorted(r["file"] for r in interval_overlap_join(files, ranges).collect())
+    assert hits == ["f1", "f2"]
