@@ -49,8 +49,21 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    # warm up JVM + parquet footers outside the timed region
+    # Warm up one-time process costs outside the timed region: JVM/codegen,
+    # parquet footer reads for every table family, and the Python worker
+    # pool (Arrow/applyInPandas paths fork workers on first use). Queries
+    # are still timed cold w.r.t. their own computation — nothing below
+    # caches query results (noop writes, count on raw tables).
     qs["bars_1d"].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    from finiextestingide_spark.sources.tables import TABLES, load_table
+
+    for tbl in TABLES:
+        load_table(spark, sf_dir, tbl).count()
+    import pandas as pd  # noqa: F401
+
+    spark.range(2).groupBy("id").applyInPandas(lambda p: p, "id long").write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,186 @@
+"""Stateful incremental bar rendering (R7) with idle-timeout closing (R8).
+
+The reference's live bar renderer keeps ONE open bar per (symbol, timeframe)
+and closes it when the first tick of the next bucket arrives (reference:
+python/framework/bars/bar_renderer.py:123-214, state envelope
+market_data_types.py:114-133); idle heartbeats can close a bar when the feed
+goes quiet (process_tick_loop.py:52-107).
+
+Spark mapping: `applyInPandasWithState` keyed by symbol — per-key GroupState
+holds exactly the open-bar tuple (bounded state, the deque(maxlen=1000)
+analogue is the downstream sink), and a processing-time timeout closes the
+open bar when no tick arrives within the heartbeat interval, which the pure
+watermark encoding in bars_stream.py cannot do (a watermark only advances on
+new data).
+
+Batch parity: for every bucket except each key's last (which only closes on
+timeout/end), output equals operators.bars.ohlcv_bars — pinned by
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_BAR_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("bar_ts", TimestampType()),
+        StructField("open", DoubleType()),
+        StructField("high", DoubleType()),
+        StructField("low", DoubleType()),
+        StructField("close", DoubleType()),
+        StructField("volume", DoubleType()),
+        StructField("tick_count", LongType()),
+    ]
+)
+
+# state tuple: (bucket_start_epoch_us, open, high, low, close, volume, n)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("bucket_us", LongType()),
+        StructField("open", DoubleType()),
+        StructField("high", DoubleType()),
+        StructField("low", DoubleType()),
+        StructField("close", DoubleType()),
+        StructField("volume", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _render(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    *,
+    bar_us: int,
+    timeout_ms: int,
+) -> Iterator[pd.DataFrame]:
+    (symbol,) = key
+    if state.hasTimedOut:
+        if state.exists:
+            b, o, h, lo, c, v, n = state.get
+            state.remove()
+            yield _bar_frame(symbol, b, o, h, lo, c, v, n, bar_us)
+        return
+
+    open_bar = list(state.get) if state.exists else None
+    closed: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["timestamp", "time_msc"])
+        us = pdf["timestamp"].astype("int64") // 1000  # ns -> us
+        for t_us, price, vol in zip(us, pdf["mid"], pdf["volume"]):
+            bucket = (int(t_us) // bar_us) * bar_us
+            if open_bar is None:
+                open_bar = [bucket, price, price, price, price, vol, 1]
+            elif bucket == open_bar[0]:
+                open_bar[2] = max(open_bar[2], price)
+                open_bar[3] = min(open_bar[3], price)
+                open_bar[4] = price
+                open_bar[5] += vol
+                open_bar[6] += 1
+            else:  # first tick of a later bucket closes the open bar
+                closed.append(tuple(open_bar))
+                open_bar = [bucket, price, price, price, price, vol, 1]
+    if open_bar is not None:
+        state.update(tuple(open_bar))
+        state.setTimeoutDuration(timeout_ms)
+    if closed:
+        yield pd.concat(
+            [_bar_frame(symbol, *bar, bar_us) for bar in closed], ignore_index=True
+        )
+
+
+def _bar_frame(symbol, bucket_us, o, h, lo, c, v, n, bar_us) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "symbol": [symbol],
+            "bar_ts": [pd.Timestamp(bucket_us, unit="us")],
+            "open": [o],
+            "high": [h],
+            "low": [lo],
+            "close": [c],
+            "volume": [v],
+            "tick_count": [n],
+        }
+    )
+
+
+def incremental_bars(
+    ticks: DataFrame,
+    timeframe_ms: int = 60_000,
+    *,
+    heartbeat_ms: int = 30_000,
+) -> DataFrame:
+    """Close-on-next-bucket bar stream over columns
+    (symbol, timestamp, time_msc, mid, volume).
+
+    A bar for bucket B is emitted when the first tick with bucket > B
+    arrives for that symbol (exact reference semantics, including
+    out-of-order-free input assumption), or when the symbol's feed is idle
+    for ``heartbeat_ms`` of processing time.
+    """
+    bar_us = timeframe_ms * 1000
+
+    def fn(key, pdfs, state):
+        return _render(key, pdfs, state, bar_us=bar_us, timeout_ms=heartbeat_ms)
+
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        fn,
+        outputStructType=_BAR_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def drain_to_memory(
+    bars: DataFrame,
+    query_name: str,
+    *,
+    settle_secs: float = 5.0,
+    max_secs: float = 120.0,
+) -> None:
+    """Run the stateful stream into an in-memory table until output settles,
+    then stop.
+
+    `trigger(availableNow)` never terminates under ProcessingTimeTimeout —
+    pending timeouts keep scheduling (empty) microbatches — so
+    `awaitTermination` would hang; instead poll the sink row count and stop
+    once it has been stable for ``settle_secs`` (long enough for the
+    heartbeat timeout batch to fire when heartbeat_ms < settle_secs*1000).
+    """
+    import time
+
+    spark = bars.sparkSession
+    q = (
+        bars.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + max_secs
+    last, stable_since = -1, time.time()
+    while time.time() < deadline and q.isActive:
+        n = spark.table(query_name).count()
+        if n != last:
+            last, stable_since = n, time.time()
+        elif q.lastProgress is not None and time.time() - stable_since >= settle_secs:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()

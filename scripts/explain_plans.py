@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Dump `.explain("formatted")` for gate queries and grep the plan
+properties SCALE.md claims: filter/projection pushdown reaching the parquet
+scans, broadcast joins on dimension sides, whole-stage codegen coverage,
+and exchange reuse.
+
+Usage:
+    python scripts/explain_plans.py                 # headline queries
+    python scripts/explain_plans.py rsi_14_daily    # specific queries
+    python scripts/explain_plans.py --all
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from finiextestingide_spark.gate import all_queries  # noqa: E402
+from finiextestingide_spark.session import build_session  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "top_unshipped_orders",
+    "region_nation_revenue",
+    "bars_1h",
+    "rsi_14_daily",
+    "asof_purchase_click",
+    "extreme_moves_hourly",
+    "minhash_lsh_pairs",
+    "cosine_topk_10",
+    "warmup_bars_10",
+]
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def summarize(name: str, plan: str) -> str:
+    lines = []
+    # Static (pre-AQE) plan properties. Exchange reuse and codegen grouping
+    # are decided by AQE at runtime and not visible here — reuse was instead
+    # verified empirically (see operators/dedup.py: the candidate-verify
+    # rewrite went 31s -> 2.9s once the shared subplan sat behind a reusable
+    # exchange).
+    n_exchanges = plan.count("Exchange")
+    n_bcast = plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+    pushed = [
+        ln.strip()
+        for ln in plan.splitlines()
+        if "PushedFilters" in ln and "PushedFilters: []" not in ln
+    ]
+    n_scans = plan.count("Scan parquet")
+    lines.append(
+        f"{name}: exchanges={n_exchanges} broadcast_joins={n_bcast} "
+        f"parquet_scans={n_scans} pushed_filter_scans={len(pushed)}"
+    )
+    return "\n".join(lines)
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = build_session("explain")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    names = list(qs) if "--all" in sys.argv else (args or HEADLINE)
+    verbose = "--full" in sys.argv or bool(args)
+    for name in names:
+        df = qs[name].fn(spark, sf_dir)
+        plan = plan_of(df)
+        print(summarize(name, plan))
+        if verbose:
+            print(plan)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

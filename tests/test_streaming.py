@@ -101,3 +101,62 @@ def test_stale_feed_flags(spark, tick_dir):
     run_to_memory(stale_feed_flags(stream, interval="1 minute"), name)
     rows = spark.sql(f"SELECT * FROM {name} WHERE symbol = 'A'").collect()
     assert rows and all(r["ticks"] == 6 for r in rows)  # 6 x 10s ticks/min
+
+
+def test_incremental_bars_stateful(spark, tmp_path):
+    """R7 stateful close-on-next-bucket renderer: closed bars match batch
+    OHLCV for every bucket except each key's still-open last one."""
+    from finiextestingide_spark.operators.bars import ohlcv_bars
+    from finiextestingide_spark.streaming.incremental_bars import (
+        drain_to_memory,
+        incremental_bars,
+    )
+
+    ddl = "symbol string, timestamp timestamp, time_msc long, mid double, volume double"
+    rows = []
+    for i in range(50):  # ~8 M1 buckets of 10s ticks
+        t = T0 + timedelta(seconds=10 * i)
+        rows.append(("A", t, 1000 + i, 100.0 + (i % 7) * 0.1, 1.0))
+        if i % 2 == 0:
+            rows.append(("B", t, 2000 + i, 50.0 - (i % 5) * 0.2, 2.0))
+    batch_df = spark.createDataFrame(rows, ddl)
+    d = tmp_path / "in"
+    batch_df.coalesce(1).write.parquet(str(d))
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")  # 4 state stores, not 32
+    try:
+        ticks = read_tick_stream(spark, str(d), batch_df.schema)
+        name = f"incbars_{uuid.uuid4().hex[:8]}"
+        # heartbeat far in the future: only close-on-next-bucket bars emit
+        drain_to_memory(
+            incremental_bars(ticks, 60_000, heartbeat_ms=3_600_000), name, settle_secs=3.0
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    got = {
+        (r["symbol"], r["bar_ts"]): r
+        for r in spark.table(name).collect()
+    }
+
+    expected = ohlcv_bars(
+        batch_df, "M1", ts="timestamp", key="symbol", price="mid",
+        volume=F.col("volume"), tiebreak="time_msc",
+    ).collect()
+    last_bucket = {}
+    for r in expected:
+        k = r["symbol"]
+        if k not in last_bucket or r["bar_ts"] > last_bucket[k]:
+            last_bucket[k] = r["bar_ts"]
+    n_checked = 0
+    for r in expected:
+        key = (r["symbol"], r["bar_ts"])
+        if r["bar_ts"] == last_bucket[r["symbol"]]:
+            assert key not in got  # still open, not yet emitted
+            continue
+        g = got[key]
+        assert (g["open"], g["high"], g["low"], g["close"]) == (
+            r["open"], r["high"], r["low"], r["close"]), key
+        assert g["tick_count"] == r["tick_count"], key
+        n_checked += 1
+    assert n_checked >= 12
