@@ -40,6 +40,9 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "cosine_topk_10",
     "text_stats",
+    # 40 scenarios through bars+strategy+order-simulator, the BASELINE.md
+    # benchmark-certificate shape (75k ticks/s reference).
+    "replay_loadtest_40",
 ]
 
 
@@ -61,7 +64,9 @@ def main() -> int:
         load_table(spark, sf_dir, tbl).count()
     import pandas as pd  # noqa: F401
 
-    spark.range(2).groupBy("id").applyInPandas(lambda p: p, "id long").write.mode(
+    # fork the whole Python worker pool (one worker per core; each pays a
+    # pandas import on first use)
+    spark.range(256).groupBy("id").applyInPandas(lambda p: p, "id long").write.mode(
         "overwrite"
     ).format("noop").save()
 

@@ -860,6 +860,58 @@ def replay_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def replay_loadtest_40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """40-scenario replay (the reference benchmark-certificate shape: 40
+    parallel scenarios through the full bars+strategy+simulator pipeline,
+    BASELINE.md). 5 symbols x 8 parameter variants; scenario parallelism is
+    Spark task parallelism over groupBy(scenario_id)."""
+    from ..operators.replay import run_backtest
+
+    ev = _events(spark, sf_dir)
+    ticks = ev.select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts").alias("timestamp"),
+        F.unix_millis("ts").alias("time_msc"),
+        F.unix_millis("ts").alias("collected_msc"),
+        (F.col("value") - 0.005).alias("bid"),
+        (F.col("value") + 0.005).alias("ask"),
+    )
+    base = {"bar_ms": "3600000", "equity_sample_every": "0"}
+    strategies = [
+        {"strategy": "sma_cross", "fast": "3", "slow": "8"},
+        {"strategy": "sma_cross", "fast": "5", "slow": "13"},
+        {"strategy": "rsi_reversion", "period": "9"},
+        {"strategy": "rsi_reversion", "period": "14"},
+        {"strategy": "buy_hold", "sl_dist": "2.0", "tp_dist": "4.0"},
+        {"strategy": "buy_hold", "sl_dist": "1.0", "tp_dist": "2.0"},
+        {"strategy": "sma_cross", "fast": "2", "slow": "21"},
+        {"strategy": "rsi_reversion", "period": "5"},
+    ]
+    rows = []
+    sid = 0
+    for sym in ["click", "view", "purchase", "signup", "error"]:
+        for k, strat in enumerate(strategies):
+            sid += 1
+            rows.append(
+                (sid, f"{sym}-{k}", sym, None, None, 100 + sid, 100, 5000, {**base, **strat})
+            )
+    scenarios = spark.createDataFrame(
+        rows,
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+        "latency_max_ms int, parameters map<string,string>",
+    )
+    res = run_backtest(ticks, scenarios)
+    return res.select(
+        "scenario_id",
+        "ticks_processed",
+        "bars_closed",
+        "trades_count",
+        F.round("net_pnl", 6).alias("net_pnl"),
+        F.round("final_equity", 6).alias("final_equity"),
+    )
+
+
 QUERIES: dict[str, Query] = {
     "bars_1h": Query(bars_1h, BARS_1H_SQL, "A1 tumbling OHLCV, H1"),
     "bars_1d": Query(bars_1d, BARS_1D_SQL, "A1 tumbling OHLCV, D1"),
@@ -880,5 +932,8 @@ QUERIES: dict[str, Query] = {
     "atr_ewm_daily": Query(atr_ewm_daily, ATR_EWM_DAILY_SQL, "W6 ATR ewm — recursive-CTE oracle"),
     "replay_backtest": Query(
         replay_backtest, None, "R1-R9 stateful replay — golden-tested, deterministic"
+    ),
+    "replay_loadtest_40": Query(
+        replay_loadtest_40, None, "40-scenario replay loadtest (BASELINE.md shape)"
     ),
 }

@@ -202,14 +202,28 @@ class _Position:
 
 
 def _replay_one(pdf: pd.DataFrame) -> pd.DataFrame:
-    """The per-scenario state machine. Input: one scenario's ticks (joined
-    scenario params constant within the group)."""
+    """The per-scenario state machine, config read from the (constant)
+    scenario columns joined onto the group's rows."""
     first = pdf.iloc[0]
-    sid = int(first["scenario_id"])
-    params: dict = {}
-    raw_params = first.get("parameters")
-    if isinstance(raw_params, dict):
-        params = {k: v for k, v in raw_params.items()}
+    scen = {
+        k: first.get(k)
+        for k in (
+            "scenario_id",
+            "parameters",
+            "tick_processing_budget_ms",
+            "latency_seed",
+            "latency_min_ms",
+            "latency_max_ms",
+            "max_ticks",
+        )
+    }
+    return _replay_core(pdf, scen)
+
+
+def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
+    sid = int(scen["scenario_id"])
+    raw_params = scen.get("parameters")
+    params: dict = dict(raw_params) if isinstance(raw_params, dict) else {}
 
     strategy_name = params.get("strategy", "sma_cross")
     strategy = STRATEGIES[strategy_name](params)
@@ -222,15 +236,15 @@ def _replay_one(pdf: pd.DataFrame) -> pd.DataFrame:
     start_balance = float(params.get("start_balance", 10_000.0))
     sample_every = int(params.get("equity_sample_every", 1000))
 
-    budget_ms = first.get("tick_processing_budget_ms")
+    budget_ms = scen.get("tick_processing_budget_ms")
     budget_ms = float(budget_ms) if budget_ms is not None and not pd.isna(budget_ms) else None
-    seed = first.get("latency_seed")
+    seed = scen.get("latency_seed")
     seed = int(seed) if seed is not None and not pd.isna(seed) else 42
-    lat_min = first.get("latency_min_ms")
+    lat_min = scen.get("latency_min_ms")
     lat_min = int(lat_min) if lat_min is not None and not pd.isna(lat_min) else 0
-    lat_max = first.get("latency_max_ms")
+    lat_max = scen.get("latency_max_ms")
     lat_max = int(lat_max) if lat_max is not None and not pd.isna(lat_max) else 0
-    max_ticks = first.get("max_ticks")
+    max_ticks = scen.get("max_ticks")
     max_ticks = int(max_ticks) if max_ticks is not None and not pd.isna(max_ticks) else None
 
     # stable (timestamp, time_msc) total order — reference bug #385
@@ -432,9 +446,38 @@ def attach_scenarios(ticks: DataFrame, scenarios: DataFrame) -> DataFrame:
 
 def run_backtest(ticks: DataFrame, scenarios: DataFrame) -> DataFrame:
     """ticks(symbol,timestamp,time_msc[,collected_msc],bid,ask) x scenarios
-    (SCENARIO_SCHEMA) -> one result row per scenario (REPLAY_RESULT_SCHEMA)."""
-    joined = attach_scenarios(ticks, scenarios)
-    return joined.groupBy("scenario_id").applyInPandas(_replay_one, REPLAY_RESULT_SCHEMA)
+    (SCENARIO_SCHEMA) -> one result row per scenario (REPLAY_RESULT_SCHEMA).
+
+    Two scale decisions here:
+    - Scenario CONFIG travels in a driver-side closure keyed by scenario_id,
+      not as columns joined onto every tick: the pre-replay shuffle carries
+      only (scenario_id, ts, time_msc, collected_msc, bid, ask), never the
+      parameters map duplicated 10^5-10^6 times per scenario.
+    - The shuffle is explicitly repartitioned to one partition per scenario:
+      the replay stage is Python-CPU-bound, and AQE's bytes-based coalescing
+      would merge the (small-in-bytes, expensive-in-CPU) scenario groups
+      onto fewer cores. An explicit repartition(n, col) is exempt from AQE
+      coalescing. The scenario table is tiny (driver metadata, same as the
+      reference's scenario list), so collect() is free."""
+    scen_rows = scenarios.collect()
+    cfg = {r["scenario_id"]: r.asDict(recursive=True) for r in scen_rows}
+    n = max(len(scen_rows), 1)
+
+    slim_cols = ["scenario_id", "symbol"] + [
+        c for c in ("start_ts", "end_ts") if c in scenarios.columns
+    ]
+    slim = scenarios.select(*slim_cols)
+    tick_cols = [c for c in ("timestamp", "time_msc", "collected_msc", "bid", "ask") if c in ticks.columns]
+    joined = (
+        attach_scenarios(ticks, slim)
+        .select("scenario_id", *tick_cols)
+        .repartition(n, "scenario_id")
+    )
+
+    def replay(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _replay_core(pdf, cfg[key[0]])
+
+    return joined.groupBy("scenario_id").applyInPandas(replay, REPLAY_RESULT_SCHEMA)
 
 
 def trades_table(results: DataFrame) -> DataFrame:
