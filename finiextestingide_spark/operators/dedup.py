@@ -26,17 +26,18 @@ from pyspark.sql import Column, DataFrame
 from .text import normalized_text
 
 
-def word_shingles(docs: DataFrame, n: int = 3, *, id_col: str = "doc_id", text: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per document, one row per shingle.
+def shingle_stream(docs: DataFrame, n: int = 3, *, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Word n-gram shingles per document, one row per OCCURRENCE (duplicates
+    kept — cheaper by one exchange; use word_shingles when per-doc
+    distinctness matters to the consumer).
 
-    Formulated as posexplode + window `lead` + distinct so every stage stays
-    inside whole-stage codegen. The obvious alternative — building the
-    shingle array row-local with `F.transform(F.sequence(...), ...)` —
-    measured ~50x slower: Spark evaluates higher-order functions on the
-    interpreted path (one expression-tree walk + allocations per element).
-    Shuffle profile: one exchange keyed by doc id (window) + one distinct
-    exchange keyed by (id, shingle); both carry short strings, never the
-    document body."""
+    Formulated as posexplode + window `lead` so every stage stays inside
+    whole-stage codegen. The obvious alternative — building the shingle
+    array row-local with `F.transform(F.sequence(...), ...)` — measured
+    ~50x slower: Spark evaluates higher-order functions on the interpreted
+    path (one expression-tree walk + allocations per element). Shuffle
+    profile: one exchange keyed by doc id (window sort); rows are short
+    strings, never the document body."""
     from pyspark.sql import Window
 
     words = docs.select(
@@ -53,8 +54,12 @@ def word_shingles(docs: DataFrame, n: int = 3, *, id_col: str = "doc_id", text: 
         )
         .where("_full")
         .select(id_col, "shingle")
-        .distinct()
     )
+
+
+def word_shingles(docs: DataFrame, n: int = 3, *, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document, one row per shingle."""
+    return shingle_stream(docs, n, id_col=id_col, text=text).distinct()
 
 
 def shingle_sets(docs: DataFrame, n: int = 3, *, id_col: str = "doc_id", text: str = "text") -> DataFrame:
@@ -133,10 +138,11 @@ def minhash_signatures(
 
 def shingle_set_table(shingles: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, shingles array, n) from exploded shingles — one groupBy
-    exchange, reused by both sides of the verify join."""
-    return shingles.groupBy(id_col).agg(
-        F.collect_set("shingle").alias("shingles"), F.count(F.lit(1)).alias("n")
-    )
+    exchange, reused by both sides of the verify join. n is the DISTINCT
+    shingle count (collect_set dedups), so duplicate occurrences in the
+    input are fine."""
+    sets = shingles.groupBy(id_col).agg(F.collect_set("shingle").alias("shingles"))
+    return sets.withColumn("n", F.size("shingles"))
 
 
 def lsh_candidate_pairs(
@@ -219,7 +225,10 @@ def minhash_lsh_dedup(
     -> exact verify on CANDIDATE pairs only (array_intersect after two id
     joins). No all-pairs stage anywhere. The two groupBy exchanges (sigs,
     sets) are each referenced twice and deduped by ReuseExchange."""
-    sh = word_shingles(docs, shingle_n, id_col=id_col, text=text)
+    # duplicate shingle occurrences are harmless to BOTH consumers (min is
+    # idempotent, collect_set dedups), so skip word_shingles' distinct
+    # exchange and aggregate the raw occurrence stream directly.
+    sh = shingle_stream(docs, shingle_n, id_col=id_col, text=text)
     sigs = minhash_signatures(sh, num_hashes, id_col=id_col)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col=id_col)
     sets = shingle_set_table(sh, id_col=id_col)

@@ -137,6 +137,24 @@ def deduplicate_overlaps(cands: DataFrame, overlap_frac: float = 0.5) -> DataFra
     return a.join(b, cond, "left_anti")
 
 
+def filter_moves_by_gaps(cands: DataFrame, gaps: DataFrame) -> DataFrame:
+    """P6 — drop candidates whose start falls inside a detected data gap
+    (weekend/holiday/large): range anti-join against operators.gaps.detect_gaps
+    output (extreme_move_scanner.py:297-355). Gaps per symbol are few ->
+    broadcast; the anti-join predicate runs map-side."""
+    g = gaps.select(
+        F.col("key").alias("__gk"),
+        F.col("gap_start").alias("__gs"),
+        F.col("gap_end").alias("__ge"),
+    )
+    cond = (
+        (F.col("key") == F.col("__gk"))
+        & (F.col("start_time") >= F.col("__gs"))
+        & (F.col("start_time") < F.col("__ge"))
+    )
+    return cands.join(F.broadcast(g), cond, "left_anti")
+
+
 def top_moves(cands: DataFrame, n: int = 10) -> DataFrame:
     """Strongest N per (key, direction) — §2.5 W14 top-N per direction."""
     w = Window.partitionBy("key", "direction").orderBy(

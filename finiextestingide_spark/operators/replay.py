@@ -235,6 +235,15 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     tp_dist = float(params["tp_dist"]) if "tp_dist" in params else None
     start_balance = float(params.get("start_balance", 10_000.0))
     sample_every = int(params.get("equity_sample_every", 1000))
+    # R8 — simulated-time heartbeats (opt-in): resolve latency-queue fills
+    # whose deadline falls inside an inter-tick gap at the last known quote,
+    # at the deadline instant; suppressed across gaps larger than the
+    # suppress threshold (reference: process_tick_loop.py:52-107 — ghost
+    # passes every heartbeat interval, suppressed across large gaps).
+    heartbeat_ms = int(params["heartbeat_ms"]) if "heartbeat_ms" in params else None
+    suppress_gap_ms = int(
+        params.get("heartbeat_suppress_gap_ms", 0 if heartbeat_ms is None else 100 * heartbeat_ms)
+    )
 
     budget_ms = scen.get("tick_processing_budget_ms")
     budget_ms = float(budget_ms) if budget_ms is not None and not pd.isna(budget_ms) else None
@@ -287,7 +296,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     al = ask.tolist()
     bk = buckets.tolist()
 
-    def close_position(i: int, price: float, reason: str) -> None:
+    def close_position(i: int, price: float, reason: str, exit_ms: int | None = None) -> None:
         nonlocal pos, balance
         p = pos
         gross = p.direction * (price - p.entry_price) * contract * p.lots
@@ -300,7 +309,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 "lots": p.lots,
                 "entry_ts": pd.Timestamp(p.entry_ms, unit="ms"),
                 "entry_price": p.entry_price,
-                "exit_ts": pd.Timestamp(tsl[i], unit="ms"),
+                "exit_ts": pd.Timestamp(exit_ms if exit_ms is not None else tsl[i], unit="ms"),
                 "exit_price": price,
                 "gross_pnl": gross,
                 "fees": fees,
@@ -318,6 +327,36 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         t = tsl[i]
         b = bl[i]
         a = al[i]
+
+        # R8 — heartbeat passes inside an inter-tick gap: fills whose
+        # latency deadline expired during the gap resolve at the LAST known
+        # quote, stamped at the deadline; suppressed for gaps beyond the
+        # threshold (weekend analogue — those fills wait for the next tick).
+        if (
+            heartbeat_ms is not None
+            and i > 0
+            and heartbeat_ms < t - tsl[i - 1] <= suppress_gap_ms
+        ):
+            pb, pa = bl[i - 1], al[i - 1]
+            while pending and pending[0][0] < t:
+                due, direction, purpose = pending.pop(0)
+                if purpose == "close":
+                    if pos is not None:
+                        close_position(
+                            i - 1, pb if pos.direction > 0 else pa, "SIGNAL", exit_ms=due
+                        )
+                elif pos is None:
+                    price = pa if direction > 0 else pb
+                    pos = _Position(
+                        direction=direction,
+                        lots=lots,
+                        entry_i=i - 1,
+                        entry_ms=due,
+                        entry_price=price,
+                        fees=fee_per_side * lots,
+                        mae_price=price,
+                        mfe_price=price,
+                    )
 
         # R1 — budget clipping (algo-invisible, broker-visible)
         clipped = False

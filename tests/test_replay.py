@@ -185,3 +185,66 @@ def test_fees_reduce_net(spark):
     paid = run_backtest(ticks, scen(spark, fee_per_side=1.0)).collect()[0]
     assert paid["fees"] == pytest.approx(free["fees"] + 2.0 * paid["trades_count"])
     assert paid["net_pnl"] == pytest.approx(free["net_pnl"] - 2.0 * paid["trades_count"])
+
+
+def test_replay_heartbeat_fills_in_gap(spark):
+    """R8: with heartbeat enabled, a latency fill due inside a long
+    inter-tick gap resolves at the last pre-gap quote stamped at the
+    deadline; without it, the fill waits for the next tick."""
+    # 9 rising ticks: bar closes at ticks 2,4,6,8 — the 4th close (tick 8,
+    # the last pre-gap tick) emits the long signal, whose 5s latency
+    # deadline falls inside the 10-minute gap that follows.
+    prices = [100.0 + i * 0.5 for i in range(9)]
+    rows = []
+    for i, p in enumerate(prices):
+        ms = T0_MS + i * 30_000
+        rows.append(("X", datetime.utcfromtimestamp(ms / 1000.0), ms, ms, p - 0.01, p + 0.01))
+    gap_start_ms = T0_MS + 9 * 30_000
+    after_ms = gap_start_ms + 600_000  # 10 min gap
+    for i in range(6):
+        ms = after_ms + i * 30_000
+        p = 103.0 - i
+        rows.append(("X", datetime.utcfromtimestamp(ms / 1000.0), ms, ms, p - 0.01, p + 0.01))
+    ticks = spark.createDataFrame(
+        rows,
+        "symbol string, timestamp timestamp, time_msc long, collected_msc long, bid double, ask double",
+    )
+
+    def run(extra):
+        s = scen(spark, lat=(5_000, 5_000), seed=3, **extra)
+        res = run_backtest(ticks, s)
+        return trades_table(res).orderBy("trade_id").collect()
+
+    base_trades = run({})
+    hb_trades = run({"heartbeat_ms": 60_000})
+
+    assert base_trades and hb_trades
+    # the entry whose 5s latency deadline lands in the gap:
+    # without heartbeat it fills on the first post-gap tick; with heartbeat
+    # it fills at the deadline at the last pre-gap ask.
+    hb_entry_ms = {int(t["entry_ts"].timestamp() * 1000) for t in hb_trades}
+    base_entry_ms = {int(t["entry_ts"].timestamp() * 1000) for t in base_trades}
+    assert any(ms < after_ms and ms > gap_start_ms - 30_000 for ms in hb_entry_ms), hb_entry_ms
+    assert not any(gap_start_ms - 25_000 < ms < after_ms for ms in base_entry_ms), base_entry_ms
+
+
+def test_gap_anti_join_filters_moves(spark):
+    from finiextestingide_spark.operators.extremes import filter_moves_by_gaps
+
+    cands = spark.createDataFrame(
+        [
+            ("X", "UP", datetime(2026, 1, 3, 10), datetime(2026, 1, 3, 12), 4.0),
+            ("X", "UP", datetime(2026, 1, 4, 1), datetime(2026, 1, 4, 3), 5.0),
+            ("Y", "UP", datetime(2026, 1, 4, 1), datetime(2026, 1, 4, 2), 6.0),
+        ],
+        "key string, direction string, start_time timestamp, end_time timestamp, move_atr_multiple double",
+    )
+    gaps = spark.createDataFrame(
+        [("X", datetime(2026, 1, 4, 0), datetime(2026, 1, 4, 6))],
+        "key string, gap_start timestamp, gap_end timestamp",
+    )
+    kept = sorted(
+        (r["key"], r["start_time"].hour) for r in filter_moves_by_gaps(cands, gaps).collect()
+    )
+    # X's 01:00 move starts inside X's gap -> dropped; Y untouched (gap is X's)
+    assert kept == [("X", 10), ("Y", 1)]
