@@ -54,6 +54,19 @@ def trim_to_range(
     return pre.unionByName(in_range)
 
 
+def carve_stale_windows(snapshots: DataFrame, windows: DataFrame) -> DataFrame:
+    """P7 — delete snapshots falling inside configured stress-test windows
+    (reference: shared_data_preparator.py:343-354 + stale_data_slicer.py):
+    broadcast range anti-join on [win_start, win_end). The downstream as-of
+    join then serves the last pre-window snapshot with a growing staleness,
+    which is exactly the stress behaviour the reference simulates."""
+    w = windows.select(
+        F.col("win_start").alias("__ws"), F.col("win_end").alias("__we")
+    )
+    cond = (F.col("signal_ts") >= F.col("__ws")) & (F.col("signal_ts") < F.col("__we"))
+    return snapshots.join(F.broadcast(w), cond, "left_anti")
+
+
 def per_symbol_signals(snapshots: DataFrame, symbol: str | None = None) -> DataFrame:
     """J2 — explode the multi-symbol envelope; optionally select one symbol.
     Missing symbol in an envelope => no row (the as-of join's `how='left'` +

@@ -184,3 +184,19 @@ def test_per_symbol_extraction_and_neutral_default(spark, tmp_path):
     ).orderBy("tick_ms").collect()
     assert joined[0]["signal"] == "HOLD" and joined[0]["confidence"] == 0.0
     assert joined[1]["signal"] == "SELL" and joined[1]["is_breaking"] is True
+
+
+def test_carve_stale_windows(spark, tmp_path):
+    from finiextestingide_spark.sources.signals import carve_stale_windows
+
+    p = tmp_path / "signals.jsonl"
+    p.write_text("\n".join(json.dumps(line) for line in SIGNAL_LINES))
+    snaps = read_signal_archive(spark, str(p))
+    assert snaps.count() == 3
+    # window covering exactly the middle snapshot (1772870000000 ms)
+    windows = spark.createDataFrame(
+        [(datetime.utcfromtimestamp(1772869000), datetime.utcfromtimestamp(1772871000))],
+        "win_start timestamp, win_end timestamp",
+    )
+    kept = carve_stale_windows(snaps, windows).orderBy("collected_msc").collect()
+    assert [r["collected_msc"] for r in kept] == [1772860000000, 1772874100000]
