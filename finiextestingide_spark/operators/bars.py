@@ -80,6 +80,69 @@ def ohlcv_bars(
     )
 
 
+def rollup_bars(
+    bars: DataFrame,
+    timeframe: str,
+    *,
+    key: str | Sequence[str] = "symbol",
+) -> DataFrame:
+    """Coarser OHLCV from finer bars — the aggregates compose exactly
+    (open = first sub-bar's open, high = max, low = min, close = last
+    sub-bar's close, volume/tick_count = sums) whenever the coarse window
+    is an aligned multiple of the fine one (true for M1 -> M5/M15/M30/H1/
+    H4/D1). At scale this is how coarse frames are rendered: ticks are
+    scanned ONCE (for the base frame); every further frame aggregates bars,
+    an input 100-1000x smaller."""
+    duration = TIMEFRAMES.get(timeframe, timeframe)
+    keys = [key] if isinstance(key, str) else list(key)
+    order = F.col("bar_ts")
+    return (
+        bars.groupBy(F.window(F.col("bar_ts"), duration).alias("__w"), *[F.col(k) for k in keys])
+        .agg(
+            F.min_by("open", order).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", order).alias("close"),
+            F.sum("volume").alias("volume"),
+            F.sum("tick_count").alias("tick_count"),
+        )
+        .select(
+            F.col("__w.start").alias("bar_ts"),
+            *keys,
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "tick_count",
+        )
+    )
+
+
+def cascade_timeframe_bars(
+    ticks: DataFrame,
+    timeframes: Sequence[str] = tuple(TIMEFRAMES),
+    base: str = "M1",
+    **kwargs,
+) -> DataFrame:
+    """All requested timeframes with ONE pass over the ticks: the base frame
+    aggregates ticks, every coarser frame rolls up from the base bars
+    (rollup_bars). The base aggregation sits behind one exchange that
+    ReuseExchange shares across all rollup branches."""
+    key = kwargs.get("key", "symbol")
+    base_bars = ohlcv_bars(ticks, base, **kwargs)
+    parts = []
+    for tf in timeframes:
+        if tf == base:
+            parts.append(base_bars.withColumn("timeframe", F.lit(tf)))
+        else:
+            parts.append(rollup_bars(base_bars, tf, key=key).withColumn("timeframe", F.lit(tf)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def multi_timeframe_bars(
     ticks: DataFrame,
     timeframes: Sequence[str] = tuple(TIMEFRAMES),

@@ -246,3 +246,38 @@ def test_warmup_bars_and_interval_overlap(spark):
     )
     hits = sorted(r["file"] for r in interval_overlap_join(files, ranges).collect())
     assert hits == ["f1", "f2"]
+
+
+def test_cascade_bars_equal_direct(spark):
+    """Rolling coarse frames up from M1 bars must equal aggregating ticks
+    directly (aggregate composability — the 100 TB render path)."""
+    from finiextestingide_spark.operators.bars import (
+        cascade_timeframe_bars,
+        multi_timeframe_bars,
+    )
+
+    rows = []
+    for i in range(500):
+        t = ts(37 * i)  # irregular spacing across hours
+        rows.append(("A", t, 1000 + i, 100.0 + ((i * 7) % 23) * 0.3, 1.0 + i % 3))
+        if i % 3 == 0:
+            rows.append(("B", t, 2000 + i, 50.0 + ((i * 5) % 17) * 0.2, 2.0))
+    ticks = spark.createDataFrame(
+        rows, "symbol string, timestamp timestamp, time_msc long, mid double, vol double"
+    )
+    kw = dict(ts="timestamp", key="symbol", price="mid", volume="vol", tiebreak="time_msc")
+    tfs = ("M1", "M5", "M15", "H1", "D1")
+    direct = {
+        (r["timeframe"], r["symbol"], r["bar_ts"]): r
+        for r in multi_timeframe_bars(ticks, tfs, **kw).collect()
+    }
+    cascade = {
+        (r["timeframe"], r["symbol"], r["bar_ts"]): r
+        for r in cascade_timeframe_bars(ticks, tfs, **kw).collect()
+    }
+    assert set(direct) == set(cascade)
+    for k, d in direct.items():
+        c = cascade[k]
+        for col in ("open", "high", "low", "close", "tick_count"):
+            assert c[col] == d[col], (k, col)
+        assert c["volume"] == pytest.approx(d["volume"]), k
