@@ -150,19 +150,25 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate pairs sharing at least one LSH band bucket."""
     rows_per_band = num_hashes // bands
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            signatures.select(
-                F.col(id_col),
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-            )
-        )
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.unionByName(br)
+    # one row per (doc, band) via stack() — a single generate over one pass
+    # of the signature table, instead of a `bands`-way union that duplicates
+    # the signature subtree per branch (and 2x again across the self-join).
+    hashed = signatures.select(
+        F.col(id_col),
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias(f"__h{b}")
+            for b in range(bands)
+        ],
+    )
+    stack_args = ", ".join(f"{b}, __h{b}" for b in range(bands))
+    buckets = hashed.select(
+        F.col(id_col),
+        F.expr(f"stack({bands}, {stack_args}) as (band_id, band_hash)"),
+    )
     a, b_ = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
