@@ -92,6 +92,19 @@ BARS_1H_SQL = f"WITH {_bars_cte('hour')} {_BAR_OUT_SQL}"
 BARS_1D_SQL = f"WITH {_bars_cte('day')} {_BAR_OUT_SQL}"
 
 
+def bars_1h_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 bars rolled up from M1 bars (operators.bars.rollup_bars — the one
+    tick pass / cascade render path). Oracle: the DIRECT tick->H1 SQL —
+    passing proves OHLCV aggregate composability inside the driver gate."""
+    from ..operators.bars import rollup_bars
+
+    m1 = _bars(spark, sf_dir, "M1")
+    return _bar_out(rollup_bars(m1, "H1", key="symbol"))
+
+
+BARS_1H_CASCADE_SQL = BARS_1H_SQL
+
+
 # --- session labeling + per-session profile (S4, A3 session summaries) ---
 
 
@@ -915,6 +928,9 @@ def replay_loadtest_40(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Query] = {
     "bars_1h": Query(bars_1h, BARS_1H_SQL, "A1 tumbling OHLCV, H1"),
     "bars_1d": Query(bars_1d, BARS_1D_SQL, "A1 tumbling OHLCV, D1"),
+    "bars_1h_cascade": Query(
+        bars_1h_cascade, BARS_1H_CASCADE_SQL, "A2 cascade rollup vs direct-H1 oracle"
+    ),
     "session_profile": Query(session_profile, SESSION_PROFILE_SQL, "S4 session labels + A3 summary"),
     "gap_scan": Query(gap_scan, GAP_SCAN_SQL, "W9 gap detection + classification"),
     "rsi_14_daily": Query(rsi_14_daily, RSI_14_DAILY_SQL, "W1 RSI (SMA flavor)"),
