@@ -33,6 +33,7 @@ def asof_join(
     how: str = "inner",
     tolerance_ms: int | None = None,
     stale_col: str = "is_stale",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Attach to every left row the most recent right row with
     ``right_ts <= left_ts`` per join key.
@@ -42,6 +43,12 @@ def asof_join(
     'left'. ``tolerance_ms`` adds a boolean ``stale_col`` (match older than
     the tolerance) instead of dropping late matches — the reference's
     staleness flip.
+
+    When several right rows share the same (key, right_ts), the winner is the
+    row greatest in ``tiebreak`` order (a right column name); ties beyond
+    that — and the default when ``tiebreak`` is None — fall back to the full
+    right-payload struct order, so the result is deterministic across runs
+    and partitionings either way.
     """
     on = list(on)
     payload_cols = [c for c in right.columns if c not in on]
@@ -68,9 +75,16 @@ def asof_join(
     )
 
     # Right rows sort before left rows at equal ts => "<=" visibility.
+    # Among right rows tied on (key, ts), ordering ascending by the tiebreak
+    # (then the whole payload struct) makes F.last pick the greatest one
+    # deterministically; left rows carry null __r so the extra keys are inert.
+    tie_keys = []
+    if tiebreak is not None:
+        tie_keys.append(F.col("__r").getField(tiebreak).asc_nulls_first())
+    tie_keys.append(F.col("__r").asc_nulls_first())
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .orderBy(F.col("__ts"), F.col("__is_left"), *tie_keys)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = (

@@ -256,8 +256,17 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     max_ticks = scen.get("max_ticks")
     max_ticks = int(max_ticks) if max_ticks is not None and not pd.isna(max_ticks) else None
 
-    # stable (timestamp, time_msc) total order — reference bug #385
-    pdf = pdf.sort_values(["time_msc"], kind="mergesort")
+    # Deterministic total order — reference bug #385 is tick-order
+    # instability. Input row order after the scenario-attach shuffle is
+    # arbitrary, so time_msc alone leaves ties nondeterministic; break them
+    # with the ingest tick_seq when present, else every value column (rows
+    # still tied after that are identical, so their order cannot matter).
+    sort_keys = [
+        c
+        for c in ("time_msc", "tick_seq", "timestamp", "collected_msc", "bid", "ask")
+        if c in pdf.columns
+    ]
+    pdf = pdf.sort_values(sort_keys, kind="mergesort")
     if max_ticks is not None:
         pdf = pdf.iloc[:max_ticks]
 
@@ -474,10 +483,16 @@ def attach_scenarios(ticks: DataFrame, scenarios: DataFrame) -> DataFrame:
     belonging to k scenarios is duplicated k times, exactly the reference's
     per-scenario package copy."""
     cond = ticks["symbol"] == scenarios["symbol"]
+    # Guard each bound independently: a scenarios frame may carry only one of
+    # start_ts / end_ts.
     if "start_ts" in scenarios.columns:
         cond = cond & (
             scenarios["start_ts"].isNull() | (ticks["timestamp"] >= scenarios["start_ts"])
-        ) & (scenarios["end_ts"].isNull() | (ticks["timestamp"] < scenarios["end_ts"]))
+        )
+    if "end_ts" in scenarios.columns:
+        cond = cond & (
+            scenarios["end_ts"].isNull() | (ticks["timestamp"] < scenarios["end_ts"])
+        )
     return ticks.join(F.broadcast(scenarios.drop("broker_type")), cond).drop(
         scenarios["symbol"]
     )
@@ -506,7 +521,11 @@ def run_backtest(ticks: DataFrame, scenarios: DataFrame) -> DataFrame:
         c for c in ("start_ts", "end_ts") if c in scenarios.columns
     ]
     slim = scenarios.select(*slim_cols)
-    tick_cols = [c for c in ("timestamp", "time_msc", "collected_msc", "bid", "ask") if c in ticks.columns]
+    tick_cols = [
+        c
+        for c in ("timestamp", "time_msc", "collected_msc", "bid", "ask", "tick_seq")
+        if c in ticks.columns
+    ]
     joined = (
         attach_scenarios(ticks, slim)
         .select("scenario_id", *tick_cols)

@@ -30,6 +30,13 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The harness may hand us a vanilla session; both configs are
+    # runtime-settable. nanosAsLong is required to read events.ts (Parquet
+    # TIMESTAMP(NANOS)); UTC keeps date_trunc bucketing aligned with the
+    # DuckDB oracle's naive-timestamp semantics regardless of host TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name in _NANOS_TS_COLS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))

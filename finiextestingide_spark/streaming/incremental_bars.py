@@ -79,8 +79,15 @@ def _render(
 
     open_bar = list(state.get) if state.exists else None
     closed: list[tuple] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["timestamp", "time_msc"])
+    # A group spanning several Arrow chunks (>maxRecordsPerBatch rows for one
+    # symbol in a microbatch) must be ordered GLOBALLY: sorting each chunk
+    # alone lets a tick from an earlier bucket arrive after a later bucket's
+    # tick and close the open bar prematurely (duplicate bar_ts rows). State
+    # is still one tuple; the concat is bounded by the per-key microbatch.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(["timestamp", "time_msc"], kind="mergesort")
         us = pdf["timestamp"].astype("int64") // 1000  # ns -> us
         for t_us, price, vol in zip(us, pdf["mid"], pdf["volume"]):
             bucket = (int(t_us) // bar_us) * bar_us

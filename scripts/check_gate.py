@@ -17,10 +17,25 @@ import duckdb
 
 sys.path.insert(0, ".")
 
+from pyspark.sql import SparkSession  # noqa: E402
+
 from finiextestingide_spark.gate import all_queries  # noqa: E402
-from finiextestingide_spark.session import build_session  # noqa: E402
 from finiextestingide_spark.sources.tables import TABLES  # noqa: E402
 from finiextestingide_spark.testing import compare_frames  # noqa: E402
+
+
+def vanilla_session() -> SparkSession:
+    """A session like the DRIVER's — deliberately NOT build_session, so the
+    gate mirror catches any query that silently depends on our own session
+    flags (round-1 lesson: 21 queries failed only under the harness session)."""
+    return (
+        SparkSession.builder.appName("check-gate")
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
 
 
 def main() -> int:
@@ -36,7 +51,7 @@ def main() -> int:
         print(f"unknown queries: {unknown}")
         return 2
 
-    spark = build_session("check-gate")
+    spark = vanilla_session()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
