@@ -925,6 +925,207 @@ def replay_loadtest_40(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- oracle-checked replay: with zero latency and no SL/TP, the sma_cross
+#     state machine is exactly SQL-expressible, so the trades it emits can be
+#     hash-checked against DuckDB (upgrade over the rows-only replay gates):
+#     decisions depend only on closed-bar closes; a flip's close+open orders
+#     both fill on the decision tick (due == t drains the queue on arrival);
+#     MAE/MFE are running extrema of dir*(mark - entry) over the ticks from
+#     entry up to (not including) the next flip tick — reference semantics
+#     per trade_simulator.py:146-236 / portfolio_types.py:120-155. ---
+
+_RSO_SYMBOLS = ["click", "view", "purchase", "signup", "error"]
+_RSO_CONFIGS = [(3, 8), (5, 13)]  # (fast, slow) SMA pairs
+_RSO_BAR_MS = 3_600_000
+
+
+def replay_sma_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.replay import run_backtest, trades_table
+
+    ev = _events(spark, sf_dir)
+    ticks = ev.select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts").alias("timestamp"),
+        F.unix_millis("ts").alias("time_msc"),
+        F.unix_millis("ts").alias("collected_msc"),
+        (F.col("value") - 0.005).alias("bid"),
+        (F.col("value") + 0.005).alias("ask"),
+    )
+    rows = []
+    for ci, (fast, slow) in enumerate(_RSO_CONFIGS):
+        for si, sym in enumerate(_RSO_SYMBOLS):
+            sid = ci * len(_RSO_SYMBOLS) + si + 1
+            params = {
+                "strategy": "sma_cross",
+                "fast": str(fast),
+                "slow": str(slow),
+                "bar_ms": str(_RSO_BAR_MS),
+                "equity_sample_every": "0",
+            }
+            rows.append((sid, f"sma-{fast}-{slow}-{sym}", sym, None, None, sid, 0, 0, params))
+    scenarios = spark.createDataFrame(
+        rows,
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+        "latency_max_ms int, parameters map<string,string>",
+    )
+    tr = trades_table(run_backtest(ticks, scenarios))
+    return tr.select(
+        "scenario_id",
+        "trade_id",
+        "direction",
+        "entry_ts",
+        F.round("entry_price", 6).alias("entry_price"),
+        "exit_ts",
+        F.round("exit_price", 6).alias("exit_price"),
+        F.round("gross_pnl", 6).alias("gross_pnl"),
+        F.round("net_pnl", 6).alias("net_pnl"),
+        F.round("mae_pnl", 6).alias("mae_pnl"),
+        F.round("mfe_pnl", 6).alias("mfe_pnl"),
+        F.round("mae_price", 6).alias("mae_price"),
+        F.round("mfe_price", 6).alias("mfe_price"),
+        "exit_reason",
+    )
+
+
+def _rso_sid_case(cfg_base: int) -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {cfg_base + i + 1}" for i, s in enumerate(_RSO_SYMBOLS)
+    )
+    return f"CASE t.symbol {whens} END"
+
+
+def _rso_cfg_block(ci: int, fast: int, slow: int) -> str:
+    """Per-config CTE chain: decisions -> flips -> trades -> excursions.
+
+    Mirrors _replay_core exactly for this restricted config: bar m's close is
+    the mid of its last tick; the decision at closed-bar m is 0 before
+    `slow` bars, else sign(SMA(fast) - SMA(slow)) with ties SHORT; a target
+    change closes the old position and opens the new one on the decision
+    tick (zero latency); MAE/MFE cover [entry tick, next flip tick) for
+    SIGNAL exits and [entry tick, last tick] for the final END close, with
+    price-at-extreme = mark at the FIRST tick achieving the extremum
+    (strict-inequality running update)."""
+    c = f"_c{ci}"
+    return f"""
+dec{c} AS (
+  SELECT symbol, bar_idx, decision_rn,
+         CASE WHEN bar_idx < {slow} THEN 0
+              WHEN avg(close) OVER (PARTITION BY symbol ORDER BY bar_idx
+                                    ROWS BETWEEN {fast - 1} PRECEDING AND CURRENT ROW)
+                 > avg(close) OVER (PARTITION BY symbol ORDER BY bar_idx
+                                    ROWS BETWEEN {slow - 1} PRECEDING AND CURRENT ROW)
+              THEN 1 ELSE -1 END AS target
+  FROM bars
+),
+flips{c} AS (
+  SELECT symbol, entry_rn, dir,
+         row_number() OVER (PARTITION BY symbol ORDER BY entry_rn) AS k
+  FROM (
+    SELECT symbol, decision_rn AS entry_rn, target AS dir,
+           lag(target, 1, 0) OVER (PARTITION BY symbol ORDER BY bar_idx) AS prev
+    FROM dec{c}
+  )
+  WHERE dir <> prev
+),
+trades{c} AS (
+  SELECT f.symbol, f.k, f.dir, f.entry_rn,
+         coalesce(nxt, n.n) AS exit_rn,
+         coalesce(nxt - 1, n.n) AS ex_end,
+         CASE WHEN nxt IS NULL THEN 'END' ELSE 'SIGNAL' END AS exit_reason
+  FROM (
+    SELECT *, lead(entry_rn) OVER (PARTITION BY symbol ORDER BY k) AS nxt
+    FROM flips{c}
+  ) f
+  JOIN nmax n USING (symbol)
+),
+tr{c} AS (
+  SELECT t.*,
+         CASE WHEN t.dir = 1 THEN te.ask ELSE te.bid END AS entry_price,
+         te.ms AS entry_ms,
+         CASE WHEN t.dir = 1 THEN tx.bid ELSE tx.ask END AS exit_price,
+         tx.ms AS exit_ms
+  FROM trades{c} t
+  JOIN ticks te ON te.symbol = t.symbol AND te.rn = t.entry_rn
+  JOIN ticks tx ON tx.symbol = t.symbol AND tx.rn = t.exit_rn
+),
+ex{c} AS (
+  SELECT tr.symbol, tr.k, tk.rn,
+         CASE WHEN tr.dir = 1 THEN tk.bid ELSE tk.ask END AS mark,
+         tr.dir * ((CASE WHEN tr.dir = 1 THEN tk.bid ELSE tk.ask END) - tr.entry_price) AS pnl
+  FROM tr{c} tr
+  JOIN ticks tk ON tk.symbol = tr.symbol AND tk.rn BETWEEN tr.entry_rn AND tr.ex_end
+),
+exagg{c} AS (
+  SELECT symbol, k, min(pnl) AS minp, max(pnl) AS maxp,
+         max(CASE WHEN rmin = 1 THEN mark END) AS min_mark,
+         max(CASE WHEN rmax = 1 THEN mark END) AS max_mark
+  FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY symbol, k ORDER BY pnl ASC, rn ASC) AS rmin,
+           row_number() OVER (PARTITION BY symbol, k ORDER BY pnl DESC, rn ASC) AS rmax
+    FROM ex{c}
+  )
+  GROUP BY 1, 2
+),
+out{c} AS (
+  SELECT {_rso_sid_case(ci * len(_RSO_SYMBOLS))} AS scenario_id,
+         CAST(t.k - 1 AS INTEGER) AS trade_id,
+         CASE WHEN t.dir = 1 THEN 'LONG' ELSE 'SHORT' END AS direction,
+         make_timestamp(t.entry_ms * 1000) AS entry_ts,
+         round(t.entry_price, 6) AS entry_price,
+         make_timestamp(t.exit_ms * 1000) AS exit_ts,
+         round(t.exit_price, 6) AS exit_price,
+         round(t.dir * (t.exit_price - t.entry_price), 6) AS gross_pnl,
+         round(t.dir * (t.exit_price - t.entry_price), 6) AS net_pnl,
+         round(least(0, e.minp), 6) AS mae_pnl,
+         round(greatest(0, e.maxp), 6) AS mfe_pnl,
+         round(CASE WHEN e.minp < 0 THEN e.min_mark ELSE t.entry_price END, 6) AS mae_price,
+         round(CASE WHEN e.maxp > 0 THEN e.max_mark ELSE t.entry_price END, 6) AS mfe_price,
+         t.exit_reason
+  FROM tr{c} t
+  JOIN exagg{c} e ON e.symbol = t.symbol AND e.k = t.k
+)"""
+
+
+def _rso_sql() -> str:
+    blocks = ",\n".join(
+        _rso_cfg_block(ci, fast, slow) for ci, (fast, slow) in enumerate(_RSO_CONFIGS)
+    )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM out_c{ci}" for ci in range(len(_RSO_CONFIGS)))
+    return f"""
+WITH base AS (
+  SELECT event_type AS symbol, ts, epoch_ms(ts) AS ms,
+         value - 0.005 AS bid, value + 0.005 AS ask
+  FROM events
+),
+ticks AS (
+  SELECT symbol, ts, ms, bid, ask, (bid + ask) / 2 AS mid,
+         ms // {_RSO_BAR_MS} AS bucket,
+         row_number() OVER (PARTITION BY symbol ORDER BY ms, ts, bid, ask) AS rn
+  FROM base
+),
+nmax AS (SELECT symbol, max(rn) AS n FROM ticks GROUP BY 1),
+buckets AS (
+  SELECT symbol, bucket, min(rn) AS first_rn, max(rn) AS last_rn,
+         row_number() OVER (PARTITION BY symbol ORDER BY bucket) AS bidx
+  FROM ticks
+  GROUP BY symbol, bucket
+),
+bars AS (
+  SELECT b.symbol, b.bidx AS bar_idx, t.mid AS close, nb.first_rn AS decision_rn
+  FROM buckets b
+  JOIN buckets nb ON nb.symbol = b.symbol AND nb.bidx = b.bidx + 1
+  JOIN ticks t ON t.symbol = b.symbol AND t.rn = b.last_rn
+),
+{blocks}
+{union}
+"""
+
+
+REPLAY_SMA_ORACLE_SQL = _rso_sql()
+
+
 QUERIES: dict[str, Query] = {
     "bars_1h": Query(bars_1h, BARS_1H_SQL, "A1 tumbling OHLCV, H1"),
     "bars_1d": Query(bars_1d, BARS_1D_SQL, "A1 tumbling OHLCV, D1"),
@@ -951,5 +1152,10 @@ QUERIES: dict[str, Query] = {
     ),
     "replay_loadtest_40": Query(
         replay_loadtest_40, None, "40-scenario replay loadtest (BASELINE.md shape)"
+    ),
+    "replay_sma_oracle": Query(
+        replay_sma_oracle,
+        REPLAY_SMA_ORACLE_SQL,
+        "R3/R4/R9 replay trades, hash-checked: zero-latency sma_cross is SQL-expressible",
     ),
 }
