@@ -105,6 +105,45 @@ def bars_1h_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 BARS_1H_CASCADE_SQL = BARS_1H_SQL
 
 
+def streaming_bars_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 bars through the STRUCTURED STREAMING path (§2.9): file-drop
+    source -> event-time window aggregate -> availableNow drain to a memory
+    sink. Oracle: the same direct tick->H1 SQL as bars_1h — passing proves
+    stream/batch parity at value-hash level (the reference's tests/parity/
+    dual-pipeline contract, done one better: checked against a third
+    engine). Complete output mode so the final (never-closed) window is
+    emitted too, matching the batch aggregate."""
+    from ..streaming.bars_stream import read_tick_stream, run_to_memory, stream_ohlcv_bars
+
+    # Mirror sources.tables.load_table's session posture, then stream the
+    # same file: schema from the batch reader (ts arrives as ns-epoch long).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # A literal single-file path makes FileStreamSource derive a file
+    # basePath and fail; a glob keeps the parent directory as basePath.
+    ticks = read_tick_stream(spark, f"{sf_dir}/events.parque*", raw_schema).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    # volume in the batch gate is the exact-decimal sum of value; the
+    # streaming helper takes a column name, so pre-project the decimal cast.
+    bars = stream_ohlcv_bars(
+        ticks.withColumn("__vol", F.col("value").cast("decimal(18,2)")),
+        "H1",
+        ts="ts",
+        key="event_type",
+        price="value",
+        volume="__vol",
+        tiebreak="event_id",
+    ).withColumnRenamed("event_type", "symbol")
+    name = "gate_streaming_bars_1h"
+    run_to_memory(bars, name, output_mode="complete")
+    return _bar_out(spark.table(name))
+
+
+STREAMING_BARS_1H_SQL = BARS_1H_SQL
+
+
 # --- session labeling + per-session profile (S4, A3 session summaries) ---
 
 
@@ -1157,5 +1196,10 @@ QUERIES: dict[str, Query] = {
         replay_sma_oracle,
         REPLAY_SMA_ORACLE_SQL,
         "R3/R4/R9 replay trades, hash-checked: zero-latency sma_cross is SQL-expressible",
+    ),
+    "streaming_bars_1h": Query(
+        streaming_bars_1h,
+        STREAMING_BARS_1H_SQL,
+        "§2.9 Structured Streaming bars, hash-checked vs the batch SQL oracle",
     ),
 }

@@ -36,12 +36,18 @@ def read_tick_stream(
     *,
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
+    base_path: str | None = None,
 ) -> DataFrame:
     """File-drop source — the queue analogue for tests/replay; swap for a
-    socket/Kafka source in production (the transformations are identical)."""
+    socket/Kafka source in production (the transformations are identical).
+
+    ``base_path`` must be set (to the containing directory) when ``path``
+    names a single file — the file source requires a directory basePath."""
     reader = spark.readStream.schema(schema).format(fmt)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
     return reader.load(path)
 
 
@@ -54,19 +60,22 @@ def stream_ohlcv_bars(
     price: str = "mid",
     volume: str | None = None,
     watermark_delay: str = "0 seconds",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Streaming OHLCV — same aggregate expressions as the batch
     operators.bars.ohlcv_bars, over an event-time window + watermark.
 
-    open/close use min_by/max_by on the event timestamp: within-bucket
-    arrival races at identical ts resolve arbitrarily, exactly the contract
-    the reference documents for its live path (arrival order preserved at
-    import, tick_importer.py:291-293)."""
+    open/close use min_by/max_by on the event timestamp: without
+    ``tiebreak``, within-bucket arrival races at identical ts resolve
+    arbitrarily, exactly the contract the reference documents for its live
+    path (arrival order preserved at import, tick_importer.py:291-293);
+    passing a unique ``tiebreak`` column makes open/close deterministic
+    (the batch operator's contract)."""
     duration = TIMEFRAMES.get(timeframe, timeframe)
     keys = [key] if isinstance(key, str) else list(key)
     p = F.col(price)
     vol = F.col(volume) if volume is not None else F.lit(1.0)
-    order = F.col(ts)
+    order = F.col(ts) if tiebreak is None else F.struct(F.col(ts), F.col(tiebreak))
     return (
         ticks.withWatermark(ts, watermark_delay)
         .groupBy(F.window(F.col(ts), duration).alias("__w"), *keys)
