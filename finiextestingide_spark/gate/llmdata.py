@@ -274,6 +274,54 @@ WHERE rank <= {_IVF_K} AND vec_id <> 0
 """
 
 
+# --- random-hyperplane LSH ANN (bucketed scale path, single probe) ---
+
+_LSH_NBITS = 4
+_LSH_K = 5
+_LSH_DIM = 64
+_LSH_PLANES = sim.random_hyperplanes(_LSH_NBITS, _LSH_DIM, seed=0)
+
+
+def lsh_ann_topk_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    query = emb.where(F.col("vec_id") == 0).select("embedding")
+    out = sim.lsh_ann_topk(
+        emb.where(F.col("vec_id") != 0), query, _LSH_PLANES, _LSH_K
+    )
+    return out.select("vec_id", "bucket", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _lsh_plane_dot(v: str, row: list[float]) -> str:
+    lit = "[" + ", ".join(repr(x) for x in row) + "]"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {_LSH_DIM}), "
+        f"i -> CAST({v}[i] AS DOUBLE) * ({lit})[i]), (x, y) -> x + y)"
+    )
+
+
+def _lsh_bucket_sql(v: str) -> str:
+    bits = [
+        f"CASE WHEN {_lsh_plane_dot(v, row)} >= 0 THEN '1' ELSE '0' END"
+        for row in _LSH_PLANES
+    ]
+    return "(" + " || ".join(bits) + ")"
+
+
+LSH_ANN_TOPK_5_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {_lsh_bucket_sql('qv')} AS qbucket FROM q),
+sig AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+  FROM embeddings WHERE vec_id <> 0
+),
+b AS (SELECT s.vec_id, s.embedding, s.bucket FROM sig s JOIN qb ON s.bucket = qb.qbucket),
+s AS (SELECT b.vec_id, b.bucket, {_cos_sql('b.embedding', 'q.qv')} AS cos FROM b, q)
+SELECT vec_id, bucket, round(cos, 6) AS cosine, rank
+FROM (SELECT vec_id, bucket, cos, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank FROM s)
+WHERE rank <= {_LSH_K}
+"""
+
+
 # --- embedding-cosine near-dup pairs (label-blocked) ---
 
 _ND_MIN_COS = 0.9
@@ -333,6 +381,50 @@ SELECT doc_id,
              * (1.0 - punct_ratio)
              * (1.0 - least(CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE) / n_tokens ELSE 0.0 END, 1.0)), 6) AS quality
 FROM base
+"""
+
+
+# --- TF-IDF top terms per document ---
+
+_TFIDF_K = 3
+
+
+def tfidf_topterms_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.tfidf_topterms(_docs(spark, sf_dir), _TFIDF_K)
+    return out.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "tfidf",
+        "term_rank",
+    )
+
+
+TFIDF_TOPTERMS_3_SQL = f"""
+WITH words AS (
+  SELECT doc_id, term
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+    FROM documents
+  )
+  WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf, term_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS term_rank
+  FROM scored
+)
+WHERE term_rank <= {_TFIDF_K}
 """
 
 
@@ -416,9 +508,15 @@ QUERIES: dict[str, Query] = {
     "simhash_docs": Query(simhash_docs, SIMHASH_DOCS_SQL, "64-bit SimHash signatures"),
     "cosine_topk_10": Query(cosine_topk_10, COSINE_TOPK_10_SQL, "brute-force cosine top-k"),
     "ivf_topk_5": Query(ivf_topk_5, IVF_TOPK_5_SQL, "IVF-bucketed ANN"),
+    "lsh_ann_topk_5": Query(
+        lsh_ann_topk_5, LSH_ANN_TOPK_5_SQL, "random-hyperplane LSH-bucketed ANN"
+    ),
     "embedding_neardup": Query(embedding_neardup, EMBEDDING_NEARDUP_SQL, "embedding near-dup pairs"),
     "text_stats": Query(text_stats, TEXT_STATS_SQL, "token counts + quality score"),
     "lang_id": Query(lang_id, LANG_ID_SQL, "heuristic language ID"),
+    "tfidf_topterms_3": Query(
+        tfidf_topterms_3, TFIDF_TOPTERMS_3_SQL, "top-3 TF-IDF terms per doc"
+    ),
     "doc_fingerprints": Query(doc_fingerprints, DOC_FINGERPRINTS_SQL, "md5 fingerprints"),
     "multimodal_meta": Query(multimodal_meta, MULTIMODAL_META_SQL, "binary-column metadata plumbing"),
 }

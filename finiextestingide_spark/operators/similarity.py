@@ -113,6 +113,66 @@ def ivf_topk(
     return cosine_topk(bucket, query, k, id_col=id_col, vec_col=vec_col)
 
 
+def random_hyperplanes(nbits: int, dim: int, seed: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1), derived from md5
+    so any engine (or the DuckDB oracle) can reproduce the exact matrix.
+    This mirrors the production design: a precomputed projection matrix
+    broadcast to executors, not per-row randomness."""
+    import hashlib
+
+    planes = []
+    for j in range(nbits):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{j}|{d}".encode()).hexdigest()
+            row.append(int(h[:8], 16) / 2**31 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature string ('1' where dot(vec, h_j) >= 0): the
+    random-hyperplane LSH bucket key. Cosine-similar vectors agree on most
+    sign bits, so near neighbours share buckets with high probability."""
+    vd = _as_double(vec)
+    bits = []
+    for h in planes:
+        hd = F.array(*[F.lit(float(v)) for v in h])
+        bits.append(F.when(dot(vd, hd) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via random-hyperplane LSH: score only the query's bucket, exact
+    cosine rank inside it. The bucket key is a write-once column — at scale,
+    partition-by-bucket makes the probe a partition-pruned read of 1/2^nbits
+    of the data, the same layout trick as ivf_topk (single probe here; add
+    multiprobe by unioning flipped-bit buckets)."""
+    sig = hyperplane_signature(F.col(vec_col), planes)
+    tagged = vectors.withColumn("__bucket", sig)
+    qtagged = query.withColumn("__qbucket", sig).select(
+        F.col(vec_col).alias("__qvec"), "__qbucket"
+    )
+    bucket = tagged.join(
+        F.broadcast(qtagged), F.col("__bucket") == F.col("__qbucket")
+    )
+    scored = bucket.select(
+        F.col(id_col),
+        F.col("__bucket").alias("bucket"),
+        cosine(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def neardup_pairs_blocked(
     vectors: DataFrame,
     block_col: str,

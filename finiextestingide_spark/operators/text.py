@@ -79,6 +79,42 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
+def tfidf_topterms(
+    docs: DataFrame, k: int = 3, *, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: tfidf = tf * ln(N / df).
+
+    Shuffle profile at scale: one groupBy (doc, term) with map-side combine
+    for tf, one groupBy term for df (term rows only, never text), a
+    broadcast join of the (tiny) df table back — the corpus size N is a
+    scalar aggregate cross-joined as a broadcast, not a collect. Ranking is
+    on the 6-decimal-rounded score with term as tiebreak, so top-k sets are
+    reproducible across engines."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(F.col(text)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.countDistinct(id_col).alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "term_rank")
+    )
+
+
 def with_text_stats(docs: DataFrame, text: str = "text") -> DataFrame:
     t = F.col(text)
     return docs.select(
