@@ -888,6 +888,10 @@ def replay_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
          {**base, "strategy": "buy_hold", "sl_dist": "2.0", "tp_dist": "4.0"}),
         (4, "error-budget", "error", 20000, 500.0, 14, 100, 5000,
          {**base, "strategy": "sma_cross"}),
+        (5, "signup-macd", "signup", None, None, 15, 100, 5000,
+         {**base, "strategy": "macd_cross", "fast": "5", "slow": "13", "signal": "4"}),
+        (6, "click-consensus", "click", None, None, 16, 100, 5000,
+         {**base, "strategy": "consensus", "fast": "3", "slow": "8", "period": "9"}),
     ]
     scenarios = spark.createDataFrame(
         scen_rows,

@@ -184,7 +184,80 @@ class BuyHold:
         return 1
 
 
-STRATEGIES = {"sma_cross": SmaCross, "rsi_reversion": RsiReversion, "buy_hold": BuyHold}
+class _Ema:
+    """SMA-seeded recursive EMA (the reference's flavor, macd_worker.py:262-284):
+    first `n` values average into the seed, then alpha = 2/(n+1)."""
+
+    def __init__(self, n: int):
+        self.n = n
+        self.alpha = 2.0 / (n + 1.0)
+        self._buf: list[float] = []
+        self.val: float | None = None
+
+    def update(self, x: float) -> float | None:
+        if self.val is None:
+            self._buf.append(x)
+            if len(self._buf) == self.n:
+                self.val = sum(self._buf) / self.n
+            return self.val
+        self.val = self.val + self.alpha * (x - self.val)
+        return self.val
+
+
+class MacdCross:
+    """Long while MACD > signal line, short otherwise (the reference's
+    cautious-MACD decision logic family, decision_logic/core/); EMAs and the
+    signal line use the exact W3 formula flavor (SMA-seeded recursion)."""
+
+    def __init__(self, params: dict):
+        fast = int(params.get("fast", 12))
+        slow = int(params.get("slow", 26))
+        signal = int(params.get("signal", 9))
+        self.warmup = slow + signal
+        self._ef = _Ema(fast)
+        self._es = _Ema(slow)
+        self._esig = _Ema(signal)
+        self._target = 0
+
+    def on_bar(self, close: float) -> int:
+        f = self._ef.update(close)
+        s = self._es.update(close)
+        if f is None or s is None:
+            return self._target
+        macd = f - s
+        sig = self._esig.update(macd)
+        if sig is None:
+            return self._target
+        self._target = 1 if macd > sig else -1
+        return self._target
+
+
+class Consensus:
+    """Majority vote of sma_cross + rsi_reversion + macd_cross: flip only
+    when at least `quorum` sub-signals agree on a direction, else hold (the
+    reference's simple-consensus decision logic shape)."""
+
+    def __init__(self, params: dict):
+        self._subs = [SmaCross(params), RsiReversion(params), MacdCross(params)]
+        self.warmup = max(s.warmup for s in self._subs)
+        self.quorum = int(params.get("quorum", 2))
+        self._target = 0
+
+    def on_bar(self, close: float) -> int:
+        votes = [s.on_bar(close) for s in self._subs]
+        for side in (1, -1):
+            if sum(1 for v in votes if v == side) >= self.quorum:
+                self._target = side
+        return self._target
+
+
+STRATEGIES = {
+    "sma_cross": SmaCross,
+    "rsi_reversion": RsiReversion,
+    "buy_hold": BuyHold,
+    "macd_cross": MacdCross,
+    "consensus": Consensus,
+}
 
 
 @dataclass

@@ -248,3 +248,84 @@ def test_gap_anti_join_filters_moves(spark):
     )
     # X's 01:00 move starts inside X's gap -> dropped; Y untouched (gap is X's)
     assert kept == [("X", 10), ("Y", 1)]
+
+
+# --- R10 decision-logic depth: macd_cross + consensus strategies ---
+
+
+def test_macd_cross_matches_independent_recursion():
+    """MacdCross targets must equal an independently-coded SMA-seeded EMA
+    recursion (the W3 formula flavor, reference macd_worker.py:262-284)."""
+    from finiextestingide_spark.operators.replay import MacdCross
+
+    closes = [100.0, 101.5, 99.8, 102.2, 103.0, 101.1, 104.5, 105.2, 103.9,
+              106.0, 107.2, 105.5, 108.1, 109.0, 107.7, 110.3, 111.0, 109.5]
+    fast, slow, signal = 3, 6, 3
+
+    def ema_seq(vals, n):
+        out, val, alpha = [], None, 2.0 / (n + 1.0)
+        for i, x in enumerate(vals):
+            if val is None and i + 1 == n:
+                val = sum(vals[: n]) / n
+            elif val is not None:
+                val = val + alpha * (x - val)
+            out.append(val)
+        return out
+
+    ef, es = ema_seq(closes, fast), ema_seq(closes, slow)
+    macds = [f - s for f, s in zip(ef, es) if f is not None and s is not None]
+    sigs = ema_seq(macds, signal)
+    expected = []
+    target = 0
+    si = 0
+    for i in range(len(closes)):
+        if es[i] is None:
+            expected.append(target)
+            continue
+        macd, sig = macds[si], sigs[si]
+        si += 1
+        if sig is not None:
+            target = 1 if macd > sig else -1
+        expected.append(target)
+
+    strat = MacdCross({"fast": str(fast), "slow": str(slow), "signal": str(signal)})
+    got = [strat.on_bar(c) for c in closes]
+    assert got == expected
+    assert any(t != 0 for t in got)  # the path actually produces signals
+
+
+def test_consensus_is_majority_of_subsignals():
+    from finiextestingide_spark.operators.replay import (
+        Consensus,
+        MacdCross,
+        RsiReversion,
+        SmaCross,
+    )
+
+    params = {"fast": "2", "slow": "4", "period": "3", "signal": "2"}
+    closes = [100.0, 101.0, 102.0, 103.0, 104.0, 103.0, 101.0, 99.0, 97.0,
+              95.0, 96.0, 98.0, 100.0, 102.0, 104.0, 106.0]
+    subs = [SmaCross(dict(params)), RsiReversion(dict(params)), MacdCross(dict(params))]
+    cons = Consensus(dict(params))
+    target = 0
+    for c in closes:
+        votes = [s.on_bar(c) for s in subs]
+        for side in (1, -1):
+            if sum(1 for v in votes if v == side) >= 2:
+                target = side
+        assert cons.on_bar(c) == target
+
+
+def test_replay_macd_and_consensus_deterministic(spark):
+    prices = PRICES + [94.0 + i * 0.8 for i in range(12)]
+    ticks = make_ticks(spark, prices)
+    for strat, extra in [
+        ("macd_cross", {"fast": 2, "slow": 4, "signal": 2}),
+        ("consensus", {"fast": 2, "slow": 4, "period": 3, "signal": 2}),
+    ]:
+        s = scen(spark, seed=11, lat=(1000, 20_000), strategy=strat, **extra)
+        r1 = run_backtest(ticks, s).collect()[0]
+        r2 = run_backtest(ticks, s).collect()[0]
+        assert r1["trades"] == r2["trades"], strat
+        assert r1["bars_closed"] == len(prices) // 2 - 1
+        assert r1["trades_count"] >= 1, strat
