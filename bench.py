@@ -69,6 +69,29 @@ def main() -> int:
     spark.range(256).groupBy("id").applyInPandas(lambda p: p, "id long").write.mode(
         "overwrite"
     ).format("noop").save()
+    # warm the replay UDF's worker-side import chain (cloudpickle pulls the
+    # operators package into every worker on first use) and its plan shape —
+    # one-time process cost, not per-query computation
+    from datetime import datetime
+
+    from finiextestingide_spark.operators.replay import run_backtest
+
+    mini_ticks = spark.createDataFrame(
+        [
+            ("W", datetime(2026, 1, 1, 0, 0, i), 1_767_225_600_000 + i * 1000,
+             1_767_225_600_000 + i * 1000, 99.99, 100.01)
+            for i in range(8)
+        ],
+        "symbol string, timestamp timestamp, time_msc long, collected_msc long, "
+        "bid double, ask double",
+    )
+    mini_scen = spark.createDataFrame(
+        [(1, "w", "W", None, None, 1, 0, 0, {"strategy": "buy_hold", "bar_ms": "1000"})],
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+        "latency_max_ms int, parameters map<string,string>",
+    )
+    run_backtest(mini_ticks, mini_scen).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -236,18 +236,29 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     text: str = "text",
 ) -> DataFrame:
-    """Full pipeline: shingle (map) -> minhash (partial-agg shuffle) -> band
-    bucket-join (the ONLY quadratic-risk shuffle, bounded by bucket fan-out)
-    -> exact verify on CANDIDATE pairs only (array_intersect after two id
-    joins). No all-pairs stage anywhere. The two groupBy exchanges (sigs,
-    sets) are each referenced twice and deduped by ReuseExchange."""
+    """Full pipeline: shingle (map) -> ONE combined per-doc aggregate
+    (k minhash minima AND the distinct-shingle set in the same exchange,
+    partial-agg/map-side combined) -> band bucket-join (the ONLY
+    quadratic-risk shuffle, bounded by bucket fan-out) -> exact verify on
+    CANDIDATE pairs only (array_intersect after two id joins). No all-pairs
+    stage anywhere. The single aggregate is referenced three times (banding,
+    verify side a, verify side b) and computed once via ReuseExchange —
+    fusing the former separate sigs/sets aggregates halves the exchanges
+    over the shingle stream."""
     # duplicate shingle occurrences are harmless to BOTH consumers (min is
     # idempotent, collect_set dedups), so skip word_shingles' distinct
     # exchange and aggregate the raw occurrence stream directly.
     sh = shingle_stream(docs, shingle_n, id_col=id_col, text=text)
-    sigs = minhash_signatures(sh, num_hashes, id_col=id_col)
+    combined = sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("shingles"),
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    sigs = combined.select(id_col, *[f"mh_{i}" for i in range(num_hashes)])
     cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col=id_col)
-    sets = shingle_set_table(sh, id_col=id_col)
+    sets = combined.select(id_col, "shingles", F.size("shingles").alias("n"))
     return verify_candidate_pairs(cands, sets, min_jaccard, id_col=id_col).select(
         "id_a", "id_b", "intersection", "jaccard"
     )
