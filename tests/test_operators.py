@@ -281,3 +281,41 @@ def test_cascade_bars_equal_direct(spark):
         for col in ("open", "high", "low", "close", "tick_count"):
             assert c[col] == d[col], (k, col)
         assert c["volume"] == pytest.approx(d["volume"]), k
+
+
+def test_asof_duplicate_right_ts_is_deterministic(spark):
+    """Several right rows tied on (key, ts): the tiebreak column's greatest
+    value wins, and the result is identical across input partitionings
+    (regression for the partition-order-dependent F.last pick)."""
+    import pyspark.sql.functions as F
+
+    left = spark.createDataFrame(
+        [("A", ts(20)), ("A", ts(40))], "symbol string, ev_ts timestamp"
+    )
+    dup_rows = [("A", ts(10), float(v), v) for v in (3, 1, 2)]
+    outs = []
+    for nparts in (1, 2, 7):
+        right = spark.createDataFrame(
+            dup_rows, "symbol string, sig_ts timestamp, score double, seq int"
+        ).repartition(nparts)
+        out = asof_join(
+            left, right, on=["symbol"], left_ts="ev_ts", right_ts="sig_ts",
+            tiebreak="seq",
+        )
+        outs.append(sorted((r["ev_ts"], r["score"], r["seq"]) for r in out.collect()))
+    assert outs[0] == outs[1] == outs[2]
+    assert all(seq == 3 for _, _, seq in outs[0])  # greatest tiebreak wins
+
+    # default (no tiebreak): still deterministic across partitionings via
+    # the payload-struct fallback ordering
+    base = None
+    for nparts in (1, 3, 5):
+        right = spark.createDataFrame(
+            dup_rows, "symbol string, sig_ts timestamp, score double, seq int"
+        ).repartition(nparts)
+        out = asof_join(
+            left, right, on=["symbol"], left_ts="ev_ts", right_ts="sig_ts"
+        )
+        got = sorted((r["ev_ts"], r["score"], r["seq"]) for r in out.collect())
+        base = got if base is None else base
+        assert got == base

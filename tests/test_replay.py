@@ -329,3 +329,22 @@ def test_replay_macd_and_consensus_deterministic(spark):
         assert r1["trades"] == r2["trades"], strat
         assert r1["bars_closed"] == len(prices) // 2 - 1
         assert r1["trades_count"] >= 1, strat
+
+
+def test_replay_tick_tie_order_deterministic_across_partitionings(spark):
+    """Ticks tied on time_msc must replay in the same order regardless of
+    input partitioning (reference bug #385 class; regression for the
+    mergesort-on-time_msc-only sort)."""
+    rows = []
+    for i, p in enumerate(PRICES):
+        ms = T0_MS + (i // 2) * 60_000  # PAIRS of ticks share one time_msc
+        rows.append(("X", datetime.utcfromtimestamp(ms / 1000.0), ms, ms,
+                     p - 0.01, p + 0.01))
+    ddl = ("symbol string, timestamp timestamp, time_msc long, collected_msc long, "
+           "bid double, ask double")
+    results = []
+    for nparts in (1, 3, 8):
+        ticks = spark.createDataFrame(rows, ddl).repartition(nparts)
+        res = run_backtest(ticks, scen(spark, seed=5, lat=(500, 90_000))).collect()[0]
+        results.append((res["trades"], res["final_equity"], res["bars_closed"]))
+    assert results[0] == results[1] == results[2]

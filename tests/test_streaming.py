@@ -160,3 +160,45 @@ def test_incremental_bars_stateful(spark, tmp_path):
         assert g["tick_count"] == r["tick_count"], key
         n_checked += 1
     assert n_checked >= 12
+
+
+def test_incremental_bars_multichunk_group_ordering():
+    """A group spanning several Arrow chunks must be ordered globally: a
+    tick from an earlier bucket arriving in a later chunk must NOT close the
+    open bar prematurely (regression for per-chunk sorting)."""
+    import pandas as pd
+
+    from finiextestingide_spark.streaming.incremental_bars import _render
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+
+        def update(self, t):
+            self.exists, self._t = True, t
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+        @property
+        def get(self):
+            return self._t
+
+    def chunk(rows):
+        return pd.DataFrame(
+            rows, columns=["timestamp", "time_msc", "mid", "volume"]
+        ).astype({"timestamp": "datetime64[ns]"})
+
+    t = pd.Timestamp("2026-01-01")
+    s = lambda sec: t + pd.Timedelta(seconds=sec)
+    # chunk 1 holds a tick of bucket 1 (sec 70); chunk 2 holds a LATER-
+    # arriving tick of bucket 0 (sec 50). Globally sorted, bucket 0 closes
+    # exactly once with both its ticks.
+    c1 = chunk([(s(10), 10_000, 100.0, 1.0), (s(70), 70_000, 101.0, 1.0)])
+    c2 = chunk([(s(50), 50_000, 99.0, 1.0), (s(130), 130_000, 102.0, 1.0)])
+    state = FakeState()
+    out = list(_render(("A",), iter([c1, c2]), state, bar_us=60_000_000, timeout_ms=10**9))
+    bars = pd.concat(out, ignore_index=True)
+    assert list(bars["bar_ts"]) == [s(0), s(60)]  # one close per bucket, in order
+    b0 = bars.iloc[0]
+    assert (b0["open"], b0["low"], b0["close"], b0["tick_count"]) == (100.0, 99.0, 99.0, 2)
