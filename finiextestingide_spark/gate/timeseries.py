@@ -144,6 +144,76 @@ def streaming_bars_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAMING_BARS_1H_SQL = BARS_1H_SQL
 
 
+def streaming_incremental_bars_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 bars through the STATEFUL streaming operator (R7 as
+    applyInPandasWithState, close-on-next-bucket): per-key GroupState holds
+    one open bar; a bar is emitted when the first tick of a later bucket
+    arrives, so each symbol's final bucket stays open and is absent from the
+    output. Oracle: the direct tick->H1 SQL restricted to each symbol's
+    non-final buckets, with the volume fold order-matched (list_reduce over
+    (ts, event_id)-ordered values == the renderer's running float sum)."""
+    from ..streaming.incremental_bars import drain_to_memory, incremental_bars
+    from ..streaming.bars_stream import read_tick_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ticks = (
+        read_tick_stream(spark, f"{sf_dir}/events.parque*", raw_schema)
+        .select(
+            F.col("event_type").alias("symbol"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("timestamp"),
+            # time_msc is only the renderer's sort tiebreak; event_id makes
+            # same-microsecond ticks deterministic (the batch operator's
+            # tiebreak contract)
+            F.col("event_id").alias("time_msc"),
+            F.col("value").alias("mid"),
+            F.col("value").alias("volume"),
+        )
+    )
+    name = "gate_streaming_incremental_bars_1h"
+    # heartbeat far beyond the drain window: only close-on-next-bucket bars
+    bars = incremental_bars(ticks, 3_600_000, heartbeat_ms=3_600_000_000)
+    drain_to_memory(bars, name, settle_secs=4.0)
+    out = spark.table(name)
+    return out.select(
+        "symbol",
+        "bar_ts",
+        "open",
+        "high",
+        "low",
+        "close",
+        F.round("volume", 6).alias("volume"),
+        F.col("tick_count").cast("long").alias("tick_count"),
+    )
+
+
+STREAMING_INCREMENTAL_BARS_1H_SQL = """
+WITH ev AS (
+  SELECT event_type AS symbol, ts, event_id, value FROM events
+),
+bars AS (
+  SELECT symbol, date_trunc('hour', ts) AS bar_ts,
+         max(CASE WHEN rna = 1 THEN value END) AS open,
+         max(value) AS high, min(value) AS low,
+         max(CASE WHEN rnd = 1 THEN value END) AS close,
+         list_reduce(list(value ORDER BY ts, event_id), (x, y) -> x + y) AS volume,
+         count(*) AS tick_count
+  FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY symbol, date_trunc('hour', ts) ORDER BY ts, event_id) AS rna,
+           row_number() OVER (PARTITION BY symbol, date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC) AS rnd
+    FROM ev
+  )
+  GROUP BY 1, 2
+),
+last_b AS (SELECT symbol, max(bar_ts) AS mb FROM bars GROUP BY 1)
+SELECT b.symbol, b.bar_ts, b.open, b.high, b.low, b.close,
+       round(b.volume, 6) AS volume, CAST(b.tick_count AS BIGINT) AS tick_count
+FROM bars b JOIN last_b l ON b.symbol = l.symbol AND b.bar_ts < l.mb
+"""
+
+
 # --- session labeling + per-session profile (S4, A3 session summaries) ---
 
 
@@ -1205,5 +1275,10 @@ QUERIES: dict[str, Query] = {
         streaming_bars_1h,
         STREAMING_BARS_1H_SQL,
         "§2.9 Structured Streaming bars, hash-checked vs the batch SQL oracle",
+    ),
+    "streaming_incremental_bars_1h": Query(
+        streaming_incremental_bars_1h,
+        STREAMING_INCREMENTAL_BARS_1H_SQL,
+        "R7 stateful close-on-next-bucket renderer, hash-checked (closed bars only)",
     ),
 }
