@@ -1239,6 +1239,194 @@ bars AS (
 REPLAY_SMA_ORACLE_SQL = _rso_sql()
 
 
+# --- sweep path, oracle-checked end-to-end: grid expansion -> one
+#     distributed replay pass -> ledger -> deterministic ranking (O2) and
+#     OFAT sensitivity (A11). With buy_hold + zero latency + no stops the
+#     per-run KPIs are closed-form: one trade from the first closed bar's
+#     decision tick (entry at ask) to the last tick (exit at bid), fees
+#     2 x fee x lots, drawdown from the running equity peak. ---
+
+_SW_SYMBOLS = _RSO_SYMBOLS
+_SW_LOTS = ["1", "2", "4"]
+_SW_FEES = ["0.0", "0.5"]
+_SW_GRID = {"lots": _SW_LOTS, "fee_per_side": _SW_FEES}
+_SW_BAR_MS = 3_600_000
+
+
+def _sweep_ledger(spark: SparkSession, sf_dir: str):
+    from ..operators.sweep import ledger_rows, run_sweep
+
+    ev = _events(spark, sf_dir)
+    ticks = ev.select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts").alias("timestamp"),
+        F.unix_millis("ts").alias("time_msc"),
+        F.unix_millis("ts").alias("collected_msc"),
+        (F.col("value") - 0.005).alias("bid"),
+        (F.col("value") + 0.005).alias("ask"),
+    )
+    rows = [
+        (i + 1, f"bh-{sym}", sym, None, None, i + 1, 0, 0,
+         {"strategy": "buy_hold", "bar_ms": str(_SW_BAR_MS), "equity_sample_every": "0"})
+        for i, sym in enumerate(_SW_SYMBOLS)
+    ]
+    scenarios = spark.createDataFrame(
+        rows,
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+        "latency_max_ms int, parameters map<string,string>",
+    )
+    return ledger_rows(run_sweep(spark, ticks, scenarios, _SW_GRID, sweep_id="bh"))
+
+
+def sweep_buyhold_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    led = _sweep_ledger(spark, sf_dir)
+    w = Window.orderBy(F.desc("objective"), F.asc("run_id"))
+    return (
+        led.withColumn("rank", F.row_number().over(w))
+        .select(
+            "run_id",
+            F.col("parameters")["lots"].alias("lots"),
+            F.col("parameters")["fee_per_side"].alias("fee_per_side"),
+            F.col("ticks_processed"),
+            F.col("trades").cast("int").alias("trades"),
+            "wins",
+            "losses",
+            F.round("net_pnl", 6).alias("net_pnl"),
+            F.round("final_equity", 6).alias("final_equity"),
+            F.round("max_drawdown", 6).alias("max_drawdown"),
+            "rank",
+        )
+    )
+
+
+def sweep_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sweep import parameter_sensitivity
+
+    led = _sweep_ledger(spark, sf_dir)
+    out = parameter_sensitivity(led, ["lots", "fee_per_side"])
+    return out.select(
+        "param",
+        "level",
+        F.round("mean_objective", 6).alias("mean_objective"),
+        F.col("runs").cast("long").alias("runs"),
+        F.round("influence", 6).alias("influence"),
+    )
+
+
+def _sw_combos_values() -> str:
+    """VALUES rows mirroring expand_grid: sorted param names
+    (fee_per_side, lots), value order preserved, combo_id enumerated."""
+    import itertools
+
+    rows = []
+    for cid, (fee, lots) in enumerate(itertools.product(_SW_FEES, _SW_LOTS)):
+        rows.append(f"({cid}, '{lots}', CAST({lots} AS DOUBLE), '{fee}', CAST({fee} AS DOUBLE))")
+    return ",\n  ".join(rows)
+
+
+_SW_BASE_CTE = f"""
+base AS (
+  SELECT event_type AS symbol, ts, epoch_ms(ts) AS ms,
+         value - 0.005 AS bid, value + 0.005 AS ask
+  FROM events
+),
+ticks AS (
+  SELECT symbol, ts, ms, bid, ask, ms // {_SW_BAR_MS} AS bucket,
+         row_number() OVER (PARTITION BY symbol ORDER BY ms, ts, bid, ask) AS rn
+  FROM base
+),
+nticks AS (SELECT symbol, count(*) AS n FROM ticks GROUP BY 1),
+b0 AS (SELECT symbol, min(bucket) AS first_bucket FROM ticks GROUP BY 1),
+entry AS (
+  SELECT t.symbol, min(t.rn) AS entry_rn
+  FROM ticks t JOIN b0 USING (symbol)
+  WHERE t.bucket > b0.first_bucket
+  GROUP BY 1
+),
+eprice AS (
+  SELECT e.symbol, e.entry_rn, t.ask AS entry_ask
+  FROM entry e JOIN ticks t ON t.symbol = e.symbol AND t.rn = e.entry_rn
+),
+xprice AS (
+  SELECT n.symbol, t.bid AS exit_bid
+  FROM nticks n JOIN ticks t ON t.symbol = n.symbol AND t.rn = n.n
+),
+combos(combo_id, lots_s, lots, fee_s, fee) AS (
+  VALUES
+  {_sw_combos_values()}
+),
+sids AS (
+  SELECT symbol, sid FROM (VALUES {", ".join(f"('{s}', {i + 1})" for i, s in enumerate(_SW_SYMBOLS))}) AS v(symbol, sid)
+),
+eq AS (
+  SELECT t.symbol, c.combo_id,
+         10000 + (t.bid - p.entry_ask) * c.lots AS e,
+         t.rn
+  FROM ticks t
+  JOIN eprice p USING (symbol)
+  CROSS JOIN combos c
+  WHERE t.rn >= p.entry_rn
+),
+peaks AS (
+  SELECT symbol, combo_id,
+         greatest(10000, max(e) OVER (PARTITION BY symbol, combo_id ORDER BY rn)) AS peak, e
+  FROM eq
+),
+dd AS (
+  SELECT symbol, combo_id, max(peak - e) AS max_dd FROM peaks GROUP BY 1, 2
+),
+runs AS (
+  SELECT 'bh-' || s.sid || '-' || c.combo_id AS run_id,
+         c.lots_s, c.fee_s, c.combo_id,
+         n.n AS ticks_processed,
+         (p.exit_bid - e.entry_ask) * c.lots AS gross,
+         c.fee * c.lots + c.fee * c.lots AS fees,
+         (p.exit_bid - e.entry_ask) * c.lots - (c.fee * c.lots + c.fee * c.lots) AS net,
+         dd.max_dd
+  FROM sids s
+  JOIN eprice e USING (symbol)
+  JOIN xprice p USING (symbol)
+  JOIN nticks n USING (symbol)
+  CROSS JOIN combos c
+  JOIN dd ON dd.symbol = s.symbol AND dd.combo_id = c.combo_id
+)"""
+
+SWEEP_BUYHOLD_LEDGER_SQL = f"""
+WITH {_SW_BASE_CTE}
+SELECT run_id, lots_s AS lots, fee_s AS fee_per_side,
+       CAST(ticks_processed AS BIGINT) AS ticks_processed,
+       1 AS trades,
+       CASE WHEN net > 0 THEN 1 ELSE 0 END AS wins,
+       CASE WHEN net < 0 THEN 1 ELSE 0 END AS losses,
+       round(net, 6) AS net_pnl,
+       round(10000 + net, 6) AS final_equity,
+       round(max_dd, 6) AS max_drawdown,
+       row_number() OVER (ORDER BY net DESC, run_id ASC) AS rank
+FROM runs
+"""
+
+SWEEP_SENSITIVITY_SQL = f"""
+WITH {_SW_BASE_CTE},
+exploded AS (
+  SELECT run_id, net, 'lots' AS param, lots_s AS level FROM runs
+  UNION ALL
+  SELECT run_id, net, 'fee_per_side' AS param, fee_s AS level FROM runs
+),
+per_level AS (
+  SELECT param, level, avg(net) AS mean_objective, count(*) AS runs
+  FROM exploded GROUP BY 1, 2
+),
+influence AS (
+  SELECT param, max(mean_objective) - min(mean_objective) AS influence
+  FROM per_level GROUP BY 1
+)
+SELECT p.param, p.level, round(p.mean_objective, 6) AS mean_objective,
+       CAST(p.runs AS BIGINT) AS runs, round(i.influence, 6) AS influence
+FROM per_level p JOIN influence i USING (param)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "bars_1h": Query(bars_1h, BARS_1H_SQL, "A1 tumbling OHLCV, H1"),
     "bars_1d": Query(bars_1d, BARS_1D_SQL, "A1 tumbling OHLCV, D1"),
@@ -1280,5 +1468,15 @@ QUERIES: dict[str, Query] = {
         streaming_incremental_bars_1h,
         STREAMING_INCREMENTAL_BARS_1H_SQL,
         "R7 stateful close-on-next-bucket renderer, hash-checked (closed bars only)",
+    ),
+    "sweep_buyhold_ledger": Query(
+        sweep_buyhold_ledger,
+        SWEEP_BUYHOLD_LEDGER_SQL,
+        "O6xR10xS13xO2 sweep: grid -> replay -> ledger -> ranking, hash-checked",
+    ),
+    "sweep_sensitivity": Query(
+        sweep_sensitivity,
+        SWEEP_SENSITIVITY_SQL,
+        "A11 OFAT sensitivity over the sweep ledger, hash-checked",
     ),
 }
