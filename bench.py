@@ -93,11 +93,18 @@ def main() -> int:
     )
     run_backtest(mini_ticks, mini_scen).write.mode("overwrite").format("noop").save()
 
+    # Median of 3 runs per query — the same protocol as the reference's
+    # benchmark certificate (BASELINE.md: "3 runs, median reported"), which
+    # keeps one-off VM hiccups out of the recorded number. Results are never
+    # cached (noop sink), so every run re-executes the full plan.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 4)
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
