@@ -479,6 +479,48 @@ FROM documents
 """
 
 
+# --- deterministic sampling (curation primitive: identical row set every
+#     run on any engine; generalizes the reference's sampled index stats) ---
+
+_SAMPLE_PCT = 30
+
+_HASH_BUCKET_SQL = """
+(((CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) >= 97 THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87 ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48 END) * 4096
+ + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) >= 97 THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 87 ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 48 END) * 256
+ + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) >= 97 THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 87 ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 48 END) * 16
+ + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) >= 97 THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 87 ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 48 END)) % 100)
+"""
+
+
+def sample_deterministic_30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as sp
+
+    out = sp.sample_deterministic(_docs(spark, sf_dir), _SAMPLE_PCT)
+    return out.select("doc_id", "lang", "sample_bucket")
+
+
+SAMPLE_DETERMINISTIC_30_SQL = f"""
+SELECT doc_id, lang, CAST(b AS INTEGER) AS sample_bucket
+FROM (SELECT doc_id, lang, {_HASH_BUCKET_SQL} AS b FROM documents)
+WHERE b < {_SAMPLE_PCT}
+"""
+
+
+def stratified_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as sp
+
+    return sp.stratified_sample_counts(_docs(spark, sf_dir), "lang", _SAMPLE_PCT)
+
+
+STRATIFIED_SAMPLE_AUDIT_SQL = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN {_HASH_BUCKET_SQL} < {_SAMPLE_PCT} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents
+GROUP BY lang
+"""
+
+
 # --- multimodal metadata plumbing (binary columns; decode is stubbed in
 #     operators.multimodal — here we gate the schema/byte-level plumbing) ---
 
@@ -519,4 +561,10 @@ QUERIES: dict[str, Query] = {
     ),
     "doc_fingerprints": Query(doc_fingerprints, DOC_FINGERPRINTS_SQL, "md5 fingerprints"),
     "multimodal_meta": Query(multimodal_meta, MULTIMODAL_META_SQL, "binary-column metadata plumbing"),
+    "sample_deterministic_30": Query(
+        sample_deterministic_30, SAMPLE_DETERMINISTIC_30_SQL, "hash-bucket deterministic sample"
+    ),
+    "stratified_sample_audit": Query(
+        stratified_sample_audit, STRATIFIED_SAMPLE_AUDIT_SQL, "per-stratum sample audit counts"
+    ),
 }

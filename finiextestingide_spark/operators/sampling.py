@@ -1,0 +1,54 @@
+"""Deterministic sampling for training-data curation.
+
+`DataFrame.sample()` is seed-dependent per partition split, so re-running a
+pipeline (or re-reading with a different partition layout) changes the
+sample. At 100 TB the curation contract is "this exact row set, every run,
+on any engine": derive the sampling decision from a content-stable hash of
+the row key, never from RNG state. The same md5-prefix bucket is computable
+in any engine (our DuckDB oracle included), so samples are auditable.
+
+This generalizes the reference's 10%-sampled index statistics
+(tick_index_manager.py:169-194) into a reproducible primitive.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Stable bucket 0..buckets-1 from the first 16 bits of md5 of the key's
+    string form. 16 bits are uniform enough for percent-level sampling, and
+    the hex-digit arithmetic mirrors into any SQL dialect via ascii()
+    (engines disagree on hex-to-int casts; they agree on ascii)."""
+    h = F.md5(key.cast("string"))
+    val = F.lit(0)
+    for p in range(4):
+        c = F.ascii(F.substring(h, p + 1, 1))
+        digit = F.when(c >= 97, c - 87).otherwise(c - 48)
+        val = val * 16 + digit
+    return (val % buckets).cast("int")
+
+
+def sample_deterministic(
+    df: DataFrame, rate_pct: int, *, key_col: str = "doc_id", bucket_col: str = "sample_bucket"
+) -> DataFrame:
+    """Keep rows whose hash bucket falls below rate_pct (of 100). A pure
+    filter — pushes to the scan, no shuffle, identical row set every run."""
+    return df.withColumn(bucket_col, hash_bucket(F.col(key_col))).where(
+        F.col(bucket_col) < rate_pct
+    )
+
+
+def stratified_sample_counts(
+    df: DataFrame, strata_col: str, rate_pct: int, *, key_col: str = "doc_id"
+) -> DataFrame:
+    """Per-stratum audit: total rows vs deterministically-sampled rows.
+    One groupBy over (stratum) with a conditional count — the audit the
+    curation pipeline ships next to the sample itself."""
+    bucket = hash_bucket(F.col(key_col))
+    return df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((bucket < rate_pct).cast("long")).alias("n_sampled"),
+    )

@@ -319,3 +319,19 @@ def test_asof_duplicate_right_ts_is_deterministic(spark):
         got = sorted((r["ev_ts"], r["score"], r["seq"]) for r in out.collect())
         base = got if base is None else base
         assert got == base
+
+
+def test_deterministic_sample_stable_across_partitionings(spark):
+    """The sampled row set must be identical for any partition layout and
+    re-run (the curation contract `.sample()` cannot give)."""
+    from finiextestingide_spark.operators.sampling import sample_deterministic
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    sets_ = []
+    for nparts in (1, 4, 9):
+        out = sample_deterministic(docs.repartition(nparts), 25)
+        sets_.append(sorted(r["doc_id"] for r in out.collect()))
+    assert sets_[0] == sets_[1] == sets_[2]
+    assert 20 <= len(sets_[0]) <= 80  # ~25% of 200, loose band
