@@ -1427,6 +1427,91 @@ FROM per_level p JOIN influence i USING (param)
 """
 
 
+# --- R5 equity/drawdown sampled series, oracle-checked: with buy_hold +
+#     zero latency the running equity is closed-form per tick (flat 10000
+#     before the entry fill, 10000 + (bid - entry_ask) after; drawdown from
+#     the running peak seeded at the start balance), so the sampled curve
+#     the replay emits every k ticks is exactly SQL-expressible. ---
+
+_REQ_SAMPLE_EVERY = 100
+
+
+def replay_equity_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.replay import equity_table, run_backtest
+
+    ev = _events(spark, sf_dir)
+    ticks = ev.select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts").alias("timestamp"),
+        F.unix_millis("ts").alias("time_msc"),
+        F.unix_millis("ts").alias("collected_msc"),
+        (F.col("value") - 0.005).alias("bid"),
+        (F.col("value") + 0.005).alias("ask"),
+    )
+    rows = [
+        (i + 1, f"eq-{sym}", sym, None, None, i + 1, 0, 0,
+         {"strategy": "buy_hold", "bar_ms": str(_RSO_BAR_MS),
+          "equity_sample_every": str(_REQ_SAMPLE_EVERY)})
+        for i, sym in enumerate(_RSO_SYMBOLS)
+    ]
+    scenarios = spark.createDataFrame(
+        rows,
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+        "latency_max_ms int, parameters map<string,string>",
+    )
+    out = equity_table(run_backtest(ticks, scenarios))
+    return out.select(
+        "scenario_id",
+        "ts",
+        F.round("equity", 6).alias("equity"),
+        F.round("drawdown", 6).alias("drawdown"),
+    )
+
+
+REPLAY_EQUITY_ORACLE_SQL = f"""
+WITH base AS (
+  SELECT event_type AS symbol, ts, epoch_ms(ts) AS ms,
+         value - 0.005 AS bid, value + 0.005 AS ask
+  FROM events
+),
+ticks AS (
+  SELECT symbol, ts, ms, bid, ask, ms // {_RSO_BAR_MS} AS bucket,
+         row_number() OVER (PARTITION BY symbol ORDER BY ms, ts, bid, ask) AS rn
+  FROM base
+),
+b0 AS (SELECT symbol, min(bucket) AS first_bucket FROM ticks GROUP BY 1),
+entry AS (
+  SELECT t.symbol, min(t.rn) AS entry_rn
+  FROM ticks t JOIN b0 USING (symbol)
+  WHERE t.bucket > b0.first_bucket
+  GROUP BY 1
+),
+eprice AS (
+  SELECT e.symbol, e.entry_rn, t.ask AS entry_ask
+  FROM entry e JOIN ticks t ON t.symbol = e.symbol AND t.rn = e.entry_rn
+),
+eq AS (
+  SELECT t.symbol, t.rn, t.ms,
+         CASE WHEN t.rn < p.entry_rn THEN CAST(10000 AS DOUBLE)
+              ELSE 10000 + (t.bid - p.entry_ask) END AS e
+  FROM ticks t JOIN eprice p USING (symbol)
+),
+peaks AS (
+  SELECT symbol, rn, ms, e,
+         greatest(10000, max(e) OVER (PARTITION BY symbol ORDER BY rn)) AS peak
+  FROM eq
+),
+sids AS (
+  SELECT symbol, sid FROM (VALUES {", ".join(f"('{s}', {i + 1})" for i, s in enumerate(_RSO_SYMBOLS))}) AS v(symbol, sid)
+)
+SELECT s.sid AS scenario_id, make_timestamp(p.ms * 1000) AS ts,
+       round(p.e, 6) AS equity, round(p.peak - p.e, 6) AS drawdown
+FROM peaks p JOIN sids s USING (symbol)
+WHERE (p.rn - 1) % {_REQ_SAMPLE_EVERY} = 0
+"""
+
+
 QUERIES: dict[str, Query] = {
     "bars_1h": Query(bars_1h, BARS_1H_SQL, "A1 tumbling OHLCV, H1"),
     "bars_1d": Query(bars_1d, BARS_1D_SQL, "A1 tumbling OHLCV, D1"),
@@ -1478,5 +1563,10 @@ QUERIES: dict[str, Query] = {
         sweep_sensitivity,
         SWEEP_SENSITIVITY_SQL,
         "A11 OFAT sensitivity over the sweep ledger, hash-checked",
+    ),
+    "replay_equity_oracle": Query(
+        replay_equity_oracle,
+        REPLAY_EQUITY_ORACLE_SQL,
+        "R5 sampled equity/drawdown series from the replay, hash-checked",
     ),
 }
