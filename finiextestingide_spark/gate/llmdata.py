@@ -322,6 +322,44 @@ WHERE rank <= {_LSH_K}
 """
 
 
+_MP_K = 8
+
+
+def lsh_ann_multiprobe_8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    query = emb.where(F.col("vec_id") == 0).select("embedding")
+    out = sim.lsh_ann_multiprobe(
+        emb.where(F.col("vec_id") != 0), query, _LSH_PLANES, _MP_K, radius=1
+    )
+    return out.select("vec_id", "bucket", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _mp_flip_sql(i: int) -> str:
+    return (
+        f"substr(qb, 1, {i - 1}) || (CASE WHEN substr(qb, {i}, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substr(qb, {i + 1}, {_LSH_NBITS - i})"
+    )
+
+
+LSH_ANN_MULTIPROBE_8_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {_lsh_bucket_sql('qv')} AS qb FROM q),
+probes AS (
+  SELECT qb AS bucket FROM qb
+  {" ".join(f"UNION ALL SELECT {_mp_flip_sql(i)} FROM qb" for i in range(1, _LSH_NBITS + 1))}
+),
+sig AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+  FROM embeddings WHERE vec_id <> 0
+),
+b AS (SELECT s.vec_id, s.embedding, s.bucket FROM sig s JOIN probes p ON s.bucket = p.bucket),
+s AS (SELECT b.vec_id, b.bucket, {_cos_sql('b.embedding', 'q.qv')} AS cos FROM b, q)
+SELECT vec_id, bucket, round(cos, 6) AS cosine, rank
+FROM (SELECT vec_id, bucket, cos, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank FROM s)
+WHERE rank <= {_MP_K}
+"""
+
+
 # --- embedding-cosine near-dup pairs (label-blocked) ---
 
 _ND_MIN_COS = 0.9
@@ -552,6 +590,9 @@ QUERIES: dict[str, Query] = {
     "ivf_topk_5": Query(ivf_topk_5, IVF_TOPK_5_SQL, "IVF-bucketed ANN"),
     "lsh_ann_topk_5": Query(
         lsh_ann_topk_5, LSH_ANN_TOPK_5_SQL, "random-hyperplane LSH-bucketed ANN"
+    ),
+    "lsh_ann_multiprobe_8": Query(
+        lsh_ann_multiprobe_8, LSH_ANN_MULTIPROBE_8_SQL, "multiprobe LSH ANN (Hamming-1 ring)"
     ),
     "embedding_neardup": Query(embedding_neardup, EMBEDDING_NEARDUP_SQL, "embedding near-dup pairs"),
     "text_stats": Query(text_stats, TEXT_STATS_SQL, "token counts + quality score"),

@@ -173,6 +173,44 @@ def lsh_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def lsh_ann_multiprobe(
+    vectors: DataFrame,
+    query: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    *,
+    radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multiprobe LSH ANN: probe the query's bucket AND every bucket within
+    Hamming distance <= radius (radius=1: nbits extra buckets). The probe
+    set is ENUMERATED as bucket keys and equi-joined — not a distance
+    predicate over all buckets — so the bucket column's partition pruning
+    still applies at scale; recall rises because a near neighbour that
+    disagrees on one sign bit is still probed."""
+    if radius != 1:
+        raise ValueError("only radius=1 is implemented")
+    nbits = len(planes)
+    sig = hyperplane_signature(F.col(vec_col), planes)
+    tagged = vectors.withColumn("__bucket", sig)
+    q = query.select(F.col(vec_col).alias("__qvec"), sig.alias("__qb"))
+    flips = [F.col("__qb")]
+    for i in range(1, nbits + 1):
+        flipped = F.when(F.substring("__qb", i, 1) == "1", F.lit("0")).otherwise(F.lit("1"))
+        flips.append(
+            F.concat(F.substring("__qb", 1, i - 1), flipped, F.substring("__qb", i + 1, nbits - i))
+        )
+    probes = q.select("__qvec", F.explode(F.array(*flips)).alias("__bucket"))
+    scored = tagged.join(F.broadcast(probes), "__bucket").select(
+        F.col(id_col),
+        F.col("__bucket").alias("bucket"),
+        cosine(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def neardup_pairs_blocked(
     vectors: DataFrame,
     block_col: str,
