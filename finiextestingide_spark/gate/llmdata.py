@@ -151,6 +151,40 @@ JOIN sizes sb ON sb.doc_id = cands.id_b
 """
 
 
+# --- near-dup clusters: MinHash pairs -> connected components (the one
+#     ITERATIVE operator; oracle = recursive-CTE transitive closure) ---
+
+
+def neardup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dd.neardup_clusters(
+        _docs(spark, sf_dir), shingle_n=3, num_hashes=_MH_K, bands=_MH_BANDS, min_jaccard=0.0
+    )
+    return out.select(
+        "doc_id", "cluster_id", F.col("cluster_size").cast("long").alias("cluster_size")
+    )
+
+
+NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+{MINHASH_LSH_PAIRS_SQL}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+sizes AS (SELECT cluster_id, count(*) AS n FROM labels GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, CAST(s.n AS BIGINT) AS cluster_size
+FROM labels l JOIN sizes s USING (cluster_id)
+"""
+
+
 # --- SimHash signatures ---
 
 
@@ -585,6 +619,9 @@ QUERIES: dict[str, Query] = {
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via content hash"),
     "jaccard_pairs_3gram": Query(jaccard_pairs_3gram, JACCARD_PAIRS_3GRAM_SQL, "n-gram Jaccard pairs"),
     "minhash_lsh_pairs": Query(minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL, "MinHash+LSH with verify"),
+    "neardup_clusters": Query(
+        neardup_clusters_q, NEARDUP_CLUSTERS_SQL, "iterative connected-components clustering"
+    ),
     "simhash_docs": Query(simhash_docs, SIMHASH_DOCS_SQL, "64-bit SimHash signatures"),
     "cosine_topk_10": Query(cosine_topk_10, COSINE_TOPK_10_SQL, "brute-force cosine top-k"),
     "ivf_topk_5": Query(ivf_topk_5, IVF_TOPK_5_SQL, "IVF-bucketed ANN"),

@@ -335,3 +335,15 @@ def test_deterministic_sample_stable_across_partitionings(spark):
         sets_.append(sorted(r["doc_id"] for r in out.collect()))
     assert sets_[0] == sets_[1] == sets_[2]
     assert 20 <= len(sets_[0]) <= 80  # ~25% of 200, loose band
+
+
+def test_connected_components_known_graph(spark):
+    from finiextestingide_spark.operators.dedup import connected_components
+
+    # two chains and an isolated pair: {1-2-3-4}, {10-11}, {20-21-22}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
