@@ -1512,6 +1512,114 @@ WHERE (p.rn - 1) % {_REQ_SAMPLE_EVERY} = 0
 """
 
 
+# --- R3 limit-entry matching, oracle-checked: buy_hold + zero latency +
+#     a limit entry is closed-form — the order rests from the decision tick
+#     at (decision ask - offset) and fills AT the limit on the first tick
+#     whose ask crosses it; MAE/MFE run from the fill tick to the end. ---
+
+_RLO_OFFSET = 0.01
+
+
+def replay_limit_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.replay import run_backtest, trades_table
+
+    ev = _events(spark, sf_dir)
+    ticks = ev.select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts").alias("timestamp"),
+        F.unix_millis("ts").alias("time_msc"),
+        F.unix_millis("ts").alias("collected_msc"),
+        (F.col("value") - 0.005).alias("bid"),
+        (F.col("value") + 0.005).alias("ask"),
+    )
+    rows = [
+        (i + 1, f"lim-{sym}", sym, None, None, i + 1, 0, 0,
+         {"strategy": "buy_hold", "bar_ms": str(_RSO_BAR_MS),
+          "entry_type": "limit", "entry_offset": str(_RLO_OFFSET),
+          "equity_sample_every": "0"})
+        for i, sym in enumerate(_RSO_SYMBOLS)
+    ]
+    scenarios = spark.createDataFrame(
+        rows,
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+        "latency_max_ms int, parameters map<string,string>",
+    )
+    tr = trades_table(run_backtest(ticks, scenarios))
+    return tr.select(
+        "scenario_id",
+        "direction",
+        "entry_ts",
+        F.round("entry_price", 6).alias("entry_price"),
+        "exit_ts",
+        F.round("exit_price", 6).alias("exit_price"),
+        F.round("net_pnl", 6).alias("net_pnl"),
+        F.round("mae_pnl", 6).alias("mae_pnl"),
+        F.round("mfe_pnl", 6).alias("mfe_pnl"),
+        "exit_reason",
+    )
+
+
+REPLAY_LIMIT_ORACLE_SQL = f"""
+WITH base AS (
+  SELECT event_type AS symbol, ts, epoch_ms(ts) AS ms,
+         value - 0.005 AS bid, value + 0.005 AS ask
+  FROM events
+),
+ticks AS (
+  SELECT symbol, ts, ms, bid, ask, ms // {_RSO_BAR_MS} AS bucket,
+         row_number() OVER (PARTITION BY symbol ORDER BY ms, ts, bid, ask) AS rn
+  FROM base
+),
+nmax AS (SELECT symbol, max(rn) AS n FROM ticks GROUP BY 1),
+b0 AS (SELECT symbol, min(bucket) AS first_bucket FROM ticks GROUP BY 1),
+entry AS (
+  SELECT t.symbol, min(t.rn) AS decision_rn
+  FROM ticks t JOIN b0 USING (symbol)
+  WHERE t.bucket > b0.first_bucket
+  GROUP BY 1
+),
+lim AS (
+  SELECT e.symbol, e.decision_rn, t.ask - {_RLO_OFFSET} AS trig
+  FROM entry e JOIN ticks t ON t.symbol = e.symbol AND t.rn = e.decision_rn
+),
+fill AS (
+  SELECT l.symbol, l.trig, min(t.rn) AS fill_rn
+  FROM lim l JOIN ticks t ON t.symbol = l.symbol AND t.rn >= l.decision_rn AND t.ask <= l.trig
+  GROUP BY 1, 2
+),
+fts AS (
+  SELECT f.symbol, f.trig, f.fill_rn, t.ms AS entry_ms
+  FROM fill f JOIN ticks t ON t.symbol = f.symbol AND t.rn = f.fill_rn
+),
+xprice AS (
+  SELECT n.symbol, t.bid AS exit_bid, t.ms AS exit_ms
+  FROM nmax n JOIN ticks t ON t.symbol = n.symbol AND t.rn = n.n
+),
+ex AS (
+  SELECT f.symbol, t.bid - f.trig AS pnl
+  FROM fts f JOIN ticks t ON t.symbol = f.symbol AND t.rn >= f.fill_rn
+),
+exagg AS (SELECT symbol, min(pnl) AS minp, max(pnl) AS maxp FROM ex GROUP BY 1),
+sids AS (
+  SELECT symbol, sid FROM (VALUES {", ".join(f"('{s}', {i + 1})" for i, s in enumerate(_RSO_SYMBOLS))}) AS v(symbol, sid)
+)
+SELECT s.sid AS scenario_id, 'LONG' AS direction,
+       make_timestamp(f.entry_ms * 1000) AS entry_ts,
+       round(f.trig, 6) AS entry_price,
+       make_timestamp(x.exit_ms * 1000) AS exit_ts,
+       round(x.exit_bid, 6) AS exit_price,
+       round(x.exit_bid - f.trig, 6) AS net_pnl,
+       round(least(0, e.minp), 6) AS mae_pnl,
+       round(greatest(0, e.maxp), 6) AS mfe_pnl,
+       'END' AS exit_reason
+FROM fts f
+JOIN xprice x USING (symbol)
+JOIN exagg e USING (symbol)
+JOIN sids s USING (symbol)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "bars_1h": Query(bars_1h, BARS_1H_SQL, "A1 tumbling OHLCV, H1"),
     "bars_1d": Query(bars_1d, BARS_1D_SQL, "A1 tumbling OHLCV, D1"),
@@ -1568,5 +1676,10 @@ QUERIES: dict[str, Query] = {
         replay_equity_oracle,
         REPLAY_EQUITY_ORACLE_SQL,
         "R5 sampled equity/drawdown series from the replay, hash-checked",
+    ),
+    "replay_limit_oracle": Query(
+        replay_limit_oracle,
+        REPLAY_LIMIT_ORACLE_SQL,
+        "R3 resting limit-entry matching (fill AT the limit), hash-checked",
     ),
 }

@@ -27,7 +27,14 @@ operator's contract — order fills depend on prior fills):
 - R3 order matching: market orders fill on the first tick at/after the
   latency deadline (BUY at ask, SELL at bid); SL/TP exits are broker-side
   and immediate (trade_simulator.py:610-686, close-side price selection:
-  LONG exits at bid, SHORT at ask).
+  LONG exits at bid, SHORT at ask). Limit/stop ENTRY orders
+  (params entry_type='limit'|'stop' with entry_offset) rest after their
+  latency deadline and fill on the reference's trigger rules
+  (trade_simulator.py:610-686): LONG limit fills at the limit price once
+  ask <= limit, SHORT limit once bid >= limit; LONG stop fills at market
+  once ask >= stop, SHORT stop once bid <= stop. A newer signal cancels the
+  resting entry (the resolve-modify/cancel phase) before queueing its own
+  orders; close orders are always market.
 - R4 position P&L + MAE/MFE running extrema with price-at-extreme capture
   (portfolio_types.py:120-155).
 - R5 equity / peak / drawdown account state (portfolio_manager.py:1080-1139).
@@ -308,6 +315,8 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     tp_dist = float(params["tp_dist"]) if "tp_dist" in params else None
     start_balance = float(params.get("start_balance", 10_000.0))
     sample_every = int(params.get("equity_sample_every", 1000))
+    entry_type = params.get("entry_type", "market")  # market | limit | stop
+    entry_offset = float(params.get("entry_offset", 0.0))
     # R8 — simulated-time heartbeats (opt-in): resolve latency-queue fills
     # whose deadline falls inside an inter-tick gap at the last known quote,
     # at the deadline instant; suppressed across gaps larger than the
@@ -367,8 +376,11 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     have_bar = False
     target = 0
     pos: _Position | None = None
-    # pending market orders: (due_ms, direction, purpose) purpose: 'open'/'close'
-    pending: list[tuple[int, int, str]] = []
+    # latency queue: (due_ms, direction, purpose, trigger_price)
+    # purpose 'open'/'close'; trigger_price None for market opens and closes.
+    pending: list[tuple[int, int, str, float | None]] = []
+    # resting limit/stop entry past its latency deadline: (dir, trigger)
+    resting: tuple[int, float] | None = None
     trades: list[dict] = []
     samples: list[dict] = []
 
@@ -421,12 +433,16 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         ):
             pb, pa = bl[i - 1], al[i - 1]
             while pending and pending[0][0] < t:
-                due, direction, purpose = pending.pop(0)
+                due, direction, purpose, trig = pending.pop(0)
                 if purpose == "close":
                     if pos is not None:
                         close_position(
                             i - 1, pb if pos.direction > 0 else pa, "SIGNAL", exit_ms=due
                         )
+                elif trig is not None:
+                    # limit/stop entries become resting at their deadline; a
+                    # gap has no quote movement, so no trigger can fire here
+                    resting = (direction, trig)
                 elif pos is None:
                     price = pa if direction > 0 else pb
                     pos = _Position(
@@ -459,20 +475,31 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                     target = new_target
                     delay = rng.randint(lat_min, lat_max) if lat_max > 0 else 0
                     due = t + delay
+                    # resolve-modify/cancel phase: a newer signal cancels
+                    # any resting limit/stop entry before queueing its own
+                    resting = None
                     if pos is not None:
-                        pending.append((due, -pos.direction, "close"))
+                        pending.append((due, -pos.direction, "close", None))
                     if target != 0:
-                        pending.append((due, target, "open"))
+                        if entry_type == "limit":
+                            trig = (a - entry_offset) if target > 0 else (b + entry_offset)
+                        elif entry_type == "stop":
+                            trig = (a + entry_offset) if target > 0 else (b - entry_offset)
+                        else:
+                            trig = None
+                        pending.append((due, target, "open", trig))
             cur_bucket = bk[i]
             have_bar = True
         cur_close = (b + a) / 2.0
 
         # R2/R3 — drain latency queue in submission order
         while pending and t >= pending[0][0]:
-            _, direction, purpose = pending.pop(0)
+            _, direction, purpose, trig = pending.pop(0)
             if purpose == "close":
                 if pos is not None:
                     close_position(i, b if pos.direction > 0 else a, "SIGNAL")
+            elif trig is not None:
+                resting = (direction, trig)  # limit/stop: rest until trigger
             elif pos is None:
                 price = a if direction > 0 else b
                 pos = _Position(
@@ -484,6 +511,35 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                     fees=fee_per_side * lots,
                     mae_price=price,
                     mfe_price=price,
+                )
+
+        # R3 — limit/stop trigger phase (trade_simulator.py:610-686): LONG
+        # limit fills AT the limit once ask <= limit; SHORT limit once
+        # bid >= limit; stops break out and fill at market.
+        if resting is not None and pos is None:
+            direction, trig = resting
+            fill = None
+            if entry_type == "limit":
+                if direction > 0 and a <= trig:
+                    fill = trig
+                elif direction < 0 and b >= trig:
+                    fill = trig
+            else:  # stop
+                if direction > 0 and a >= trig:
+                    fill = a
+                elif direction < 0 and b <= trig:
+                    fill = b
+            if fill is not None:
+                resting = None
+                pos = _Position(
+                    direction=direction,
+                    lots=lots,
+                    entry_i=i,
+                    entry_ms=t,
+                    entry_price=fill,
+                    fees=fee_per_side * lots,
+                    mae_price=fill,
+                    mfe_price=fill,
                 )
 
         # R4 — excursion update as the price arrives (before stop evaluation,

@@ -348,3 +348,57 @@ def test_replay_tick_tie_order_deterministic_across_partitionings(spark):
         res = run_backtest(ticks, scen(spark, seed=5, lat=(500, 90_000))).collect()[0]
         results.append((res["trades"], res["final_equity"], res["bars_closed"]))
     assert results[0] == results[1] == results[2]
+
+
+# --- R3 depth: resting limit/stop entry orders ---
+
+
+def test_replay_limit_entry_fills_at_limit_on_dip(spark):
+    # buy_hold decides long at i=2 (first tick of bar 2, ask=101.01);
+    # limit = 101.01 - 0.3 = 100.71 rests until the dip at i=4 (ask=100.61)
+    prices = [100.0, 100.0, 101.0, 101.0, 100.6, 102.0, 103.0, 104.0]
+    ticks = make_ticks(spark, prices)
+    res = run_backtest(
+        ticks,
+        scen(spark, strategy="buy_hold", entry_type="limit", entry_offset=0.3),
+    ).collect()[0]
+    tr = sorted(res["trades"], key=lambda t: t["trade_id"])
+    assert len(tr) == 1
+    assert tr[0]["entry_price"] == pytest.approx(100.71)  # filled AT the limit
+    assert int(tr[0]["entry_ts"].timestamp() * 1000) == T0_MS + 4 * 30_000
+    assert tr[0]["exit_reason"] == "END"
+
+
+def test_replay_stop_entry_fills_at_market_on_breakout(spark):
+    # stop = 101.01 + 0.5 = 101.51; breakout at i=5 (ask=102.01) fills at market
+    prices = [100.0, 100.0, 101.0, 101.0, 101.2, 102.0, 103.0, 104.0]
+    ticks = make_ticks(spark, prices)
+    res = run_backtest(
+        ticks,
+        scen(spark, strategy="buy_hold", entry_type="stop", entry_offset=0.5),
+    ).collect()[0]
+    tr = sorted(res["trades"], key=lambda t: t["trade_id"])
+    assert len(tr) == 1
+    assert tr[0]["entry_price"] == pytest.approx(102.01)  # market, not the stop
+    assert int(tr[0]["entry_ts"].timestamp() * 1000) == T0_MS + 5 * 30_000
+
+
+def test_replay_flip_cancels_resting_limit(spark):
+    # a far-away limit never triggers; each flip cancels the previous
+    # resting entry (resolve-modify/cancel phase) -> zero trades
+    ticks = make_ticks(spark, PRICES)
+    res = run_backtest(
+        ticks, scen(spark, entry_type="limit", entry_offset=50.0)
+    ).collect()[0]
+    assert res["trades_count"] == 0
+    assert res["final_equity"] == 10_000.0
+
+
+def test_replay_market_path_unchanged_by_order_types(spark):
+    # default market behavior must be byte-identical to before the
+    # limit/stop extension (golden invariants from the existing suite)
+    ticks = make_ticks(spark, PRICES)
+    res = run_backtest(ticks, scen(spark)).collect()[0]
+    tr = sorted(res["trades"], key=lambda t: t["trade_id"])
+    assert len(tr) == 2
+    assert tr[0]["direction"] == "LONG" and tr[1]["direction"] == "SHORT"
