@@ -1620,6 +1620,91 @@ JOIN sids s USING (symbol)
 """
 
 
+# --- R6 in-replay overnight swap accrual, oracle-checked: buy_hold holds
+#     one position from the first closed bar's decision tick to the end, so
+#     the accrued swap is exactly rate x (UTC day of last tick - UTC day of
+#     entry tick) and net/final-equity follow in closed form. ---
+
+_RSW_RATE = 1.5
+
+
+def replay_swap_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.replay import run_backtest
+
+    ev = _events(spark, sf_dir)
+    ticks = ev.select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts").alias("timestamp"),
+        F.unix_millis("ts").alias("time_msc"),
+        F.unix_millis("ts").alias("collected_msc"),
+        (F.col("value") - 0.005).alias("bid"),
+        (F.col("value") + 0.005).alias("ask"),
+    )
+    rows = [
+        (i + 1, f"sw-{sym}", sym, None, None, i + 1, 0, 0,
+         {"strategy": "buy_hold", "bar_ms": str(_RSO_BAR_MS),
+          "swap_long_daily": str(_RSW_RATE), "equity_sample_every": "0"})
+        for i, sym in enumerate(_RSO_SYMBOLS)
+    ]
+    scenarios = spark.createDataFrame(
+        rows,
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+        "latency_max_ms int, parameters map<string,string>",
+    )
+    res = run_backtest(ticks, scenarios)
+    return res.select(
+        "scenario_id",
+        "ticks_processed",
+        "trades_count",
+        F.round("swap", 6).alias("swap"),
+        F.round("net_pnl", 6).alias("net_pnl"),
+        F.round("final_equity", 6).alias("final_equity"),
+    )
+
+
+REPLAY_SWAP_ORACLE_SQL = f"""
+WITH base AS (
+  SELECT event_type AS symbol, ts, epoch_ms(ts) AS ms,
+         value - 0.005 AS bid, value + 0.005 AS ask
+  FROM events
+),
+ticks AS (
+  SELECT symbol, ts, ms, bid, ask, ms // {_RSO_BAR_MS} AS bucket,
+         row_number() OVER (PARTITION BY symbol ORDER BY ms, ts, bid, ask) AS rn
+  FROM base
+),
+nmax AS (SELECT symbol, max(rn) AS n FROM ticks GROUP BY 1),
+b0 AS (SELECT symbol, min(bucket) AS first_bucket FROM ticks GROUP BY 1),
+entry AS (
+  SELECT t.symbol, min(t.rn) AS entry_rn
+  FROM ticks t JOIN b0 USING (symbol)
+  WHERE t.bucket > b0.first_bucket
+  GROUP BY 1
+),
+eprice AS (
+  SELECT e.symbol, t.ask AS entry_ask, t.ms AS entry_ms
+  FROM entry e JOIN ticks t ON t.symbol = e.symbol AND t.rn = e.entry_rn
+),
+xprice AS (
+  SELECT n.symbol, n.n, t.bid AS exit_bid, t.ms AS exit_ms
+  FROM nmax n JOIN ticks t ON t.symbol = n.symbol AND t.rn = n.n
+),
+sids AS (
+  SELECT symbol, sid FROM (VALUES {", ".join(f"('{s}', {i + 1})" for i, s in enumerate(_RSO_SYMBOLS))}) AS v(symbol, sid)
+)
+SELECT s.sid AS scenario_id,
+       CAST(x.n AS BIGINT) AS ticks_processed,
+       1 AS trades_count,
+       round({_RSW_RATE} * (x.exit_ms // 86400000 - e.entry_ms // 86400000), 6) AS swap,
+       round((x.exit_bid - e.entry_ask) - {_RSW_RATE} * (x.exit_ms // 86400000 - e.entry_ms // 86400000), 6) AS net_pnl,
+       round(10000 + ((x.exit_bid - e.entry_ask) - {_RSW_RATE} * (x.exit_ms // 86400000 - e.entry_ms // 86400000)), 6) AS final_equity
+FROM sids s
+JOIN eprice e USING (symbol)
+JOIN xprice x USING (symbol)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "bars_1h": Query(bars_1h, BARS_1H_SQL, "A1 tumbling OHLCV, H1"),
     "bars_1d": Query(bars_1d, BARS_1D_SQL, "A1 tumbling OHLCV, D1"),
@@ -1681,5 +1766,10 @@ QUERIES: dict[str, Query] = {
         replay_limit_oracle,
         REPLAY_LIMIT_ORACLE_SQL,
         "R3 resting limit-entry matching (fill AT the limit), hash-checked",
+    ),
+    "replay_swap_oracle": Query(
+        replay_swap_oracle,
+        REPLAY_SWAP_ORACLE_SQL,
+        "R6 in-replay overnight swap accrual, hash-checked",
     ),
 }

@@ -83,6 +83,7 @@ TRADE_FIELDS = StructType(
         StructField("exit_price", DoubleType()),
         StructField("gross_pnl", DoubleType()),
         StructField("fees", DoubleType()),
+        StructField("swap", DoubleType()),
         StructField("net_pnl", DoubleType()),
         StructField("mae_pnl", DoubleType()),
         StructField("mfe_pnl", DoubleType()),
@@ -112,6 +113,7 @@ REPLAY_RESULT_SCHEMA = StructType(
         StructField("gross_profit", DoubleType()),
         StructField("gross_loss", DoubleType()),
         StructField("fees", DoubleType()),
+        StructField("swap", DoubleType()),
         StructField("net_pnl", DoubleType()),
         StructField("final_equity", DoubleType()),
         StructField("max_drawdown", DoubleType()),
@@ -275,6 +277,7 @@ class _Position:
     entry_ms: int
     entry_price: float
     fees: float
+    swap: float = 0.0
     mae_pnl: float = 0.0
     mfe_pnl: float = 0.0
     mae_price: float = 0.0
@@ -317,6 +320,11 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     sample_every = int(params.get("equity_sample_every", 1000))
     entry_type = params.get("entry_type", "market")  # market | limit | stop
     entry_offset = float(params.get("entry_offset", 0.0))
+    # R6 — overnight rollover fee per UTC day boundary crossed while a
+    # position is open (portfolio_manager.py:860-917); multi-day gaps charge
+    # once per crossed boundary.
+    swap_long = float(params.get("swap_long_daily", 0.0))
+    swap_short = float(params.get("swap_short_daily", 0.0))
     # R8 — simulated-time heartbeats (opt-in): resolve latency-queue fills
     # whose deadline falls inside an inter-tick gap at the last known quote,
     # at the deadline instant; suppressed across gaps larger than the
@@ -395,6 +403,8 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         p = pos
         gross = p.direction * (price - p.entry_price) * contract * p.lots
         fees = p.fees + fee_per_side * p.lots
+        # swap was already debited from balance at each day boundary; it
+        # joins the trade record (and net) here, not the balance again
         balance += gross - fees
         trades.append(
             {
@@ -407,7 +417,8 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 "exit_price": price,
                 "gross_pnl": gross,
                 "fees": fees,
-                "net_pnl": gross - fees,
+                "swap": p.swap,
+                "net_pnl": gross - fees - p.swap,
                 "mae_pnl": p.mae_pnl,
                 "mfe_pnl": p.mfe_pnl,
                 "mae_price": p.mae_price,
@@ -421,6 +432,18 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         t = tsl[i]
         b = bl[i]
         a = al[i]
+
+        # R6 — overnight rollover: charge per UTC day boundary crossed
+        # since the previous tick while holding (position state is from
+        # before this tick's fills, so a position opened on this tick is
+        # not charged for this boundary)
+        if pos is not None and i > 0 and (swap_long != 0.0 or swap_short != 0.0):
+            days = t // 86_400_000 - tsl[i - 1] // 86_400_000
+            if days > 0:
+                rate = swap_long if pos.direction > 0 else swap_short
+                charge = rate * days * pos.lots
+                balance -= charge
+                pos.swap += charge
 
         # R8 — heartbeat passes inside an inter-tick gap: fills whose
         # latency deadline expired during the gap resolve at the LAST known
@@ -596,6 +619,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 "gross_profit": sum(tr["gross_pnl"] for tr in trades if tr["gross_pnl"] > 0),
                 "gross_loss": sum(tr["gross_pnl"] for tr in trades if tr["gross_pnl"] < 0),
                 "fees": sum(tr["fees"] for tr in trades),
+                "swap": sum(tr["swap"] for tr in trades),
                 "net_pnl": sum(tr["net_pnl"] for tr in trades),
                 "final_equity": equity if n > 0 else start_balance,
                 "max_drawdown": max_dd,

@@ -402,3 +402,29 @@ def test_replay_market_path_unchanged_by_order_types(spark):
     tr = sorted(res["trades"], key=lambda t: t["trade_id"])
     assert len(tr) == 2
     assert tr[0]["direction"] == "LONG" and tr[1]["direction"] == "SHORT"
+
+
+def test_replay_swap_accrual_charges_day_boundaries(spark):
+    # ticks at day 0 (2 bars -> entry), then days 1 and 3 (gap skips day 2):
+    # boundaries crossed while holding = 3 -> swap = 3 * rate
+    day = 86_400_000
+    times = [0, 30_000, 60_000, 90_000, day, day + 30_000, 3 * day, 3 * day + 30_000]
+    rows = []
+    for ms_off, p in zip(times, [100.0, 100.0, 101.0, 101.0, 102.0, 102.0, 103.0, 103.0]):
+        ms = T0_MS + ms_off
+        rows.append(("X", datetime.utcfromtimestamp(ms / 1000.0), ms, ms,
+                     p - 0.01, p + 0.01))
+    ticks = spark.createDataFrame(
+        rows,
+        "symbol string, timestamp timestamp, time_msc long, collected_msc long, bid double, ask double",
+    )
+    res = run_backtest(
+        ticks, scen(spark, strategy="buy_hold", swap_long_daily=2.0)
+    ).collect()[0]
+    tr = res["trades"]
+    assert len(tr) == 1
+    assert tr[0]["swap"] == pytest.approx(6.0)  # 3 boundaries x 2.0
+    assert res["swap"] == pytest.approx(6.0)
+    # net = gross - swap; final equity folds the swap in exactly once
+    assert tr[0]["net_pnl"] == pytest.approx(tr[0]["gross_pnl"] - 6.0)
+    assert res["final_equity"] == pytest.approx(10_000.0 + res["net_pnl"])
