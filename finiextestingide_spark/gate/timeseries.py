@@ -188,6 +188,54 @@ def streaming_incremental_bars_1h(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def streaming_asof_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of signal join (J1/W7 live path): click events are the
+    tick stream, purchase events the signal stream (event timestamps are
+    unique in this dataset, so signal tie order is moot); every tick is
+    enriched with the latest signal at-or-before it by a per-key
+    value-state. Oracle: DuckDB's native ASOF JOIN."""
+    from ..streaming.asof_stream import asof_signal_stream
+    from ..streaming.bars_stream import read_tick_stream, run_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = read_tick_stream(spark, f"{sf_dir}/events.parque*", raw_schema).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    ticks = ev.where(F.col("event_type") == "click").select(
+        F.lit("x").alias("symbol"), "ts", F.col("value").alias("mid")
+    )
+    signals = ev.where(F.col("event_type") == "purchase").select(
+        F.lit("x").alias("symbol"), F.col("ts").alias("sig_ts"), F.col("value").alias("score")
+    )
+    out = asof_signal_stream(ticks, signals)
+    name = "gate_streaming_asof_signal"
+    run_to_memory(out, name, output_mode="append")
+    res = spark.table(name)
+    return res.select(
+        "symbol",
+        "ts",
+        F.round("mid", 6).alias("mid"),
+        "sig_ts",
+        F.round("score", 6).alias("score"),
+    )
+
+
+STREAMING_ASOF_SIGNAL_SQL = """
+WITH clicks AS (
+  SELECT ts, value AS mid FROM events WHERE event_type = 'click'
+),
+sigs AS (
+  SELECT ts AS sig_ts, value AS score FROM events WHERE event_type = 'purchase'
+)
+SELECT 'x' AS symbol, c.ts, round(c.mid, 6) AS mid,
+       make_timestamp((epoch_us(s.sig_ts) // 1000) * 1000) AS sig_ts,
+       round(s.score, 6) AS score
+FROM clicks c ASOF LEFT JOIN sigs s ON s.sig_ts <= c.ts
+"""
+
+
 STREAMING_INCREMENTAL_BARS_1H_SQL = """
 WITH ev AS (
   SELECT event_type AS symbol, ts, event_id, value FROM events
@@ -1771,5 +1819,10 @@ QUERIES: dict[str, Query] = {
         replay_swap_oracle,
         REPLAY_SWAP_ORACLE_SQL,
         "R6 in-replay overnight swap accrual, hash-checked",
+    ),
+    "streaming_asof_signal": Query(
+        streaming_asof_signal,
+        STREAMING_ASOF_SIGNAL_SQL,
+        "J1/W7 live path: stateful streaming as-of join vs native ASOF oracle",
     ),
 }

@@ -202,3 +202,56 @@ def test_incremental_bars_multichunk_group_ordering():
     assert list(bars["bar_ts"]) == [s(0), s(60)]  # one close per bucket, in order
     b0 = bars.iloc[0]
     assert (b0["open"], b0["low"], b0["close"], b0["tick_count"]) == (100.0, 99.0, 99.0, 2)
+
+
+def test_streaming_asof_matches_batch_asof(spark, tmp_path):
+    """transformWithStateInPandas latest-signal state: the streaming as-of
+    result must equal the batch asof_join on the same data (dual-pipeline
+    parity, the reference's tests/parity/ model)."""
+    from finiextestingide_spark.operators.asof import asof_join
+    from finiextestingide_spark.streaming.asof_stream import asof_signal_stream
+
+    tick_rows, sig_rows = [], []
+    for i in range(40):
+        t = T0 + timedelta(seconds=15 * i)
+        tick_rows.append(("A", t, 100.0 + i * 0.1))
+        if i % 3 == 0:
+            tick_rows.append(("B", t, 50.0 - i * 0.05))
+    for j in range(7):
+        st = T0 + timedelta(seconds=90 * j)
+        sig_rows.append(("A", st, float(j)))
+        if j % 2 == 0:
+            sig_rows.append(("B", st, 10.0 + j))
+    ticks = spark.createDataFrame(tick_rows, "symbol string, ts timestamp, mid double")
+    sigs = spark.createDataFrame(sig_rows, "symbol string, sig_ts timestamp, score double")
+
+    td, sd = tmp_path / "ticks", tmp_path / "sigs"
+    ticks.coalesce(1).write.parquet(str(td))
+    sigs.coalesce(1).write.parquet(str(sd))
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        st_ticks = read_tick_stream(spark, str(td), ticks.schema)
+        st_sigs = read_tick_stream(spark, str(sd), sigs.schema)
+        out = asof_signal_stream(st_ticks, st_sigs)
+        name = f"asof_stream_{uuid.uuid4().hex[:8]}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {
+            (r["symbol"], r["ts"]): (r["sig_ts"], r["score"])
+            for r in spark.table(name).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    expected_df = asof_join(
+        ticks, sigs, on=["symbol"], left_ts="ts", right_ts="sig_ts", how="left"
+    )
+    expected = {
+        (r["symbol"], r["ts"]): (r["sig_ts"], r["score"])
+        for r in expected_df.collect()
+    }
+    assert len(got) == len(expected)
+    assert got == expected
