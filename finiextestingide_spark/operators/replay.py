@@ -108,6 +108,7 @@ REPLAY_RESULT_SCHEMA = StructType(
         StructField("ticks_clipped", LongType()),
         StructField("bars_closed", LongType()),
         StructField("trades_count", IntegerType()),
+        StructField("orders_rejected", IntegerType()),
         StructField("wins", IntegerType()),
         StructField("losses", IntegerType()),
         StructField("gross_profit", DoubleType()),
@@ -325,6 +326,12 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     # once per crossed boundary.
     swap_long = float(params.get("swap_long_daily", 0.0))
     swap_short = float(params.get("swap_short_daily", 0.0))
+    # R5 — margin gate (portfolio_manager margin checks / the reference's
+    # margin_validation suite): an open is REJECTED when current equity
+    # cannot cover the required margin. None = margin checks off.
+    margin_per_lot = (
+        float(params["margin_per_lot"]) if "margin_per_lot" in params else None
+    )
     # R8 — simulated-time heartbeats (opt-in): resolve latency-queue fills
     # whose deadline falls inside an inter-tick gap at the last known quote,
     # at the deadline instant; suppressed across gaps larger than the
@@ -378,6 +385,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     max_dd = 0.0
     clock = -(2**62)
     n_clipped = 0
+    n_rejected = 0
     bars_closed = 0
     cur_bucket = -(2**62)
     cur_close = 0.0
@@ -428,6 +436,15 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         )
         pos = None
 
+    def margin_ok() -> bool:
+        """R5 margin gate at fill time: equity (== balance when flat) must
+        cover the required margin, else the order is rejected."""
+        nonlocal n_rejected
+        if margin_per_lot is not None and balance < margin_per_lot * lots:
+            n_rejected += 1
+            return False
+        return True
+
     for i in range(n):
         t = tsl[i]
         b = bl[i]
@@ -466,7 +483,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                     # limit/stop entries become resting at their deadline; a
                     # gap has no quote movement, so no trigger can fire here
                     resting = (direction, trig)
-                elif pos is None:
+                elif pos is None and margin_ok():
                     price = pa if direction > 0 else pb
                     pos = _Position(
                         direction=direction,
@@ -523,7 +540,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                     close_position(i, b if pos.direction > 0 else a, "SIGNAL")
             elif trig is not None:
                 resting = (direction, trig)  # limit/stop: rest until trigger
-            elif pos is None:
+            elif pos is None and margin_ok():
                 price = a if direction > 0 else b
                 pos = _Position(
                     direction=direction,
@@ -554,6 +571,9 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                     fill = b
             if fill is not None:
                 resting = None
+                if not margin_ok():
+                    fill = None  # broker rejects the triggered order
+            if fill is not None:
                 pos = _Position(
                     direction=direction,
                     lots=lots,
@@ -614,6 +634,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 "ticks_clipped": n_clipped,
                 "bars_closed": bars_closed,
                 "trades_count": len(trades),
+                "orders_rejected": n_rejected,
                 "wins": wins,
                 "losses": losses,
                 "gross_profit": sum(tr["gross_pnl"] for tr in trades if tr["gross_pnl"] > 0),

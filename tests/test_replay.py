@@ -428,3 +428,19 @@ def test_replay_swap_accrual_charges_day_boundaries(spark):
     # net = gross - swap; final equity folds the swap in exactly once
     assert tr[0]["net_pnl"] == pytest.approx(tr[0]["gross_pnl"] - 6.0)
     assert res["final_equity"] == pytest.approx(10_000.0 + res["net_pnl"])
+
+
+def test_replay_margin_rejects_unaffordable_open(spark):
+    ticks = make_ticks(spark, PRICES)
+    res = run_backtest(
+        ticks, scen(spark, strategy="buy_hold", margin_per_lot=20_000.0)
+    ).collect()[0]
+    assert res["trades_count"] == 0
+    assert res["orders_rejected"] == 1
+    assert res["final_equity"] == 10_000.0
+
+    ok = run_backtest(
+        ticks, scen(spark, strategy="buy_hold", margin_per_lot=5_000.0)
+    ).collect()[0]
+    assert ok["trades_count"] == 1
+    assert ok["orders_rejected"] == 0
