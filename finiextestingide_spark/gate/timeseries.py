@@ -1287,6 +1287,51 @@ bars AS (
 REPLAY_SMA_ORACLE_SQL = _rso_sql()
 
 
+# --- gap-based sessionization (activity-defined sessions; batch analogue
+#     of streaming session windows, generalizing the S4 fixed-hour labels) ---
+
+_SESSION_GAP_MS = 10 * 60_000  # 10 minutes of silence ends a session
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.gaps import session_stats
+
+    ev = _events(spark, sf_dir)
+    out = session_stats(ev, _SESSION_GAP_MS, key="event_type", ts="ts")
+    return out.select(
+        F.col("event_type").alias("symbol"),
+        F.col("session_id").cast("long").alias("session_id"),
+        "session_start",
+        "session_end",
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+SESSION_WINDOWS_SQL = f"""
+WITH marked AS (
+  SELECT event_type AS symbol, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {_SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+),
+sess AS (
+  SELECT symbol, ts,
+         sum(is_new) OVER (PARTITION BY symbol ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT symbol, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY symbol, session_id
+"""
+
+
 # --- sweep path, oracle-checked end-to-end: grid expansion -> one
 #     distributed replay pass -> ledger -> deterministic ranking (O2) and
 #     OFAT sensitivity (A11). With buy_hold + zero latency + no stops the
@@ -1824,5 +1869,10 @@ QUERIES: dict[str, Query] = {
         streaming_asof_signal,
         STREAMING_ASOF_SIGNAL_SQL,
         "J1/W7 live path: stateful streaming as-of join vs native ASOF oracle",
+    ),
+    "session_windows": Query(
+        session_windows,
+        SESSION_WINDOWS_SQL,
+        "gap-based sessionization (lag + conditional cumsum), hash-checked",
     ),
 }

@@ -83,3 +83,42 @@ def detect_gaps(
             ),
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_ms: int,
+    *,
+    key: str = "symbol",
+    ts: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event exceeds ``gap_ms``; session_id is the running count
+    of session starts per key (lag + conditional cumsum — one window pass,
+    no UDF). This is the batch analogue of streaming session windows and the
+    generalization of the reference's fixed UTC-hour session labels (S4) to
+    activity-defined sessions."""
+    w = Window.partitionBy(key).orderBy(ts)
+    delta = F.unix_millis(F.col(ts)) - F.unix_millis(F.lag(ts).over(w))
+    is_new = F.when(delta.isNull() | (delta > gap_ms), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    gap_ms: int,
+    *,
+    key: str = "symbol",
+    ts: str = "ts",
+) -> DataFrame:
+    """Per-session envelope: start/end/duration/event count."""
+    s = sessionize(df, gap_ms, key=key, ts=ts)
+    return s.groupBy(key, "session_id").agg(
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        (F.unix_millis(F.max(ts)) - F.unix_millis(F.min(ts))).alias("duration_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
