@@ -123,3 +123,109 @@ def test_drawdown_matches_pandas_cummax(spark, equities):
         assert r["peak_equity"] == pytest.approx(peak.iloc[i])
         assert r["drawdown"] == pytest.approx(dd.iloc[i])
         assert r["max_drawdown"] == pytest.approx(dd.iloc[: i + 1].max())
+
+
+# --- replay (zero latency, sma_cross) vs an independent python simulator ---
+
+_qprices = st.lists(
+    st.integers(min_value=4, max_value=4000),  # price = n/4: exact binary fractions
+    min_size=8,
+    max_size=120,
+)
+
+
+def _reference_sma_trades(ticks_ms, bids, asks, fast, slow, bar_ms):
+    """Independent re-derivation of the zero-latency sma_cross replay:
+    closed-bar closes -> fresh-sum SMAs -> flip ticks -> trades with
+    MAE/MFE windows [entry, next_flip) / [entry, end]. No shared code with
+    operators.replay (fresh sums instead of running sums; list scans
+    instead of a state machine)."""
+    n = len(ticks_ms)
+    mids = [(b + a) / 2.0 for b, a in zip(bids, asks)]
+    buckets = [ms // bar_ms for ms in ticks_ms]
+    closes, decision_idx = [], []
+    for i in range(1, n):
+        if buckets[i] != buckets[i - 1]:
+            closes.append(mids[i - 1])
+            decision_idx.append(i)
+    targets, flips = [], []
+    prev = 0
+    for m, i in enumerate(decision_idx, start=1):
+        if m < slow:
+            t = 0
+        else:
+            f_avg = sum(closes[m - fast : m]) / fast
+            s_avg = sum(closes[m - slow : m]) / slow
+            t = 1 if f_avg > s_avg else -1
+        if t != prev:
+            flips.append((i, t))
+        prev = t
+    trades = []
+    for k, (entry_i, d) in enumerate(flips):
+        exit_i = flips[k + 1][0] if k + 1 < len(flips) else n - 1
+        win_end = flips[k + 1][0] - 1 if k + 1 < len(flips) else n - 1
+        entry = asks[entry_i] if d > 0 else bids[entry_i]
+        exit_p = bids[exit_i] if d > 0 else asks[exit_i]
+        pnls = [
+            d * ((bids[j] if d > 0 else asks[j]) - entry)
+            for j in range(entry_i, win_end + 1)
+        ]
+        trades.append(
+            {
+                "direction": "LONG" if d > 0 else "SHORT",
+                "entry_ms": ticks_ms[entry_i],
+                "entry_price": entry,
+                "exit_ms": ticks_ms[exit_i],
+                "exit_price": exit_p,
+                "gross_pnl": d * (exit_p - entry),
+                "mae_pnl": min(0.0, min(pnls)),
+                "mfe_pnl": max(0.0, max(pnls)),
+                "exit_reason": "SIGNAL" if k + 1 < len(flips) else "END",
+            }
+        )
+    return trades
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(qp=_qprices)
+def test_replay_sma_matches_independent_simulator(spark, qp):
+    from finiextestingide_spark.operators.replay import run_backtest
+
+    prices = [q / 4.0 for q in qp]
+    t0_ms = 1_767_225_600_000
+    rows, ms_list, bids, asks = [], [], [], []
+    for i, p in enumerate(prices):
+        ms = t0_ms + i * 20_000  # 3 ticks per 60s bar
+        b, a = p - 0.25, p + 0.25  # quarter-grid spread keeps FP exact
+        rows.append(("X", datetime.utcfromtimestamp(ms / 1000.0), ms, ms, b, a))
+        ms_list.append(ms)
+        bids.append(b)
+        asks.append(a)
+    ticks = spark.createDataFrame(
+        rows,
+        "symbol string, timestamp timestamp, time_msc long, collected_msc long, "
+        "bid double, ask double",
+    )
+    scen = spark.createDataFrame(
+        [(1, "s", "X", None, None, 1, 0, 0,
+          {"strategy": "sma_cross", "fast": "2", "slow": "4", "bar_ms": "60000",
+           "equity_sample_every": "0"})],
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+        "latency_max_ms int, parameters map<string,string>",
+    )
+    got = sorted(
+        run_backtest(ticks, scen).collect()[0]["trades"], key=lambda t: t["trade_id"]
+    )
+    want = _reference_sma_trades(ms_list, bids, asks, 2, 4, 60_000)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["direction"] == w["direction"]
+        assert int(g["entry_ts"].timestamp() * 1000) == w["entry_ms"]
+        assert int(g["exit_ts"].timestamp() * 1000) == w["exit_ms"]
+        assert g["entry_price"] == w["entry_price"]
+        assert g["exit_price"] == w["exit_price"]
+        assert g["gross_pnl"] == pytest.approx(w["gross_pnl"], abs=1e-12)
+        assert g["mae_pnl"] == pytest.approx(w["mae_pnl"], abs=1e-12)
+        assert g["mfe_pnl"] == pytest.approx(w["mfe_pnl"], abs=1e-12)
+        assert g["exit_reason"] == w["exit_reason"]
