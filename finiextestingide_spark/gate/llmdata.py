@@ -107,8 +107,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mh_cols() -> str:
+    # permutation i = 8-hex slice of a salted md5(shingle) (operators.dedup
+    # _mh_slice: digest i//4, offset (i%4)*8)
     return ",\n".join(
-        f"    min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(_MH_K)
+        f"    min(substr(md5('{i // 4}|' || shingle), {(i % 4) * 8 + 1}, 8)) AS mh_{i}"
+        for i in range(_MH_K)
     )
 
 

@@ -128,21 +128,30 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "intersection", "n_a", "n_b", "jaccard")
 
 
+def _mh_slice(i: int) -> F.Column:
+    """Permutation i = an 8-hex (32-bit) slice of a salted md5(shingle):
+    two digests cover eight permutations (4x fewer hashes than one salted
+    md5 per permutation — the split-the-bits MinHash construction). The
+    slice must stay WIDE: a 16-bit slice was tried and the min of ~100
+    draws from 2^16 concentrates near zero, flooding the LSH bands with
+    fake collisions; 32-bit slices keep band agreement ≈ true signature
+    agreement."""
+    digest = F.md5(F.concat(F.lit(f"{i // 4}|"), F.col("shingle")))
+    return F.substring(digest, (i % 4) * 8 + 1, 8)
+
+
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 8, *, id_col: str = "doc_id"
 ) -> DataFrame:
-    """k md5-permutation minima per doc (hex-string ordering), from exploded
-    shingles via a codegen'd partial aggregate (map-side combine, one
-    shuffle of k×32-byte rows per doc).
+    """k sliced-md5 permutation minima per doc (hex-string ordering), from
+    exploded shingles via a codegen'd partial aggregate (map-side combine,
+    one shuffle of k×8-byte rows per doc).
 
     Deliberately NOT an `array_min(transform(..., md5))` over a shingle-array
     column: Spark evaluates higher-order functions interpreted (no
     whole-stage codegen), which measured ~50× slower than the exploded
     aggregate for the same md5 count."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+    aggs = [F.min(_mh_slice(i)).alias(f"mh_{i}") for i in range(num_hashes)]
     return shingles.groupBy(id_col).agg(*aggs)
 
 
@@ -217,6 +226,9 @@ def verify_candidate_pairs(
         cands.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("intersection", F.size(F.array_intersect("sh_a", "sh_b")))
+        # a band collision between docs sharing NO shingle is a hash
+        # accident, not a candidate — drop it regardless of the threshold
+        .where(F.col("intersection") >= 1)
         .withColumn(
             "jaccard",
             F.col("intersection") / (F.col("n_a") + F.col("n_b") - F.col("intersection")),
@@ -251,10 +263,7 @@ def minhash_lsh_dedup(
     sh = shingle_stream(docs, shingle_n, id_col=id_col, text=text)
     combined = sh.groupBy(id_col).agg(
         F.collect_set("shingle").alias("shingles"),
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ],
+        *[F.min(_mh_slice(i)).alias(f"mh_{i}") for i in range(num_hashes)],
     )
     sigs = combined.select(id_col, *[f"mh_{i}" for i in range(num_hashes)])
     cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col=id_col)
