@@ -406,6 +406,38 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     al = ask.tolist()
     bk = buckets.tolist()
 
+    # Vectorized fast path for the dominant sweep configuration (market
+    # orders, no stops/budget/heartbeat/margin/swap, no equity sampling):
+    # bit-identical results, ~10x per-core throughput. force_slow=1 pins
+    # the reference loop (used by the equivalence tests).
+    if (
+        budget_ms is None
+        and sl_dist is None
+        and tp_dist is None
+        and heartbeat_ms is None
+        and margin_per_lot is None
+        and swap_long == 0.0
+        and swap_short == 0.0
+        and entry_type == "market"
+        and sample_every == 0
+        and params.get("force_slow") != "1"
+    ):
+        return _replay_fast(
+            sid,
+            strategy,
+            tsl,
+            bl,
+            al,
+            bk,
+            rng=rng,
+            lat_min=lat_min,
+            lat_max=lat_max,
+            lots=lots,
+            contract=contract,
+            fee_per_side=fee_per_side,
+            start_balance=start_balance,
+        )
+
     def close_position(i: int, price: float, reason: str, exit_ms: int | None = None) -> None:
         nonlocal pos, balance
         p = pos
@@ -646,6 +678,207 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 "max_drawdown": max_dd,
                 "trades": trades,
                 "equity_samples": samples,
+            }
+        ]
+    )
+
+
+def _replay_fast(
+    sid: int,
+    strategy,
+    tsl: list,
+    bl: list,
+    al: list,
+    bk: list,
+    *,
+    rng: random.Random,
+    lat_min: int,
+    lat_max: int,
+    lots: float,
+    contract: float,
+    fee_per_side: float,
+    start_balance: float,
+) -> pd.DataFrame:
+    """Vectorized replay for the market-order / no-stop / no-budget domain.
+
+    Decisions depend only on closed-bar closes, never on fills, so the flip
+    sequence is computed once from the (short) bar series; fills resolve by
+    searchsorted with FIFO head-blocking; MAE/MFE and the equity/drawdown
+    stream are per-segment numpy reductions. BIT-IDENTICAL to _replay_core
+    on this domain (pinned by tests + a hypothesis equivalence property):
+    every float expression keeps the loop's exact operation order, the
+    strategy object and the latency RNG are consumed in the same sequence.
+    ~10x the per-core throughput of the per-tick loop — this is the path a
+    100k-combination sweep runs on."""
+    ts = np.asarray(tsl, dtype=np.int64)
+    bid = np.asarray(bl, dtype=np.float64)
+    ask = np.asarray(al, dtype=np.float64)
+    buckets = np.asarray(bk, dtype=np.int64)
+    n = len(ts)
+    mid = (bid + ask) / 2.0
+
+    # closed-bar closes + decision tick indices (first tick of each new
+    # bucket after the first)
+    change = np.flatnonzero(np.diff(buckets) != 0) + 1
+    closes = mid[change - 1]
+    bars_closed = int(len(change))
+
+    # strategy targets per closed bar -> flip points (same call sequence as
+    # the loop; strategies are deterministic, no RNG inside)
+    flips: list[tuple[int, int]] = []  # (decision tick idx, new target)
+    target = 0
+    for ci, close in zip(change, closes):
+        new_target = strategy.on_bar(float(close))
+        if new_target != target:
+            target = new_target
+            flips.append((int(ci), new_target))
+
+    # FIFO queue with head-blocking fills; close fills close whatever is
+    # open (direction recorded at fill, like the loop)
+    balance = start_balance
+    trades: list[dict] = []
+    pos_dir = 0
+    pos_entry_i = -1
+    pos_entry_ms = 0
+    pos_entry_price = 0.0
+    segments: list[tuple[int, int, int, float, float]] = []  # (s, e, dir, entry, bal)
+    seg_start = 0
+    seg_bal = balance
+    last_fill_idx = 0
+    queue: list[tuple[int, int, int, str]] = []  # (due, emit_idx, dir, purpose)
+
+    def close_at(i: int, exit_ms: int, reason: str) -> None:
+        nonlocal balance, pos_dir, seg_start, seg_bal
+        entry = pos_entry_price
+        d = pos_dir
+        price = bid[i] if d > 0 else ask[i]
+        gross = d * (price - entry) * contract * lots
+        fees = fee_per_side * lots + fee_per_side * lots
+        # MAE/MFE window: [entry_i, i-1] for SIGNAL (drain precedes the
+        # excursion block), [entry_i, i] for END (post-loop close)
+        w_end = i if reason == "END" else i - 1
+        if w_end >= pos_entry_i:
+            mark = (bid if d > 0 else ask)[pos_entry_i : w_end + 1]
+            pnl = d * (mark - entry) * contract * lots
+            jmin = int(np.argmin(pnl))
+            jmax = int(np.argmax(pnl))
+            minp, maxp = float(pnl[jmin]), float(pnl[jmax])
+            mae = minp if minp < 0.0 else 0.0
+            mfe = maxp if maxp > 0.0 else 0.0
+            mae_price = float(mark[jmin]) if minp < 0.0 else entry
+            mfe_price = float(mark[jmax]) if maxp > 0.0 else entry
+        else:  # empty window: opened and closed on the same tick
+            mae = mfe = 0.0
+            mae_price = mfe_price = entry
+        balance += gross - fees
+        trades.append(
+            {
+                "trade_id": len(trades),
+                "direction": "LONG" if d > 0 else "SHORT",
+                "lots": lots,
+                "entry_ts": pd.Timestamp(pos_entry_ms, unit="ms"),
+                "entry_price": entry,
+                "exit_ts": pd.Timestamp(exit_ms, unit="ms"),
+                "exit_price": float(price),
+                "gross_pnl": float(gross),
+                "fees": fees,
+                "swap": 0.0,
+                "net_pnl": float(gross - fees - 0.0),
+                "mae_pnl": mae,
+                "mfe_pnl": mfe,
+                "mae_price": mae_price,
+                "mfe_price": mfe_price,
+                "exit_reason": reason,
+            }
+        )
+        segments.append((seg_start, i - 1 if reason != "END" else i, d, entry, seg_bal))
+        seg_start = i if reason != "END" else i + 1
+        seg_bal = balance
+        pos_dir = 0
+
+    def open_at(i: int, entry_ms: int, d: int) -> None:
+        nonlocal pos_dir, pos_entry_i, pos_entry_ms, pos_entry_price, seg_start, seg_bal
+        price = ask[i] if d > 0 else bid[i]
+        if seg_start <= i - 1:
+            segments.append((seg_start, i - 1, 0, 0.0, seg_bal))
+        seg_start = i
+        pos_dir = d
+        pos_entry_i = i
+        pos_entry_ms = entry_ms
+        pos_entry_price = float(price)
+
+    def drain(limit_idx: int) -> None:
+        nonlocal last_fill_idx
+        while queue:
+            due, emit_idx, d, purpose = queue[0]
+            fidx = int(np.searchsorted(ts, due, side="left"))
+            fidx = max(fidx, emit_idx, last_fill_idx)
+            if fidx > limit_idx:
+                return
+            queue.pop(0)
+            last_fill_idx = fidx
+            if purpose == "close":
+                if pos_dir != 0:
+                    close_at(fidx, int(ts[fidx]), "SIGNAL")
+            elif pos_dir == 0:
+                open_at(fidx, int(ts[fidx]), d)
+
+    for ik, tgt in flips:
+        drain(ik - 1)
+        delay = rng.randint(lat_min, lat_max) if lat_max > 0 else 0
+        due = int(ts[ik]) + delay
+        if pos_dir != 0:
+            queue.append((due, ik, -pos_dir, "close"))
+        if tgt != 0:
+            queue.append((due, ik, tgt, "open"))
+        drain(ik)
+    drain(n - 1)
+    if pos_dir != 0 and n > 0:
+        close_at(n - 1, int(ts[n - 1]), "END")
+    if seg_start <= n - 1:
+        segments.append((seg_start, n - 1, 0, 0.0, seg_bal))
+
+    # equity / peak / drawdown over the piecewise-affine segments — same
+    # expression order as the loop: unreal = d*(mark-entry)*contract*lots,
+    # equity = balance + unreal, peak/dd by running comparison
+    peak = start_balance
+    max_dd = 0.0
+    for s, e, d, entry, bal in segments:
+        if e < s:
+            continue
+        if d != 0:
+            mark = (bid if d > 0 else ask)[s : e + 1]
+            eq = bal + d * (mark - entry) * contract * lots
+        else:
+            eq = np.full(e - s + 1, bal)
+        run_peak = np.maximum(np.maximum.accumulate(eq), peak)
+        dd = float(np.max(run_peak - eq))
+        if dd > max_dd:
+            max_dd = dd
+        peak = float(run_peak[-1])
+
+    wins = sum(1 for tr in trades if tr["net_pnl"] > 0)
+    losses = sum(1 for tr in trades if tr["net_pnl"] < 0)
+    return pd.DataFrame(
+        [
+            {
+                "scenario_id": sid,
+                "ticks_processed": n,
+                "ticks_clipped": 0,
+                "bars_closed": bars_closed,
+                "trades_count": len(trades),
+                "orders_rejected": 0,
+                "wins": wins,
+                "losses": losses,
+                "gross_profit": sum(tr["gross_pnl"] for tr in trades if tr["gross_pnl"] > 0),
+                "gross_loss": sum(tr["gross_pnl"] for tr in trades if tr["gross_pnl"] < 0),
+                "fees": sum(tr["fees"] for tr in trades),
+                "swap": 0.0,
+                "net_pnl": sum(tr["net_pnl"] for tr in trades),
+                "final_equity": balance if n > 0 else start_balance,
+                "max_drawdown": max_dd,
+                "trades": trades,
+                "equity_samples": [],
             }
         ]
     )

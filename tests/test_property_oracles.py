@@ -229,3 +229,51 @@ def test_replay_sma_matches_independent_simulator(spark, qp):
         assert g["mae_pnl"] == pytest.approx(w["mae_pnl"], abs=1e-12)
         assert g["mfe_pnl"] == pytest.approx(w["mfe_pnl"], abs=1e-12)
         assert g["exit_reason"] == w["exit_reason"]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    qp=_qprices,
+    seed=st.integers(min_value=0, max_value=2**16),
+    lat=st.sampled_from([(0, 0), (1, 50_000), (1000, 300_000)]),
+    strat=st.sampled_from(["sma_cross", "rsi_reversion", "macd_cross"]),
+)
+def test_fast_path_equals_loop_on_random_walks(spark, qp, seed, lat, strat):
+    """The vectorized replay must be BIT-identical to the reference loop on
+    its whole domain: random walks, random latency windows, all
+    decision strategies."""
+    from finiextestingide_spark.operators.replay import run_backtest
+
+    prices = [q / 4.0 for q in qp]
+    t0_ms = 1_767_225_600_000
+    rows = []
+    for i, p in enumerate(prices):
+        ms = t0_ms + i * 20_000
+        rows.append(("X", datetime.utcfromtimestamp(ms / 1000.0), ms, ms,
+                     p - 0.25, p + 0.25))
+    ticks = spark.createDataFrame(
+        rows,
+        "symbol string, timestamp timestamp, time_msc long, collected_msc long, "
+        "bid double, ask double",
+    )
+    params = {"strategy": strat, "fast": "2", "slow": "4", "signal": "2",
+              "period": "3", "bar_ms": "60000", "equity_sample_every": "0",
+              "fee_per_side": "0.25"}
+    cols = ("scenario_id int, name string, symbol string, max_ticks int, "
+            "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+            "latency_max_ms int, parameters map<string,string>")
+    fast = run_backtest(
+        ticks,
+        spark.createDataFrame([(1, "f", "X", None, None, seed, lat[0], lat[1], params)], cols),
+    ).collect()[0]
+    slow = run_backtest(
+        ticks,
+        spark.createDataFrame(
+            [(1, "s", "X", None, None, seed, lat[0], lat[1], {**params, "force_slow": "1"})],
+            cols,
+        ),
+    ).collect()[0]
+    assert fast["trades"] == slow["trades"]
+    for k in ("bars_closed", "trades_count", "wins", "losses", "net_pnl",
+              "final_equity", "max_drawdown", "gross_profit", "gross_loss", "fees"):
+        assert fast[k] == slow[k], k

@@ -444,3 +444,54 @@ def test_replay_margin_rejects_unaffordable_open(spark):
     ).collect()[0]
     assert ok["trades_count"] == 1
     assert ok["orders_rejected"] == 0
+
+
+# --- fast-path equivalence: vectorized replay vs the reference loop ---
+
+
+def _run_both(spark, ticks, **over):
+    fast = run_backtest(ticks, scen(spark, equity_sample_every=0, **over)).collect()[0]
+    slow = run_backtest(
+        ticks, scen(spark, equity_sample_every=0, force_slow=1, **over)
+    ).collect()[0]
+    return fast, slow
+
+
+def _assert_identical(fast, slow):
+    assert fast["trades"] == slow["trades"]
+    for k in ("ticks_processed", "bars_closed", "trades_count", "wins", "losses",
+              "gross_profit", "gross_loss", "fees", "net_pnl", "final_equity",
+              "max_drawdown"):
+        assert fast[k] == slow[k], k
+
+
+def test_fast_path_identical_on_golden_paths(spark):
+    for prices in [
+        PRICES,
+        PRICES[::-1],
+        [100.0] * 24,
+        [100.0 + ((i * 7919) % 13) * 0.25 for i in range(60)],
+    ]:
+        ticks = make_ticks(spark, prices)
+        for over in [
+            {},
+            {"strategy": "rsi_reversion", "period": 3},
+            {"strategy": "macd_cross", "fast": 2, "slow": 4, "signal": 2},
+            {"lat": (500, 90_000), "seed": 3},
+            {"lat": (1, 200_000), "seed": 9, "fee_per_side": 0.5},
+        ]:
+            lat = over.pop("lat", (0, 0))
+            seed = over.pop("seed", 7)
+            fast, slow = _run_both(spark, ticks, lat=lat, seed=seed, **over)
+            _assert_identical(fast, slow)
+
+
+def test_fast_path_used_and_slow_forced(spark):
+    # sanity: the two paths genuinely differ in implementation — SL/TP
+    # configs must keep taking the loop (trades carry SL exits only there)
+    prices = [100.0, 100.2, 100.4, 100.6, 90.0, 89.0, 88.0, 87.0]
+    ticks = make_ticks(spark, prices)
+    res = run_backtest(
+        ticks, scen(spark, strategy="buy_hold", sl_dist=2.0, equity_sample_every=0)
+    ).collect()[0]
+    assert any(t["exit_reason"] == "SL" for t in res["trades"])
