@@ -146,3 +146,34 @@ def worker_timing_totals(timings: DataFrame, *, worker: str = "worker") -> DataF
         )
         .withColumn("avg_us", F.col("total_us") / F.col("calls"))
     )
+
+
+def write_report(
+    df: DataFrame,
+    path: str,
+    *,
+    fmt: str = "csv",
+    single_file: bool = True,
+) -> None:
+    """S14 report sink: render a (small, aggregated) report table to CSV or
+    JSON lines (reference: python/framework/reporting/ builders +
+    event_stream_csv_writer.py render the unified result model to
+    console/file/CSV). Reports are end-of-pipeline aggregates — thousands of
+    rows, not the fact table — so ``single_file`` coalesces to one part for
+    human/downstream consumption; leave it False for large exports."""
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", "true").csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unsupported report format: {fmt}")
+
+
+def read_report(spark, path: str, *, fmt: str = "csv") -> DataFrame:
+    if fmt == "csv":
+        return spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    if fmt == "json":
+        return spark.read.json(path)
+    raise ValueError(f"unsupported report format: {fmt}")

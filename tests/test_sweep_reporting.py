@@ -134,3 +134,17 @@ def test_profiling_aggregate(spark):
     out = profiling_aggregate(df).collect()[0]
     assert out["modal_bottleneck"] == "workerA" and out["modal_bottleneck_freq"] == 7
     assert out["suggested_budget_us"] == pytest.approx(out["p95_avg_tick_us"] * 1.1)
+
+
+def test_report_sinks_roundtrip(spark, tmp_path):
+    from finiextestingide_spark.operators.reporting import read_report, write_report
+
+    df = spark.createDataFrame(
+        [("EUR", 12, 345.5), ("USD", 7, -12.25)], "currency string, trades int, net double"
+    )
+    for fmt in ("csv", "json"):
+        p = str(tmp_path / f"report_{fmt}")
+        write_report(df, p, fmt=fmt)
+        back = read_report(spark, p, fmt=fmt)
+        got = sorted((r["currency"], int(r["trades"]), float(r["net"])) for r in back.collect())
+        assert got == [("EUR", 12, 345.5), ("USD", 7, -12.25)]
