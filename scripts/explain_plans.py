@@ -33,6 +33,11 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "cosine_topk_10",
     "warmup_bars_10",
+    "lsh_ann_topk_5",
+    "tfidf_topterms_3",
+    "session_windows",
+    "replay_sma_oracle",
+    "sweep_buyhold_ledger",
 ]
 
 

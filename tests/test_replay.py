@@ -495,3 +495,26 @@ def test_fast_path_used_and_slow_forced(spark):
         ticks, scen(spark, strategy="buy_hold", sl_dist=2.0, equity_sample_every=0)
     ).collect()[0]
     assert any(t["exit_reason"] == "SL" for t in res["trades"])
+
+
+def test_replay_short_limit_and_stop_sides(spark):
+    # force a SHORT signal via sma_cross on a crash, then verify both
+    # resting entry kinds on the short side
+    prices = [100.0] * 8 + [95.0, 94.0, 96.5, 93.0, 92.0, 91.0, 90.0, 89.0]
+    ticks = make_ticks(spark, prices)
+    # short limit: trig = bid@decision + offset; fills AT the limit when bid >= trig
+    res_l = run_backtest(
+        ticks, scen(spark, entry_type="limit", entry_offset=1.5)
+    ).collect()[0]
+    lt = [t for t in res_l["trades"] if t["direction"] == "SHORT"]
+    if lt:  # fills only if a bounce reaches the limit
+        assert all(t["entry_price"] > 90.0 for t in lt)
+    # short stop: trig = bid@decision - offset; fills at MARKET when bid <= trig
+    res_s = run_backtest(
+        ticks, scen(spark, entry_type="stop", entry_offset=1.0)
+    ).collect()[0]
+    st = [t for t in res_s["trades"] if t["direction"] == "SHORT"]
+    assert st, "short stop should trigger on the continued crash"
+    # market fill: entry at the triggering tick's bid, below the stop level
+    decision_bids = [p - 0.01 for p in prices]
+    assert all(any(abs(t["entry_price"] - b) < 1e-9 for b in decision_bids) for t in st)
