@@ -1287,6 +1287,32 @@ bars AS (
 REPLAY_SMA_ORACLE_SQL = _rso_sql()
 
 
+# --- pivot surface (beyond the reference, from Catalyst): per-day counts
+#     pivoted to one column per event type ---
+
+
+def event_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    types = sorted(_RSO_SYMBOLS)
+    out = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    )
+
+
+EVENT_PIVOT_DAILY_SQL = f"""
+SELECT date_trunc('day', ts) AS day,
+{",".join(f"       CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in sorted(_RSO_SYMBOLS))}
+FROM events
+GROUP BY 1
+"""
+
+
 # --- walk-forward IS/OOS lifecycle (§3.3 end-to-end): generator ->
 #     role-tagged scenario windows -> one distributed replay -> WFE.
 #     buy_hold + zero latency keeps every per-window KPI closed-form. ---
@@ -1987,5 +2013,8 @@ QUERIES: dict[str, Query] = {
         walkforward_wfe,
         WALKFORWARD_WFE_SQL,
         "§3.3 lifecycle: walk-forward generator -> replay -> WFE, hash-checked",
+    ),
+    "event_pivot_daily": Query(
+        event_pivot_daily, EVENT_PIVOT_DAILY_SQL, "pivot: per-day event-type count matrix"
     ),
 }
