@@ -34,7 +34,15 @@ sh AS (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents")
+    # The documents file is a single row group -> one scan partition, which
+    # serializes the regex/md5-dense maps downstream (text stats, language
+    # ID, shingling). Fan out once here; no-op when the scan already has
+    # >= cores partitions (the production case).
+    cores = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < cores:
+        docs = docs.repartition(cores, F.col("doc_id"))
+    return docs
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
