@@ -1287,6 +1287,62 @@ bars AS (
 REPLAY_SMA_ORACLE_SQL = _rso_sql()
 
 
+# --- S5 ingest quality checks over events-as-ticks, oracle-checked:
+#     invalid prices (value 0 exists in the data), extreme relative spreads,
+#     and per-symbol price jumps (lag window, guarded division) ---
+
+_QC_SPREAD_PCT = 0.05
+_QC_JUMP_PCT = 50.0
+
+
+def quality_check_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.mql5_json import quality_flags
+
+    ev = _events(spark, sf_dir)
+    mid = F.col("value")
+    ticks = ev.select(
+        F.lit("x").alias("broker_type"),
+        F.col("event_type").alias("symbol"),
+        F.col("event_id"),
+        F.unix_millis("ts").alias("time_msc"),
+        (F.col("value") - 0.005).alias("bid"),
+        (F.col("value") + 0.005).alias("ask"),
+        F.when(mid > 0, F.lit(0.01) / mid * 100).alias("spread_pct"),
+    )
+    out = quality_flags(ticks, max_spread_pct=_QC_SPREAD_PCT, max_jump_pct=_QC_JUMP_PCT)
+    return out.select(
+        "symbol",
+        "event_id",
+        F.round(F.coalesce("spread_pct", F.lit(-1.0)), 6).alias("spread_pct"),
+        "flag_invalid_price",
+        "flag_extreme_spread",
+        "flag_price_jump",
+    )
+
+
+QUALITY_CHECK_TICKS_SQL = f"""
+WITH ticks AS (
+  SELECT event_type AS symbol, event_id, epoch_ms(ts) AS ms,
+         value - 0.005 AS bid, value + 0.005 AS ask,
+         CASE WHEN value > 0 THEN 0.01 / value * 100 END AS spread_pct
+  FROM events
+),
+lagged AS (
+  SELECT *,
+         lag((bid + ask) / 2) OVER (PARTITION BY symbol ORDER BY ms) AS prev_mid,
+         (bid + ask) / 2 AS mid
+  FROM ticks
+)
+SELECT symbol, event_id,
+       round(coalesce(spread_pct, -1.0), 6) AS spread_pct,
+       bid <= 0 OR ask <= 0 AS flag_invalid_price,
+       coalesce(spread_pct > {_QC_SPREAD_PCT}, FALSE) AS flag_extreme_spread,
+       coalesce(CASE WHEN prev_mid > 0 THEN abs(mid - prev_mid) / prev_mid * 100 END
+                > {_QC_JUMP_PCT}, FALSE) AS flag_price_jump
+FROM lagged
+"""
+
+
 # --- pivot surface (beyond the reference, from Catalyst): per-day counts
 #     pivoted to one column per event type ---
 
@@ -2016,5 +2072,10 @@ QUERIES: dict[str, Query] = {
     ),
     "event_pivot_daily": Query(
         event_pivot_daily, EVENT_PIVOT_DAILY_SQL, "pivot: per-day event-type count matrix"
+    ),
+    "quality_check_ticks": Query(
+        quality_check_ticks,
+        QUALITY_CHECK_TICKS_SQL,
+        "S5 ingest quality flags (invalid/spread/jump), hash-checked",
     ),
 }

@@ -141,7 +141,10 @@ def quality_flags(
     w = Window.partitionBy("broker_type", "symbol").orderBy("time_msc")
     mid = (F.col("bid") + F.col("ask")) / 2
     prev_mid = F.lag(mid).over(w)
-    jump = F.abs(mid - prev_mid) / prev_mid * 100
+    # guard the division: ANSI mode (Spark 4 default) ERRORS on divide-by-
+    # zero, and a zero/invalid previous quote must not crash the scan —
+    # the invalid-price flag already marks that row
+    jump = F.when(prev_mid > 0, F.abs(mid - prev_mid) / prev_mid * 100)
     return (
         ticks.withColumn("flag_invalid_price", (F.col("bid") <= 0) | (F.col("ask") <= 0))
         .withColumn(
