@@ -20,6 +20,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def _atr_mult(move: F.Column) -> F.Column:
+    """move / window ATR, null on a zero-ATR (flat) window — ANSI mode
+    (Spark 4 default) would otherwise raise DIVIDE_BY_ZERO; a null multiple
+    fails every >= threshold downstream, so flat windows drop out."""
+    return F.when(F.col("window_atr") > 0, move / F.col("window_atr"))
+
+
 def extreme_move_candidates(
     bars: DataFrame,
     window_sizes: Sequence[int] = (200, 500, 1000, 2000),
@@ -71,10 +78,10 @@ def extreme_move_candidates(
             F.col("open").alias("entry_price"),
             F.col("window_high").alias("extreme_price"),
             F.col("exit_close").alias("exit_price"),
-            ((F.col("window_high") - F.col("open")) / F.col("window_atr")).alias(
+            _atr_mult(F.col("window_high") - F.col("open")).alias(
                 "move_atr_multiple"
             ),
-            ((F.col("open") - F.col("window_low")) / F.col("window_atr")).alias(
+            _atr_mult(F.col("open") - F.col("window_low")).alias(
                 "adverse_atr_multiple"
             ),
             "window_atr",
@@ -89,10 +96,10 @@ def extreme_move_candidates(
             F.col("open").alias("entry_price"),
             F.col("window_low").alias("extreme_price"),
             F.col("exit_close").alias("exit_price"),
-            ((F.col("open") - F.col("window_low")) / F.col("window_atr")).alias(
+            _atr_mult(F.col("open") - F.col("window_low")).alias(
                 "move_atr_multiple"
             ),
-            ((F.col("window_high") - F.col("open")) / F.col("window_atr")).alias(
+            _atr_mult(F.col("window_high") - F.col("open")).alias(
                 "adverse_atr_multiple"
             ),
             "window_atr",

@@ -114,7 +114,9 @@ def robustness_stats(results: DataFrame, *, objective: str = "net_pnl", role: st
         F.avg(objective).alias("mean_obj"),
         F.percentile(objective, F.lit(0.5)).alias("median_obj"),
         F.stddev_pop(objective).alias("pstdev_obj"),
-        (F.stddev_pop(objective) / F.abs(F.avg(objective))).alias("cov_obj"),
+        F.when(F.avg(objective) != 0, F.stddev_pop(objective) / F.abs(F.avg(objective))).alias(
+            "cov_obj"
+        ),
         F.avg((F.col(objective) > 0).cast("double")).alias("pct_profitable"),
         F.max(objective).alias("best_obj"),
         F.min(objective).alias("worst_obj"),
@@ -144,7 +146,7 @@ def worker_timing_totals(timings: DataFrame, *, worker: str = "worker") -> DataF
             F.min("min_us").alias("min_us"),
             F.max("max_us").alias("max_us"),
         )
-        .withColumn("avg_us", F.col("total_us") / F.col("calls"))
+        .withColumn("avg_us", F.when(F.col("calls") > 0, F.col("total_us") / F.col("calls")))
     )
 
 

@@ -36,7 +36,10 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     ad, bd = _as_double(a), _as_double(b)
-    return dot(ad, bd) / (norm(ad) * norm(bd))
+    denom = norm(ad) * norm(bd)
+    # null on a zero vector — matches DuckDB's divide-by-zero -> NULL, and
+    # avoids the ANSI-mode DIVIDE_BY_ZERO error (Spark 4 default)
+    return F.when(denom > 0, dot(ad, bd) / denom)
 
 
 def cosine_topk(

@@ -61,7 +61,8 @@ def volatility_periods(
         )
     )
     wk = Window.partitionBy("key")
-    ratio = F.col("avg_atr") / F.avg("avg_atr").over(wk)
+    global_avg = F.avg("avg_atr").over(wk)
+    ratio = F.when(global_avg != 0, F.col("avg_atr") / global_avg)
     # rank() - 1 == count of strictly smaller values, ties included correctly
     pct = (
         (F.rank().over(Window.partitionBy("key").orderBy("avg_atr")) - 1)
