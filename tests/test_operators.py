@@ -347,3 +347,30 @@ def test_connected_components_known_graph(spark):
     )
     got = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_ansi_degenerate_data_yields_null_not_crash(spark):
+    """Spark 4 ANSI mode turns zero denominators into runtime errors;
+    degenerate inputs (flat prices -> zero ATR, zero vectors) must yield
+    null/empty results instead (regression for the division guards)."""
+    from finiextestingide_spark.operators.extremes import extreme_move_candidates
+    from finiextestingide_spark.operators.similarity import cosine
+
+    bars = spark.createDataFrame(
+        [("X", ts(60 * i), 100.0, 100.0, 100.0, 100.0, 0.0, 5) for i in range(30)],
+        "symbol string, bar_ts timestamp, open double, high double, low double, "
+        "close double, atr double, tick_count long",
+    )
+    out = extreme_move_candidates(bars, window_sizes=(8,), min_atr_multiple=1.0)
+    assert out.count() == 0  # flat windows drop out; no DIVIDE_BY_ZERO
+
+    import pyspark.sql.functions as F
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    row = vecs.crossJoin(
+        vecs.where(F.col("vec_id") == 2).select(F.col("embedding").alias("q"))
+    ).select("vec_id", cosine(F.col("embedding"), F.col("q")).alias("c")).collect()
+    by = {r["vec_id"]: r["c"] for r in row}
+    assert by[1] is None and by[2] == 1.0
