@@ -1343,6 +1343,39 @@ FROM lagged
 """
 
 
+# --- skew-salted two-phase aggregation: result must equal the plain
+#     GROUP BY (decimal sums keep the algebra exact), regardless of how the
+#     salt fans hot keys out — the oracle is the UNSALTED query ---
+
+
+def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    ev = _events(spark, sf_dir).withColumn(
+        "__v", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_agg(
+        ev,
+        "event_type",
+        unique_col="event_id",
+        n_salts=16,
+        sums={"__v": "sum_value"},
+    )
+    return out.select(
+        F.col("event_type").alias("symbol"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+    )
+
+
+SALTED_EVENT_TOTALS_SQL = """
+SELECT event_type AS symbol, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
 # --- pivot surface (beyond the reference, from Catalyst): per-day counts
 #     pivoted to one column per event type ---
 
@@ -2077,5 +2110,10 @@ QUERIES: dict[str, Query] = {
         quality_check_ticks,
         QUALITY_CHECK_TICKS_SQL,
         "S5 ingest quality flags (invalid/spread/jump), hash-checked",
+    ),
+    "salted_event_totals": Query(
+        salted_event_totals,
+        SALTED_EVENT_TOTALS_SQL,
+        "skew-salted two-phase aggregate == plain GROUP BY (unsalted oracle)",
     ),
 }
