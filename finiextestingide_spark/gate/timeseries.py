@@ -1402,6 +1402,62 @@ GROUP BY 1
 """
 
 
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows on the STREAMING path (F.session_window):
+    per-key activity sessions that close after 10 minutes of silence.
+    Window-merge semantics: an event extends the session iff it arrives
+    STRICTLY before last+gap, so a delta of exactly the gap starts a new
+    session (mirrored by `>=` in the oracle — the batch sessionize operator
+    deliberately uses `>` per the lag-cumsum convention; both are gated)."""
+    from ..streaming.bars_stream import read_tick_stream, run_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = read_tick_stream(spark, f"{sf_dir}/events.parque*", raw_schema).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    agg = (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "10 minutes").alias("__w"),
+            F.col("event_type").alias("symbol"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("symbol", "session_start", "session_end", "n_events")
+    )
+    name = "gate_streaming_session_windows"
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).select(
+        "symbol", "session_start", "session_end", F.col("n_events").cast("long").alias("n_events")
+    )
+
+
+STREAMING_SESSION_WINDOWS_SQL = """
+WITH marked AS (
+  SELECT event_type AS symbol, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 600000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+),
+sess AS (
+  SELECT symbol, ts,
+         sum(is_new) OVER (PARTITION BY symbol ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT symbol, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY symbol, sid
+"""
+
+
 # --- walk-forward IS/OOS lifecycle (§3.3 end-to-end): generator ->
 #     role-tagged scenario windows -> one distributed replay -> WFE.
 #     buy_hold + zero latency keeps every per-window KPI closed-form. ---
@@ -2115,5 +2171,10 @@ QUERIES: dict[str, Query] = {
         salted_event_totals,
         SALTED_EVENT_TOTALS_SQL,
         "skew-salted two-phase aggregate == plain GROUP BY (unsalted oracle)",
+    ),
+    "streaming_session_windows": Query(
+        streaming_session_windows,
+        STREAMING_SESSION_WINDOWS_SQL,
+        "native streaming session windows (10-min gap), hash-checked",
     ),
 }
