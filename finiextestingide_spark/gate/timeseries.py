@@ -1566,6 +1566,57 @@ FROM (SELECT m FROM means WHERE role = 'IS') i,
 """
 
 
+# --- M5 blocks generator + coverage counts: equal 5-day blocks over the
+#     (fixed, evenly-divisible) January window; every 3rd block OOS ---
+
+
+def blocks_split_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
+    from ..operators.scenario_gen import blocks_split
+
+    scen = blocks_split(
+        spark, "click", datetime(2024, 1, 1), datetime(2024, 1, 31), 6
+    )
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "click")
+    counts = (
+        scen.alias("s")
+        .join(
+            ev.alias("e"),
+            (F.col("e.ts") >= F.col("s.start_ts")) & (F.col("e.ts") < F.col("s.end_ts")),
+            "left",
+        )
+        .groupBy("s.scenario_id", "s.name", "s.role", "s.start_ts", "s.end_ts")
+        .agg(F.count(F.col("e.ts")).alias("n_events"))
+    )
+    return counts.select(
+        F.col("scenario_id"),
+        "name",
+        "role",
+        "start_ts",
+        "end_ts",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+BLOCKS_SPLIT_COVERAGE_SQL = """
+WITH blocks AS (
+  SELECT i AS scenario_id,
+         'click_block' || i AS name,
+         CASE WHEN (i + 1) % 3 = 0 THEN 'OOS' ELSE 'IS' END AS role,
+         TIMESTAMP '2024-01-01' + i * INTERVAL 5 DAY AS start_ts,
+         TIMESTAMP '2024-01-01' + (i + 1) * INTERVAL 5 DAY AS end_ts
+  FROM UNNEST(generate_series(0, 5)) AS t(i)
+)
+SELECT b.scenario_id, b.name, b.role, b.start_ts, b.end_ts,
+       CAST(count(e.ts) AS BIGINT) AS n_events
+FROM blocks b
+LEFT JOIN (SELECT ts FROM events WHERE event_type = 'click') e
+  ON e.ts >= b.start_ts AND e.ts < b.end_ts
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
 # --- gap-based sessionization (activity-defined sessions; batch analogue
 #     of streaming session windows, generalizing the S4 fixed-hour labels) ---
 
@@ -2176,5 +2227,10 @@ QUERIES: dict[str, Query] = {
         streaming_session_windows,
         STREAMING_SESSION_WINDOWS_SQL,
         "native streaming session windows (10-min gap), hash-checked",
+    ),
+    "blocks_split_coverage": Query(
+        blocks_split_coverage,
+        BLOCKS_SPLIT_COVERAGE_SQL,
+        "M5 blocks generator + per-block coverage counts, hash-checked",
     ),
 }
