@@ -622,8 +622,7 @@ def volatility_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-VOLATILITY_REGIMES_SQL = f"""
-WITH {_bars_cte('hour')},
+_VOL_PERIODS_CTE = f"""{_bars_cte('hour')},
 tr AS (
   SELECT symbol, bar_ts, high, low, tick_count,
          greatest(high - low,
@@ -651,7 +650,11 @@ periods AS (
          max(high) AS high, min(low) AS low
   FROM withatr
   GROUP BY 1, 2
-),
+)"""
+
+
+VOLATILITY_REGIMES_SQL = f"""
+WITH {_VOL_PERIODS_CTE},
 ranked AS (
   SELECT symbol, period_start, avg_atr,
          avg_atr / avg(avg_atr) OVER (PARTITION BY symbol) AS atr_ratio,
@@ -673,6 +676,56 @@ SELECT symbol, CAST(period_start AS TIMESTAMP) AS period_start,
        CAST(bar_count AS BIGINT) AS bar_count,
        round(high - low, 6) AS price_range
 FROM ranked
+"""
+
+
+def volatility_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — per-symbol profile summary over the regime periods (min/max/
+    mean/population-std ATR, totals, regime distribution)."""
+    from ..operators.volatility import profile_summary
+
+    bars = ind.with_atr_sma(_bars(spark, sf_dir, "H1"), 14, key="symbol", ts="bar_ts")
+    periods = volatility_periods(
+        bars, _VP_GRANULARITY_H, key="symbol", ts="bar_ts", atr="atr"
+    )
+    out = profile_summary(periods, key="key")
+    return out.select(
+        F.col("key").alias("symbol"),
+        F.round("min_atr", 6).alias("min_atr"),
+        F.round("max_atr", 6).alias("max_atr"),
+        F.round("mean_atr", 6).alias("mean_atr"),
+        F.round("std_atr", 6).alias("std_atr"),
+        F.col("total_ticks").cast("long").alias("total_ticks"),
+        F.col("periods").cast("long").alias("periods"),
+        F.col("n_very_low").cast("long").alias("n_very_low"),
+        F.col("n_low").cast("long").alias("n_low"),
+        F.col("n_medium").cast("long").alias("n_medium"),
+        F.col("n_high").cast("long").alias("n_high"),
+        F.col("n_very_high").cast("long").alias("n_very_high"),
+    )
+
+
+VOLATILITY_PROFILE_SQL = f"""
+WITH {_VOL_PERIODS_CTE},
+regimed AS (
+  SELECT symbol, avg_atr, tick_count,
+         avg_atr / avg(avg_atr) OVER (PARTITION BY symbol) AS atr_ratio
+  FROM periods
+)
+SELECT symbol,
+       round(min(avg_atr), 6) AS min_atr,
+       round(max(avg_atr), 6) AS max_atr,
+       round(avg(avg_atr), 6) AS mean_atr,
+       round(stddev_pop(avg_atr), 6) AS std_atr,
+       CAST(sum(tick_count) AS BIGINT) AS total_ticks,
+       CAST(count(*) AS BIGINT) AS periods,
+       CAST(sum(CASE WHEN atr_ratio < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_very_low,
+       CAST(sum(CASE WHEN atr_ratio >= 0.5 AND atr_ratio < 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN atr_ratio >= 0.8 AND atr_ratio < 1.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+       CAST(sum(CASE WHEN atr_ratio >= 1.2 AND atr_ratio < 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(sum(CASE WHEN atr_ratio >= 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_very_high
+FROM regimed
+GROUP BY symbol
 """
 
 
@@ -2232,5 +2285,10 @@ QUERIES: dict[str, Query] = {
         blocks_split_coverage,
         BLOCKS_SPLIT_COVERAGE_SQL,
         "M5 blocks generator + per-block coverage counts, hash-checked",
+    ),
+    "volatility_profile": Query(
+        volatility_profile,
+        VOLATILITY_PROFILE_SQL,
+        "A4 per-symbol volatility profile summary, hash-checked",
     ),
 }
