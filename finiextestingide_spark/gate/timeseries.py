@@ -1715,6 +1715,88 @@ GROUP BY symbol, session_id
 """
 
 
+# --- A5 per-group trade analytics over the oracle-checked replay trades:
+#     aggregate the same rounded trade rows the replay_sma oracle emits, so
+#     the oracle is simply the aggregation over that query's output ---
+
+
+def trade_analytics_by_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.reporting import per_group_trade_analytics
+    from ..operators.replay import run_backtest, trades_table
+
+    ev = _events(spark, sf_dir)
+    ticks = ev.select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts").alias("timestamp"),
+        F.unix_millis("ts").alias("time_msc"),
+        F.unix_millis("ts").alias("collected_msc"),
+        (F.col("value") - 0.005).alias("bid"),
+        (F.col("value") + 0.005).alias("ask"),
+    )
+    rows = []
+    for ci, (fast, slow) in enumerate(_RSO_CONFIGS):
+        for si, sym in enumerate(_RSO_SYMBOLS):
+            sid = ci * len(_RSO_SYMBOLS) + si + 1
+            params = {
+                "strategy": "sma_cross",
+                "fast": str(fast),
+                "slow": str(slow),
+                "bar_ms": str(_RSO_BAR_MS),
+                "equity_sample_every": "0",
+            }
+            rows.append((sid, f"ta-{sid}", sym, None, None, sid, 0, 0, params))
+    scenarios = spark.createDataFrame(
+        rows,
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+        "latency_max_ms int, parameters map<string,string>",
+    )
+    tr = trades_table(run_backtest(ticks, scenarios)).select(
+        "scenario_id",
+        F.round("gross_pnl", 6).alias("gross_pnl"),
+        F.round("fees", 6).alias("fees"),
+        F.round("net_pnl", 6).alias("net_pnl"),
+        F.round("mae_pnl", 6).alias("mae_pnl"),
+        F.round("mfe_pnl", 6).alias("mfe_pnl"),
+    )
+    out = per_group_trade_analytics(tr, group="scenario_id")
+    return out.select(
+        "scenario_id",
+        F.col("trades").cast("long").alias("trades"),
+        F.col("wins").cast("long").alias("wins"),
+        F.col("losses").cast("long").alias("losses"),
+        F.round("expectancy", 6).alias("expectancy"),
+        F.round("avg_win", 6).alias("avg_win"),
+        F.round("avg_loss", 6).alias("avg_loss"),
+        F.round("winner_avg_mae", 6).alias("winner_avg_mae"),
+        F.round("loser_avg_mfe", 6).alias("loser_avg_mfe"),
+        F.round("net_pnl", 6).alias("net_pnl"),
+    )
+
+
+def _trade_analytics_sql() -> str:
+    return f"""
+WITH t AS (
+{REPLAY_SMA_ORACLE_SQL}
+)
+SELECT scenario_id,
+       CAST(count(*) AS BIGINT) AS trades,
+       CAST(sum(CASE WHEN net_pnl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+       CAST(sum(CASE WHEN net_pnl < 0 THEN 1 ELSE 0 END) AS BIGINT) AS losses,
+       round(avg(net_pnl), 6) AS expectancy,
+       round(avg(CASE WHEN net_pnl > 0 THEN net_pnl END), 6) AS avg_win,
+       round(avg(CASE WHEN net_pnl < 0 THEN net_pnl END), 6) AS avg_loss,
+       round(avg(CASE WHEN net_pnl > 0 THEN mae_pnl END), 6) AS winner_avg_mae,
+       round(avg(CASE WHEN net_pnl < 0 THEN mfe_pnl END), 6) AS loser_avg_mfe,
+       round(sum(net_pnl), 6) AS net_pnl
+FROM t
+GROUP BY scenario_id
+"""
+
+
+TRADE_ANALYTICS_BY_SCENARIO_SQL = _trade_analytics_sql()
+
+
 # --- sweep path, oracle-checked end-to-end: grid expansion -> one
 #     distributed replay pass -> ledger -> deterministic ranking (O2) and
 #     OFAT sensitivity (A11). With buy_hold + zero latency + no stops the
@@ -2290,5 +2372,10 @@ QUERIES: dict[str, Query] = {
         volatility_profile,
         VOLATILITY_PROFILE_SQL,
         "A4 per-symbol volatility profile summary, hash-checked",
+    ),
+    "trade_analytics_by_scenario": Query(
+        trade_analytics_by_scenario,
+        TRADE_ANALYTICS_BY_SCENARIO_SQL,
+        "A5 expectancy/win-loss analytics over oracle-checked replay trades",
     ),
 }
