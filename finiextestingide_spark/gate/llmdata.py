@@ -69,6 +69,60 @@ FROM documents
 """
 
 
+# --- exact dedup, quality keep-policy (curation variant) ---
+
+_QUALITY_EXPR_SQL = """
+round(least(CAST((CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS DOUBLE) / 100.0, 1.0)
+ * (1.0 - (CASE WHEN len(text) > 0
+                THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / len(text)
+                ELSE 0.0 END))
+ * (1.0 - least(CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
+                     THEN CAST(len(regexp_extract_all(lower(text), '{stop}')) AS DOUBLE)
+                          / (CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                     ELSE 0.0 END, 1.0)), 6)
+""".replace("{stop}", r"\b(" + "|".join(tx.STOPWORDS) + r")\b")
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rank on the ROUNDED score (the oracle does too): a sub-1e-6 quality
+    # difference should not decide which duplicate survives
+    out = dd.exact_dedup_keep_best(
+        _docs(spark, sf_dir), F.round(tx.quality_score(F.col("text")), 6)
+    )
+    return out.select(
+        "doc_id",
+        "content_hash",
+        F.round("score", 6).alias("score"),
+        "keep_id",
+        F.col("group_size").cast("long").alias("group_size"),
+        "is_dropped",
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH q AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_hash,
+         {_QUALITY_EXPR_SQL} AS score
+  FROM documents
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY content_hash ORDER BY score DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY content_hash) AS gs
+  FROM q
+),
+k AS (SELECT content_hash, doc_id AS keep_id FROM r WHERE rk = 1)
+SELECT r.doc_id, r.content_hash, r.score, k.keep_id,
+       CAST(r.gs AS BIGINT) AS group_size,
+       r.doc_id <> k.keep_id AS is_dropped
+FROM r JOIN k USING (content_hash)
+"""
+
+
 # --- n-gram Jaccard pairs ---
 
 _J_MIN_INTER = 2
@@ -628,6 +682,9 @@ FROM documents
 
 QUERIES: dict[str, Query] = {
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via content hash"),
+    "dedup_keep_best": Query(
+        dedup_keep_best, DEDUP_KEEP_BEST_SQL, "exact dedup, quality keep-policy"
+    ),
     "jaccard_pairs_3gram": Query(jaccard_pairs_3gram, JACCARD_PAIRS_3GRAM_SQL, "n-gram Jaccard pairs"),
     "minhash_lsh_pairs": Query(minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL, "MinHash+LSH with verify"),
     "neardup_clusters": Query(

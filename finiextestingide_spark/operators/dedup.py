@@ -96,6 +96,42 @@ def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id", text: str = "text") 
     )
 
 
+def exact_dedup_keep_best(
+    docs: DataFrame,
+    score: Column,
+    *,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Exact dedup with a QUALITY keep-policy: within each normalized-
+    content group the row with the highest ``score`` survives (ties break
+    to the smallest id) — the curation variant of exact_dedup, where
+    canonical-by-min-id would throw away the best copy. One window over the
+    content hash, argmax via max_by on a (score, -id) struct."""
+    from pyspark.sql import Window
+
+    h = F.md5(normalized_text(F.col(text)))
+    w = Window.partitionBy("content_hash")
+    return (
+        docs.select(F.col(id_col), score.alias("__score"), h.alias("content_hash"))
+        .withColumn(
+            "keep_id",
+            F.max_by(
+                F.col(id_col), F.struct(F.col("__score"), (-F.col(id_col)).alias("n"))
+            ).over(w),
+        )
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .select(
+            id_col,
+            "content_hash",
+            F.col("__score").alias("score"),
+            "keep_id",
+            "group_size",
+            (F.col(id_col) != F.col("keep_id")).alias("is_dropped"),
+        )
+    )
+
+
 def jaccard_pairs(
     shingles: DataFrame,
     min_intersection: int = 2,
