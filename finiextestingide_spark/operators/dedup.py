@@ -106,19 +106,23 @@ def exact_dedup_keep_best(
     """Exact dedup with a QUALITY keep-policy: within each normalized-
     content group the row with the highest ``score`` survives (ties break
     to the smallest id) — the curation variant of exact_dedup, where
-    canonical-by-min-id would throw away the best copy. One window over the
-    content hash, argmax via max_by on a (score, -id) struct."""
+    canonical-by-min-id would throw away the best copy. The argmax is a
+    row_number over (score DESC, id ASC) broadcast back through a first_value
+    window — works for ANY orderable id type (string doc_ids included),
+    unlike the previous max_by-on-(score, -id) struct that required a
+    numeric id."""
     from pyspark.sql import Window
 
     h = F.md5(normalized_text(F.col(text)))
     w = Window.partitionBy("content_hash")
+    wo = w.orderBy(F.col("__score").desc(), F.col(id_col).asc())
     return (
         docs.select(F.col(id_col), score.alias("__score"), h.alias("content_hash"))
         .withColumn(
             "keep_id",
-            F.max_by(
-                F.col(id_col), F.struct(F.col("__score"), (-F.col(id_col)).alias("n"))
-            ).over(w),
+            F.first(id_col).over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
         )
         .withColumn("group_size", F.count(F.lit(1)).over(w))
         .select(
@@ -326,7 +330,14 @@ def connected_components(
     on a cluster where executor loss matters. The convergence probe is a
     scalar count per round — the one deliberate driver-side action an
     iterative algorithm needs. Near-dup clusters have tiny diameters (dup
-    groups are cliques through their canonical pivots), so rounds ~ 3-5."""
+    groups are cliques through their canonical pivots), so rounds ~ 3-5.
+
+    Each round also POINTER-DOUBLES (label <- label(label), valid because
+    every label is itself a node id): a chain of diameter d converges in
+    O(log d) rounds, so max_iter=25 covers any graph that fits a cluster.
+    If the loop still exits unconverged, this RAISES instead of silently
+    returning split clusters (a 26+-node chain with plain propagation used
+    to truncate quietly)."""
     # Persist the symmetric edge list FIRST: without this, every round's
     # join re-evaluates the upstream pipeline that produced the edges (for
     # near-dup clustering that is the entire MinHash+LSH DAG — measured 3x
@@ -342,16 +353,27 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym["b"] == labels["node"])
             .select(F.col("a").alias("node"), F.col("label"))
         )
-        new_labels = (
+        stepped = (
             labels.select("node", "label")
             .union(neigh)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        # pointer doubling: follow node -> label -> label(label); labels are
+        # node ids, so the hop is a self-join of the stepped table
+        hop = (
+            stepped.alias("x")
+            .join(stepped.alias("y"), F.col("x.label") == F.col("y.node"))
+            .select(F.col("x.node").alias("node"), F.col("y.label").alias("label"))
+        )
+        new_labels = (
+            stepped.union(hop).groupBy("node").agg(F.min("label").alias("label"))
         ).localCheckpoint()
         changed = (
             new_labels.alias("n")
@@ -362,9 +384,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    out = labels.select(F.col("node"), F.col("label").alias("cluster_id"))
     sym.unpersist()
-    return out
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter; results "
+            "would be split clusters, refusing to return them"
+        )
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
 def neardup_clusters(
