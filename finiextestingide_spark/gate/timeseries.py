@@ -19,6 +19,7 @@ from ..operators.bars import ohlcv_bars
 from ..operators.extremes import extreme_move_candidates
 from ..operators.gaps import detect_gaps
 from ..operators.volatility import volatility_periods
+from ..sources.tables import normalize_ts
 from ._util import Query, t
 
 
@@ -122,8 +123,8 @@ def streaming_bars_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # A literal single-file path makes FileStreamSource derive a file
     # basePath and fail; a glob keeps the parent directory as basePath.
-    ticks = read_tick_stream(spark, f"{sf_dir}/events.parque*", raw_schema).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ticks = normalize_ts(
+        read_tick_stream(spark, f"{sf_dir}/events.parque*", raw_schema)
     )
     # volume in the batch gate is the exact-decimal sum of value; the
     # streaming helper takes a column name, so pre-project the decimal cast.
@@ -159,10 +160,10 @@ def streaming_incremental_bars_1h(spark: SparkSession, sf_dir: str) -> DataFrame
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ticks = (
-        read_tick_stream(spark, f"{sf_dir}/events.parque*", raw_schema)
+        normalize_ts(read_tick_stream(spark, f"{sf_dir}/events.parque*", raw_schema))
         .select(
             F.col("event_type").alias("symbol"),
-            F.timestamp_micros(F.expr("ts div 1000")).alias("timestamp"),
+            F.col("ts").alias("timestamp"),
             # time_msc is only the renderer's sort tiebreak; event_id makes
             # same-microsecond ticks deterministic (the batch operator's
             # tiebreak contract)
@@ -200,8 +201,8 @@ def streaming_asof_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    ev = read_tick_stream(spark, f"{sf_dir}/events.parque*", raw_schema).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ev = normalize_ts(
+        read_tick_stream(spark, f"{sf_dir}/events.parque*", raw_schema)
     )
     ticks = ev.where(F.col("event_type") == "click").select(
         F.lit("x").alias("symbol"), "ts", F.col("value").alias("mid")
@@ -1467,8 +1468,8 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    ev = read_tick_stream(spark, f"{sf_dir}/events.parque*", raw_schema).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ev = normalize_ts(
+        read_tick_stream(spark, f"{sf_dir}/events.parque*", raw_schema)
     )
     agg = (
         ev.groupBy(

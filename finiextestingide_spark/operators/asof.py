@@ -45,10 +45,12 @@ def asof_join(
     staleness flip.
 
     When several right rows share the same (key, right_ts), the winner is the
-    row greatest in ``tiebreak`` order (a right column name); ties beyond
-    that — and the default when ``tiebreak`` is None — fall back to the full
-    right-payload struct order, so the result is deterministic across runs
-    and partitionings either way.
+    row greatest in ``tiebreak`` order (a right column name). When
+    ``tiebreak`` is None, the fallback sort key is a struct of the ORDERABLE
+    payload columns (map-typed columns are excluded — Spark cannot sort
+    them), so the result is deterministic across runs and partitionings
+    whenever at least one payload column is orderable, and right frames
+    carrying MapType payloads still work.
     """
     on = list(on)
     payload_cols = [c for c in right.columns if c not in on]
@@ -76,12 +78,24 @@ def asof_join(
 
     # Right rows sort before left rows at equal ts => "<=" visibility.
     # Among right rows tied on (key, ts), ordering ascending by the tiebreak
-    # (then the whole payload struct) makes F.last pick the greatest one
-    # deterministically; left rows carry null __r so the extra keys are inert.
+    # makes F.last pick the greatest one deterministically; left rows carry
+    # null __r so the extra keys are inert. Without an explicit tiebreak the
+    # fallback key is a struct of only the ORDERABLE payload columns —
+    # appending the full __r struct would fail analysis on MapType payloads
+    # and pays wide-struct comparison cost for nothing.
     tie_keys = []
     if tiebreak is not None:
         tie_keys.append(F.col("__r").getField(tiebreak).asc_nulls_first())
-    tie_keys.append(F.col("__r").asc_nulls_first())
+    else:
+        orderable = [
+            f.name
+            for f in right.select(*[F.col(c) for c in payload_cols]).schema.fields
+            if _orderable(f.dataType)
+        ]
+        if orderable:
+            tie_keys.append(
+                F.struct(*[F.col("__r").getField(c) for c in orderable]).asc_nulls_first()
+            )
     w = (
         Window.partitionBy(*on)
         .orderBy(F.col("__ts"), F.col("__is_left"), *tie_keys)
@@ -100,6 +114,19 @@ def asof_join(
         rms = _to_ms(out, right_ts)
         out = out.withColumn(stale_col, (lms - rms) > F.lit(tolerance_ms))
     return out
+
+
+def _orderable(dt) -> bool:
+    """True iff Spark can sort values of this type (no MapType anywhere)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def _to_ms(df: DataFrame, col: str) -> F.Column:

@@ -1,10 +1,20 @@
 """Loaders for the driver's synthetic star-schema tables (TESTDATA.md).
 
-``events.ts`` is Parquet TIMESTAMP(NANOS); Spark's reader only accepts it
-with ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py), which
-surfaces it as a ns-epoch long. The data is microsecond-precision, so the
-``DIV 1000`` conversion below is lossless and matches DuckDB's reading of the
-same file bit-for-bit.
+PUBLIC-API NOTE — session-wide side effect: ``load_table`` (and therefore
+``register_views``) pins ``spark.sql.session.timeZone`` to UTC on the session
+it is given. This is deliberate: the harness may hand us a vanilla session,
+and every oracle comparison assumes UTC wall-clock bucketing (DuckDB reads
+these files as naive timestamps). Callers sharing a session with other
+workloads should be aware the timezone is pinned; all other reader behavior
+is scoped per-read.
+
+``events.ts`` has shipped in two physical encodings across driver testdata
+generations: Parquet TIMESTAMP(NANOS) (older Spark reads it only as a
+ns-epoch long via the legacy ``nanosAsLong`` conf) and TIMESTAMP(MICROS)
+with isAdjustedToUTC=false (read natively as TIMESTAMP_NTZ). The loader
+normalizes both to a session-TZ TimestampType column by inspecting the
+dtype it actually got, so it works on any combination of Spark version and
+testdata generation.
 """
 
 from __future__ import annotations
@@ -25,21 +35,43 @@ TABLES = (
     "embeddings",
 )
 
-# Columns stored as Parquet TIMESTAMP(NANOS) that arrive as ns-epoch longs.
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Columns that may arrive as ns-epoch longs / TIMESTAMP_NTZ depending on the
+# testdata generation; normalized to TimestampType (UTC session).
+_TS_NORMALIZE_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The harness may hand us a vanilla session; both configs are
-    # runtime-settable. nanosAsLong is required to read events.ts (Parquet
-    # TIMESTAMP(NANOS)); UTC keeps date_trunc bucketing aligned with the
-    # DuckDB oracle's naive-timestamp semantics regardless of host TZ.
+    # The harness may hand us a vanilla session; timeZone is runtime-settable.
+    # UTC keeps date_trunc bucketing aligned with the DuckDB oracle's
+    # naive-timestamp semantics regardless of host TZ (see module docstring
+    # for the session-wide side-effect note).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name in _NANOS_TS_COLS:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if name in _TS_NORMALIZE_COLS:
+        # Harmless no-op on Spark builds that read NANOS natively; required
+        # on builds where NANOS is only readable as a long.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANOS_TS_COLS.get(name, ()):
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    for col in _TS_NORMALIZE_COLS.get(name, ()):
+        df = normalize_ts(df, col)
+    return df
+
+
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a timestamp column to session-TZ TimestampType whichever
+    physical encoding the reader produced (works on batch AND streaming
+    DataFrames — only the schema is inspected)."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        # ns-epoch long from the legacy nanos path; data is
+        # microsecond-precision so DIV 1000 is lossless.
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dt and dt.startswith("timestamp_ntz"):
+        # native NTZ read; with the session pinned to UTC this cast is
+        # wall-clock-identity and matches DuckDB bit-for-bit.
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -168,7 +168,11 @@ def drain_to_memory(
     pending timeouts keep scheduling (empty) microbatches — so
     `awaitTermination` would hang; instead poll the sink row count and stop
     once it has been stable for ``settle_secs`` (long enough for the
-    heartbeat timeout batch to fire when heartbeat_ms < settle_secs*1000).
+    heartbeat timeout batch to fire when heartbeat_ms < settle_secs*1000)
+    AND the engine is quiescent: no trigger mid-flight and the most recent
+    completed microbatch consumed zero input rows. Wall-clock stability
+    alone truncates output on a loaded host where one slow microbatch takes
+    longer than ``settle_secs`` without appending rows.
     """
     import time
 
@@ -186,7 +190,12 @@ def drain_to_memory(
         n = spark.table(query_name).count()
         if n != last:
             last, stable_since = n, time.time()
-        elif q.lastProgress is not None and time.time() - stable_since >= settle_secs:
+        elif (
+            time.time() - stable_since >= settle_secs
+            and not q.status.get("isTriggerActive", True)
+            and q.lastProgress is not None
+            and q.lastProgress.get("numInputRows", 1) == 0
+        ):
             break
         time.sleep(0.5)
     q.stop()

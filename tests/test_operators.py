@@ -337,6 +337,54 @@ def test_deterministic_sample_stable_across_partitionings(spark):
     assert 20 <= len(sets_[0]) <= 80  # ~25% of 200, loose band
 
 
+def test_asof_join_map_payload(spark):
+    """Right payloads containing non-orderable types (MapType) must work
+    when tiebreak is None — the fallback sort key is restricted to the
+    orderable payload columns (ADVICE regression)."""
+    left = spark.createDataFrame(
+        [("A", ts(20))], "symbol string, ev_ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("A", ts(10), {"k": "v"}, 1.0), ("A", ts(15), {"k": "w"}, 2.0)],
+        "symbol string, sig_ts timestamp, props map<string,string>, score double",
+    )
+    out = asof_join(
+        left, right, on=["symbol"], left_ts="ev_ts", right_ts="sig_ts"
+    ).collect()
+    assert len(out) == 1 and out[0]["score"] == 2.0 and out[0]["props"] == {"k": "w"}
+
+
+def test_dedup_keep_best_string_ids(spark):
+    """exact_dedup_keep_best advertises a generic id_col; string doc_ids
+    must work (ADVICE regression for the old numeric-only max_by argmax)."""
+    from finiextestingide_spark.operators.dedup import exact_dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [("doc-b", "same text", 0.9), ("doc-a", "same text", 0.9),
+         ("doc-c", "same text", 0.5), ("doc-z", "other", 0.1)],
+        "doc_id string, text string, q double",
+    )
+    out = {r["doc_id"]: r for r in
+           exact_dedup_keep_best(docs, F.col("q"), id_col="doc_id").collect()}
+    # highest score wins, tie breaks to smallest id
+    assert out["doc-a"]["keep_id"] == "doc-a" and not out["doc-a"]["is_dropped"]
+    assert out["doc-b"]["is_dropped"] and out["doc-c"]["is_dropped"]
+    assert not out["doc-z"]["is_dropped"]
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 30-node chain (diameter > the old max_iter linear-propagation
+    budget) must converge to ONE cluster via pointer doubling instead of
+    silently returning split labels (ADVICE regression)."""
+    from finiextestingide_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert set(got.values()) == {1} and len(got) == 30
+
+
 def test_connected_components_known_graph(spark):
     from finiextestingide_spark.operators.dedup import connected_components
 
