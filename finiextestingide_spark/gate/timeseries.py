@@ -19,7 +19,7 @@ from ..operators.bars import ohlcv_bars
 from ..operators.extremes import extreme_move_candidates
 from ..operators.gaps import detect_gaps
 from ..operators.volatility import volatility_periods
-from ..sources.tables import normalize_ts
+from ..sources.tables import normalize_ts, set_nanos_as_long
 from ._util import Query, t
 
 
@@ -119,7 +119,7 @@ def streaming_bars_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Mirror sources.tables.load_table's session posture, then stream the
     # same file: schema from the batch reader (ts arrives as ns-epoch long).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    set_nanos_as_long(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # A literal single-file path makes FileStreamSource derive a file
     # basePath and fail; a glob keeps the parent directory as basePath.
@@ -157,7 +157,7 @@ def streaming_incremental_bars_1h(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.bars_stream import read_tick_stream
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    set_nanos_as_long(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ticks = (
         normalize_ts(read_tick_stream(spark, f"{sf_dir}/events.parque*", raw_schema))
@@ -199,7 +199,7 @@ def streaming_asof_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.bars_stream import read_tick_stream, run_to_memory
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    set_nanos_as_long(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ev = normalize_ts(
         read_tick_stream(spark, f"{sf_dir}/events.parque*", raw_schema)
@@ -1466,7 +1466,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.bars_stream import read_tick_stream, run_to_memory
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    set_nanos_as_long(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ev = normalize_ts(
         read_tick_stream(spark, f"{sf_dir}/events.parque*", raw_schema)

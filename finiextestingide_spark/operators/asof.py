@@ -79,23 +79,32 @@ def asof_join(
     # Right rows sort before left rows at equal ts => "<=" visibility.
     # Among right rows tied on (key, ts), ordering ascending by the tiebreak
     # makes F.last pick the greatest one deterministically; left rows carry
-    # null __r so the extra keys are inert. Without an explicit tiebreak the
-    # fallback key is a struct of only the ORDERABLE payload columns —
-    # appending the full __r struct would fail analysis on MapType payloads
-    # and pays wide-struct comparison cost for nothing.
+    # null __r so the extra keys are inert. The fallback key in BOTH branches
+    # is a struct of only the ORDERABLE payload columns (minus the explicit
+    # tiebreak, which already sorts first) — appending the full __r struct
+    # would fail analysis on MapType payloads, and rows tied on the explicit
+    # tiebreak value itself must still resolve deterministically.
+    orderable = [
+        f.name
+        for f in right.select(*[F.col(c) for c in payload_cols]).schema.fields
+        if _orderable(f.dataType) and f.name != tiebreak
+    ]
     tie_keys = []
     if tiebreak is not None:
         tie_keys.append(F.col("__r").getField(tiebreak).asc_nulls_first())
-    else:
-        orderable = [
-            f.name
-            for f in right.select(*[F.col(c) for c in payload_cols]).schema.fields
-            if _orderable(f.dataType)
-        ]
-        if orderable:
-            tie_keys.append(
-                F.struct(*[F.col("__r").getField(c) for c in orderable]).asc_nulls_first()
-            )
+    if orderable:
+        tie_keys.append(
+            F.struct(*[F.col("__r").getField(c) for c in orderable]).asc_nulls_first()
+        )
+    elif tiebreak is None:
+        import warnings
+
+        warnings.warn(
+            "asof_join: no orderable right payload column and no explicit "
+            "tiebreak — rows tied on (key, ts) resolve nondeterministically; "
+            "pass tiebreak= to pin the winner.",
+            stacklevel=2,
+        )
     w = (
         Window.partitionBy(*on)
         .orderBy(F.col("__ts"), F.col("__is_left"), *tie_keys)

@@ -36,19 +36,15 @@ def shingle_stream(docs: DataFrame, n: int = 3, *, id_col: str = "doc_id", text:
     array row-local with `F.transform(F.sequence(...), ...)` — measured
     ~50x slower: Spark evaluates higher-order functions on the interpreted
     path (one expression-tree walk + allocations per element). Shuffle
-    profile: one exchange keyed by doc id (window sort); rows are short
-    strings, never the document body."""
+    profile: exactly one exchange, keyed by doc id — the window sort over
+    the EXPLODED word stream (short strings); the document body itself is
+    never shuffled. That exchange also redistributes a narrow scan (a
+    single-row-group file reads as one task) to full parallelism before the
+    CPU-dense md5 fan-out downstream, so no explicit repartition of the
+    document frame is needed — an earlier docs-level repartition here both
+    shuffled full bodies (violating this contract) and added bench
+    variance, and was removed."""
     from pyspark.sql import Window
-
-    # The md5 fan-out downstream (k hashes per shingle) is CPU-dense; a
-    # single-row-group input file scans as ONE partition and would serialize
-    # it. Fan out to session parallelism first — measured 2.7x on the
-    # signature stage; never fires when the scan already has >= cores
-    # partitions (the production case).
-    spark = docs.sparkSession
-    cores = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < cores:
-        docs = docs.repartition(cores, F.col(id_col))
 
     words = docs.select(
         F.col(id_col),
@@ -181,7 +177,7 @@ def _mh_slice(i: int) -> F.Column:
 
 
 def minhash_signatures(
-    shingles: DataFrame, num_hashes: int = 8, *, id_col: str = "doc_id"
+    shingles: DataFrame, num_hashes: int = 64, *, id_col: str = "doc_id"
 ) -> DataFrame:
     """k sliced-md5 permutation minima per doc (hex-string ordering), from
     exploded shingles via a codegen'd partial aggregate (map-side combine,
@@ -205,7 +201,7 @@ def shingle_set_table(shingles: DataFrame, *, id_col: str = "doc_id") -> DataFra
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 8, bands: int = 4, *, id_col: str = "doc_id"
+    signatures: DataFrame, num_hashes: int = 64, bands: int = 16, *, id_col: str = "doc_id"
 ) -> DataFrame:
     """Distinct candidate pairs sharing at least one LSH band bucket."""
     rows_per_band = num_hashes // bands
@@ -281,8 +277,8 @@ def verify_candidate_pairs(
 def minhash_lsh_dedup(
     docs: DataFrame,
     shingle_n: int = 3,
-    num_hashes: int = 8,
-    bands: int = 4,
+    num_hashes: int = 64,
+    bands: int = 16,
     min_jaccard: float = 0.5,
     *,
     id_col: str = "doc_id",
@@ -397,8 +393,8 @@ def connected_components(
 def neardup_clusters(
     docs: DataFrame,
     shingle_n: int = 3,
-    num_hashes: int = 8,
-    bands: int = 4,
+    num_hashes: int = 64,
+    bands: int = 16,
     min_jaccard: float = 0.0,
     *,
     id_col: str = "doc_id",

@@ -47,16 +47,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # for the session-wide side-effect note).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name in _TS_NORMALIZE_COLS:
-        # Harmless no-op on Spark builds that read NANOS natively; required
-        # on builds where NANOS is only readable as a long.
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass
+        set_nanos_as_long(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _TS_NORMALIZE_COLS.get(name, ()):
         df = normalize_ts(df, col)
     return df
+
+
+def set_nanos_as_long(spark: SparkSession) -> None:
+    """Enable the legacy NANOS-as-long parquet read where the build supports
+    it. Harmless no-op on Spark builds that read NANOS natively (or removed
+    the conf); required on builds where NANOS is only readable as a long.
+    Shared by batch loaders and the streaming gate paths."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
 
 
 def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:

@@ -186,17 +186,28 @@ def drain_to_memory(
     )
     deadline = time.time() + max_secs
     last, stable_since = -1, time.time()
+    prev_batch_id, batch_id_repeats = None, 0
     while time.time() < deadline and q.isActive:
         n = spark.table(query_name).count()
         if n != last:
             last, stable_since = n, time.time()
-        elif (
-            time.time() - stable_since >= settle_secs
-            and not q.status.get("isTriggerActive", True)
-            and q.lastProgress is not None
-            and q.lastProgress.get("numInputRows", 1) == 0
-        ):
-            break
+        else:
+            trigger_idle = not q.status.get("isTriggerActive", True)
+            progress = q.lastProgress
+            batch_id = progress.get("batchId") if progress else None
+            # Quiescent either way: the engine scheduled a final empty batch,
+            # OR it never will (batchId frozen across consecutive idle polls
+            # after a terminal data-carrying batch) — don't wait out max_secs.
+            if trigger_idle and batch_id is not None and batch_id == prev_batch_id:
+                batch_id_repeats += 1
+            else:
+                batch_id_repeats = 0
+            prev_batch_id = batch_id
+            if time.time() - stable_since >= settle_secs and trigger_idle and (
+                (progress is not None and progress.get("numInputRows", 1) == 0)
+                or batch_id_repeats >= 3
+            ):
+                break
         time.sleep(0.5)
     q.stop()
     q.awaitTermination()
