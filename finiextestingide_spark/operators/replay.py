@@ -90,6 +90,8 @@ TRADE_FIELDS = StructType(
         StructField("mae_price", DoubleType()),
         StructField("mfe_price", DoubleType()),
         StructField("exit_reason", StringType()),
+        StructField("position_id", IntegerType()),
+        StructField("close_type", StringType()),
     ]
 )
 
@@ -261,17 +263,120 @@ class Consensus:
         return self._target
 
 
+class _SmaState:
+    """Shared incremental SMA(fast)/SMA(slow) condition used by the
+    multi-position strategies (same running-sum bookkeeping as SmaCross)."""
+
+    def __init__(self, params: dict):
+        self.fast = int(params.get("fast", 5))
+        self.slow = int(params.get("slow", 20))
+        self.warmup = self.slow
+        self._closes: list[float] = []
+        self._fsum = 0.0
+        self._ssum = 0.0
+
+    def update(self, close: float) -> bool | None:
+        """None until warmup, else SMA(fast) > SMA(slow)."""
+        cs = self._closes
+        cs.append(close)
+        self._fsum += close
+        self._ssum += close
+        if len(cs) > self.fast:
+            self._fsum -= cs[-self.fast - 1]
+        if len(cs) > self.slow:
+            self._ssum -= cs[-self.slow - 1]
+        if len(cs) < self.warmup:
+            return None
+        return self._fsum / self.fast > self._ssum / self.slow
+
+    def drop_history(self) -> None:
+        # keep the rolling window bounded (only the last `slow` closes matter)
+        if len(self._closes) > 4 * self.slow:
+            del self._closes[: -2 * self.slow]
+
+
+class Pyramid:
+    """Multi-position pyramiding (the reference's concurrent-position model,
+    portfolio_manager.py open_positions dict + tests/simulation/
+    multi_position/): while SMA(fast) > SMA(slow), ADD one position on every
+    closed bar, up to ``max_positions``; on the flip to <=, close ALL open
+    positions (oldest first). Emits explicit actions — requires the
+    action-based replay core (positions list), not the net-target model."""
+
+    def __init__(self, params: dict):
+        self._sma = _SmaState(params)
+        self.warmup = self._sma.warmup
+        self.max_positions = int(params.get("max_positions", 3))
+        self._open_count = 0
+
+    def on_bar_actions(self, close: float) -> list[tuple]:
+        cond = self._sma.update(close)
+        self._sma.drop_history()
+        if cond is None:
+            return []
+        if cond:
+            if self._open_count < self.max_positions:
+                self._open_count += 1
+                return [("open", 1, 1.0)]
+            return []
+        if self._open_count:
+            self._open_count = 0
+            return [("close_all",)]
+        return []
+
+
+class ScaleOut:
+    """Partial-close ladder (reference partial_close_position,
+    portfolio_manager.py:454-520 + tests/simulation/partial_close/):
+    cross-up opens one LONG; after ``hold_bars`` further closed bars, close
+    ``fraction`` of the position's current lots (PARTIAL trade record,
+    remainder keeps running); cross-down or END closes the rest."""
+
+    def __init__(self, params: dict):
+        self._sma = _SmaState(params)
+        self.warmup = self._sma.warmup
+        self.fraction = float(params.get("fraction", 0.5))
+        self.hold_bars = int(params.get("hold_bars", 5))
+        self._in = False
+        self._bars_held = 0
+        self._partial_done = False
+
+    def on_bar_actions(self, close: float) -> list[tuple]:
+        cond = self._sma.update(close)
+        self._sma.drop_history()
+        if cond is None:
+            return []
+        if not self._in:
+            if cond:
+                self._in = True
+                self._bars_held = 0
+                self._partial_done = False
+                return [("open", 1, 1.0)]
+            return []
+        if not cond:
+            self._in = False
+            return [("close_all",)]
+        self._bars_held += 1
+        if not self._partial_done and self._bars_held == self.hold_bars:
+            self._partial_done = True
+            return [("close_oldest", self.fraction)]
+        return []
+
+
 STRATEGIES = {
     "sma_cross": SmaCross,
     "rsi_reversion": RsiReversion,
     "buy_hold": BuyHold,
     "macd_cross": MacdCross,
     "consensus": Consensus,
+    "pyramid": Pyramid,
+    "scale_out": ScaleOut,
 }
 
 
 @dataclass
 class _Position:
+    pos_id: int
     direction: int  # +1 long, -1 short
     lots: float
     entry_i: int
@@ -319,8 +424,33 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     tp_dist = float(params["tp_dist"]) if "tp_dist" in params else None
     start_balance = float(params.get("start_balance", 10_000.0))
     sample_every = int(params.get("equity_sample_every", 1000))
-    entry_type = params.get("entry_type", "market")  # market | limit | stop
+    # market | limit | stop | stop_limit (stop_limit: stop trigger converts
+    # to a limit order at trigger -/+ limit_offset, trade_simulator.py:161-193)
+    entry_type = params.get("entry_type", "market")
     entry_offset = float(params.get("entry_offset", 0.0))
+    limit_offset = float(params.get("limit_offset", 0.0))
+    # Multi-position cap (reference: unlimited concurrent positions in
+    # open_positions; 1 reproduces the historical net-position model).
+    max_positions = int(params.get("max_positions", 1))
+    # Order-modify lifecycle (#318 async pattern, trade_simulator.py:724,919):
+    # after `modify_after_bars` closed bars resting un-triggered, the entry's
+    # trigger moves by dir*modify_delta (scheduled at the decision tick,
+    # APPLIED at the first tick >= schedule + modify_cancel_delay_ms — the
+    # reference's Phase 0 resolve); after `cancel_after_bars` it is cancelled.
+    modify_after_bars = (
+        int(params["modify_after_bars"]) if "modify_after_bars" in params else None
+    )
+    modify_delta = float(params.get("modify_delta", 0.0))
+    cancel_after_bars = (
+        int(params["cancel_after_bars"]) if "cancel_after_bars" in params else None
+    )
+    modify_cancel_delay_ms = int(params.get("modify_cancel_delay_ms", 1))
+    # Spot dual-balance accounting (abstract_adapter spot semantics,
+    # portfolio_manager.py:334-348,395-407,509-521): buys spend quote and
+    # receive base, sells the reverse; equity = quote + base*mid; no margin,
+    # no swap; insufficient funds rejects the order.
+    spot_mode = params.get("spot_mode") == "1"
+    base_start = float(params.get("base_start", 0.0))
     # R6 — overnight rollover fee per UTC day boundary crossed while a
     # position is open (portfolio_manager.py:860-917); multi-day gaps charge
     # once per crossed boundary.
@@ -379,7 +509,9 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     n = len(ts_ms)
 
     rng = random.Random(seed)
-    balance = start_balance
+    balance = start_balance  # margin-mode account currency
+    quote_bal = start_balance  # spot-mode quote balance
+    base_bal = base_start  # spot-mode base-asset balance
     equity = start_balance
     peak = start_balance
     max_dd = 0.0
@@ -391,12 +523,19 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     cur_close = 0.0
     have_bar = False
     target = 0
-    pos: _Position | None = None
-    # latency queue: (due_ms, direction, purpose, trigger_price)
-    # purpose 'open'/'close'; trigger_price None for market opens and closes.
-    pending: list[tuple[int, int, str, float | None]] = []
-    # resting limit/stop entry past its latency deadline: (dir, trigger)
-    resting: tuple[int, float] | None = None
+    # Concurrent open positions, oldest first (the reference's
+    # open_positions dict; insertion order == open order).
+    positions: list[_Position] = []
+    next_pos_id = 0
+    # latency queue, FIFO with head-blocking: (due_ms, action) where action is
+    #   ("open", dir, lots, trigger|None, limit|None, order_type)
+    #   ("close_all",) | ("close_oldest", fraction) | ("close_newest", fraction)
+    pending: list[tuple[int, tuple]] = []
+    # limit/stop/stop_limit entries past their latency deadline, awaiting a
+    # price trigger (_active_limit_orders/_active_stop_orders); each may carry
+    # one scheduled in-flight op (#318): ("modify", apply_ms, new_trig) or
+    # ("cancel", apply_ms).
+    resting: list[dict] = []
     trades: list[dict] = []
     samples: list[dict] = []
 
@@ -420,6 +559,9 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         and swap_short == 0.0
         and entry_type == "market"
         and sample_every == 0
+        and max_positions == 1
+        and not spot_mode
+        and not hasattr(strategy, "on_bar_actions")
         and params.get("force_slow") != "1"
     ):
         return _replay_fast(
@@ -438,44 +580,179 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
             start_balance=start_balance,
         )
 
-    def close_position(i: int, price: float, reason: str, exit_ms: int | None = None) -> None:
-        nonlocal pos, balance
-        p = pos
-        gross = p.direction * (price - p.entry_price) * contract * p.lots
-        fees = p.fees + fee_per_side * p.lots
-        # swap was already debited from balance at each day boundary; it
-        # joins the trade record (and net) here, not the balance again
-        balance += gross - fees
+    def close_position(
+        i: int,
+        price: float,
+        reason: str,
+        p: _Position,
+        exit_ms: int | None = None,
+        fraction: float = 1.0,
+    ) -> None:
+        """Close `p` in full, or — fraction < 1 — partially
+        (portfolio_manager.partial_close_position:454-520): the closed lots
+        realize proportional P&L/fees/swap into a PARTIAL trade record; the
+        position keeps the remainder with fees/swap scaled down. MAE/MFE in
+        the partial record are the position's RUNNING extrema, unscaled —
+        exactly what the reference copies into the partial TradeRecord."""
+        nonlocal balance, quote_bal, base_bal
+        close_lots = p.lots if fraction >= 1.0 else round(p.lots * fraction, 8)
+        ratio = close_lots / p.lots
+        full = close_lots >= p.lots
+        gross = p.direction * (price - p.entry_price) * contract * close_lots
+        fees = p.fees * ratio + fee_per_side * close_lots
+        swap_part = p.swap * ratio
+        if spot_mode:
+            # balance walk: entry-side fees were paid at open; only the exit
+            # fee moves cash here (portfolio_manager.py:395-407,509-521)
+            exit_fee = fee_per_side * close_lots
+            if p.direction > 0:  # close LONG = SELL base for quote
+                base_bal -= close_lots
+                quote_bal += close_lots * price - exit_fee
+            else:  # close SHORT = BUY back base with quote
+                quote_bal -= close_lots * price + exit_fee
+                base_bal += close_lots
+        else:
+            # swap was already debited from balance at each day boundary; it
+            # joins the trade record (and net) here, not the balance again
+            balance += gross - fees
         trades.append(
             {
                 "trade_id": len(trades),
                 "direction": "LONG" if p.direction > 0 else "SHORT",
-                "lots": p.lots,
+                "lots": close_lots,
                 "entry_ts": pd.Timestamp(p.entry_ms, unit="ms"),
                 "entry_price": p.entry_price,
                 "exit_ts": pd.Timestamp(exit_ms if exit_ms is not None else tsl[i], unit="ms"),
                 "exit_price": price,
                 "gross_pnl": gross,
                 "fees": fees,
-                "swap": p.swap,
-                "net_pnl": gross - fees - p.swap,
+                "swap": swap_part,
+                "net_pnl": gross - fees - swap_part,
                 "mae_pnl": p.mae_pnl,
                 "mfe_pnl": p.mfe_pnl,
                 "mae_price": p.mae_price,
                 "mfe_price": p.mfe_price,
                 "exit_reason": reason,
+                "position_id": p.pos_id,
+                "close_type": "FULL" if full else "PARTIAL",
             }
         )
-        pos = None
+        if full:
+            positions.remove(p)
+        else:
+            p.lots = round(p.lots - close_lots, 8)
+            p.fees *= 1.0 - ratio
+            p.swap *= 1.0 - ratio
 
-    def margin_ok() -> bool:
-        """R5 margin gate at fill time: equity (== balance when flat) must
-        cover the required margin, else the order is rejected."""
+    def can_open(d: int, olots: float, price: float) -> bool:
+        """Fill-time gate. Margin mode: balance must cover the margin of ALL
+        open lots plus the new order (reduces to the flat-account check when
+        no position is open). Spot mode: the spending balance must cover the
+        trade (INSUFFICIENT_FUNDS rejection, reference spot_trading suite)."""
         nonlocal n_rejected
-        if margin_per_lot is not None and balance < margin_per_lot * lots:
-            n_rejected += 1
-            return False
+        if spot_mode:
+            fee = fee_per_side * olots
+            ok = (quote_bal >= olots * price + fee) if d > 0 else (base_bal >= olots)
+            if not ok:
+                n_rejected += 1
+                return False
+            return True
+        if margin_per_lot is not None:
+            open_lots = 0.0
+            for p in positions:
+                open_lots += p.lots
+            if balance < margin_per_lot * (open_lots + olots):
+                n_rejected += 1
+                return False
         return True
+
+    def open_position(i: int, entry_ms: int, d: int, olots: float, price: float) -> None:
+        nonlocal next_pos_id, quote_bal, base_bal
+        fee = fee_per_side * olots
+        if spot_mode:  # asset transfer on open (portfolio_manager.py:334-348)
+            if d > 0:  # BUY: spend quote, receive base
+                quote_bal -= olots * price + fee
+                base_bal += olots
+            else:  # SELL: spend base, receive quote
+                base_bal -= olots
+                quote_bal += olots * price - fee
+        positions.append(
+            _Position(
+                pos_id=next_pos_id,
+                direction=d,
+                lots=olots,
+                entry_i=i,
+                entry_ms=entry_ms,
+                entry_price=price,
+                fees=fee,
+                mae_price=price,
+                mfe_price=price,
+            )
+        )
+        next_pos_id += 1
+
+    def entry_trigger(d: int, b: float, a: float) -> tuple[float | None, float | None]:
+        """Trigger/limit prices for a non-market entry queued at decision
+        time, derived from the decision tick's quote."""
+        if entry_type == "limit":
+            return ((a - entry_offset) if d > 0 else (b + entry_offset)), None
+        if entry_type == "stop":
+            return ((a + entry_offset) if d > 0 else (b - entry_offset)), None
+        if entry_type == "stop_limit":
+            trig = (a + entry_offset) if d > 0 else (b - entry_offset)
+            lim = (trig - limit_offset) if d > 0 else (trig + limit_offset)
+            return trig, lim
+        return None, None
+
+    use_actions = hasattr(strategy, "on_bar_actions")
+
+    def queue_actions(acts: list[tuple], t: int, b: float, a: float) -> None:
+        """Translate decision actions into latency-queue entries; ONE rng
+        draw per decision (the reference's per-submission delay — close+open
+        of a flip share the submission moment)."""
+        delay = rng.randint(lat_min, lat_max) if lat_max > 0 else 0
+        due = t + delay
+        for act in acts:
+            if act[0] == "open":
+                d = act[1]
+                olots = lots * (act[2] if len(act) > 2 else 1.0)
+                trig, lim = entry_trigger(d, b, a)
+                pending.append((due, ("open", d, olots, trig, lim, entry_type)))
+            else:
+                pending.append((due, act))
+
+    def execute(i: int, act: tuple, t: int, b: float, a: float, due: int | None) -> None:
+        """Phase-1 body for one latency-resolved action at quote (b, a).
+        `due` non-None stamps heartbeat fills at their deadline instant."""
+        kind = act[0]
+        if kind == "close_all":
+            for p in list(positions):  # oldest first
+                close_position(i, b if p.direction > 0 else a, "SIGNAL", p, exit_ms=due)
+        elif kind in ("close_oldest", "close_newest"):
+            if positions:
+                p = positions[0] if kind == "close_oldest" else positions[-1]
+                close_position(
+                    i, b if p.direction > 0 else a, "SIGNAL", p, exit_ms=due, fraction=act[1]
+                )
+        else:  # open
+            _, d, olots, trig, lim, otype = act
+            if trig is not None:
+                # limit/stop/stop_limit rest past their deadline; price
+                # triggers are evaluated in Phases 2/3 (same tick included)
+                resting.append(
+                    {
+                        "dir": d,
+                        "otype": otype,
+                        "trig": trig,
+                        "limit": lim,
+                        "lots": olots,
+                        "bars_rested": 0,
+                        "modified": False,
+                        "op": None,
+                    }
+                )
+            elif len(positions) < max_positions and can_open(d, olots, a if d > 0 else b):
+                open_position(i, due if due is not None else t, d, olots, a if d > 0 else b)
 
     for i in range(n):
         t = tsl[i]
@@ -485,14 +762,31 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         # R6 — overnight rollover: charge per UTC day boundary crossed
         # since the previous tick while holding (position state is from
         # before this tick's fills, so a position opened on this tick is
-        # not charged for this boundary)
-        if pos is not None and i > 0 and (swap_long != 0.0 or swap_short != 0.0):
+        # not charged for this boundary). Spot accounts carry no swap
+        # (portfolio_manager.py:868).
+        if positions and i > 0 and not spot_mode and (swap_long != 0.0 or swap_short != 0.0):
             days = t // 86_400_000 - tsl[i - 1] // 86_400_000
             if days > 0:
-                rate = swap_long if pos.direction > 0 else swap_short
-                charge = rate * days * pos.lots
-                balance -= charge
-                pos.swap += charge
+                for p in positions:
+                    rate = swap_long if p.direction > 0 else swap_short
+                    charge = rate * days * p.lots
+                    balance -= charge
+                    p.swap += charge
+
+        # Phase 0 — resolve modify/cancel ops scheduled on earlier ticks
+        # (#318: applied BEFORE price triggers so the updated trigger is in
+        # effect for this tick, trade_simulator._resolve_pending_operations)
+        if resting:
+            kept_r = []
+            for r in resting:
+                op = r["op"]
+                if op is not None and t >= op[1]:
+                    if op[0] == "cancel":
+                        continue  # order removed
+                    r["trig"] = op[2]
+                    r["op"] = None
+                kept_r.append(r)
+            resting = kept_r
 
         # R8 — heartbeat passes inside an inter-tick gap: fills whose
         # latency deadline expired during the gap resolve at the LAST known
@@ -505,28 +799,8 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         ):
             pb, pa = bl[i - 1], al[i - 1]
             while pending and pending[0][0] < t:
-                due, direction, purpose, trig = pending.pop(0)
-                if purpose == "close":
-                    if pos is not None:
-                        close_position(
-                            i - 1, pb if pos.direction > 0 else pa, "SIGNAL", exit_ms=due
-                        )
-                elif trig is not None:
-                    # limit/stop entries become resting at their deadline; a
-                    # gap has no quote movement, so no trigger can fire here
-                    resting = (direction, trig)
-                elif pos is None and margin_ok():
-                    price = pa if direction > 0 else pb
-                    pos = _Position(
-                        direction=direction,
-                        lots=lots,
-                        entry_i=i - 1,
-                        entry_ms=due,
-                        entry_price=price,
-                        fees=fee_per_side * lots,
-                        mae_price=price,
-                        mfe_price=price,
-                    )
+                due, act = pending.pop(0)
+                execute(i - 1, act, due, pb, pa, due)
 
         # R1 — budget clipping (algo-invisible, broker-visible)
         clipped = False
@@ -542,106 +816,132 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         if bk[i] != cur_bucket:
             if have_bar:
                 bars_closed += 1
-                new_target = strategy.on_bar(cur_close)
-                if not clipped and new_target != target:
-                    target = new_target
-                    delay = rng.randint(lat_min, lat_max) if lat_max > 0 else 0
-                    due = t + delay
-                    # resolve-modify/cancel phase: a newer signal cancels
-                    # any resting limit/stop entry before queueing its own
-                    resting = None
-                    if pos is not None:
-                        pending.append((due, -pos.direction, "close", None))
-                    if target != 0:
-                        if entry_type == "limit":
-                            trig = (a - entry_offset) if target > 0 else (b + entry_offset)
-                        elif entry_type == "stop":
-                            trig = (a + entry_offset) if target > 0 else (b - entry_offset)
-                        else:
-                            trig = None
-                        pending.append((due, target, "open", trig))
+                # modify/cancel lifecycle bookkeeping: count closed bars an
+                # entry has rested un-triggered; schedule ops at the decision
+                # tick (they apply at Phase 0 once the delay elapses)
+                if resting and (modify_after_bars is not None or cancel_after_bars is not None):
+                    for r in resting:
+                        r["bars_rested"] += 1
+                        if r["op"] is None:
+                            if (
+                                cancel_after_bars is not None
+                                and r["bars_rested"] >= cancel_after_bars
+                            ):
+                                r["op"] = ("cancel", t + modify_cancel_delay_ms)
+                            elif (
+                                modify_after_bars is not None
+                                and not r["modified"]
+                                and r["bars_rested"] >= modify_after_bars
+                            ):
+                                r["modified"] = True
+                                r["op"] = (
+                                    "modify",
+                                    t + modify_cancel_delay_ms,
+                                    r["trig"] + r["dir"] * modify_delta,
+                                )
+                if use_actions:
+                    acts = strategy.on_bar_actions(cur_close)
+                    if not clipped and acts:
+                        queue_actions(acts, t, b, a)
+                else:
+                    new_target = strategy.on_bar(cur_close)
+                    if not clipped and new_target != target:
+                        target = new_target
+                        # one rng draw per flip regardless of what gets
+                        # queued — preserves the historical RNG sequence
+                        delay = rng.randint(lat_min, lat_max) if lat_max > 0 else 0
+                        due = t + delay
+                        # resolve-modify/cancel phase: a newer signal cancels
+                        # any resting entry before queueing its own orders
+                        resting = []
+                        if positions:
+                            pending.append((due, ("close_all",)))
+                        if target != 0:
+                            trig, lim = entry_trigger(target, b, a)
+                            pending.append(
+                                (due, ("open", target, lots, trig, lim, entry_type))
+                            )
             cur_bucket = bk[i]
             have_bar = True
         cur_close = (b + a) / 2.0
 
-        # R2/R3 — drain latency queue in submission order
+        # Phase 1 (R2/R3) — drain latency queue in submission order
         while pending and t >= pending[0][0]:
-            _, direction, purpose, trig = pending.pop(0)
-            if purpose == "close":
-                if pos is not None:
-                    close_position(i, b if pos.direction > 0 else a, "SIGNAL")
-            elif trig is not None:
-                resting = (direction, trig)  # limit/stop: rest until trigger
-            elif pos is None and margin_ok():
-                price = a if direction > 0 else b
-                pos = _Position(
-                    direction=direction,
-                    lots=lots,
-                    entry_i=i,
-                    entry_ms=t,
-                    entry_price=price,
-                    fees=fee_per_side * lots,
-                    mae_price=price,
-                    mfe_price=price,
-                )
+            _, act = pending.pop(0)
+            execute(i, act, t, b, a, None)
 
-        # R3 — limit/stop trigger phase (trade_simulator.py:610-686): LONG
-        # limit fills AT the limit once ask <= limit; SHORT limit once
-        # bid >= limit; stops break out and fill at market.
-        if resting is not None and pos is None:
-            direction, trig = resting
-            fill = None
-            if entry_type == "limit":
-                if direction > 0 and a <= trig:
-                    fill = trig
-                elif direction < 0 and b >= trig:
-                    fill = trig
-            else:  # stop
-                if direction > 0 and a >= trig:
-                    fill = a
-                elif direction < 0 and b <= trig:
-                    fill = b
-            if fill is not None:
-                resting = None
-                if not margin_ok():
-                    fill = None  # broker rejects the triggered order
-            if fill is not None:
-                pos = _Position(
-                    direction=direction,
-                    lots=lots,
-                    entry_i=i,
-                    entry_ms=t,
-                    entry_price=fill,
-                    fees=fee_per_side * lots,
-                    mae_price=fill,
-                    mfe_price=fill,
-                )
+        # Phases 2+3 (R3) — price triggers on resting entries
+        # (trade_simulator.py:610-686): LONG limit fills AT the limit once
+        # ask <= limit, SHORT once bid >= limit; stops break out and fill at
+        # market; a triggered STOP_LIMIT converts to a limit order at its
+        # stored limit price and may fill the same tick (:161-193). Orders
+        # triggering while the position book is at capacity wait (the
+        # historical single-position contract); margin/funds rejection
+        # consumes the order.
+        if resting:
+            kept_r = []
+            for r in resting:
+                d = r["dir"]
+                trig = r["trig"]
+                fill = None
+                if r["otype"] == "limit":
+                    if d > 0 and a <= trig:
+                        fill = trig
+                    elif d < 0 and b >= trig:
+                        fill = trig
+                elif r["otype"] == "stop":
+                    if d > 0 and a >= trig:
+                        fill = a
+                    elif d < 0 and b <= trig:
+                        fill = b
+                else:  # stop_limit: stop leg triggers -> convert to limit
+                    if (d > 0 and a >= trig) or (d < 0 and b <= trig):
+                        r["otype"] = "limit"
+                        r["trig"] = r["limit"]
+                        r["op"] = None  # conversion clears in-flight ops
+                        if d > 0 and a <= r["trig"]:
+                            fill = r["trig"]
+                        elif d < 0 and b >= r["trig"]:
+                            fill = r["trig"]
+                if fill is None:
+                    kept_r.append(r)
+                elif len(positions) >= max_positions:
+                    kept_r.append(r)  # wait for capacity, keep resting
+                elif can_open(d, r["lots"], fill):
+                    open_position(i, t, d, r["lots"], fill)
+                # margin/funds-rejected triggered orders are consumed
+            resting = kept_r
 
         # R4 — excursion update as the price arrives (before stop evaluation,
         # so the exit tick's adverse move is captured in MAE)
-        unreal = 0.0
-        if pos is not None:
-            mark = b if pos.direction > 0 else a
-            unreal = pos.direction * (mark - pos.entry_price) * contract * pos.lots
-            if unreal < pos.mae_pnl:
-                pos.mae_pnl = unreal
-                pos.mae_price = mark
-            if unreal > pos.mfe_pnl:
-                pos.mfe_pnl = unreal
-                pos.mfe_price = mark
+        total_unreal = 0.0
+        for p in list(positions):
+            mark = b if p.direction > 0 else a
+            unreal = p.direction * (mark - p.entry_price) * contract * p.lots
+            if unreal < p.mae_pnl:
+                p.mae_pnl = unreal
+                p.mae_price = mark
+            if unreal > p.mfe_pnl:
+                p.mfe_pnl = unreal
+                p.mfe_price = mark
 
             # R3 — broker-side SL/TP (close-side price: LONG->bid, SHORT->ask)
             if sl_dist is not None or tp_dist is not None:
-                move = pos.direction * (mark - pos.entry_price)
+                move = p.direction * (mark - p.entry_price)
                 if sl_dist is not None and move <= -sl_dist:
-                    close_position(i, mark, "SL")
-                    unreal = 0.0
-                elif tp_dist is not None and move >= tp_dist:
-                    close_position(i, mark, "TP")
-                    unreal = 0.0
+                    close_position(i, mark, "SL", p)
+                    continue
+                if tp_dist is not None and move >= tp_dist:
+                    close_position(i, mark, "TP", p)
+                    continue
+            total_unreal += unreal
 
-        # R5 — account state
-        equity = balance + unreal
+        # R5 — account state (spot: equity = portfolio value at mid,
+        # portfolio_manager.get_spot_equity)
+        if spot_mode:
+            equity = quote_bal + base_bal * ((b + a) / 2.0)
+        else:
+            equity = balance + total_unreal
         if equity > peak:
             peak = equity
         dd = peak - equity
@@ -652,9 +952,14 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 {"ts": pd.Timestamp(t, unit="ms"), "equity": equity, "drawdown": dd}
             )
 
-    if pos is not None and n > 0:
-        close_position(n - 1, bl[n - 1] if pos.direction > 0 else al[n - 1], "END")
-        equity = balance
+    if positions and n > 0:
+        for p in list(positions):
+            close_position(n - 1, bl[n - 1] if p.direction > 0 else al[n - 1], "END", p)
+        equity = (
+            quote_bal + base_bal * ((bl[n - 1] + al[n - 1]) / 2.0)
+            if spot_mode
+            else balance
+        )
 
     wins = sum(1 for tr in trades if tr["net_pnl"] > 0)
     losses = sum(1 for tr in trades if tr["net_pnl"] < 0)
@@ -789,6 +1094,11 @@ def _replay_fast(
                 "mae_price": mae_price,
                 "mfe_price": mfe_price,
                 "exit_reason": reason,
+                # single-position fast domain: every open closes before the
+                # next, so position ids coincide with trade ids (matches the
+                # slow path's per-open pos_id counter)
+                "position_id": len(trades),
+                "close_type": "FULL",
             }
         )
         segments.append((seg_start, i - 1 if reason != "END" else i, d, entry, seg_bal))
@@ -905,7 +1215,32 @@ def attach_scenarios(ticks: DataFrame, scenarios: DataFrame) -> DataFrame:
     )
 
 
-def run_backtest(ticks: DataFrame, scenarios: DataFrame) -> DataFrame:
+# Driver-side planning bound: run_backtest materializes the scenario table on
+# the driver (config closure + partition count). A parameter sweep that
+# cross-joins itself to 10^7 combinations would silently OOM the driver, so
+# the collect fails loudly past this bound (override per call).
+MAX_DRIVER_SCENARIOS = 200_000
+
+
+def _bounded_collect(df: DataFrame, bound: int, what: str) -> list:
+    """collect() with a loud size guard: fetch bound+1 rows via limit so the
+    driver never materializes an unbounded result, and raise if the limit
+    was hit."""
+    rows = df.limit(bound + 1).collect()
+    if len(rows) > bound:
+        raise ValueError(
+            f"{what}: more than {bound} rows would be collected to the "
+            "driver; raise the bound explicitly if this is intentional"
+        )
+    return rows
+
+
+def run_backtest(
+    ticks: DataFrame,
+    scenarios: DataFrame,
+    *,
+    max_driver_scenarios: int = MAX_DRIVER_SCENARIOS,
+) -> DataFrame:
     """ticks(symbol,timestamp,time_msc[,collected_msc],bid,ask) x scenarios
     (SCENARIO_SCHEMA) -> one result row per scenario (REPLAY_RESULT_SCHEMA).
 
@@ -918,9 +1253,10 @@ def run_backtest(ticks: DataFrame, scenarios: DataFrame) -> DataFrame:
       the replay stage is Python-CPU-bound, and AQE's bytes-based coalescing
       would merge the (small-in-bytes, expensive-in-CPU) scenario groups
       onto fewer cores. An explicit repartition(n, col) is exempt from AQE
-      coalescing. The scenario table is tiny (driver metadata, same as the
-      reference's scenario list), so collect() is free."""
-    scen_rows = scenarios.collect()
+      coalescing. The scenario table is driver metadata (same as the
+      reference's scenario list) and the collect is SIZE-GUARDED — a sweep
+      beyond ``max_driver_scenarios`` fails loudly instead of OOMing."""
+    scen_rows = _bounded_collect(scenarios, max_driver_scenarios, "run_backtest(scenarios)")
     cfg = {r["scenario_id"]: r.asDict(recursive=True) for r in scen_rows}
     n = max(len(scen_rows), 1)
 

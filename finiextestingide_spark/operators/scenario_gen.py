@@ -94,7 +94,11 @@ def volatility_split(
         .where(F.col("__atr_rank") <= n_windows * 10)  # candidate pool
         .select(key, ts, atr, "__bar_no")
     )
-    pool = ranked.orderBy(atr, ts).collect()
+    from .replay import _bounded_collect
+
+    pool = _bounded_collect(
+        ranked.orderBy(atr, ts), 500_000, "volatility_split(candidate pool)"
+    )
     by_symbol: dict[str, list] = {}
     for r in pool:
         picks = by_symbol.setdefault(r[key], [])
@@ -104,9 +108,13 @@ def volatility_split(
             picks.append(r)
 
     spark = bars_with_atr.sparkSession
-    bounds = bars_with_atr.groupBy(key).agg(
-        F.min(ts).alias("__min_ts"), F.max(ts).alias("__max_ts")
-    ).collect()
+    bounds = _bounded_collect(
+        bars_with_atr.groupBy(key).agg(
+            F.min(ts).alias("__min_ts"), F.max(ts).alias("__max_ts")
+        ),
+        500_000,
+        "volatility_split(symbol bounds)",
+    )
     rows = []
     sid = 0
     for b in bounds:
