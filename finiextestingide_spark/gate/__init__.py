@@ -23,10 +23,10 @@ from ._util import Query  # noqa: F401
 
 
 def all_queries() -> dict[str, Query]:
-    from . import llmdata, relational, timeseries
+    from . import llmdata, relational, replay_ext, timeseries
 
     out: dict[str, Query] = {}
-    for mod in (relational, timeseries, llmdata):
+    for mod in (relational, timeseries, llmdata, replay_ext):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate gate query names: {overlap}")

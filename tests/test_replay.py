@@ -518,3 +518,241 @@ def test_replay_short_limit_and_stop_sides(spark):
     # market fill: entry at the triggering tick's bid, below the stop level
     decision_bids = [p - 0.01 for p in prices]
     assert all(any(abs(t["entry_price"] - b) < 1e-9 for b in decision_bids) for t in st)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 semantics: multi-position, partial close, STOP_LIMIT, modify
+# lifecycle, spot dual-balance (reference suites tests/simulation/
+# {multi_position,partial_close,modify_lifecycle,spot_trading}/)
+# ---------------------------------------------------------------------------
+
+# steady rise: SMA(2) crosses above SMA(4) early and stays above
+RISING = [100.0 + i * 0.5 for i in range(24)]
+
+
+def test_pyramid_opens_up_to_cap_and_closes_all(spark):
+    ticks = make_ticks(spark, RISING)
+    s = scen(spark, strategy="pyramid", fast=2, slow=4, max_positions=3)
+    res = run_backtest(ticks, s).collect()[0]
+    tr = sorted((t.asDict() for t in res["trades"]), key=lambda r: r["trade_id"])
+    assert res["trades_count"] == 3
+    assert [t["position_id"] for t in tr] == [0, 1, 2]
+    assert all(t["close_type"] == "FULL" for t in tr)
+    assert all(t["direction"] == "LONG" for t in tr)
+    # the ladder opens on three consecutive bar closes -> strictly rising entries
+    entries = [t["entry_price"] for t in tr]
+    assert entries == sorted(entries) and len(set(entries)) == 3
+    # all three positions close together at data end
+    assert len({t["exit_ts"] for t in tr}) == 1
+    assert all(t["exit_reason"] == "END" for t in tr)
+
+
+def test_pyramid_flip_closes_oldest_first(spark):
+    prices = [100.0 + i * 0.5 for i in range(16)] + [108.0 - i * 2.0 for i in range(8)]
+    ticks = make_ticks(spark, prices)
+    s = scen(spark, strategy="pyramid", fast=2, slow=4, max_positions=2)
+    res = run_backtest(ticks, s).collect()[0]
+    tr = sorted((t.asDict() for t in res["trades"]), key=lambda r: r["trade_id"])
+    sig = [t for t in tr if t["exit_reason"] == "SIGNAL"]
+    assert len(sig) >= 2
+    # FIFO close order: among same-exit trades, entry_ts ascending
+    assert sig[0]["exit_ts"] == sig[1]["exit_ts"]
+    assert sig[0]["entry_ts"] < sig[1]["entry_ts"]
+
+
+def test_scale_out_emits_partial_then_full(spark):
+    ticks = make_ticks(spark, RISING)
+    s = scen(spark, strategy="scale_out", fast=2, slow=4, fraction=0.5, hold_bars=3)
+    res = run_backtest(ticks, s).collect()[0]
+    tr = sorted((t.asDict() for t in res["trades"]), key=lambda r: r["trade_id"])
+    assert [t["close_type"] for t in tr] == ["PARTIAL", "FULL"]
+    part, full = tr
+    assert part["lots"] == pytest.approx(0.5)
+    assert full["lots"] == pytest.approx(0.5)
+    assert part["position_id"] == full["position_id"] == 0
+    assert part["entry_price"] == full["entry_price"]
+    assert part["exit_ts"] < full["exit_ts"]
+    # proportional P&L: each record carries its own lots' gross
+    assert part["gross_pnl"] == pytest.approx(
+        (part["exit_price"] - part["entry_price"]) * 0.5
+    )
+    assert full["gross_pnl"] == pytest.approx(
+        (full["exit_price"] - full["entry_price"]) * 0.5
+    )
+
+
+def test_scale_out_short_island_skips_partial(spark):
+    # island too short to reach hold_bars -> single FULL record
+    prices = [100.0] * 8 + [104.0, 104.0, 105.0, 105.0] + [90.0] * 8
+    ticks = make_ticks(spark, prices)
+    s = scen(spark, strategy="scale_out", fast=2, slow=4, fraction=0.5, hold_bars=6)
+    res = run_backtest(ticks, s).collect()[0]
+    tr = [t.asDict() for t in res["trades"]]
+    assert [t["close_type"] for t in tr] == ["FULL"]
+    assert tr[0]["lots"] == pytest.approx(1.0)
+
+
+def test_stop_limit_converts_then_fills_on_pullback(spark):
+    # rest at t2: trig=102.01, lim=101.01; breakout at 104 converts; pullback
+    # to 101 fills AT the limit price; buy_hold holds to END
+    prices = [100.0, 100.0, 100.0, 100.0, 104.0, 104.0, 101.0, 101.0, 99.0, 99.0]
+    ticks = make_ticks(spark, prices)
+    s = scen(
+        spark,
+        strategy="buy_hold",
+        entry_type="stop_limit",
+        entry_offset=2.0,
+        limit_offset=1.0,
+    )
+    res = run_backtest(ticks, s).collect()[0]
+    tr = [t.asDict() for t in res["trades"]]
+    assert len(tr) == 1
+    assert tr[0]["entry_price"] == pytest.approx(101.01)
+    assert tr[0]["exit_reason"] == "END"
+
+
+def test_stop_limit_immediate_fill_at_limit_above_market(spark):
+    # limit_offset < 0 puts the limit ABOVE the trigger: conversion tick
+    # already satisfies ask <= limit -> same-tick fill at the limit price
+    prices = [100.0, 100.0, 100.0, 100.0, 103.0, 103.0, 99.0, 99.0]
+    ticks = make_ticks(spark, prices)
+    s = scen(
+        spark,
+        strategy="buy_hold",
+        entry_type="stop_limit",
+        entry_offset=2.0,
+        limit_offset=-1.0,
+    )
+    res = run_backtest(ticks, s).collect()[0]
+    tr = [t.asDict() for t in res["trades"]]
+    assert len(tr) == 1
+    # trig = 102.01, limit = 103.01; converts at ask=103.01 and fills at 103.01
+    assert tr[0]["entry_price"] == pytest.approx(103.01)
+
+
+def test_modify_lifecycle_moves_trigger_then_fills(spark):
+    # limit rests 5 under market (never fills); after 2 bars the trigger is
+    # modified +4 (applies next tick, Phase 0); fills at the NEW price when
+    # the market dips under it
+    prices = [100.0] * 8 + [98.0] * 4
+    ticks = make_ticks(spark, prices)
+    s = scen(
+        spark,
+        strategy="buy_hold",
+        entry_type="limit",
+        entry_offset=5.0,
+        modify_after_bars=2,
+        modify_delta=4.0,
+    )
+    res = run_backtest(ticks, s).collect()[0]
+    tr = [t.asDict() for t in res["trades"]]
+    assert len(tr) == 1
+    # original trig = 100.01 - 5 = 95.01; modified = 99.01
+    assert tr[0]["entry_price"] == pytest.approx(99.01)
+
+
+def test_cancel_lifecycle_removes_resting_order(spark):
+    prices = [100.0] * 8 + [90.0] * 4  # would fill the original trigger...
+    ticks = make_ticks(spark, prices)
+    s = scen(
+        spark,
+        strategy="buy_hold",
+        entry_type="limit",
+        entry_offset=5.0,
+        cancel_after_bars=2,
+    )
+    res = run_backtest(ticks, s).collect()[0]
+    # ...but the cancel resolved first (bar 2 close + 1ms < the dip)
+    assert res["trades_count"] == 0
+
+
+def test_modify_does_not_apply_same_tick(spark):
+    # the modify schedules at a bar-close tick; a fill on that SAME tick
+    # must use the OLD trigger (op applies at ms+1, reference Phase 0)
+    prices = [100.0] * 6 + [95.0, 98.0] + [98.0] * 4
+    ticks = make_ticks(spark, prices)
+    # original trig 95.01: the t6 dip (ask 95.01) fills it on the very tick
+    # where modify_after_bars=2 schedules its op -> old price wins
+    s = scen(
+        spark,
+        strategy="buy_hold",
+        entry_type="limit",
+        entry_offset=5.0,
+        modify_after_bars=2,
+        modify_delta=4.0,
+    )
+    res = run_backtest(ticks, s).collect()[0]
+    tr = [t.asDict() for t in res["trades"]]
+    assert len(tr) == 1
+    assert tr[0]["entry_price"] == pytest.approx(95.01)
+
+
+def test_spot_balance_walk_and_equity(spark):
+    # LONG round trip in spot mode, no fees: quote walk is
+    # -lots*entry +lots*exit; base returns to base_start; equity = quote +
+    # base*mid(last)
+    prices = [100.0] * 2 + [101.0] * 2 + [102.0] * 2 + [103.0] * 2 + [95.0] * 8
+    ticks = make_ticks(spark, prices)
+    s = scen(
+        spark,
+        strategy="sma_cross",
+        fast=2,
+        slow=3,
+        spot_mode=1,
+        start_balance=10_000.0,
+        base_start=5.0,
+        lots=2.0,
+    )
+    res = run_backtest(ticks, s).collect()[0]
+    tr = sorted((t.asDict() for t in res["trades"]), key=lambda r: r["trade_id"])
+    assert res["trades_count"] >= 1
+    quote = 10_000.0
+    for t in tr:
+        if t["direction"] == "LONG":
+            quote += -2.0 * t["entry_price"] + 2.0 * t["exit_price"]
+        else:
+            quote += 2.0 * t["entry_price"] - 2.0 * t["exit_price"]
+    last_mid = 95.0
+    assert res["final_equity"] == pytest.approx(quote + 5.0 * last_mid)
+
+
+def test_spot_insufficient_base_rejects_short(spark):
+    # declining prices -> first signal is SHORT; base_start=0 cannot SELL
+    prices = [110.0 - i for i in range(16)]
+    ticks = make_ticks(spark, prices)
+    s = scen(
+        spark,
+        strategy="sma_cross",
+        fast=2,
+        slow=3,
+        spot_mode=1,
+        start_balance=10_000.0,
+        base_start=0.0,
+    )
+    res = run_backtest(ticks, s).collect()[0]
+    assert res["orders_rejected"] >= 1
+    assert res["trades_count"] == 0
+
+
+def test_pyramid_latency_deterministic_per_seed(spark):
+    prices = [100.0 + ((i * 7) % 13) * 0.3 for i in range(60)]
+    ticks = make_ticks(spark, prices)
+
+    def run(seed):
+        s = scen(
+            spark, seed=seed, lat=(50, 40_000),
+            strategy="pyramid", fast=2, slow=4, max_positions=3,
+        )
+        r = run_backtest(ticks, s).collect()[0]
+        return [(t["entry_ts"], t["exit_ts"], t["entry_price"]) for t in r["trades"]]
+
+    assert run(11) == run(11)
+
+
+def test_bounded_collect_guards_driver_size(spark):
+    from finiextestingide_spark.operators.replay import _bounded_collect
+
+    df = spark.range(10)
+    assert len(_bounded_collect(df, 10, "x")) == 10
+    with pytest.raises(ValueError, match="more than 3 rows"):
+        _bounded_collect(df, 3, "x")
