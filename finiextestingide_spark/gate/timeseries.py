@@ -336,6 +336,141 @@ WHERE prev_ms IS NOT NULL AND ms - prev_ms > 2 * {_EXPECTED_INTERVAL_MS}
 """
 
 
+# --- W9 extended: holiday classification + multi-weekend gap splitting on a
+#     deterministic fixture (the reference pins these semantics with fixture
+#     tests too — market_calendar.py:31,400-418 holidays, :501 splitter).
+#     The fixture exercises every class: SEAMLESS/SHORT/MODERATE/LARGE,
+#     WEEKEND primary (Fri>=20:00 -> Sun<=22:00, 40-80h) and alternative
+#     (Sat -> Sun<=22:00, 24-50h), HOLIDAY (Dec 25 and Jan 1), and >80h gaps
+#     split at Fri-20:00/Sun-22:00 boundaries, each segment re-classified. ---
+
+_GSC_FIXTURE = [
+    "2025-11-03 10:00:00",  # Mon
+    "2025-11-03 10:00:03",  # +3s                 -> SEAMLESS
+    "2025-11-03 10:10:03",  # +10min              -> SHORT
+    "2025-11-03 12:10:03",  # +2h                 -> MODERATE
+    "2025-11-03 18:10:03",  # +6h                 -> LARGE
+    "2025-11-07 21:00:00",  # Fri; ~99h           -> split at Fri 20:00
+    "2025-11-09 21:30:00",  # Sun; 48.5h          -> WEEKEND (primary)
+    "2025-11-15 10:00:00",  # Sat; 132.5h         -> split (Sun22 + Fri20 inside)
+    "2025-11-16 20:00:00",  # Sun; 34h            -> WEEKEND (alternative)
+    "2025-12-24 18:00:00",  # Wed; ~910h          -> split across many weekends
+    "2025-12-26 10:00:00",  # Fri; 40h, Dec 25    -> HOLIDAY
+    "2025-12-26 10:00:03",  # +3s                 -> SEAMLESS
+    "2025-12-31 23:00:00",  # Wed; ~133h          -> split (one weekend inside)
+    "2026-01-02 08:00:00",  # Fri; 33h, Jan 1     -> HOLIDAY
+]
+_GSC_INTERVAL_MS = 1000
+
+
+def gap_scan_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
+    from ..operators.gaps import classify_gap, split_gaps_at_market_boundaries
+
+    # naive fixture datetimes are wall-clock; pin the session to UTC so
+    # hour/weekday classification matches DuckDB's naive literals
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [("FIX", datetime.fromisoformat(s)) for s in _GSC_FIXTURE]
+    ticks = spark.createDataFrame(rows, "symbol string, ts timestamp")
+    gaps = detect_gaps(ticks, _GSC_INTERVAL_MS, key="symbol", ts="ts")
+    segs = split_gaps_at_market_boundaries(gaps)
+    return segs.select(
+        F.col("key").alias("symbol"),
+        F.unix_millis("gap_start").alias("gap_start_ms"),
+        F.unix_millis("gap_end").alias("gap_end_ms"),
+        "gap_ms",
+        F.col("n_segments").cast("int").alias("n_segments"),
+        F.unix_millis("segment_start").alias("seg_start_ms"),
+        F.unix_millis("segment_end").alias("seg_end_ms"),
+        "segment_ms",
+        classify_gap(
+            F.col("segment_ms"),
+            F.col("segment_start"),
+            F.col("segment_end"),
+            weekend_closure=True,
+        ).alias("gap_class"),
+    )
+
+
+def _gsc_sql() -> str:
+    values = ",\n    ".join(f"(TIMESTAMP '{s}')" for s in _GSC_FIXTURE)
+    # weekday: isodow 1=Mon..7=Sun -> Mon=0 convention via isodow-1
+    holiday = (
+        "(datediff('day', CAST(segment_start AS DATE), CAST(segment_end AS DATE)) >= 366"
+        + "".join(
+            f" OR make_date(year(CAST({side} AS DATE)), {m}, {d})"
+            f" BETWEEN CAST(segment_start AS DATE) AND CAST(segment_end AS DATE)"
+            for m, d in ((12, 25), (1, 1))
+            for side in ("segment_start", "segment_end")
+        )
+        + ")"
+    )
+    return f"""
+WITH fixture(ts) AS (VALUES
+    {values}
+),
+seq AS (SELECT ts, lag(ts) OVER (ORDER BY ts) AS prev FROM fixture),
+gaps AS (
+  SELECT prev AS gap_start, ts AS gap_end,
+         epoch_ms(ts) - epoch_ms(prev) AS gap_ms
+  FROM seq
+  WHERE prev IS NOT NULL AND epoch_ms(ts) - epoch_ms(prev) > {2 * _GSC_INTERVAL_MS}
+),
+cal AS (
+  SELECT w + INTERVAL 116 HOUR AS b
+  FROM generate_series(TIMESTAMP '2025-10-06 00:00:00',
+                       TIMESTAMP '2026-02-02 00:00:00', INTERVAL 7 DAY) t(w)
+  UNION ALL
+  SELECT w + INTERVAL 166 HOUR
+  FROM generate_series(TIMESTAMP '2025-10-06 00:00:00',
+                       TIMESTAMP '2026-02-02 00:00:00', INTERVAL 7 DAY) t(w)
+),
+edges AS (
+  SELECT g.gap_start, g.gap_end, g.gap_ms, c.b AS edge
+  FROM gaps g JOIN cal c
+    ON c.b > g.gap_start AND c.b < g.gap_end AND g.gap_ms > {80 * 3600_000}
+  UNION ALL SELECT gap_start, gap_end, gap_ms, gap_start FROM gaps
+  UNION ALL SELECT gap_start, gap_end, gap_ms, gap_end FROM gaps
+),
+segs AS (
+  SELECT gap_start, gap_end, gap_ms, edge AS segment_start,
+         lead(edge) OVER (PARTITION BY gap_start ORDER BY edge) AS segment_end,
+         CAST(count(*) OVER (PARTITION BY gap_start) - 1 AS INTEGER) AS n_segments
+  FROM edges
+),
+classified AS (
+  SELECT *, epoch_ms(segment_end) - epoch_ms(segment_start) AS segment_ms
+  FROM segs WHERE segment_end IS NOT NULL
+)
+SELECT 'FIX' AS symbol,
+       epoch_ms(gap_start) AS gap_start_ms,
+       epoch_ms(gap_end) AS gap_end_ms,
+       gap_ms, n_segments,
+       epoch_ms(segment_start) AS seg_start_ms,
+       epoch_ms(segment_end) AS seg_end_ms,
+       segment_ms,
+       CASE
+         WHEN segment_ms < 5000 THEN 'SEAMLESS'
+         WHEN (isodow(segment_start) - 1 = 4 AND hour(segment_start) >= 20
+               AND isodow(segment_end) - 1 = 6 AND hour(segment_end) <= 22
+               AND segment_ms BETWEEN {40 * 3600_000} AND {80 * 3600_000})
+           OR (isodow(segment_start) - 1 = 5
+               AND isodow(segment_end) - 1 = 6 AND hour(segment_end) <= 22
+               AND segment_ms BETWEEN {24 * 3600_000} AND {50 * 3600_000})
+           THEN 'WEEKEND'
+         WHEN segment_ms >= {20 * 3600_000} AND {holiday} THEN 'HOLIDAY'
+         WHEN segment_ms < {30 * 60_000} THEN 'SHORT'
+         WHEN segment_ms < {4 * 3600_000} THEN 'MODERATE'
+         ELSE 'LARGE'
+       END AS gap_class
+FROM classified
+"""
+
+
+GAP_SCAN_CALENDAR_SQL = _gsc_sql()
+
+
 # --- RSI (W1, SMA flavor) on daily bars ---
 
 
@@ -2272,6 +2407,11 @@ QUERIES: dict[str, Query] = {
     ),
     "session_profile": Query(session_profile, SESSION_PROFILE_SQL, "S4 session labels + A3 summary"),
     "gap_scan": Query(gap_scan, GAP_SCAN_SQL, "W9 gap detection + classification"),
+    "gap_scan_calendar": Query(
+        gap_scan_calendar,
+        GAP_SCAN_CALENDAR_SQL,
+        "W9 holiday classification + multi-weekend gap splitting (fixture)",
+    ),
     "rsi_14_daily": Query(rsi_14_daily, RSI_14_DAILY_SQL, "W1 RSI (SMA flavor)"),
     "bollinger_20_daily": Query(bollinger_20_daily, BOLLINGER_20_DAILY_SQL, "W2 Bollinger (pop std)"),
     "obv_daily": Query(obv_daily, OBV_DAILY_SQL, "W4 on-balance volume"),

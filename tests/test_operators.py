@@ -422,3 +422,48 @@ def test_ansi_degenerate_data_yields_null_not_crash(spark):
     ).select("vec_id", cosine(F.col("embedding"), F.col("q")).alias("c")).collect()
     by = {r["vec_id"]: r["c"] for r in row}
     assert by[1] is None and by[2] == 1.0
+
+
+def test_gap_calendar_holiday_and_split(spark):
+    """W9 extended: HOLIDAY classification and multi-weekend splitting
+    (reference market_calendar.py:31,400-418,501)."""
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from finiextestingide_spark.operators.gaps import (
+        classify_gap,
+        detect_gaps,
+        split_gaps_at_market_boundaries,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stamps = [
+        "2025-12-24 18:00:00",  # Wed before Christmas
+        "2025-12-26 10:00:00",  # 40h gap containing Dec 25 -> HOLIDAY
+        "2026-01-09 21:00:00",  # Fri; ~347h -> split across 2 weekends
+        "2026-01-11 21:00:00",  # Sun; 48h -> WEEKEND primary
+    ]
+    ticks = spark.createDataFrame(
+        [("X", datetime.fromisoformat(s)) for s in stamps], "symbol string, ts timestamp"
+    )
+    segs = split_gaps_at_market_boundaries(
+        detect_gaps(ticks, 1000, key="symbol", ts="ts")
+    ).withColumn(
+        "cls",
+        classify_gap(
+            F.col("segment_ms"),
+            F.col("segment_start"),
+            F.col("segment_end"),
+            weekend_closure=True,
+        ),
+    )
+    rows = segs.orderBy("segment_start").collect()
+    classes = [r["cls"] for r in rows]
+    assert classes[0] == "HOLIDAY"  # Dec 25 inside, not a weekend pattern
+    assert "WEEKEND" in classes[1:]  # split produced exact weekend segments
+    # the long gap split at Fri-20:00/Sun-22:00 boundaries (2 weekends + NY)
+    long_gap = [r for r in rows if r["n_segments"] > 1]
+    assert long_gap and long_gap[0]["n_segments"] >= 4
+    # final 48h Fri-21:00 -> Sun-21:00 gap is a single WEEKEND segment
+    assert classes[-1] == "WEEKEND" and rows[-1]["n_segments"] == 1
