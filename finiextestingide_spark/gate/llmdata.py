@@ -155,6 +155,46 @@ WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {_J_MIN_JACCARD}
 """
 
 
+# --- df-capped Jaccard: the posting-list-bomb guard. Shingles in more than
+#     _J_MAX_DF documents are excluded from the whole computation (sizes AND
+#     intersections), making the result the exact Jaccard on the capped
+#     shingle universe. The cap bites at every SF here (max df 9/7/25). ---
+
+_J_MAX_DF = 5
+
+
+def jaccard_pairs_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dd.word_shingles(_docs(spark, sf_dir), 3)
+    out = dd.jaccard_pairs(sh, _J_MIN_INTER, _J_MIN_JACCARD, max_doc_freq=_J_MAX_DF)
+    return out.select(
+        "id_a", "id_b", "intersection", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+JACCARD_PAIRS_DFCAP_SQL = f"""
+WITH {_SHINGLES_CTE},
+capped AS (
+  SELECT * FROM sh
+  WHERE shingle NOT IN (
+    SELECT shingle FROM sh GROUP BY 1 HAVING count(DISTINCT doc_id) > {_J_MAX_DF}
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {_J_MIN_INTER}
+)
+SELECT id_a, id_b, CAST(inter AS BIGINT) AS intersection,
+       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {_J_MIN_JACCARD}
+"""
+
+
 # --- MinHash + LSH candidate pairs with exact-Jaccard verification ---
 
 _MH_K = 8
@@ -461,7 +501,13 @@ WHERE rank <= {_MP_K}
 
 # --- embedding-cosine near-dup pairs (label-blocked) ---
 
-_ND_MIN_COS = 0.9
+# The synthetic embeddings are near-orthogonal (max in-block cosine ~0.45 at
+# sf0.001-0.01, ~0.51 at sf0.1), so a production-style 0.9 threshold made
+# this gate vacuously pass on empty sets. 0.35 yields a non-empty, stable
+# pair set at every scale factor (14 / 26 / 391 pairs) while still
+# exercising the cosine + blocking path; both engines compute the cosine as
+# the same left-to-right double fold, so the threshold compare is exact.
+_ND_MIN_COS = 0.35
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -686,6 +732,9 @@ QUERIES: dict[str, Query] = {
         dedup_keep_best, DEDUP_KEEP_BEST_SQL, "exact dedup, quality keep-policy"
     ),
     "jaccard_pairs_3gram": Query(jaccard_pairs_3gram, JACCARD_PAIRS_3GRAM_SQL, "n-gram Jaccard pairs"),
+    "jaccard_pairs_dfcap": Query(
+        jaccard_pairs_dfcap, JACCARD_PAIRS_DFCAP_SQL, "df-capped Jaccard pairs"
+    ),
     "minhash_lsh_pairs": Query(minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL, "MinHash+LSH with verify"),
     "neardup_clusters": Query(
         neardup_clusters_q, NEARDUP_CLUSTERS_SQL, "iterative connected-components clustering"

@@ -138,9 +138,27 @@ def jaccard_pairs(
     min_jaccard: float = 0.0,
     *,
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All document pairs sharing >= min_intersection shingles with their
-    exact Jaccard similarity."""
+    exact Jaccard similarity.
+
+    ``max_doc_freq`` caps posting-list length: shingles appearing in more
+    than that many documents are dropped from the ENTIRE computation
+    (intersection AND per-doc sizes), so the result is the exact Jaccard on
+    the capped shingle universe. Without the cap, one boilerplate shingle
+    ("all rights reserved") shared by 10^6 documents makes the self-join
+    quadratic inside its posting list — at 100 TB the cap is what keeps the
+    inverted-index path usable; the hot set itself is tiny, so the filter is
+    a broadcast anti-join, not a second shuffle."""
+    if max_doc_freq is not None:
+        hot = (
+            shingles.groupBy("shingle")
+            .agg(F.count_distinct(id_col).alias("__df"))
+            .where(F.col("__df") > max_doc_freq)
+            .select("shingle")
+        )
+        shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")
