@@ -699,6 +699,52 @@ GROUP BY p.symbol
 REPLAY_SPOT_ORACLE_SQL = _spot_sql()
 
 
+# ---------------------------------------------------------------------------
+# 5. replay_trendchannel — the production-complexity decision logic, proving
+#    the plugin surface at the reference's real strategy depth
+#    (decision_logic/core/trend_channel_reference.py, 844 LoC). Rows-only:
+#    the full order surface (resting entries with attached SL/TP, trailing
+#    modifies, R-rung partial closes, cancel/re-price lifecycle) is not
+#    SQL-expressible; determinism is pinned by pytest (same seed => same
+#    trades) and every building block it drives has its own oracle gate.
+# ---------------------------------------------------------------------------
+
+
+def replay_trendchannel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.replay import run_backtest
+
+    ticks = _ticks(spark, sf_dir)
+    rows = []
+    sid = 0
+    for mode in ("limit_pullback", "stop_breakout"):
+        for sym in _SYMBOLS:
+            sid += 1
+            params = {
+                "strategy": "trend_channel",
+                "entry_mode": mode,
+                "bar_ms": str(_BAR_MS),
+                "boll_period": "12",
+                "gate_every_bars": "4",
+                "gate_ma_period": "8",
+                "max_positions": "2",
+                "equity_sample_every": "0",
+            }
+            rows.append((sid, f"tc-{mode}-{sym}", sym, None, None, sid, 50, 2000, params))
+    res = run_backtest(ticks, _scenarios(spark, rows))
+    return res.select(
+        "scenario_id",
+        "ticks_processed",
+        "bars_closed",
+        "trades_count",
+        "orders_rejected",
+        "wins",
+        "losses",
+        F.round("net_pnl", 6).alias("net_pnl"),
+        F.round("final_equity", 6).alias("final_equity"),
+        F.round("max_drawdown", 6).alias("max_drawdown"),
+    )
+
+
 QUERIES: dict[str, Query] = {
     "replay_pyramid_oracle": Query(
         replay_pyramid_oracle,
@@ -719,5 +765,10 @@ QUERIES: dict[str, Query] = {
         replay_spot_oracle,
         REPLAY_SPOT_ORACLE_SQL,
         "spot dual-balance accounting replay vs oracle",
+    ),
+    "replay_trendchannel": Query(
+        replay_trendchannel,
+        None,
+        "trend-channel production decision logic (rows-only, pytest-pinned)",
     ),
 }

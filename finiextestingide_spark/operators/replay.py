@@ -363,6 +363,197 @@ class ScaleOut:
         return []
 
 
+class TrendChannel:
+    """Port of the reference's production decision logic
+    (decision_logic/core/trend_channel_reference.py, 844 LoC; suite
+    tests/simulation/trend_channel_reference/): an H1 ma_trend gate plus an
+    M15 Bollinger channel driving the FULL order surface — resting
+    LIMIT(pullback)/STOP(breakout) entries with order-attached SL/TP sized
+    off the band half-width, an always-on ratcheting trailing stop with an
+    epsilon anti-spam guard, a one-rung partial close at a configured
+    R-multiple, cancel-on-gate-flip and re-price-on-band-drift for resting
+    entries, and up to max_positions concurrent stacked positions.
+
+    Adaptation notes (engine model, not semantics changes): management runs
+    at bar closes (the reference runs per tick, but its gate/band inputs
+    only move on bar closes and its re-price is explicitly 'bar-close
+    bounded'); the H1 gate is aggregated strategy-side from every
+    ``gate_every_bars``-th base-bar close (the reference declares a second
+    worker timeframe); trailing-stop modifies apply synchronously (the
+    reference's capability-gated sync fallback path)."""
+
+    def __init__(self, params: dict):
+        self.mode = params.get("entry_mode", "limit_pullback")
+        self.boll_n = int(params.get("boll_period", 20))
+        self.boll_dev = float(params.get("boll_dev", 2.0))
+        self.gate_every = int(params.get("gate_every_bars", 4))
+        self.ma_n = int(params.get("gate_ma_period", 20))
+        self.flat_threshold = float(params.get("gate_flat_threshold", 0.1))
+        self.entry_band_pos = float(params.get("entry_band_pos", 0.25))
+        self.sl_mult = float(params.get("sl_mult", 1.0))
+        self.tp_mult = float(params.get("tp_mult", 2.0))
+        self.breakout_offset_mult = float(params.get("breakout_offset_mult", 0.25))
+        self.trail_mult = float(params.get("trail_mult", 1.0))
+        self.partial_rr = float(params.get("partial_rr", 1.0))
+        self.partial_fraction = float(params.get("partial_fraction", 0.5))
+        # shared key with the core's position-book cap, so the algo-side
+        # capacity check and the broker-side cap always agree
+        self.max_positions = int(params.get("max_positions", 2))
+        self.warmup = max(self.boll_n, (self.ma_n + 1) * self.gate_every)
+        self._closes: list[float] = []
+        self._h1: list[float] = []
+        self._bar_no = 0
+        self._gate = "FLAT"
+        self._oid = 0
+        self._resting: dict[str, dict] = {}
+        self._initial_risk: dict[int, float] = {}
+        self._partial_done: set[int] = set()
+        self._known_pos: set[int] = set()
+
+    def _geometry(self, buy: bool, upper: float, lower: float, bh: float):
+        """(entry, sl, tp) from the band edges (_entry_geometry)."""
+        sl_d = self.sl_mult * bh
+        tp_d = self.tp_mult * bh
+        if self.mode == "limit_pullback":
+            entry = lower if buy else upper
+            return (
+                (entry, entry - sl_d, entry + tp_d)
+                if buy
+                else (entry, entry + sl_d, entry - tp_d)
+            )
+        off = self.breakout_offset_mult * bh
+        entry = (upper + off) if buy else (lower - off)
+        return (
+            (entry, entry - sl_d, entry + tp_d)
+            if buy
+            else (entry, entry + sl_d, entry - tp_d)
+        )
+
+    def on_bar_ctx(self, ctx: dict) -> list[tuple]:
+        from statistics import fmean, pstdev
+
+        close = ctx["close"]
+        self._bar_no += 1
+        cs = self._closes
+        cs.append(close)
+        if len(cs) > 4 * self.boll_n:
+            del cs[: -2 * self.boll_n]
+        # H1 gate: every gate_every-th base-bar close is an H1 close;
+        # ma_trend = MA slope normalized by window volatility
+        # (ma_trend_worker.py:145-205 flavor, matching operators.indicators)
+        if self._bar_no % self.gate_every == 0:
+            h1 = self._h1
+            h1.append(close)
+            if len(h1) > 4 * self.ma_n:
+                del h1[: -2 * self.ma_n]
+            if len(h1) >= self.ma_n + 1:
+                ma = fmean(h1[-self.ma_n :])
+                ma_prev = fmean(h1[-self.ma_n - 1 : -1])
+                vol = pstdev(h1[-self.ma_n :])
+                norm = (ma - ma_prev) / vol if vol != 0 else 0.0
+                self._gate = (
+                    "UP"
+                    if norm > self.flat_threshold
+                    else ("DOWN" if norm < -self.flat_threshold else "FLAT")
+                )
+        if len(cs) < self.boll_n:
+            return []
+        window = cs[-self.boll_n :]
+        mid = fmean(window)
+        std = pstdev(window)
+        upper = mid + self.boll_dev * std
+        lower = mid - self.boll_dev * std
+        bh = (upper - lower) / 2.0
+        price = (ctx["bid"] + ctx["ask"]) / 2.0
+
+        acts: list[tuple] = []
+        # 1. reconcile fills: a position first seen now seeds its initial
+        # risk off its attached SL (entry-to-SL distance)
+        for pid, d, plots, entry, slp, _tpp in ctx["positions"]:
+            if pid not in self._known_pos:
+                self._known_pos.add(pid)
+                self._initial_risk[pid] = abs(entry - slp) if slp is not None else bh
+        live_oids = {r[0] for r in ctx["resting"]}
+        for oid in list(self._resting):
+            if oid not in live_oids:
+                del self._resting[oid]  # filled or cancelled
+
+        # 2. open positions: one-rung partial close at the R rung, then an
+        # always-on trail that only ratchets in the profit direction
+        for pid, d, plots, entry, slp, _tpp in ctx["positions"]:
+            risk = self._initial_risk.get(pid) or bh
+            if risk <= 0.0:
+                continue
+            move = (price - entry) if d > 0 else (entry - price)
+            if pid not in self._partial_done and move / risk >= self.partial_rr:
+                self._partial_done.add(pid)
+                acts.append(("close_pos", pid, self.partial_fraction))
+            offset = self.trail_mult * risk
+            if offset > 0.0:
+                eps = risk * 0.1  # anti-spam epsilon (reference _maybe_trail)
+                if d > 0:
+                    new_sl = price - offset
+                    if slp is None or new_sl > slp + eps:
+                        acts.append(("set_sl", pid, new_sl))
+                else:
+                    new_sl = price + offset
+                    if slp is None or new_sl < slp - eps:
+                        acts.append(("set_sl", pid, new_sl))
+
+        # 3. resting entries: cancel on gate flip; re-price on band drift
+        if bh > 0.0:
+            for oid, d, otype, trig, _lim in ctx["resting"]:
+                info = self._resting.get(oid)
+                if info is None:
+                    continue
+                if self._gate != ("UP" if d > 0 else "DOWN"):
+                    acts.append(("cancel_order", oid))
+                    del self._resting[oid]
+                    continue
+                buy = d > 0
+                new_entry, new_sl, new_tp = self._geometry(buy, upper, lower, bh)
+                if abs(new_entry - info["price"]) <= bh * 0.5:
+                    continue
+                # keep the re-priced order on the correct side of price
+                if otype == "stop":
+                    if (buy and new_entry <= price) or (not buy and new_entry >= price):
+                        continue
+                else:
+                    if (buy and new_entry >= price) or (not buy and new_entry <= price):
+                        continue
+                acts.append(("modify_order", oid, new_entry, None, new_sl, new_tp))
+                info.update(price=new_entry, sl=new_sl, tp=new_tp)
+
+        # 4. new entry: one resting at a time, capacity-capped, armed by %B
+        # (pullback) or trigger-beyond-price (breakout)
+        if (
+            bh > 0.0
+            and self._gate in ("UP", "DOWN")
+            and not self._resting
+            and len(ctx["positions"]) < self.max_positions
+        ):
+            buy = self._gate == "UP"
+            entry, slp2, tpp2 = self._geometry(buy, upper, lower, bh)
+            pos_raw = (price - lower) / (upper - lower)
+            if self.mode == "limit_pullback":
+                armed = (
+                    pos_raw <= self.entry_band_pos
+                    if buy
+                    else pos_raw >= 1.0 - self.entry_band_pos
+                )
+            else:
+                armed = (price < entry) if buy else (price > entry)
+            if armed:
+                oid = f"tc{self._oid}"
+                self._oid += 1
+                otype = "stop" if self.mode == "stop_breakout" else "limit"
+                acts.append(
+                    ("open_order", 1 if buy else -1, 1.0, otype, entry, None, slp2, tpp2, oid)
+                )
+                self._resting[oid] = {"price": entry, "sl": slp2, "tp": tpp2}
+        return acts
+
+
 STRATEGIES = {
     "sma_cross": SmaCross,
     "rsi_reversion": RsiReversion,
@@ -371,6 +562,7 @@ STRATEGIES = {
     "consensus": Consensus,
     "pyramid": Pyramid,
     "scale_out": ScaleOut,
+    "trend_channel": TrendChannel,
 }
 
 
@@ -388,6 +580,11 @@ class _Position:
     mfe_pnl: float = 0.0
     mae_price: float = 0.0
     mfe_price: float = 0.0
+    # per-position broker-side levels (absolute prices; None = none) — the
+    # reference Position carries stop_loss/take_profit, modifiable via
+    # modify_position (trade_simulator.py:1054)
+    sl_price: float | None = None
+    tp_price: float | None = None
 
 
 def _replay_one(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -562,6 +759,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         and max_positions == 1
         and not spot_mode
         and not hasattr(strategy, "on_bar_actions")
+        and not hasattr(strategy, "on_bar_ctx")
         and params.get("force_slow") != "1"
     ):
         return _replay_fast(
@@ -666,7 +864,15 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 return False
         return True
 
-    def open_position(i: int, entry_ms: int, d: int, olots: float, price: float) -> None:
+    def open_position(
+        i: int,
+        entry_ms: int,
+        d: int,
+        olots: float,
+        price: float,
+        sl: float | None = None,
+        tp: float | None = None,
+    ) -> None:
         nonlocal next_pos_id, quote_bal, base_bal
         fee = fee_per_side * olots
         if spot_mode:  # asset transfer on open (portfolio_manager.py:334-348)
@@ -687,6 +893,8 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 fees=fee,
                 mae_price=price,
                 mfe_price=price,
+                sl_price=sl,
+                tp_price=tp,
             )
         )
         next_pos_id += 1
@@ -705,19 +913,57 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         return None, None
 
     use_actions = hasattr(strategy, "on_bar_actions")
+    use_ctx = hasattr(strategy, "on_bar_ctx")
 
-    def queue_actions(acts: list[tuple], t: int, b: float, a: float) -> None:
-        """Translate decision actions into latency-queue entries; ONE rng
+    def handle_actions(acts: list[tuple], t: int, b: float, a: float) -> None:
+        """Dispatch decision actions. Queueable order actions share ONE rng
         draw per decision (the reference's per-submission delay — close+open
-        of a flip share the submission moment)."""
-        delay = rng.randint(lat_min, lat_max) if lat_max > 0 else 0
-        due = t + delay
+        of a flip share the submission moment). Position-modify actions
+        apply synchronously (the reference's capability-gated sync fallback,
+        trade_simulator.modify_position:1054); resting-order cancel/modify
+        go through the #318 scheduled-op machinery."""
+        due = None
         for act in acts:
-            if act[0] == "open":
+            kind = act[0]
+            if kind in ("set_sl", "set_sltp"):
+                for p in positions:
+                    if p.pos_id == act[1]:
+                        p.sl_price = act[2]
+                        if kind == "set_sltp":
+                            p.tp_price = act[3]
+                        break
+                continue
+            if kind == "cancel_order":
+                for r in resting:
+                    if r.get("oid") == act[1] and r["op"] is None:
+                        r["op"] = ("cancel", t + modify_cancel_delay_ms)
+                        break
+                continue
+            if kind == "modify_order":
+                _, oid, ntrig, nlim, nsl, ntp = act
+                for r in resting:
+                    if r.get("oid") == oid and r["op"] is None:
+                        r["op"] = ("modify", t + modify_cancel_delay_ms, ntrig, nlim, nsl, ntp)
+                        break
+                continue
+            # queueable order actions share one submission-delay draw
+            if due is None:
+                delay = rng.randint(lat_min, lat_max) if lat_max > 0 else 0
+                due = t + delay
+            if kind == "open":
                 d = act[1]
                 olots = lots * (act[2] if len(act) > 2 else 1.0)
                 trig, lim = entry_trigger(d, b, a)
-                pending.append((due, ("open", d, olots, trig, lim, entry_type)))
+                pending.append(
+                    (due, ("open", d, olots, trig, lim, entry_type, None, None, None))
+                )
+            elif kind == "open_order":
+                # absolute-price order: (dir, lots_mult, otype, trigger,
+                # limit, sl, tp, oid)
+                _, d, mult, otype, trig, lim, sl, tp, oid = act
+                pending.append(
+                    (due, ("open", d, lots * mult, trig, lim, otype, sl, tp, oid))
+                )
             else:
                 pending.append((due, act))
 
@@ -734,8 +980,20 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 close_position(
                     i, b if p.direction > 0 else a, "SIGNAL", p, exit_ms=due, fraction=act[1]
                 )
+        elif kind == "close_pos":
+            for p in positions:
+                if p.pos_id == act[1]:
+                    close_position(
+                        i,
+                        b if p.direction > 0 else a,
+                        "SIGNAL",
+                        p,
+                        exit_ms=due,
+                        fraction=act[2],
+                    )
+                    break
         else:  # open
-            _, d, olots, trig, lim, otype = act
+            _, d, olots, trig, lim, otype, sl, tp, oid = act
             if trig is not None:
                 # limit/stop/stop_limit rest past their deadline; price
                 # triggers are evaluated in Phases 2/3 (same tick included)
@@ -746,13 +1004,18 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                         "trig": trig,
                         "limit": lim,
                         "lots": olots,
+                        "sl": sl,
+                        "tp": tp,
+                        "oid": oid,
                         "bars_rested": 0,
                         "modified": False,
                         "op": None,
                     }
                 )
             elif len(positions) < max_positions and can_open(d, olots, a if d > 0 else b):
-                open_position(i, due if due is not None else t, d, olots, a if d > 0 else b)
+                open_position(
+                    i, due if due is not None else t, d, olots, a if d > 0 else b, sl, tp
+                )
 
     for i in range(n):
         t = tsl[i]
@@ -783,7 +1046,10 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 if op is not None and t >= op[1]:
                     if op[0] == "cancel":
                         continue  # order removed
-                    r["trig"] = op[2]
+                    # ("modify", apply_ms, trig, lim, sl, tp) — None = keep
+                    for field, val in zip(("trig", "limit", "sl", "tp"), op[2:]):
+                        if val is not None:
+                            r[field] = val
                     r["op"] = None
                 kept_r.append(r)
             resting = kept_r
@@ -838,11 +1104,35 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                                     "modify",
                                     t + modify_cancel_delay_ms,
                                     r["trig"] + r["dir"] * modify_delta,
+                                    None,
+                                    None,
+                                    None,
                                 )
-                if use_actions:
+                if use_ctx:
+                    # context contract: the strategy sees its open positions
+                    # and resting orders (the reference's trading_api reads:
+                    # get_open_positions / get_active_orders) and may manage
+                    # them — trailing, partial close, cancel, re-price.
+                    ctx = {
+                        "close": cur_close,
+                        "bid": b,
+                        "ask": a,
+                        "positions": [
+                            (p.pos_id, p.direction, p.lots, p.entry_price, p.sl_price, p.tp_price)
+                            for p in positions
+                        ],
+                        "resting": [
+                            (r.get("oid"), r["dir"], r["otype"], r["trig"], r["limit"])
+                            for r in resting
+                        ],
+                    }
+                    acts = strategy.on_bar_ctx(ctx)
+                    if not clipped and acts:
+                        handle_actions(acts, t, b, a)
+                elif use_actions:
                     acts = strategy.on_bar_actions(cur_close)
                     if not clipped and acts:
-                        queue_actions(acts, t, b, a)
+                        handle_actions(acts, t, b, a)
                 else:
                     new_target = strategy.on_bar(cur_close)
                     if not clipped and new_target != target:
@@ -859,7 +1149,10 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                         if target != 0:
                             trig, lim = entry_trigger(target, b, a)
                             pending.append(
-                                (due, ("open", target, lots, trig, lim, entry_type))
+                                (
+                                    due,
+                                    ("open", target, lots, trig, lim, entry_type, None, None, None),
+                                )
                             )
             cur_bucket = bk[i]
             have_bar = True
@@ -908,7 +1201,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 elif len(positions) >= max_positions:
                     kept_r.append(r)  # wait for capacity, keep resting
                 elif can_open(d, r["lots"], fill):
-                    open_position(i, t, d, r["lots"], fill)
+                    open_position(i, t, d, r["lots"], fill, r.get("sl"), r.get("tp"))
                 # margin/funds-rejected triggered orders are consumed
             resting = kept_r
 
@@ -934,6 +1227,14 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 if tp_dist is not None and move >= tp_dist:
                     close_position(i, mark, "TP", p)
                     continue
+            # per-position absolute SL/TP levels (order-attached or modified
+            # via set_sl — fills at the breaching mark, like the distance path)
+            if p.sl_price is not None and p.direction * (mark - p.sl_price) <= 0:
+                close_position(i, mark, "SL", p)
+                continue
+            if p.tp_price is not None and p.direction * (mark - p.tp_price) >= 0:
+                close_position(i, mark, "TP", p)
+                continue
             total_unreal += unreal
 
         # R5 — account state (spot: equity = portfolio value at mid,

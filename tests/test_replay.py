@@ -756,3 +756,44 @@ def test_bounded_collect_guards_driver_size(spark):
     assert len(_bounded_collect(df, 10, "x")) == 10
     with pytest.raises(ValueError, match="more than 3 rows"):
         _bounded_collect(df, 3, "x")
+
+
+def test_trend_channel_full_surface_and_determinism(spark):
+    """The production-complexity strategy port: resting entries with
+    attached SL/TP, trailing modifies, R-rung partial closes, and
+    determinism (same seed => identical trade sequence; reference suite
+    tests/simulation/trend_channel_reference/)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    mid = 100 + np.cumsum(rng.normal(0.02, 0.4, 4000))
+    prices = [float(x) for x in mid]
+    ticks = make_ticks(spark, prices, step_ms=30_000)
+
+    def run(seed, mode):
+        s = scen(
+            spark, seed=seed, lat=(50, 5_000),
+            strategy="trend_channel", entry_mode=mode,
+            bar_ms=900_000, boll_period=12, gate_every_bars=4,
+            gate_ma_period=8, max_positions=2,
+        )
+        r = run_backtest(ticks, s).collect()[0]
+        return r
+
+    r1 = run(5, "limit_pullback")
+    r2 = run(5, "limit_pullback")
+    assert [t.asDict() for t in r1["trades"]] == [t.asDict() for t in r2["trades"]]
+    assert r1["trades_count"] > 0
+    kinds = {t["close_type"] for t in r1["trades"]}
+    reasons = {t["exit_reason"] for t in r1["trades"]}
+    # the full surface fired: partial closes and broker-side SL/TP exits
+    assert "PARTIAL" in kinds
+    assert reasons & {"SL", "TP"}
+    # stacking: at least one pair of trades overlaps in time
+    spans = sorted(
+        ((t["entry_ts"], t["exit_ts"]) for t in r1["trades"]), key=lambda s: s[0]
+    )
+    assert any(spans[i][1] > spans[i + 1][0] for i in range(len(spans) - 1))
+    # breakout mode also trades
+    rb = run(5, "stop_breakout")
+    assert rb["trades_count"] > 0
