@@ -35,14 +35,16 @@ sh AS (
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    # The documents file is a single row group -> one scan partition, which
-    # serializes the regex/md5-dense maps downstream (text stats, language
-    # ID, shingling). Fan out once here; no-op when the scan already has
-    # >= cores partitions (the production case).
+    # The testdata documents file is a single row group -> one scan
+    # partition, which serializes the regex/md5-dense maps downstream (text
+    # stats, language ID, shingling). Fan out unconditionally: the gate
+    # tables are small by construction, and the previous conditional probe
+    # (`docs.rdd.getNumPartitions()`) compiled the plan to an RDD on every
+    # call — ~0.5 s of driver overhead per documents query and the main
+    # bench-variance amplifier under driver GC pressure. Production callers
+    # use the operators directly on scans that already arrive wide.
     cores = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < cores:
-        docs = docs.repartition(cores, F.col("doc_id"))
-    return docs
+    return docs.repartition(cores, F.col("doc_id"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
