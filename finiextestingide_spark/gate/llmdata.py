@@ -125,6 +125,34 @@ FROM r JOIN k USING (content_hash)
 """
 
 
+# --- streaming exact dedup (§2.9 x dedup): the live-ingest dedup path,
+#     stateful applyInPandasWithState keyed by content hash, emitted on
+#     feed-idle timeout; oracle = the plain batch GROUP BY ---
+
+
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.dedup_stream import streaming_exact_dedup
+    from ..streaming.incremental_bars import drain_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    # glob keeps the parent dir as the stream's basePath (single-file quirk)
+    docs = spark.readStream.schema(schema).parquet(f"{sf_dir}/documents.parque*")
+    out = streaming_exact_dedup(docs, heartbeat_ms=2_000)
+    name = "gate_streaming_dedup_exact"
+    drain_to_memory(out, name, settle_secs=4.0)
+    return spark.table(name)
+
+
+STREAMING_DEDUP_EXACT_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM documents
+GROUP BY 1
+"""
+
+
 # --- n-gram Jaccard pairs ---
 
 _J_MIN_INTER = 2
@@ -194,6 +222,45 @@ FROM pairs
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {_J_MIN_JACCARD}
+"""
+
+
+# --- train/eval n-gram contamination audit: every 20th document plays the
+#     benchmark; contamination = fraction of its distinct 3-grams found
+#     anywhere in the remaining (train) corpus ---
+
+
+def contamination_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    out = tx.ngram_contamination(
+        dd.word_shingles(train, 3), dd.word_shingles(ev, 3)
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        F.round("contamination", 6).alias("contamination"),
+    )
+
+
+CONTAMINATION_3GRAM_SQL = f"""
+WITH {_SHINGLES_CTE},
+train AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 <> 0),
+ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT e.doc_id, count(*) AS n_contaminated
+  FROM ev e JOIN train t ON t.shingle = e.shingle
+  GROUP BY 1
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY 1)
+SELECT s.doc_id,
+       CAST(s.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / s.n_shingles, 6)
+         AS contamination
+FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
 """
 
 
@@ -289,6 +356,65 @@ labels AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP B
 sizes AS (SELECT cluster_id, count(*) AS n FROM labels GROUP BY 1)
 SELECT l.doc_id, l.cluster_id, CAST(s.n AS BIGINT) AS cluster_size
 FROM labels l JOIN sizes s USING (cluster_id)
+"""
+
+
+# --- cluster-level keep-best: near-dup clusters + per-cluster quality
+#     argmax — the dedup decision a curation pipeline actually ships.
+#     Singletons keep themselves. Oracle = the recursive-CTE clustering
+#     full-outer-joined to all documents with the shared quality expression. ---
+
+
+def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dd.neardup_dedup_keep_best(
+        _docs(spark, sf_dir),
+        F.round(tx.quality_score(F.col("text")), 6),
+        shingle_n=3,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        min_jaccard=0.0,
+    )
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        F.round("score", 6).alias("score"),
+        "keep_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "is_dropped",
+    )
+
+
+NEARDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE pairs AS (
+{MINHASH_LSH_PAIRS_SQL}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+scored AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         {_QUALITY_EXPR_SQL} AS score
+  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY cluster_id) AS cs
+  FROM scored
+),
+keepers AS (SELECT cluster_id, doc_id AS keep_id FROM ranked WHERE rk = 1)
+SELECT r.doc_id, r.cluster_id, r.score, k.keep_id,
+       CAST(r.cs AS BIGINT) AS cluster_size,
+       r.doc_id <> k.keep_id AS is_dropped
+FROM ranked r JOIN keepers k USING (cluster_id)
 """
 
 
@@ -736,6 +862,17 @@ QUERIES: dict[str, Query] = {
     "jaccard_pairs_3gram": Query(jaccard_pairs_3gram, JACCARD_PAIRS_3GRAM_SQL, "n-gram Jaccard pairs"),
     "jaccard_pairs_dfcap": Query(
         jaccard_pairs_dfcap, JACCARD_PAIRS_DFCAP_SQL, "df-capped Jaccard pairs"
+    ),
+    "streaming_dedup_exact": Query(
+        streaming_dedup_exact,
+        STREAMING_DEDUP_EXACT_SQL,
+        "stateful streaming exact dedup (emit-on-idle), batch-parity oracle",
+    ),
+    "contamination_3gram": Query(
+        contamination_3gram, CONTAMINATION_3GRAM_SQL, "train/eval n-gram contamination audit"
+    ),
+    "neardup_keep_best": Query(
+        neardup_keep_best, NEARDUP_KEEP_BEST_SQL, "cluster-level quality keep-policy dedup"
     ),
     "minhash_lsh_pairs": Query(minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL, "MinHash+LSH with verify"),
     "neardup_clusters": Query(

@@ -485,3 +485,53 @@ def simhash_signatures(
             ).alias("simhash")
         )
     )
+
+
+def neardup_dedup_keep_best(
+    docs: DataFrame,
+    score: Column,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    min_jaccard: float = 0.0,
+    *,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Cluster-level curation — the end-to-end near-dup dedup decision a
+    training-data pipeline actually ships: MinHash+LSH near-dup clusters
+    (connected components over the verified pair graph), then within each
+    cluster the row with the highest ``score`` survives (ties to the
+    smallest id). Documents with no near-dup partner form singleton clusters
+    and keep themselves.
+
+    Output: (doc_id, cluster_id, score, keep_id, cluster_size, is_dropped).
+    Scale shape: the clustering reuses the no-all-pairs LSH pipeline; the
+    keep-policy adds one window over cluster_id — shuffle keyed by cluster
+    id carrying (id, score), never text."""
+    from pyspark.sql import Window
+
+    clusters = neardup_clusters(
+        docs, shingle_n, num_hashes, bands, min_jaccard, id_col=id_col, text=text
+    ).select(id_col, "cluster_id")
+    labeled = (
+        docs.select(F.col(id_col), score.alias("__score"))
+        .join(clusters, id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+    w = Window.partitionBy("cluster_id")
+    wo = w.orderBy(F.col("__score").desc(), F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        labeled.withColumn("keep_id", F.first(id_col).over(wo))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .select(
+            id_col,
+            "cluster_id",
+            F.col("__score").alias("score"),
+            "keep_id",
+            "cluster_size",
+            (F.col(id_col) != F.col("keep_id")).alias("is_dropped"),
+        )
+    )

@@ -128,3 +128,43 @@ def with_text_stats(docs: DataFrame, text: str = "text") -> DataFrame:
         predict_lang(t).alias("pred_lang"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def ngram_contamination(
+    train_shingles: DataFrame,
+    eval_shingles: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check — the train/test n-gram overlap audit a
+    training-data pipeline runs before any eval claim: for each EVAL document,
+    the fraction of its distinct n-grams that appear anywhere in the TRAIN
+    corpus.
+
+    Inputs are distinct (doc, shingle) streams (operators.dedup.word_shingles
+    output). Scale shape: the train side collapses to its DISTINCT shingle
+    set once (map-side combine), the overlap is one shuffle join keyed on the
+    shingle string, and shuffled rows carry (short shingle, eval doc id) —
+    never document bodies. At 100 TB train / small eval the join naturally
+    prunes to the eval side's shingles; with a small benchmark the optimizer
+    broadcast path applies.
+
+    Output: (doc_id, n_shingles, n_contaminated, contamination) per eval doc,
+    with contamination = n_contaminated / n_shingles.
+    """
+    train_set = train_shingles.select("shingle").distinct()
+    ev = eval_shingles.select(F.col(id_col), F.col("shingle"))
+    hits = (
+        ev.join(train_set, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    sizes = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        sizes.join(hits, id_col, "left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        .withColumn(
+            "contamination", F.col("n_contaminated") / F.col("n_shingles")
+        )
+        .select(id_col, "n_shingles", "n_contaminated", "contamination")
+    )

@@ -1,0 +1,98 @@
+"""Streaming exact dedup — the live-ingest analogue of operators.dedup.
+
+A training-data ingest firehose wants duplicates surfaced as documents
+arrive, not in a nightly batch. Spark mapping: ``applyInPandasWithState``
+keyed by the normalized-content md5; per-key GroupState holds exactly
+(canonical_id = min doc id seen, group_size). The group row is emitted when
+the key's feed goes idle (processing-time timeout) — the same
+emit-on-quiescence contract as streaming/incremental_bars.py, which makes
+the output deterministic regardless of how the source splits batches: the
+final row per hash is the full-stream aggregate, batch-order-independent.
+
+Batch parity: output equals ``SELECT content_hash, min(doc_id), count(*)
+GROUP BY content_hash`` — pinned by the DuckDB oracle of the
+``streaming_dedup_exact`` gate and a stream-vs-batch pytest.
+
+State size: one (16-byte hash -> 2 longs) entry per distinct document
+content — the same cardinality the batch groupBy shuffles, TTL'd by the
+timeout so a long-running stream does not grow past its live working set
+(re-emission on late re-appearance is an UPDATE row, the lakehouse merge
+semantics a dedup sink wants).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..operators.text import normalized_text
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("content_hash", StringType()),
+        StructField("canonical_id", LongType()),
+        StructField("group_size", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("min_id", LongType()), StructField("n", LongType())]
+)
+
+
+def _dedup_state(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    *,
+    timeout_ms: int,
+) -> Iterator[pd.DataFrame]:
+    (h,) = key
+    if state.hasTimedOut:
+        if state.exists:
+            mn, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"content_hash": [h], "canonical_id": [mn], "group_size": [n]}
+            )
+        return
+    mn, n = state.get if state.exists else (None, 0)
+    for pdf in pdfs:
+        if len(pdf):
+            m = int(pdf["doc_id"].min())
+            mn = m if mn is None else min(mn, m)
+            n += len(pdf)
+    if mn is not None:
+        state.update((int(mn), int(n)))
+        state.setTimeoutDuration(timeout_ms)
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text: str = "text",
+    heartbeat_ms: int = 3_000,
+) -> DataFrame:
+    """(content_hash, canonical_id, group_size) per distinct normalized
+    content, emitted when the hash's feed has been idle ``heartbeat_ms``."""
+    hashed = docs.select(
+        F.md5(normalized_text(F.col(text))).alias("content_hash"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    )
+
+    def fn(key, pdfs, state):
+        return _dedup_state(key, pdfs, state, timeout_ms=heartbeat_ms)
+
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -195,17 +195,25 @@ def drain_to_memory(
             trigger_idle = not q.status.get("isTriggerActive", True)
             progress = q.lastProgress
             batch_id = progress.get("batchId") if progress else None
-            # Quiescent either way: the engine scheduled a final empty batch,
-            # OR it never will (batchId frozen across consecutive idle polls
-            # after a terminal data-carrying batch) — don't wait out max_secs.
-            if trigger_idle and batch_id is not None and batch_id == prev_batch_id:
+            if batch_id is not None and batch_id == prev_batch_id:
                 batch_id_repeats += 1
             else:
                 batch_id_repeats = 0
             prev_batch_id = batch_id
-            if time.time() - stable_since >= settle_secs and trigger_idle and (
+            # Quiescent once the sink is stable AND the most recent COMPLETED
+            # batch consumed zero input rows: under availableNow the source
+            # was snapshotted, so after a 0-input completed batch no later
+            # batch can carry data — any in-flight trigger is a timeout-check
+            # batch whose emissions would reset the stability clock. (A
+            # trigger-idle requirement here deadlocks wide stateful streams:
+            # with many state keys the engine runs empty timeout batches
+            # back-to-back and isTriggerActive never reads False.) Fallback:
+            # a frozen batchId across idle polls means the engine will never
+            # schedule the final empty batch — exit rather than wait out
+            # max_secs.
+            if time.time() - stable_since >= settle_secs and (
                 (progress is not None and progress.get("numInputRows", 1) == 0)
-                or batch_id_repeats >= 3
+                or (trigger_idle and batch_id_repeats >= 3)
             ):
                 break
         time.sleep(0.5)

@@ -467,3 +467,64 @@ def test_gap_calendar_holiday_and_split(spark):
     assert long_gap and long_gap[0]["n_segments"] >= 4
     # final 48h Fri-21:00 -> Sun-21:00 gap is a single WEEKEND segment
     assert classes[-1] == "WEEKEND" and rows[-1]["n_segments"] == 1
+
+
+def test_ngram_contamination_fractions(spark):
+    """Train/eval n-gram overlap audit: exact fractions on a known corpus."""
+    from finiextestingide_spark.operators.dedup import word_shingles
+    from finiextestingide_spark.operators.text import ngram_contamination
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four five")],
+        "doc_id int, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),  # fully contained -> 1.0
+            (11, "zz yy xx ww"),  # disjoint -> 0.0
+            (12, "one two three nine ten"),  # shares 'one two three' only
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_contamination(
+            word_shingles(train, 3), word_shingles(ev, 3)
+        ).collect()
+    }
+    assert out[10]["contamination"] == 1.0
+    assert out[11]["contamination"] == 0.0
+    # eval doc 12 has 3 shingles; only "one two three" appears in train
+    assert out[12]["n_shingles"] == 3 and out[12]["n_contaminated"] == 1
+
+
+def test_neardup_dedup_keep_best_clusters_and_singletons(spark):
+    """Cluster keep-policy: the highest-score member survives per near-dup
+    cluster; singletons keep themselves."""
+    import pyspark.sql.functions as F
+
+    from finiextestingide_spark.operators.dedup import neardup_dedup_keep_best
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " extra"),
+            (2, base),  # near-dup of 1
+            (3, "completely different words nothing shared here at all now"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in neardup_dedup_keep_best(
+            docs, F.length("text").cast("double"), min_jaccard=0.3
+        ).collect()
+    }
+    # 1 and 2 cluster together; 1 has the longer text -> higher score -> kept
+    assert out[1]["cluster_id"] == out[2]["cluster_id"]
+    assert out[1]["keep_id"] == 1 and not out[1]["is_dropped"]
+    assert out[2]["keep_id"] == 1 and out[2]["is_dropped"]
+    assert out[1]["cluster_size"] == 2
+    # 3 is a singleton keeping itself
+    assert out[3]["cluster_id"] == 3 and out[3]["keep_id"] == 3
+    assert out[3]["cluster_size"] == 1 and not out[3]["is_dropped"]

@@ -255,3 +255,45 @@ def test_streaming_asof_matches_batch_asof(spark, tmp_path):
     }
     assert len(got) == len(expected)
     assert got == expected
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """Stateful streaming exact dedup == batch GROUP BY (stream/batch
+    parity, the reference's tests/parity/ model)."""
+    import pyspark.sql.functions as F
+
+    from finiextestingide_spark.operators.text import normalized_text
+    from finiextestingide_spark.streaming.dedup_stream import streaming_exact_dedup
+    from finiextestingide_spark.streaming.incremental_bars import drain_to_memory
+
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello world"),  # same normalized content as 1
+        (3, "something else"),
+        (4, "hello   world"),  # same as 1 again
+        (5, "unique content"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    src = str(tmp_path / "docs")
+    docs.repartition(2).write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = streaming_exact_dedup(stream, heartbeat_ms=1_000)
+    drain_to_memory(out, "t_stream_dedup", settle_secs=2.0, max_secs=60.0)
+    got = {
+        r["content_hash"]: (r["canonical_id"], r["group_size"])
+        for r in spark.table("t_stream_dedup").collect()
+    }
+    expected = {
+        r["content_hash"]: (r["canonical_id"], r["group_size"])
+        for r in docs.groupBy(
+            F.md5(normalized_text(F.col("text"))).alias("content_hash")
+        )
+        .agg(
+            F.min("doc_id").cast("long").alias("canonical_id"),
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+        )
+        .collect()
+    }
+    assert got == expected
+    assert len(got) == 3
