@@ -277,3 +277,166 @@ def test_fast_path_equals_loop_on_random_walks(spark, qp, seed, lat, strat):
     for k in ("bars_closed", "trades_count", "wins", "losses", "net_pnl",
               "final_equity", "max_drawdown", "gross_profit", "gross_loss", "fees"):
         assert fast[k] == slow[k], k
+
+
+# ---------------------------------------------------------------------------
+# Round-4 invariants over the multi-position/partial-close/spot core,
+# property-tested directly against _replay_core (pandas-level, no Spark):
+# fast iteration over many random walks.
+# ---------------------------------------------------------------------------
+
+
+def _walk_ticks(seed: int, n: int = 3000) -> pd.DataFrame:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    mid = 100.0 + np.cumsum(rng.normal(0.01, 0.35, n))
+    ms = 1_767_225_600_000 + np.arange(n) * 30_000
+    return pd.DataFrame(
+        {
+            "time_msc": ms,
+            "collected_msc": ms,
+            "timestamp": pd.to_datetime(ms, unit="ms"),
+            "bid": mid - 0.01,
+            "ask": mid + 0.01,
+        }
+    )
+
+
+def _core(seed: int, params: dict, lat=(0, 0), lat_seed=1):
+    from finiextestingide_spark.operators.replay import _replay_core
+
+    scen = {
+        "scenario_id": 1,
+        "parameters": {k: str(v) for k, v in params.items()},
+        "tick_processing_budget_ms": None,
+        "latency_seed": lat_seed,
+        "latency_min_ms": lat[0],
+        "latency_max_ms": lat[1],
+        "max_ticks": None,
+    }
+    return _core_row(_walk_ticks(seed), scen)
+
+
+def _core_row(pdf, scen):
+    from finiextestingide_spark.operators.replay import _replay_core
+
+    return _replay_core(pdf, scen).iloc[0]
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=25, deadline=None)
+def test_multiposition_lot_conservation_and_balance(seed):
+    """Every position's trade records sum to its opened lots; margin-mode
+    balance walk: final_equity == start + sum(gross - fees) once flat."""
+    params = {
+        "strategy": "pyramid",
+        "fast": "2",
+        "slow": "5",
+        "max_positions": "3",
+        "bar_ms": "300000",
+        "equity_sample_every": "0",
+        "fee_per_side": "0.05",
+        "lots": "2.0",
+    }
+    r = _core(seed, params)
+    per_pos: dict = {}
+    for t in r.trades:
+        per_pos.setdefault(t["position_id"], []).append(t)
+    for pid, recs in per_pos.items():
+        assert sum(x["lots"] for x in recs) == pytest.approx(2.0)
+        # exactly one terminal FULL record per position, and it is last
+        fulls = [x for x in recs if x["close_type"] == "FULL"]
+        assert len(fulls) == 1
+        assert max(recs, key=lambda x: x["trade_id"]) is fulls[0]
+    expected = 10_000.0 + sum(t["gross_pnl"] - t["fees"] for t in r.trades)
+    assert r.final_equity == pytest.approx(expected)
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=25, deadline=None)
+def test_partial_close_proportionality(seed):
+    """scale_out: PARTIAL + FULL records of one position share the entry
+    price and split lots by the configured fraction; per-record gross is
+    proportional to its lots."""
+    params = {
+        "strategy": "scale_out",
+        "fast": "2",
+        "slow": "5",
+        "fraction": "0.5",
+        "hold_bars": "3",
+        "bar_ms": "300000",
+        "equity_sample_every": "0",
+    }
+    r = _core(seed, params)
+    per_pos: dict = {}
+    for t in r.trades:
+        per_pos.setdefault(t["position_id"], []).append(t)
+    for recs in per_pos.values():
+        if len(recs) == 1:
+            assert recs[0]["close_type"] == "FULL"
+            continue
+        part, full = sorted(recs, key=lambda x: x["trade_id"])
+        assert part["close_type"] == "PARTIAL" and full["close_type"] == "FULL"
+        assert part["entry_price"] == full["entry_price"]
+        assert part["lots"] == pytest.approx(0.5)
+        assert full["lots"] == pytest.approx(0.5)
+        assert part["gross_pnl"] == pytest.approx(
+            (part["exit_price"] - part["entry_price"]) * 0.5
+        )
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=25, deadline=None)
+def test_spot_base_balance_conservation(seed):
+    """Spot mode: after the END close the base balance is back at
+    base_start, so final_equity == quote_walk + base_start * last_mid."""
+    params = {
+        "strategy": "sma_cross",
+        "fast": "2",
+        "slow": "5",
+        "bar_ms": "300000",
+        "equity_sample_every": "0",
+        "spot_mode": "1",
+        "start_balance": "100000",
+        "base_start": "7.0",
+        "lots": "3.0",
+        "fee_per_side": "0.1",
+    }
+    r = _core(seed, params)
+    quote = 100_000.0
+    for t in r.trades:
+        fee = 0.1 * t["lots"]
+        if t["direction"] == "LONG":
+            quote += -(t["lots"] * t["entry_price"] + fee) + (
+                t["lots"] * t["exit_price"] - fee
+            )
+        else:
+            quote += (t["lots"] * t["entry_price"] - fee) - (
+                t["lots"] * t["exit_price"] + fee
+            )
+    ticks = _walk_ticks(seed)
+    last_mid = (ticks["bid"].iloc[-1] + ticks["ask"].iloc[-1]) / 2.0
+    assert r.final_equity == pytest.approx(quote + 7.0 * last_mid)
+
+
+@given(st.integers(0, 10_000), st.sampled_from(["pyramid", "scale_out", "trend_channel"]))
+@settings(max_examples=15, deadline=None)
+def test_action_strategies_deterministic_under_latency(seed, strat):
+    """Same walk + same latency seed => identical trade sequence for every
+    action-based strategy (the reference's latency-determinism contract)."""
+    params = {
+        "strategy": strat,
+        "fast": "2",
+        "slow": "5",
+        "max_positions": "2",
+        "bar_ms": "300000",
+        "boll_period": "8",
+        "gate_every_bars": "2",
+        "gate_ma_period": "5",
+        "equity_sample_every": "0",
+    }
+    a = _core(seed, params, lat=(10, 4000), lat_seed=9)
+    b = _core(seed, params, lat=(10, 4000), lat_seed=9)
+    assert a.trades == b.trades
+    assert a.final_equity == b.final_equity
