@@ -627,6 +627,71 @@ WHERE rank <= {_MP_K}
 """
 
 
+# --- IVF coarse-quantizer training: deterministic quantized Lloyd k-means
+#     (k=4, 2 iterations). The per-round 1e-6 quantization of centroid
+#     means is what lets two engines walk the same trajectory — see
+#     operators.similarity.lloyd_centroids. Output = final centroids
+#     exploded to (centroid_id, dim position, value) scalars. ---
+
+_KM_K = 4
+_KM_ITERS = 2
+
+
+def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = sim.lloyd_centroids(_emb(spark, sf_dir), k=_KM_K, iters=_KM_ITERS)
+    return cents.select(
+        "centroid_id", F.posexplode("embedding").alias("pos", "value")
+    ).select("centroid_id", "pos", F.round("value", 6).alias("value"))
+
+
+def _km_iter_sql(i: int, prev: str) -> str:
+    return f"""
+a{i} AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_cos_sql('e.embedding', 'c.cvec')} AS cos
+  FROM embeddings e CROSS JOIN {prev} c
+),
+b{i} AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, centroid_id ASC) AS rn
+    FROM a{i}
+  ) WHERE rn = 1
+),
+m{i} AS (
+  SELECT centroid_id, t.pos - 1 AS pos,
+         round(avg(CAST(b.embedding[t.pos] AS DOUBLE)), 6) AS m
+  FROM b{i} b, UNNEST(generate_series(1, len(b.embedding))) AS t(pos)
+  GROUP BY 1, 2
+),
+c{i} AS (
+  SELECT p.centroid_id,
+         CASE WHEN count(m.pos) = 0 THEN p.cvec
+              ELSE list(m.m ORDER BY m.pos) END AS cvec
+  FROM {prev} p LEFT JOIN m{i} m ON m.centroid_id = p.centroid_id
+  GROUP BY p.centroid_id, p.cvec
+)"""
+
+
+IVF_TRAIN_CENTROIDS_SQL = (
+    f"""
+WITH init AS (
+  SELECT CAST(vec_id AS INTEGER) AS centroid_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
+  FROM embeddings WHERE vec_id < {_KM_K}
+),"""
+    + ",".join(
+        _km_iter_sql(i, "init" if i == 1 else f"c{i - 1}")
+        for i in range(1, _KM_ITERS + 1)
+    )
+    + f"""
+SELECT centroid_id, CAST(t.pos - 1 AS INTEGER) AS pos,
+       round(CAST(c.cvec[t.pos] AS DOUBLE), 6) AS value
+FROM c{_KM_ITERS} c, UNNEST(generate_series(1, len(c.cvec))) AS t(pos)
+"""
+)
+
+
 # --- embedding-cosine near-dup pairs (label-blocked) ---
 
 # The synthetic embeddings are near-orthogonal (max in-block cosine ~0.45 at
@@ -870,6 +935,11 @@ QUERIES: dict[str, Query] = {
     ),
     "contamination_3gram": Query(
         contamination_3gram, CONTAMINATION_3GRAM_SQL, "train/eval n-gram contamination audit"
+    ),
+    "ivf_train_centroids": Query(
+        ivf_train_centroids,
+        IVF_TRAIN_CENTROIDS_SQL,
+        "quantized Lloyd k-means IVF coarse training (2 iterations)",
     ),
     "neardup_keep_best": Query(
         neardup_keep_best, NEARDUP_KEEP_BEST_SQL, "cluster-level quality keep-policy dedup"

@@ -780,7 +780,7 @@ periods AS (
   -- does not floor in DuckDB, so floor() explicitly.
   SELECT symbol,
          make_timestamp(CAST(floor(epoch(bar_ts) / {_VP_GRANULARITY_H * 3600}) AS BIGINT) * {_VP_GRANULARITY_H * 3600} * 1000000) AS period_start,
-         avg(atr) AS avg_atr,
+         CAST(avg(CAST(atr AS DECIMAL(28,10))) AS DOUBLE) AS avg_atr,
          sum(tick_count) AS tick_count,
          count(*) AS bar_count,
          max(high) AS high, min(low) AS low
@@ -793,7 +793,7 @@ VOLATILITY_REGIMES_SQL = f"""
 WITH {_VOL_PERIODS_CTE},
 ranked AS (
   SELECT symbol, period_start, avg_atr,
-         avg_atr / avg(avg_atr) OVER (PARTITION BY symbol) AS atr_ratio,
+         avg_atr / CAST(avg(CAST(avg_atr AS DECIMAL(28,10))) OVER (PARTITION BY symbol) AS DOUBLE) AS atr_ratio,
          (rank() OVER (PARTITION BY symbol ORDER BY avg_atr) - 1) * 100.0
            / count(*) OVER (PARTITION BY symbol) AS atr_percentile,
          tick_count, bar_count, high, low

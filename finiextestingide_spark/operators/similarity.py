@@ -239,3 +239,66 @@ def neardup_pairs_blocked(
         )
         .where(F.col("cosine") >= min_cosine)
     )
+
+
+def lloyd_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF coarse-quantizer TRAINING: deterministic quantized Lloyd k-means.
+
+    Init = the k lowest-id vectors (write-once deterministic seed, no RNG);
+    each round assigns every vector to its nearest centroid by cosine
+    (assign_centroids' deterministic tie-break) and recomputes centroids as
+    the element-wise mean of their members, QUANTIZED to ``round_dp``
+    decimals. The quantization is what makes the algorithm reproducible
+    across engines: an unrounded mean differs in the last ulp between any
+    two summation orders, and Lloyd amplifies that into different
+    assignments next round — rounding at 1e-6 collapses both engines onto
+    the same trajectory. Empty clusters keep their previous centroid.
+
+    Scale shape per round: one broadcast crossJoin (k is small) + a
+    max_by partial aggregate for assignment, then one shuffle keyed
+    (centroid, dim position) for the means — dims travel as scalar rows, so
+    skew is bounded by k*dim. Round results are localCheckpoint'd (k rows)
+    to keep Catalyst analysis flat across iterations, the same lineage
+    lesson as dedup.connected_components."""
+    centroids = (
+        vectors.where(F.col(id_col) < k)
+        .select(
+            F.col(id_col).cast("int").alias("centroid_id"),
+            F.transform(_as_double(F.col(vec_col)), lambda x: F.round(x, round_dp)).alias(
+                vec_col
+            ),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        assigned = assign_centroids(vectors, centroids, id_col=id_col, vec_col=vec_col)
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "v")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("v"), round_dp).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("__new")
+            )
+        )
+        centroids = (
+            centroids.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("__new", F.col(vec_col)).alias(vec_col),
+            )
+            .localCheckpoint()
+        )
+    return centroids

@@ -49,11 +49,18 @@ def volatility_periods(
             * (granularity_hours * 3600)
         )
     ).alias("period_start")
+    # DETERMINISM: these two averages are the only order-sensitive float
+    # reductions in the operator (everything upstream is a sorted window
+    # pass). A plain double avg sums in shuffle-fetch / thread order, which
+    # varies run to run and once flipped a value across a round(6) boundary
+    # in the cross-engine gate. Averaging over an exact DECIMAL cast makes
+    # the sum order-independent; the final cast back to double is a
+    # deterministic function of the exact value.
     agg = (
         bars.where(F.col(atr).isNotNull())
         .groupBy(F.col(key).alias("key"), period)
         .agg(
-            F.avg(atr).alias("avg_atr"),
+            F.avg(F.col(atr).cast("decimal(28,10)")).cast("double").alias("avg_atr"),
             F.sum("tick_count").alias("tick_count"),
             F.count(F.lit(1)).alias("bar_count"),
             F.max("high").alias("high"),
@@ -61,7 +68,7 @@ def volatility_periods(
         )
     )
     wk = Window.partitionBy("key")
-    global_avg = F.avg("avg_atr").over(wk)
+    global_avg = F.avg(F.col("avg_atr").cast("decimal(28,10)")).over(wk).cast("double")
     ratio = F.when(global_avg != 0, F.col("avg_atr") / global_avg)
     # rank() - 1 == count of strictly smaller values, ties included correctly
     pct = (

@@ -187,7 +187,16 @@ def drain_to_memory(
     deadline = time.time() + max_secs
     last, stable_since = -1, time.time()
     prev_batch_id, batch_id_repeats = None, 0
+    data_seen = False
     while time.time() < deadline and q.isActive:
+        # sticky: has ANY completed batch consumed input rows yet? An initial
+        # EMPTY batch completing before the data batch must not satisfy the
+        # 0-input quiescence test (that returned an empty sink once on a
+        # loaded host).
+        if not data_seen:
+            data_seen = any(
+                (p or {}).get("numInputRows", 0) > 0 for p in q.recentProgress
+            )
         n = spark.table(query_name).count()
         if n != last:
             last, stable_since = n, time.time()
@@ -195,6 +204,10 @@ def drain_to_memory(
             trigger_idle = not q.status.get("isTriggerActive", True)
             progress = q.lastProgress
             batch_id = progress.get("batchId") if progress else None
+            # batch_id None means NO batch has completed yet — the stream is
+            # still initializing, never "frozen" (on a loaded host the first
+            # batch can take longer than settle_secs; exiting here returned
+            # an empty sink once)
             if batch_id is not None and batch_id == prev_batch_id:
                 batch_id_repeats += 1
             else:
@@ -211,9 +224,13 @@ def drain_to_memory(
             # a frozen batchId across idle polls means the engine will never
             # schedule the final empty batch — exit rather than wait out
             # max_secs.
-            if time.time() - stable_since >= settle_secs and (
-                (progress is not None and progress.get("numInputRows", 1) == 0)
-                or (trigger_idle and batch_id_repeats >= 3)
+            if (
+                data_seen
+                and time.time() - stable_since >= settle_secs
+                and (
+                    (progress is not None and progress.get("numInputRows", 1) == 0)
+                    or (trigger_idle and batch_id_repeats >= 3)
+                )
             ):
                 break
         time.sleep(0.5)
