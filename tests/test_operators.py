@@ -528,3 +528,35 @@ def test_neardup_dedup_keep_best_clusters_and_singletons(spark):
     # 3 is a singleton keeping itself
     assert out[3]["cluster_id"] == 3 and out[3]["keep_id"] == 3
     assert out[3]["cluster_size"] == 1 and not out[3]["is_dropped"]
+
+
+def test_lloyd_centroids_known_clusters(spark):
+    """Quantized Lloyd k-means: two obvious clusters converge to their
+    member means; init = lowest-id vectors."""
+    from finiextestingide_spark.operators.similarity import lloyd_centroids
+
+    # cosine k-means clusters by DIRECTION: one cluster along +x, one
+    # along +y; init = the two lowest-id vectors (one per direction)
+    rows = [
+        (0, [1.0, 0.1]),
+        (1, [0.1, 1.0]),
+        (2, [0.9, 0.0]),
+        (3, [0.0, 0.9]),
+        (4, [1.1, 0.2]),
+        (5, [0.2, 1.1]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    cents = {
+        r["centroid_id"]: [round(v, 4) for v in r["embedding"]]
+        for r in lloyd_centroids(vecs, k=2, iters=3).collect()
+    }
+    x_members = [(1.0, 0.1), (0.9, 0.0), (1.1, 0.2)]
+    y_members = [(0.1, 1.0), (0.0, 0.9), (0.2, 1.1)]
+    assert cents[0] == [
+        round(sum(a for a, _ in x_members) / 3, 4),
+        round(sum(b for _, b in x_members) / 3, 4),
+    ]
+    assert cents[1] == [
+        round(sum(a for a, _ in y_members) / 3, 4),
+        round(sum(b for _, b in y_members) / 3, 4),
+    ]
