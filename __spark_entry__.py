@@ -6,7 +6,7 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 value-hash -> CORRECTNESS_r{N}.json).
 
 The registry lives in finiextestingide_spark.gate (one module per surface:
-relational, timeseries, llmdata); this file is a thin adapter.
+relational, timeseries, llmdata, replay_ext); this file is a thin adapter.
 """
 
 from __future__ import annotations

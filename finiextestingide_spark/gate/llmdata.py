@@ -140,7 +140,7 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.readStream.schema(schema).parquet(f"{sf_dir}/documents.parque*")
     out = streaming_exact_dedup(docs, heartbeat_ms=2_000)
     name = "gate_streaming_dedup_exact"
-    drain_to_memory(out, name, settle_secs=4.0)
+    drain_to_memory(out, name, settle_secs=4.0, await_state_drain=True)
     return spark.table(name)
 
 

@@ -160,6 +160,7 @@ def drain_to_memory(
     *,
     settle_secs: float = 5.0,
     max_secs: float = 120.0,
+    await_state_drain: bool = False,
 ) -> None:
     """Run the stateful stream into an in-memory table until output settles,
     then stop.
@@ -213,24 +214,36 @@ def drain_to_memory(
             else:
                 batch_id_repeats = 0
             prev_batch_id = batch_id
-            # Quiescent once the sink is stable AND the most recent COMPLETED
-            # batch consumed zero input rows: under availableNow the source
-            # was snapshotted, so after a 0-input completed batch no later
-            # batch can carry data — any in-flight trigger is a timeout-check
-            # batch whose emissions would reset the stability clock. (A
-            # trigger-idle requirement here deadlocks wide stateful streams:
-            # with many state keys the engine runs empty timeout batches
-            # back-to-back and isTriggerActive never reads False.) Fallback:
-            # a frozen batchId across idle polls means the engine will never
-            # schedule the final empty batch — exit rather than wait out
-            # max_secs.
+            # Two quiescence contracts, chosen by the caller:
+            # - await_state_drain=True (emit-on-timeout streams whose every
+            #   key WILL time out, e.g. streaming dedup): the precise signal
+            #   is the stream's own state metrics — once a completed batch
+            #   reports numRowsTotal == 0, every key has emitted and removed
+            #   its state. Sink-stability plus a 0-input completed batch is
+            #   NOT sufficient there: under load, empty timeout-CHECK
+            #   batches complete before the emissions fire and once
+            #   truncated the output.
+            # - await_state_drain=False (streams whose residual state is
+            #   deliberately never flushed, e.g. the incremental-bars gate
+            #   with its beyond-horizon heartbeat): state never empties, so
+            #   quiescence is a completed 0-input batch — all emissions come
+            #   from data batches, none are pending.
+            # Fallback for both: a frozen batchId across idle polls means
+            # the engine will never schedule another batch — exit rather
+            # than wait out max_secs.
+            if await_state_drain:
+                quiesced = False
+                if progress is not None:
+                    ops = progress.get("stateOperators") or []
+                    quiesced = bool(ops) and all(
+                        op.get("numRowsTotal", 1) == 0 for op in ops
+                    )
+            else:
+                quiesced = progress is not None and progress.get("numInputRows", 1) == 0
             if (
                 data_seen
                 and time.time() - stable_since >= settle_secs
-                and (
-                    (progress is not None and progress.get("numInputRows", 1) == 0)
-                    or (trigger_idle and batch_id_repeats >= 3)
-                )
+                and (quiesced or (trigger_idle and batch_id_repeats >= 3))
             ):
                 break
         time.sleep(0.5)

@@ -279,7 +279,9 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
 
     stream = spark.readStream.schema(docs.schema).parquet(src)
     out = streaming_exact_dedup(stream, heartbeat_ms=1_000)
-    drain_to_memory(out, "t_stream_dedup", settle_secs=2.0, max_secs=60.0)
+    drain_to_memory(
+        out, "t_stream_dedup", settle_secs=2.0, max_secs=60.0, await_state_drain=True
+    )
     got = {
         r["content_hash"]: (r["canonical_id"], r["group_size"])
         for r in spark.table("t_stream_dedup").collect()
