@@ -1218,22 +1218,29 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 p.mfe_pnl = unreal
                 p.mfe_price = mark
 
-            # R3 — broker-side SL/TP (close-side price: LONG->bid, SHORT->ask)
+            # R3 — broker-side SL/TP. Trigger on the close-side price
+            # (LONG->bid, SHORT->ask); FILL AT THE LEVEL, not the breaching
+            # mark — the reference closes via a synthetic order with
+            # "Fill price = SL/TP level (deterministic)"
+            # (abstract_trade_executor._check_sl_tp_triggers:403-459; its
+            # sltp_limit_validation suite pins exit_price == the level).
+            # The excursion update above still runs on the raw mark, so a
+            # gap through the level is captured in MAE/MFE.
             if sl_dist is not None or tp_dist is not None:
                 move = p.direction * (mark - p.entry_price)
                 if sl_dist is not None and move <= -sl_dist:
-                    close_position(i, mark, "SL", p)
+                    close_position(i, p.entry_price - p.direction * sl_dist, "SL", p)
                     continue
                 if tp_dist is not None and move >= tp_dist:
-                    close_position(i, mark, "TP", p)
+                    close_position(i, p.entry_price + p.direction * tp_dist, "TP", p)
                     continue
             # per-position absolute SL/TP levels (order-attached or modified
-            # via set_sl — fills at the breaching mark, like the distance path)
+            # via set_sl) — same level-fill contract
             if p.sl_price is not None and p.direction * (mark - p.sl_price) <= 0:
-                close_position(i, mark, "SL", p)
+                close_position(i, p.sl_price, "SL", p)
                 continue
             if p.tp_price is not None and p.direction * (mark - p.tp_price) >= 0:
-                close_position(i, mark, "TP", p)
+                close_position(i, p.tp_price, "TP", p)
                 continue
             total_unreal += unreal
 

@@ -797,3 +797,28 @@ def test_trend_channel_full_surface_and_determinism(spark):
     # breakout mode also trades
     rb = run(5, "stop_breakout")
     assert rb["trades_count"] > 0
+
+
+def test_sl_tp_fill_at_level_not_mark(spark):
+    """Reference contract (abstract_trade_executor._check_sl_tp_triggers):
+    a triggered SL/TP closes AT the configured level even when the price
+    gaps through it; the gap still shows up in MAE."""
+    # gap from 100.x straight to 90: SL level = entry - 2.0
+    prices = [100.0, 100.2, 100.4, 100.6, 90.0, 89.0, 88.0, 87.0]
+    ticks = make_ticks(spark, prices)
+    s = scen(spark, strategy="buy_hold", sl_dist=2.0)
+    tr = sorted(run_backtest(ticks, s).collect()[0]["trades"], key=lambda t: t["trade_id"])
+    entry = tr[0]["entry_price"]
+    assert tr[0]["exit_price"] == pytest.approx(entry - 2.0)
+    assert tr[0]["gross_pnl"] == pytest.approx(-2.0)
+    # the gap to bid=89.99 exceeded the SL distance -> deeper MAE than gross
+    assert tr[0]["mae_pnl"] < tr[0]["gross_pnl"]
+
+    # TP side: gap through the level fills at the level exactly
+    prices2 = [100.0, 100.2, 100.1, 100.3, 103.0, 103.5, 104.0, 104.5]
+    tp = sorted(
+        run_backtest(make_ticks(spark, prices2), scen(spark, strategy="buy_hold", tp_dist=1.5))
+        .collect()[0]["trades"],
+        key=lambda t: t["trade_id"],
+    )
+    assert tp[0]["gross_pnl"] == pytest.approx(1.5)
