@@ -648,6 +648,11 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     # no swap; insufficient funds rejects the order.
     spot_mode = params.get("spot_mode") == "1"
     base_start = float(params.get("base_start", 0.0))
+    # Order-price precision: limit/stop triggers and SL/TP levels are
+    # snapped to the symbol's digits at SUBMISSION (the reference's
+    # _round_price, abstract_trade_executor.py:570 + order_precision
+    # suite); market fills use the raw quote. None = no snapping.
+    price_digits = int(params["price_digits"]) if "price_digits" in params else None
     # R6 — overnight rollover fee per UTC day boundary crossed while a
     # position is open (portfolio_manager.py:860-917); multi-day gaps charge
     # once per crossed boundary.
@@ -899,17 +904,23 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         )
         next_pos_id += 1
 
+    def rp(x: float | None) -> float | None:
+        """Snap an order price to the symbol's digits (no-op when unset)."""
+        if x is None or price_digits is None:
+            return x
+        return round(x, price_digits)
+
     def entry_trigger(d: int, b: float, a: float) -> tuple[float | None, float | None]:
         """Trigger/limit prices for a non-market entry queued at decision
         time, derived from the decision tick's quote."""
         if entry_type == "limit":
-            return ((a - entry_offset) if d > 0 else (b + entry_offset)), None
+            return rp((a - entry_offset) if d > 0 else (b + entry_offset)), None
         if entry_type == "stop":
-            return ((a + entry_offset) if d > 0 else (b - entry_offset)), None
+            return rp((a + entry_offset) if d > 0 else (b - entry_offset)), None
         if entry_type == "stop_limit":
             trig = (a + entry_offset) if d > 0 else (b - entry_offset)
             lim = (trig - limit_offset) if d > 0 else (trig + limit_offset)
-            return trig, lim
+            return rp(trig), rp(lim)
         return None, None
 
     use_actions = hasattr(strategy, "on_bar_actions")
@@ -928,9 +939,9 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
             if kind in ("set_sl", "set_sltp"):
                 for p in positions:
                     if p.pos_id == act[1]:
-                        p.sl_price = act[2]
+                        p.sl_price = rp(act[2])
                         if kind == "set_sltp":
-                            p.tp_price = act[3]
+                            p.tp_price = rp(act[3])
                         break
                 continue
             if kind == "cancel_order":
@@ -943,7 +954,14 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 _, oid, ntrig, nlim, nsl, ntp = act
                 for r in resting:
                     if r.get("oid") == oid and r["op"] is None:
-                        r["op"] = ("modify", t + modify_cancel_delay_ms, ntrig, nlim, nsl, ntp)
+                        r["op"] = (
+                            "modify",
+                            t + modify_cancel_delay_ms,
+                            rp(ntrig),
+                            rp(nlim),
+                            rp(nsl),
+                            rp(ntp),
+                        )
                         break
                 continue
             # queueable order actions share one submission-delay draw
@@ -962,7 +980,10 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 # limit, sl, tp, oid)
                 _, d, mult, otype, trig, lim, sl, tp, oid = act
                 pending.append(
-                    (due, ("open", d, lots * mult, trig, lim, otype, sl, tp, oid))
+                    (
+                        due,
+                        ("open", d, lots * mult, rp(trig), rp(lim), otype, rp(sl), rp(tp), oid),
+                    )
                 )
             else:
                 pending.append((due, act))
@@ -1103,7 +1124,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                                 r["op"] = (
                                     "modify",
                                     t + modify_cancel_delay_ms,
-                                    r["trig"] + r["dir"] * modify_delta,
+                                    rp(r["trig"] + r["dir"] * modify_delta),
                                     None,
                                     None,
                                     None,

@@ -822,3 +822,19 @@ def test_sl_tp_fill_at_level_not_mark(spark):
         key=lambda t: t["trade_id"],
     )
     assert tp[0]["gross_pnl"] == pytest.approx(1.5)
+
+
+def test_price_digits_snaps_order_prices(spark):
+    """order_precision contract (_round_price at submission): limit
+    triggers snap to the symbol's digits; fills happen at the snapped
+    price."""
+    prices = [100.0] * 4 + [99.0] * 6
+    ticks = make_ticks(spark, prices)
+    # raw trig = ask(d1) - 0.37 = 100.01 - 0.37 = 99.64 -> snapped to 99.6
+    s = scen(
+        spark, strategy="buy_hold", entry_type="limit",
+        entry_offset=0.37, price_digits=1,
+    )
+    tr = run_backtest(ticks, s).collect()[0]["trades"]
+    assert len(tr) == 1
+    assert tr[0]["entry_price"] == pytest.approx(99.6)
