@@ -457,6 +457,7 @@ def replay_modify_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scenario_id",
         "trades_count",
         "orders_rejected",
+        "orders_cancelled",
         F.round("net_pnl", 6).alias("net_pnl"),
         F.round("final_equity", 6).alias("final_equity"),
     )
@@ -553,17 +554,31 @@ fpx{tag} AS (
               ELSE f.a1 + {off} - {loff} END AS fill_price
   FROM fill{tag} f
 )"""
+    if cab is not None:
+        # the cancel op counts once it APPLIES (a tick past the delay
+        # exists) and the order had not filled first; END expiry of a
+        # never-cancelled order is not a cancel (core parity)
+        cancelled_expr = (
+            "CASE WHEN fp.fill_rn IS NULL AND ap.apply_rn IS NOT NULL "
+            "THEN 1 ELSE 0 END"
+        )
+        apply_join = f"LEFT JOIN apply{tag} ap ON ap.symbol = o.symbol"
+    else:
+        cancelled_expr = "0"
+        apply_join = ""
     return f"""{chain},
 mout{tag} AS (
   SELECT {_sid_case(ci * len(_SYMBOLS), "o.symbol")} AS scenario_id,
          CAST(CASE WHEN fp.fill_rn IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS trades_count,
          CAST(0 AS INTEGER) AS orders_rejected,
+         CAST({cancelled_expr} AS INTEGER) AS orders_cancelled,
          round(coalesce(CASE WHEN fp.fill_rn IS NOT NULL
                              THEN tn.bid - fp.fill_price END, 0.0), 6) AS net_pnl,
          round(10000.0 + coalesce(CASE WHEN fp.fill_rn IS NOT NULL
                                        THEN tn.bid - fp.fill_price END, 0.0), 6) AS final_equity
   FROM ord{tag} o
   LEFT JOIN fpx{tag} fp ON fp.symbol = o.symbol
+  {apply_join}
   JOIN nmax n ON n.symbol = o.symbol
   JOIN ticks tn ON tn.symbol = o.symbol AND tn.rn = n.n
 )"""

@@ -111,6 +111,9 @@ REPLAY_RESULT_SCHEMA = StructType(
         StructField("bars_closed", LongType()),
         StructField("trades_count", IntegerType()),
         StructField("orders_rejected", IntegerType()),
+        StructField("orders_filled", IntegerType()),
+        StructField("orders_cancelled", IntegerType()),
+        StructField("sl_tp_exits", IntegerType()),
         StructField("wins", IntegerType()),
         StructField("losses", IntegerType()),
         StructField("gross_profit", DoubleType()),
@@ -720,6 +723,9 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     clock = -(2**62)
     n_clipped = 0
     n_rejected = 0
+    n_filled = 0
+    n_cancelled = 0
+    n_sltp = 0
     bars_closed = 0
     cur_bucket = -(2**62)
     cur_close = 0.0
@@ -840,6 +846,10 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 "close_type": "FULL" if full else "PARTIAL",
             }
         )
+        nonlocal n_filled, n_sltp
+        n_filled += 1  # every close is a broker fill (ExecutionStats parity)
+        if reason in ("SL", "TP"):
+            n_sltp += 1
         if full:
             positions.remove(p)
         else:
@@ -878,7 +888,8 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         sl: float | None = None,
         tp: float | None = None,
     ) -> None:
-        nonlocal next_pos_id, quote_bal, base_bal
+        nonlocal next_pos_id, quote_bal, base_bal, n_filled
+        n_filled += 1
         fee = fee_per_side * olots
         if spot_mode:  # asset transfer on open (portfolio_manager.py:334-348)
             if d > 0:  # BUY: spend quote, receive base
@@ -1066,6 +1077,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 op = r["op"]
                 if op is not None and t >= op[1]:
                     if op[0] == "cancel":
+                        n_cancelled += 1
                         continue  # order removed
                     # ("modify", apply_ms, trig, lim, sl, tp) — None = keep
                     for field, val in zip(("trig", "limit", "sl", "tp"), op[2:]):
@@ -1164,6 +1176,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                         due = t + delay
                         # resolve-modify/cancel phase: a newer signal cancels
                         # any resting entry before queueing its own orders
+                        n_cancelled += len(resting)
                         resting = []
                         if positions:
                             pending.append((due, ("close_all",)))
@@ -1301,6 +1314,9 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 "bars_closed": bars_closed,
                 "trades_count": len(trades),
                 "orders_rejected": n_rejected,
+                "orders_filled": n_filled,
+                "orders_cancelled": n_cancelled,
+                "sl_tp_exits": n_sltp,
                 "wins": wins,
                 "losses": losses,
                 "gross_profit": sum(tr["gross_pnl"] for tr in trades if tr["gross_pnl"] > 0),
@@ -1507,6 +1523,9 @@ def _replay_fast(
                 "bars_closed": bars_closed,
                 "trades_count": len(trades),
                 "orders_rejected": 0,
+                "orders_filled": 2 * len(trades),
+                "orders_cancelled": 0,
+                "sl_tp_exits": 0,
                 "wins": wins,
                 "losses": losses,
                 "gross_profit": sum(tr["gross_pnl"] for tr in trades if tr["gross_pnl"] > 0),
