@@ -486,6 +486,62 @@ FROM pct JOIN m ON pct.event_type = m.event_type AND m.rn = 1
 """
 
 
+def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 order<->execution pairing as a batch reconciliation audit
+    (operators.reconcile): orders vs their lineitem executions, full-outer
+    on the order key. Every class is exercised: the data has 257 orders
+    with no lineitems (MISSING), dropping orders with key % 7 == 0 turns
+    their lineitems into ORPHANs, and the net-amount identity splits the
+    rest into MATCHED / UNDER / OVER deterministically (decimal-exact
+    executed sum on both engines)."""
+    from ..operators.reconcile import reconcile_orders
+
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 != 0)
+    execs = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).cast("decimal(28,6)").alias("__net"),
+    )
+    out = reconcile_orders(
+        orders,
+        execs,
+        order_key="o_orderkey",
+        expected=F.col("o_totalprice"),
+        executed=F.sum("__net").cast("double"),
+        tolerance=0.01,
+    )
+    return out.select(
+        "o_orderkey",
+        F.round("expected_amount", 6).alias("expected_amount"),
+        F.round("executed_amount", 6).alias("executed_amount"),
+        F.col("n_executions").cast("long").alias("n_executions"),
+        "status",
+    )
+
+
+ORDER_RECONCILIATION_SQL = """
+WITH o AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+e AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS executed_amount,
+         count(*) AS n_executions
+  FROM lineitem GROUP BY 1
+)
+SELECT coalesce(o.o_orderkey, e.o_orderkey) AS o_orderkey,
+       round(o.o_totalprice, 6) AS expected_amount,
+       round(e.executed_amount, 6) AS executed_amount,
+       CAST(coalesce(e.n_executions, 0) AS BIGINT) AS n_executions,
+       CASE WHEN o.o_orderkey IS NULL THEN 'ORPHAN'
+            WHEN e.o_orderkey IS NULL THEN 'MISSING'
+            WHEN abs(e.executed_amount - o.o_totalprice) <= 0.01 THEN 'MATCHED'
+            WHEN e.executed_amount < o.o_totalprice THEN 'UNDER_EXECUTED'
+            ELSE 'OVER_EXECUTED' END AS status
+FROM o FULL OUTER JOIN e ON o.o_orderkey = e.o_orderkey
+"""
+
+
 QUERIES: dict[str, Query] = {
     "pricing_summary": Query(pricing_summary, PRICING_SUMMARY_SQL, "TPC-H Q1 shape; A5/A6 aggregations"),
     "top_unshipped_orders": Query(top_unshipped_orders, TOP_UNSHIPPED_ORDERS_SQL, "Q3 shape; deterministic top-k"),
@@ -499,5 +555,8 @@ QUERIES: dict[str, Query] = {
     "swap_accrual": Query(swap_accrual, SWAP_ACCRUAL_SQL, "R6 overnight swap rollovers"),
     "profiling_percentiles": Query(
         profiling_percentiles, PROFILING_PERCENTILES_SQL, "A8 percentiles + deterministic mode"
+    ),
+    "order_reconciliation": Query(
+        order_reconciliation, ORDER_RECONCILIATION_SQL, "J6 order<->execution reconciliation audit"
     ),
 }

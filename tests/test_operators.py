@@ -560,3 +560,28 @@ def test_lloyd_centroids_known_clusters(spark):
         round(sum(a for a, _ in y_members) / 3, 4),
         round(sum(b for _, b in y_members) / 3, 4),
     ]
+
+
+def test_reconcile_orders_all_classes(spark):
+    """J6 reconciliation: every status class on a crafted ledger."""
+    import pyspark.sql.functions as F
+
+    from finiextestingide_spark.operators.reconcile import reconcile_orders
+
+    orders = spark.createDataFrame(
+        [(1, 100.0), (2, 50.0), (3, 80.0), (4, 30.0)], "k long, amt double"
+    )
+    execs = spark.createDataFrame(
+        [(1, 60.0), (1, 40.0), (2, 20.0), (3, 95.0), (9, 10.0)], "k long, q double"
+    )
+    out = {
+        r["k"]: r.asDict()
+        for r in reconcile_orders(
+            orders, execs, order_key="k", expected=F.col("amt"), executed=F.sum("q")
+        ).collect()
+    }
+    assert out[1]["status"] == "MATCHED" and out[1]["n_executions"] == 2
+    assert out[2]["status"] == "UNDER_EXECUTED"
+    assert out[3]["status"] == "OVER_EXECUTED"
+    assert out[4]["status"] == "MISSING" and out[4]["n_executions"] == 0
+    assert out[9]["status"] == "ORPHAN"
