@@ -1755,6 +1755,116 @@ FROM (SELECT m FROM means WHERE role = 'IS') i,
 """
 
 
+# --- purged walk-forward: an EMBARGO gap between each IS end and its OOS
+#     start keeps boundary-lookback leakage out of the OOS evaluation (the
+#     financial-ML purged split; reference splits are contiguous, the
+#     embargo is the scale-era guard on top) ---
+
+_WF_EMBARGO_D = 2
+
+
+def walkforward_embargo_wfe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import timedelta
+
+    from ..operators.replay import run_backtest
+    from ..operators.reporting import walk_forward_efficiency
+    from ..operators.scenario_gen import walk_forward_split
+
+    ev = _events(spark, sf_dir)
+    ticks = ev.select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts").alias("timestamp"),
+        F.unix_millis("ts").alias("time_msc"),
+        F.unix_millis("ts").alias("collected_msc"),
+        (F.col("value") - 0.005).alias("bid"),
+        (F.col("value") + 0.005).alias("ask"),
+    )
+    b = (
+        ev.where(F.col("event_type") == "click")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()[0]
+    )
+    scen = (
+        walk_forward_split(
+            spark,
+            "click",
+            b["lo"],
+            b["hi"],
+            train=timedelta(days=_WF_TRAIN_D),
+            test=timedelta(days=_WF_TEST_D),
+            embargo=timedelta(days=_WF_EMBARGO_D),
+        )
+        .withColumn("max_ticks", F.lit(None).cast("int"))
+        .withColumn("tick_processing_budget_ms", F.lit(None).cast("double"))
+        .withColumn("latency_seed", F.col("scenario_id") + 1)
+        .withColumn("latency_min_ms", F.lit(0))
+        .withColumn("latency_max_ms", F.lit(0))
+        .withColumn(
+            "parameters",
+            F.expr(
+                "map('strategy','buy_hold','bar_ms','3600000','equity_sample_every','0')"
+            ),
+        )
+    )
+    res = run_backtest(ticks, scen)
+    roles = scen.select("scenario_id", "role")
+    out = walk_forward_efficiency(res.join(F.broadcast(roles), "scenario_id"))
+    return out.select(
+        F.round("is_mean", 6).alias("is_mean"),
+        F.round("oos_mean", 6).alias("oos_mean"),
+        F.round("wfe", 6).alias("wfe"),
+    )
+
+
+WALKFORWARD_EMBARGO_WFE_SQL = f"""
+WITH base AS (
+  SELECT ts, epoch_ms(ts) AS ms, value - 0.005 AS bid, value + 0.005 AS ask
+  FROM events WHERE event_type = 'click'
+),
+bounds AS (SELECT min(ts) AS tmin, max(ts) AS tmax FROM base),
+wins AS (
+  SELECT i,
+         tmin + i * INTERVAL {_WF_TEST_D} DAY AS is_start,
+         tmin + i * INTERVAL {_WF_TEST_D} DAY + INTERVAL {_WF_TRAIN_D} DAY AS is_end,
+         tmin + i * INTERVAL {_WF_TEST_D} DAY + INTERVAL {_WF_TRAIN_D + _WF_EMBARGO_D} DAY AS oos_start,
+         tmin + i * INTERVAL {_WF_TEST_D} DAY + INTERVAL {_WF_TRAIN_D + _WF_EMBARGO_D + _WF_TEST_D} DAY AS oos_end
+  FROM bounds, UNNEST(generate_series(0, 1000)) AS t(i)
+  WHERE tmin + i * INTERVAL {_WF_TEST_D} DAY
+        + INTERVAL {_WF_TRAIN_D + _WF_EMBARGO_D + _WF_TEST_D} DAY <= tmax
+),
+scen AS (
+  SELECT 2 * i AS sid, 'IS' AS role, is_start AS s, is_end AS e FROM wins
+  UNION ALL
+  SELECT 2 * i + 1 AS sid, 'OOS' AS role, oos_start AS s, oos_end AS e FROM wins
+),
+sl AS (
+  SELECT sc.sid, sc.role, b.ts, b.ms, b.bid, b.ask, b.ms // 3600000 AS bucket,
+         row_number() OVER (PARTITION BY sc.sid ORDER BY b.ms, b.ts, b.bid, b.ask) AS rn
+  FROM scen sc JOIN base b ON b.ts >= sc.s AND b.ts < sc.e
+),
+nmax AS (SELECT sid, role, max(rn) AS n FROM sl GROUP BY 1, 2),
+b0 AS (SELECT sid, min(bucket) AS fb FROM sl GROUP BY 1),
+entry AS (
+  SELECT s.sid, min(s.rn) AS ern
+  FROM sl s JOIN b0 ON b0.sid = s.sid
+  WHERE s.bucket > b0.fb
+  GROUP BY 1
+),
+ep AS (SELECT e.sid, t.ask AS entry_ask FROM entry e JOIN sl t ON t.sid = e.sid AND t.rn = e.ern),
+xp AS (SELECT n.sid, n.role, t.bid AS exit_bid FROM nmax n JOIN sl t ON t.sid = n.sid AND t.rn = n.n),
+nets AS (
+  SELECT x.sid, x.role,
+         CASE WHEN p.entry_ask IS NULL THEN 0.0 ELSE x.exit_bid - p.entry_ask END AS net
+  FROM xp x LEFT JOIN ep p USING (sid)
+),
+means AS (SELECT role, avg(net) AS m FROM nets GROUP BY 1)
+SELECT round(i.m, 6) AS is_mean, round(o.m, 6) AS oos_mean,
+       CASE WHEN i.m <> 0 THEN round(o.m / i.m, 6) ELSE NULL END AS wfe
+FROM (SELECT m FROM means WHERE role = 'IS') i,
+     (SELECT m FROM means WHERE role = 'OOS') o
+"""
+
+
 # --- M5 blocks generator + coverage counts: equal 5-day blocks over the
 #     (fixed, evenly-divisible) January window; every 3rd block OOS ---
 
@@ -2480,6 +2590,11 @@ QUERIES: dict[str, Query] = {
         session_windows,
         SESSION_WINDOWS_SQL,
         "gap-based sessionization (lag + conditional cumsum), hash-checked",
+    ),
+    "walkforward_embargo_wfe": Query(
+        walkforward_embargo_wfe,
+        WALKFORWARD_EMBARGO_WFE_SQL,
+        "purged walk-forward WFE (embargo gap between IS and OOS)",
     ),
     "walkforward_wfe": Query(
         walkforward_wfe,

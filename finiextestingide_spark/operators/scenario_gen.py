@@ -51,17 +51,26 @@ def walk_forward_split(
     train: timedelta,
     test: timedelta,
     step: timedelta | None = None,
+    embargo: timedelta | None = None,
 ) -> DataFrame:
     """Rolling IS(train)+OOS(test) window pairs advancing by ``step``
-    (default: test size — non-overlapping OOS; walk_forward_split.py:22-59)."""
+    (default: test size — non-overlapping OOS; walk_forward_split.py:22-59).
+
+    ``embargo`` inserts a purge gap between each IS end and its OOS start
+    (the purged walk-forward of financial ML practice): indicators computed
+    near the IS boundary leak forward through their lookback window, and the
+    embargo keeps the OOS evaluation clear of that contamination. None/zero
+    reproduces the reference's contiguous split."""
     step = step or test
+    gap = embargo or timedelta(0)
     rows = []
     i = 0
     cur = start
-    while cur + train + test <= end:
+    while cur + train + gap + test <= end:
         rows.append((2 * i, f"{symbol}_wf{i}_is", symbol, cur, cur + train, "IS"))
+        oos_start = cur + train + gap
         rows.append(
-            (2 * i + 1, f"{symbol}_wf{i}_oos", symbol, cur + train, cur + train + test, "OOS")
+            (2 * i + 1, f"{symbol}_wf{i}_oos", symbol, oos_start, oos_start + test, "OOS")
         )
         cur += step
         i += 1
