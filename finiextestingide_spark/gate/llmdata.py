@@ -807,6 +807,56 @@ WHERE term_rank <= {_TFIDF_K}
 # --- heuristic language ID ---
 
 
+# --- token-budget data mixing: per language, keep the highest-quality
+#     documents until the token budget fills (budget chosen to BITE at
+#     every SF); rank on the rounded score like dedup_keep_best ---
+
+_TB_BUDGET = 3000
+
+
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import token_budget_sample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        tx.whitespace_token_count(F.col("text")).alias("n_tokens"),
+        F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    out = token_budget_sample(docs, _TB_BUDGET)
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("quality", 6).alias("quality"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        "selected",
+    )
+
+
+TOKEN_BUDGET_MIX_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n_tokens,
+         {_QUALITY_EXPR_SQL} AS quality
+  FROM documents
+),
+cum AS (
+  SELECT *,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(quality, 6) AS quality,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       cum_tokens <= {_TB_BUDGET} AS selected
+FROM cum
+"""
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     out = docs.select("doc_id", "lang", tx.predict_lang(F.col("text")).alias("pred_lang"))
@@ -940,6 +990,9 @@ QUERIES: dict[str, Query] = {
         ivf_train_centroids,
         IVF_TRAIN_CENTROIDS_SQL,
         "quantized Lloyd k-means IVF coarse training (2 iterations)",
+    ),
+    "token_budget_mix": Query(
+        token_budget_mix, TOKEN_BUDGET_MIX_SQL, "per-language token-budget data mixing"
     ),
     "neardup_keep_best": Query(
         neardup_keep_best, NEARDUP_KEEP_BEST_SQL, "cluster-level quality keep-policy dedup"

@@ -52,3 +52,37 @@ def stratified_sample_counts(
         F.count(F.lit(1)).alias("n_total"),
         F.sum((bucket < rate_pct).cast("long")).alias("n_sampled"),
     )
+
+
+def token_budget_sample(
+    scored_docs,
+    budget_tokens: int,
+    *,
+    group: str = "lang",
+    tokens: str = "n_tokens",
+    score: str = "quality",
+    id_col: str = "doc_id",
+):
+    """Data-mixing selection: per ``group`` (language/domain), greedily keep
+    the highest-``score`` documents until the cumulative token count fills
+    ``budget_tokens`` — the budgeted curation step that turns a scored
+    corpus into a training mix.
+
+    Deterministic: rank by (score DESC, id ASC); a document is kept iff the
+    cumulative tokens INCLUDING it stay within budget (so one oversized
+    top-ranked doc that alone exceeds the budget is excluded, and selection
+    is a pure function of the scores). One window pass per group — the
+    shuffle carries (id, score, tokens), never text; at 100 TB the
+    group-partitioned sort is the same shape as any per-key top-k."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group).orderBy(
+        F.col(score).desc(), F.col(id_col).asc()
+    )
+    cum = F.sum(tokens).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        scored_docs.withColumn("cum_tokens", cum)
+        .withColumn("selected", F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, group, tokens, score, "cum_tokens", "selected")
+    )
