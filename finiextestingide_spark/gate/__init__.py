@@ -21,14 +21,89 @@ from __future__ import annotations
 
 from ._util import Query  # noqa: F401
 
+# Curated registry order. The driver verifies the FIRST 50 entries against
+# DuckDB oracles; everything below the cutoff is still registered (and kept
+# green by scripts/check_gate.py + pytest) but not driver-snapshotted. The
+# window is curated to maximize information per row: every entry in it has
+# an oracle (no rows-only entries burn a slot), near-duplicate variants
+# (bars_1d vs bars_1h, gap_scan vs gap_scan_calendar, the two walkforward
+# flavors, batch vs streaming session windows) keep only one representative
+# in-window, and the highest-value surfaces — the four hash-matched replay
+# lifecycle oracles and the LLM dedup/ANN core — sit inside the window.
+CURATED_ORDER: tuple[str, ...] = (
+    # relational core
+    "pricing_summary",
+    "top_unshipped_orders",
+    "region_nation_revenue",
+    "topk_orders_per_priority",
+    "order_rollup",
+    "customer_equity_curve",
+    "priority_sensitivity",
+    "nation_order_kpis",
+    "weighted_avg_price",
+    "swap_accrual",
+    "profiling_percentiles",
+    "order_reconciliation",
+    # timeseries / indicators
+    "bars_1h",
+    "session_profile",
+    "gap_scan_calendar",
+    "rsi_14_daily",
+    "bollinger_20_daily",
+    "obv_daily",
+    "atr_sma_daily",
+    "asof_purchase_click",
+    "extreme_moves_hourly",
+    "volatility_regimes",
+    "volatility_profile",
+    "robustness_daily",
+    "ma_trend_daily",
+    "interval_coverage",
+    "macd_daily",
+    "trade_analytics_by_scenario",
+    "walkforward_embargo_wfe",
+    "quality_check_ticks",
+    "blocks_split_coverage",
+    # replay lifecycle oracles (hash-matched stateful paths)
+    "replay_sma_oracle",
+    "replay_equity_oracle",
+    "replay_limit_oracle",
+    "replay_pyramid_oracle",
+    "replay_scaleout_oracle",
+    "replay_modify_oracle",
+    "replay_spot_oracle",
+    # sweeps
+    "sweep_buyhold_ledger",
+    "sweep_sensitivity",
+    # streaming
+    "streaming_bars_1h",
+    "streaming_incremental_bars_1h",
+    "streaming_asof_signal",
+    "streaming_session_windows",
+    # LLM-data dedup / ANN core
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "neardup_clusters",
+    "cosine_topk_10",
+    "ivf_train_centroids",
+    "contamination_3gram",
+)
+
 
 def all_queries() -> dict[str, Query]:
     from . import llmdata, relational, replay_ext, timeseries
 
-    out: dict[str, Query] = {}
+    merged: dict[str, Query] = {}
     for mod in (relational, timeseries, llmdata, replay_ext):
-        overlap = out.keys() & mod.QUERIES.keys()
+        overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate gate query names: {overlap}")
-        out.update(mod.QUERIES)
+        merged.update(mod.QUERIES)
+
+    missing = [n for n in CURATED_ORDER if n not in merged]
+    if missing:
+        raise ValueError(f"CURATED_ORDER names not registered: {missing}")
+
+    out: dict[str, Query] = {n: merged[n] for n in CURATED_ORDER}
+    out.update({n: q for n, q in merged.items() if n not in out})
     return out

@@ -40,3 +40,18 @@ def test_gate_query_matches_oracle(name, spark, sf_dir, duck):
     oracle_pdf = duck.execute(q.sql).fetchdf()
     issues = compare_frames(spark_pdf, oracle_pdf)
     assert not issues, f"{name}: {issues}"
+
+
+def test_driver_window_is_curated():
+    """The driver snapshots only the first 50 registry entries; the curated
+    order must (a) resolve every name, (b) contain no rows-only entries in
+    the window (they'd burn a verification slot on a weaker check), and
+    (c) keep the full registry intact below the cutoff."""
+    from finiextestingide_spark.gate import CURATED_ORDER
+
+    names = list(QUERIES)
+    assert names[: len(CURATED_ORDER)] == list(CURATED_ORDER)
+    assert len(CURATED_ORDER) == 50
+    assert len(set(CURATED_ORDER)) == 50
+    window_no_oracle = [n for n in CURATED_ORDER if QUERIES[n].sql is None]
+    assert window_no_oracle == []
