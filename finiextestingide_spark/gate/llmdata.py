@@ -676,9 +676,9 @@ c{i} AS (
 IVF_TRAIN_CENTROIDS_SQL = (
     f"""
 WITH init AS (
-  SELECT CAST(vec_id AS INTEGER) AS centroid_id,
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS centroid_id,
          list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
-  FROM embeddings WHERE vec_id < {_KM_K}
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_KM_K})
 ),"""
     + ",".join(
         _km_iter_sql(i, "init" if i == 1 else f"c{i - 1}")

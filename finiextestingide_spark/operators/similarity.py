@@ -57,8 +57,17 @@ def cosine_topk(
         F.col(f"v.{id_col}").alias(id_col),
         cosine(F.col(f"v.{vec_col}"), qv).alias("cosine"),
     )
+    return _ranked_topk(scored, k, id_col=id_col)
+
+
+def _ranked_topk(scored: DataFrame, k: int, *, id_col: str) -> Column:
+    """Global top-k with a rank column, scale-safe: orderBy().limit(k) plans
+    as TakeOrderedAndProject (per-partition heap of k rows + driver merge),
+    never a single-partition sort of the full scored set; the rank window
+    then runs over only the k surviving rows."""
+    top = scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("cosine"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def assign_centroids(
@@ -172,8 +181,7 @@ def lsh_ann_topk(
         F.col("__bucket").alias("bucket"),
         cosine(F.col(vec_col), F.col("__qvec")).alias("cosine"),
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _ranked_topk(scored, k, id_col=id_col)
 
 
 def lsh_ann_multiprobe(
@@ -210,8 +218,7 @@ def lsh_ann_multiprobe(
         F.col("__bucket").alias("bucket"),
         cosine(F.col(vec_col), F.col("__qvec")).alias("cosine"),
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _ranked_topk(scored, k, id_col=id_col)
 
 
 def neardup_pairs_blocked(
@@ -221,9 +228,35 @@ def neardup_pairs_blocked(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block_size: int | None = 50_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within blocking-key groups (the exact
-    analogue of LSH bucketing for embeddings: all-pairs only inside blocks)."""
+    analogue of LSH bucketing for embeddings: all-pairs only inside blocks).
+
+    The join is quadratic WITHIN a block, so a skewed caller-chosen key is a
+    silent O(n^2) bomb at scale. ``max_block_size`` guards it: a cheap
+    planning-time count over just the block column (column-pruned scan,
+    map-side combine) raises before the quadratic join is launched if any
+    block exceeds the cap — the same fail-loud posture as
+    dedup.connected_components' non-convergence raise. Pass ``None`` to
+    skip the guard when the key is known-bounded (e.g. a write-once bucket
+    id with enforced fanout)."""
+    if max_block_size is not None:
+        oversized = (
+            vectors.groupBy(block_col)
+            .count()
+            .where(F.col("count") > max_block_size)
+            .limit(1)
+            .collect()
+        )
+        if oversized:
+            row = oversized[0]
+            raise ValueError(
+                f"neardup_pairs_blocked: block {row[block_col]!r} has "
+                f"{row['count']} rows > max_block_size={max_block_size}; "
+                "the within-block join is quadratic — choose a finer block "
+                "key or raise max_block_size explicitly"
+            )
     a, b = vectors.alias("a"), vectors.alias("b")
     return (
         a.join(
@@ -252,8 +285,11 @@ def lloyd_centroids(
 ) -> DataFrame:
     """IVF coarse-quantizer TRAINING: deterministic quantized Lloyd k-means.
 
-    Init = the k lowest-id vectors (write-once deterministic seed, no RNG);
-    each round assigns every vector to its nearest centroid by cosine
+    Init = the k smallest-id vectors selected by ORDER BY id LIMIT k
+    (TakeOrderedAndProject — works for sparse, offset, or string ids) and
+    re-numbered to centroid_id 0..k-1 in id order — a write-once
+    deterministic seed, no RNG. Each round assigns every vector to its
+    nearest centroid by cosine
     (assign_centroids' deterministic tie-break) and recomputes centroids as
     the element-wise mean of their members, QUANTIZED to ``round_dp``
     decimals. The quantization is what makes the algorithm reproducible
@@ -268,10 +304,12 @@ def lloyd_centroids(
     skew is bounded by k*dim. Round results are localCheckpoint'd (k rows)
     to keep Catalyst analysis flat across iterations, the same lineage
     lesson as dedup.connected_components."""
+    seeds = vectors.select(id_col, vec_col).orderBy(F.col(id_col)).limit(k)
+    rank_w = Window.orderBy(F.col(id_col))  # window over only the k seed rows
     centroids = (
-        vectors.where(F.col(id_col) < k)
+        seeds.withColumn("centroid_id", (F.row_number().over(rank_w) - 1).cast("int"))
         .select(
-            F.col(id_col).cast("int").alias("centroid_id"),
+            "centroid_id",
             F.transform(_as_double(F.col(vec_col)), lambda x: F.round(x, round_dp)).alias(
                 vec_col
             ),
