@@ -327,6 +327,13 @@ class Pyramid:
             return [("close_all",)]
         return []
 
+    def on_open_dropped(self) -> None:
+        # engine feedback: an emitted open was capacity/margin-dropped and
+        # never reached the book — reclaim the slot reserved for it so the
+        # strategy can keep adding positions it actually has room for
+        if self._open_count:
+            self._open_count -= 1
+
 
 class ScaleOut:
     """Partial-close ladder (reference partial_close_position,
@@ -1044,10 +1051,25 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                         "op": None,
                     }
                 )
-            elif len(positions) < max_positions and can_open(d, olots, a if d > 0 else b):
+            elif len(positions) >= max_positions:
+                # capacity-dropped market open: counted as rejected (it was
+                # neither filled nor left resting) and surfaced to the
+                # strategy so self-tracked open counts don't drift — a
+                # latency-delayed open can arrive after the book filled up
+                nonlocal n_rejected
+                n_rejected += 1
+                notify = getattr(strategy, "on_open_dropped", None)
+                if notify is not None:
+                    notify()
+            elif can_open(d, olots, a if d > 0 else b):
                 open_position(
                     i, due if due is not None else t, d, olots, a if d > 0 else b, sl, tp
                 )
+            else:
+                # margin/funds-rejected (can_open already counted it)
+                notify = getattr(strategy, "on_open_dropped", None)
+                if notify is not None:
+                    notify()
 
     for i in range(n):
         t = tsl[i]

@@ -838,3 +838,64 @@ def test_price_digits_snaps_order_prices(spark):
     tr = run_backtest(ticks, s).collect()[0]["trades"]
     assert len(tr) == 1
     assert tr[0]["entry_price"] == pytest.approx(99.6)
+
+
+def test_pyramid_reclaims_margin_rejected_slots(spark):
+    """An emitted open that the book margin-rejects never filled, so the
+    strategy's self-tracked count must not burn the slot permanently: with
+    margin for only one position, pyramid keeps retrying on every rising
+    bar (rejections accumulate) instead of silently stalling at its cap."""
+    ticks = make_ticks(spark, RISING)
+    s = scen(
+        spark, strategy="pyramid", fast=2, slow=4, max_positions=3,
+        margin_per_lot=8_000.0,
+    )
+    res = run_backtest(ticks, s).collect()[0]
+    assert res["trades_count"] == 1  # only one position ever affordable
+    # without slot reclaim the count would stick at max_positions after 2
+    # rejections; retry-per-bar proves the on_open_dropped feedback works
+    assert res["orders_rejected"] > 2
+
+
+def test_capacity_dropped_market_open_counts_rejected():
+    """A market open arriving at a full book is dropped — it must surface
+    in orders_rejected, not vanish from ExecutionStats. Runs the per-
+    scenario pandas core in-process so a test-only strategy can be
+    registered (worker processes re-import the module registry)."""
+    import pandas as pd
+
+    from finiextestingide_spark.operators import replay as R
+
+    class _AlwaysOpen:
+        warmup = 1
+
+        def __init__(self, params):
+            pass
+
+        def on_bar_actions(self, close):
+            return [("open", 1, 1.0)]
+
+    rows = []
+    for i, p in enumerate(RISING):
+        ms = T0_MS + i * 30_000
+        rows.append({"symbol": "X", "time_msc": ms, "collected_msc": ms,
+                     "bid": p - 0.01, "ask": p + 0.01})
+    pdf = pd.DataFrame(rows)
+    scen_cfg = {
+        "scenario_id": 1,
+        "parameters": {**BASE, "strategy": "always_open_test",
+                       "max_positions": "1"},
+        "tick_processing_budget_ms": None,
+        "latency_seed": 7,
+        "latency_min_ms": 0,
+        "latency_max_ms": 0,
+        "max_ticks": None,
+    }
+    R.STRATEGIES["always_open_test"] = _AlwaysOpen
+    try:
+        res = R._replay_core(pdf, scen_cfg).iloc[0]
+    finally:
+        del R.STRATEGIES["always_open_test"]
+    assert res["trades_count"] == 1
+    # every post-fill bar's open is capacity-dropped and counted
+    assert res["orders_rejected"] >= 5
