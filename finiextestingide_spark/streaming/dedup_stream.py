@@ -14,10 +14,14 @@ GROUP BY content_hash`` — pinned by the DuckDB oracle of the
 ``streaming_dedup_exact`` gate and a stream-vs-batch pytest.
 
 State size: one (16-byte hash -> 2 longs) entry per distinct document
-content — the same cardinality the batch groupBy shuffles, TTL'd by the
-timeout so a long-running stream does not grow past its live working set
-(re-emission on late re-appearance is an UPDATE row, the lakehouse merge
-semantics a dedup sink wants).
+content — the same cardinality the batch groupBy shuffles. The compact
+(min_id, n) aggregate is kept ACROSS timeout emissions (only the timeout
+registration is dropped): a late re-appearance of the same content
+continues the full-stream aggregate, so every emitted row is cumulative
+and a merge-by-hash sink gets true UPDATE semantics (counts are
+monotone, canonical_id is the all-time min). Exact dedup inherently
+needs full-history state; dropping it on timeout would silently restart
+groups and let a merge sink overwrite a correct count with a smaller one.
 """
 
 from __future__ import annotations
@@ -55,8 +59,11 @@ def _dedup_state(
     (h,) = key
     if state.hasTimedOut:
         if state.exists:
+            # emit the cumulative row but KEEP the compact aggregate: a
+            # re-appearing key continues from (min_id, n) and re-emits a
+            # larger, still-cumulative row (UPDATE semantics for merge
+            # sinks). No new timeout is set until new data arrives.
             mn, n = state.get
-            state.remove()
             yield pd.DataFrame(
                 {"content_hash": [h], "canonical_id": [mn], "group_size": [n]}
             )

@@ -215,14 +215,18 @@ def drain_to_memory(
                 batch_id_repeats = 0
             prev_batch_id = batch_id
             # Two quiescence contracts, chosen by the caller:
-            # - await_state_drain=True (emit-on-timeout streams whose every
-            #   key WILL time out, e.g. streaming dedup): the precise signal
-            #   is the stream's own state metrics — once a completed batch
-            #   reports numRowsTotal == 0, every key has emitted and removed
-            #   its state. Sink-stability plus a 0-input completed batch is
-            #   NOT sufficient there: under load, empty timeout-CHECK
-            #   batches complete before the emissions fire and once
-            #   truncated the output.
+            # - await_state_drain=True (emit-on-timeout streams): the
+            #   precise signal is the stream's own state metrics — once a
+            #   completed batch reports numRowsTotal == 0, every key has
+            #   emitted and removed its state. Sink-stability plus a
+            #   0-input completed batch is NOT sufficient there: under
+            #   load, empty timeout-CHECK batches complete before the
+            #   emissions fire and once truncated the output. Streams that
+            #   deliberately KEEP compact state across timeout emissions
+            #   (streaming dedup's cumulative (min_id, n)) never reach
+            #   numRowsTotal == 0 and quiesce via the frozen-batchId
+            #   fallback below: once every pending timeout has fired, the
+            #   engine stops scheduling batches entirely.
             # - await_state_drain=False (streams whose residual state is
             #   deliberately never flushed, e.g. the incremental-bars gate
             #   with its beyond-horizon heartbeat): state never empties, so

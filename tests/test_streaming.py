@@ -299,3 +299,59 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(got) == 3
+
+
+def test_streaming_dedup_reappearance_is_cumulative(spark, tmp_path):
+    """A key re-appearing AFTER its timeout emission continues the
+    full-stream aggregate (state is kept across emissions): the re-emitted
+    row has the all-time min canonical_id and the cumulative count, so a
+    merge-by-hash sink never overwrites a correct count with a smaller one."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from finiextestingide_spark.operators.text import normalized_text
+    from finiextestingide_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    schema = "doc_id int, text string"
+    src = str(tmp_path / "docs")
+    phase1 = spark.createDataFrame(
+        [(5, "repeat me"), (6, "Repeat   ME")], schema
+    )
+    phase1.coalesce(1).write.parquet(src)
+    target_hash = phase1.select(
+        F.md5(normalized_text(F.col("text"))).alias("h")
+    ).collect()[0]["h"]
+
+    stream = spark.readStream.schema(phase1.schema).parquet(src)
+    out = streaming_exact_dedup(stream, heartbeat_ms=1_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup_reappear")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        def rows_for_hash():
+            return [
+                (r["canonical_id"], r["group_size"])
+                for r in spark.table("t_dedup_reappear")
+                .where(F.col("content_hash") == target_hash)
+                .collect()
+            ]
+
+        deadline = time.time() + 90
+        while time.time() < deadline and (5, 2) not in rows_for_hash():
+            time.sleep(0.5)
+        assert (5, 2) in rows_for_hash(), "first timeout emission missing"
+
+        # late re-appearance: a lower doc_id with the same content
+        spark.createDataFrame([(2, "REPEAT me")], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        while time.time() < deadline and (2, 3) not in rows_for_hash():
+            time.sleep(0.5)
+        assert (2, 3) in rows_for_hash(), "cumulative re-emission missing"
+    finally:
+        q.stop()
+        q.awaitTermination()
