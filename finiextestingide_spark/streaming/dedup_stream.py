@@ -45,8 +45,20 @@ _OUT_SCHEMA = StructType(
 )
 
 _STATE_SCHEMA = StructType(
-    [StructField("min_id", LongType()), StructField("n", LongType())]
+    [
+        StructField("min_id", LongType()),
+        StructField("n", LongType()),
+        # count at the last emission — suppresses no-change re-emissions
+        # (a PySpark timed-out key re-fires on every batch unless a new
+        # timeout is registered, so the timer alone can't gate emission)
+        StructField("emitted_n", LongType()),
+    ]
 )
+
+# re-arm interval for an already-emitted idle key: long enough to keep the
+# engine quiescent between feeds, short enough to bound how long a crashed
+# upstream leaves a pending timer (a no-change fire emits nothing)
+_IDLE_REARM_MS = 3_600_000
 
 
 def _dedup_state(
@@ -62,20 +74,24 @@ def _dedup_state(
             # emit the cumulative row but KEEP the compact aggregate: a
             # re-appearing key continues from (min_id, n) and re-emits a
             # larger, still-cumulative row (UPDATE semantics for merge
-            # sinks). No new timeout is set until new data arrives.
-            mn, n = state.get
-            yield pd.DataFrame(
-                {"content_hash": [h], "canonical_id": [mn], "group_size": [n]}
-            )
+            # sinks). Nothing is emitted when no new rows arrived since
+            # the last emission.
+            mn, n, emitted = state.get
+            state.update((mn, n, n))
+            state.setTimeoutDuration(_IDLE_REARM_MS)
+            if n > emitted:
+                yield pd.DataFrame(
+                    {"content_hash": [h], "canonical_id": [mn], "group_size": [n]}
+                )
         return
-    mn, n = state.get if state.exists else (None, 0)
+    mn, n, emitted = state.get if state.exists else (None, 0, 0)
     for pdf in pdfs:
         if len(pdf):
             m = int(pdf["doc_id"].min())
             mn = m if mn is None else min(mn, m)
             n += len(pdf)
     if mn is not None:
-        state.update((int(mn), int(n)))
+        state.update((int(mn), int(n), int(emitted)))
         state.setTimeoutDuration(timeout_ms)
 
 

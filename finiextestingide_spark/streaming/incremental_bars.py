@@ -223,10 +223,15 @@ def drain_to_memory(
             #   load, empty timeout-CHECK batches complete before the
             #   emissions fire and once truncated the output. Streams that
             #   deliberately KEEP compact state across timeout emissions
-            #   (streaming dedup's cumulative (min_id, n)) never reach
-            #   numRowsTotal == 0 and quiesce via the frozen-batchId
-            #   fallback below: once every pending timeout has fired, the
-            #   engine stops scheduling batches entirely.
+            #   (streaming dedup's cumulative (min_id, n, emitted_n)) never
+            #   reach numRowsTotal == 0; for them the signal is a completed
+            #   batch that consumed no input AND updated no state rows
+            #   AFTER at least one emission reached the sink — the emission
+            #   wave itself updates every fired key's state, so a 0-update
+            #   idle batch means no timer is mid-flight. (availableNow keeps
+            #   scheduling empty microbatches while ANY timer is registered,
+            #   so the frozen-batchId fallback alone would wait out
+            #   max_secs.)
             # - await_state_drain=False (streams whose residual state is
             #   deliberately never flushed, e.g. the incremental-bars gate
             #   with its beyond-horizon heartbeat): state never empties, so
@@ -239,9 +244,16 @@ def drain_to_memory(
                 quiesced = False
                 if progress is not None:
                     ops = progress.get("stateOperators") or []
-                    quiesced = bool(ops) and all(
+                    drained = bool(ops) and all(
                         op.get("numRowsTotal", 1) == 0 for op in ops
                     )
+                    emitted_and_idle = (
+                        last > 0
+                        and progress.get("numInputRows", 1) == 0
+                        and bool(ops)
+                        and all(op.get("numRowsUpdated", 1) == 0 for op in ops)
+                    )
+                    quiesced = drained or emitted_and_idle
             else:
                 quiesced = progress is not None and progress.get("numInputRows", 1) == 0
             if (
