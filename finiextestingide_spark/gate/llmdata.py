@@ -857,6 +857,61 @@ FROM cum
 """
 
 
+def token_budget_mix_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import token_budget_sample_greedy
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        tx.whitespace_token_count(F.col("text")).alias("n_tokens"),
+        F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    out = token_budget_sample_greedy(docs, _TB_BUDGET)
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("quality", 6).alias("quality"),
+        F.col("kept_tokens").cast("long").alias("kept_tokens"),
+        "selected",
+    )
+
+
+# The greedy walk's kept-sum depends on which earlier docs were kept, so the
+# oracle is a per-group recursive CTE stepping rank-by-rank — DuckDB has no
+# windowed equivalent (this is exactly why the Spark side is applyInPandas).
+TOKEN_BUDGET_MIX_GREEDY_SQL = f"""
+WITH RECURSIVE scored AS (
+  SELECT doc_id, lang,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n_tokens,
+         {_QUALITY_EXPR_SQL} AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, n_tokens, quality,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM (SELECT doc_id, lang, n_tokens, round(quality, 6) AS quality FROM scored)
+),
+walk AS (
+  SELECT lang, rn, doc_id, n_tokens, quality,
+         CASE WHEN n_tokens <= {_TB_BUDGET} THEN n_tokens ELSE 0 END AS kept_tokens,
+         (n_tokens <= {_TB_BUDGET}) AS selected
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.lang, r.rn, r.doc_id, r.n_tokens, r.quality,
+         CASE WHEN w.kept_tokens + r.n_tokens <= {_TB_BUDGET}
+              THEN w.kept_tokens + r.n_tokens ELSE w.kept_tokens END,
+         (w.kept_tokens + r.n_tokens <= {_TB_BUDGET})
+  FROM walk w JOIN ranked r ON r.lang = w.lang AND r.rn = w.rn + 1
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+       CAST(kept_tokens AS BIGINT) AS kept_tokens, selected
+FROM walk
+"""
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     out = docs.select("doc_id", "lang", tx.predict_lang(F.col("text")).alias("pred_lang"))
@@ -993,6 +1048,11 @@ QUERIES: dict[str, Query] = {
     ),
     "token_budget_mix": Query(
         token_budget_mix, TOKEN_BUDGET_MIX_SQL, "per-language token-budget data mixing"
+    ),
+    "token_budget_mix_greedy": Query(
+        token_budget_mix_greedy,
+        TOKEN_BUDGET_MIX_GREEDY_SQL,
+        "greedy skip-and-continue token-budget mixing (recursive-CTE oracle)",
     ),
     "neardup_keep_best": Query(
         neardup_keep_best, NEARDUP_KEEP_BEST_SQL, "cluster-level quality keep-policy dedup"

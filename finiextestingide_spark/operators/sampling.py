@@ -63,17 +63,21 @@ def token_budget_sample(
     score: str = "quality",
     id_col: str = "doc_id",
 ):
-    """Data-mixing selection: per ``group`` (language/domain), greedily keep
-    the highest-``score`` documents until the cumulative token count fills
-    ``budget_tokens`` — the budgeted curation step that turns a scored
-    corpus into a training mix.
+    """Data-mixing selection: per ``group`` (language/domain), keep the
+    RANK-PREFIX of highest-``score`` documents whose cumulative token count
+    stays within ``budget_tokens`` — the budgeted curation step that turns
+    a scored corpus into a training mix.
 
-    Deterministic: rank by (score DESC, id ASC); a document is kept iff the
-    cumulative tokens INCLUDING it stay within budget (so one oversized
-    top-ranked doc that alone exceeds the budget is excluded, and selection
-    is a pure function of the scores). One window pass per group — the
-    shuffle carries (id, score, tokens), never text; at 100 TB the
-    group-partitioned sort is the same shape as any per-key top-k."""
+    This is a prefix cut, NOT greedy skip-and-continue: rank by
+    (score DESC, id ASC); a document is kept iff the cumulative tokens of
+    ALL higher-or-equal-ranked docs including it stay within budget. The
+    first overflowing doc therefore ends the selection for its group even
+    if smaller lower-ranked docs would still fit — the rule trades a
+    little budget utilization for a pure windowed plan (no sequential
+    scan). Use ``token_budget_sample_greedy`` when utilization matters
+    more. One window pass per group — the shuffle carries
+    (id, score, tokens), never text; at 100 TB the group-partitioned sort
+    is the same shape as any per-key top-k."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
@@ -86,3 +90,54 @@ def token_budget_sample(
         .withColumn("selected", F.col("cum_tokens") <= budget_tokens)
         .select(id_col, group, tokens, score, "cum_tokens", "selected")
     )
+
+
+def token_budget_sample_greedy(
+    scored_docs,
+    budget_tokens: int,
+    *,
+    group: str = "lang",
+    tokens: str = "n_tokens",
+    score: str = "quality",
+    id_col: str = "doc_id",
+):
+    """True greedy skip-and-continue budget selection: per ``group``, walk
+    documents in (score DESC, id ASC) order and keep each one iff the sum
+    of KEPT tokens including it stays within ``budget_tokens`` — an
+    oversized mid-rank doc is skipped and the walk continues, so smaller
+    lower-ranked docs can still fill the budget (maximal utilization under
+    the ranking, unlike token_budget_sample's prefix cut).
+
+    The kept-sum is inherently sequential (it depends on which earlier docs
+    were kept), so this is an Arrow-batched applyInPandas per group, not a
+    window: the shuffle carries only (id, group, tokens, score) — never
+    text — and each group's walk is a single in-memory pass. At 100 TB the
+    per-group partition is the same memory bound as any per-key stateful
+    op; groups are languages/domains, so cardinality is small and rows per
+    group are bounded by the corpus mix."""
+    import pandas as pd
+
+    cols = [id_col, group, tokens, score]
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [score, id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        kept_sum = 0
+        kept_cum, selected = [], []
+        for t in pdf[tokens]:
+            t = int(t)
+            if kept_sum + t <= budget_tokens:
+                kept_sum += t
+                selected.append(True)
+            else:
+                selected.append(False)
+            kept_cum.append(kept_sum)
+        pdf["kept_tokens"] = pd.Series(kept_cum, dtype="int64")
+        pdf["selected"] = pd.Series(selected, dtype="bool")
+        return pdf
+
+    narrow = scored_docs.select(*cols)
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in narrow.schema)
+    out_schema = f"{schema}, kept_tokens bigint, selected boolean"
+    return narrow.groupBy(group).applyInPandas(walk, out_schema)

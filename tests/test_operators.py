@@ -627,3 +627,30 @@ def test_neardup_pairs_blocked_skew_guard(spark):
         neardup_pairs_blocked(vecs, "block", max_block_size=5)
     out = neardup_pairs_blocked(vecs, "block", max_block_size=None).collect()
     assert len(out) == 8 * 7 // 2  # all-pairs inside the hot block only
+
+
+def test_token_budget_greedy_skips_oversized_and_continues(spark):
+    """Greedy skip-and-continue: an oversized mid-rank doc is skipped and
+    smaller lower-ranked docs still fill the budget — where the prefix-cut
+    variant ends the group's selection at the first overflow."""
+    from finiextestingide_spark.operators.sampling import (
+        token_budget_sample,
+        token_budget_sample_greedy,
+    )
+
+    rows = [
+        # (doc_id, lang, n_tokens, quality) — rank order: 1, 2, 3, 4
+        (1, "en", 40, 0.9),
+        (2, "en", 100, 0.8),  # oversized: overflows a 100-token budget
+        (3, "en", 30, 0.7),
+        (4, "en", 25, 0.6),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, lang string, n_tokens int, quality double")
+
+    prefix = {r["doc_id"]: r["selected"]
+              for r in token_budget_sample(docs, 100).collect()}
+    assert prefix == {1: True, 2: False, 3: False, 4: False}
+
+    greedy = {r["doc_id"]: (r["selected"], r["kept_tokens"])
+              for r in token_budget_sample_greedy(docs, 100).collect()}
+    assert greedy == {1: (True, 40), 2: (False, 40), 3: (True, 70), 4: (True, 95)}
