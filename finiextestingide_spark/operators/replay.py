@@ -72,6 +72,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from .seeded import SeededProbabilityFilter
+
 TRADE_FIELDS = StructType(
     [
         StructField("trade_id", IntegerType()),
@@ -683,6 +685,16 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     suppress_gap_ms = int(
         params.get("heartbeat_suppress_gap_ms", 0 if heartbeat_ms is None else 100 * heartbeat_ms)
     )
+    # Stress-test order rejection (reference stress_test_rejection.py:22-83):
+    # each order evaluated at fill time draws once from a seeded probability
+    # filter; a trigger rejects the order (BROKER_ERROR in the reference).
+    # Same (seed, order sequence) => identical rejections on any engine.
+    reject_prob = float(params.get("reject_probability", 0.0))
+    stress_reject = (
+        SeededProbabilityFilter(int(params.get("reject_seed", 0)), reject_prob)
+        if reject_prob > 0.0
+        else None
+    )
 
     budget_ms = scen.get("tick_processing_budget_ms")
     budget_ms = float(budget_ms) if budget_ms is not None and not pd.isna(budget_ms) else None
@@ -776,6 +788,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         and sample_every == 0
         and max_positions == 1
         and not spot_mode
+        and stress_reject is None
         and not hasattr(strategy, "on_bar_actions")
         and not hasattr(strategy, "on_bar_ctx")
         and params.get("force_slow") != "1"
@@ -1009,6 +1022,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     def execute(i: int, act: tuple, t: int, b: float, a: float, due: int | None) -> None:
         """Phase-1 body for one latency-resolved action at quote (b, a).
         `due` non-None stamps heartbeat fills at their deadline instant."""
+        nonlocal n_rejected
         kind = act[0]
         if kind == "close_all":
             for p in list(positions):  # oldest first
@@ -1051,12 +1065,19 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                         "op": None,
                     }
                 )
+            elif stress_reject is not None and stress_reject.should_trigger():
+                # stress-test seeded rejection (BROKER_ERROR in the
+                # reference): the order is consumed, counted rejected, and
+                # the strategy's reserved slot reclaimed
+                n_rejected += 1
+                notify = getattr(strategy, "on_open_dropped", None)
+                if notify is not None:
+                    notify()
             elif len(positions) >= max_positions:
                 # capacity-dropped market open: counted as rejected (it was
                 # neither filled nor left resting) and surfaced to the
                 # strategy so self-tracked open counts don't drift — a
                 # latency-delayed open can arrive after the book filled up
-                nonlocal n_rejected
                 n_rejected += 1
                 notify = getattr(strategy, "on_open_dropped", None)
                 if notify is not None:
@@ -1254,6 +1275,8 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                             fill = r["trig"]
                 if fill is None:
                     kept_r.append(r)
+                elif stress_reject is not None and stress_reject.should_trigger():
+                    n_rejected += 1  # stress-test seeded rejection; consumed
                 elif len(positions) >= max_positions:
                     kept_r.append(r)  # wait for capacity, keep resting
                 elif can_open(d, r["lots"], fill):

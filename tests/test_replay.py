@@ -899,3 +899,47 @@ def test_capacity_dropped_market_open_counts_rejected():
     assert res["trades_count"] == 1
     # every post-fill bar's open is capacity-dropped and counted
     assert res["orders_rejected"] >= 5
+
+
+def test_seeded_probability_filter_contract():
+    """Parity with the reference seeded_probability_filter.py: strict-
+    interior probabilities draw once per call from random.Random(seed);
+    the 0.0/1.0 shortcuts never advance the RNG; out-of-range raises."""
+    import random as _random
+
+    from finiextestingide_spark.operators.seeded import SeededProbabilityFilter
+
+    f = SeededProbabilityFilter(123, 0.4)
+    ref = _random.Random(123)
+    assert [f.should_trigger() for _ in range(50)] == [
+        ref.random() < 0.4 for _ in range(50)
+    ]
+    always, never = SeededProbabilityFilter(1, 1.0), SeededProbabilityFilter(1, 0.0)
+    assert all(always.should_trigger() for _ in range(5))
+    assert not any(never.should_trigger() for _ in range(5))
+    with pytest.raises(ValueError):
+        SeededProbabilityFilter(1, 1.5)
+
+
+def test_stress_rejection_seeded_determinism(spark):
+    """R2-style parity for the stress-rejection filter: same seed => same
+    kept/rejected order set; probability 1.0 rejects every open; 0.0 is
+    bit-identical to no stress config."""
+    ticks = make_ticks(spark, PRICES)
+    a = run_backtest(
+        ticks, scen(spark, reject_probability=0.5, reject_seed=11)
+    ).collect()[0]
+    b = run_backtest(
+        ticks, scen(spark, reject_probability=0.5, reject_seed=11)
+    ).collect()[0]
+    assert a["trades"] == b["trades"]
+    assert a["orders_rejected"] == b["orders_rejected"]
+
+    all_rej = run_backtest(ticks, scen(spark, reject_probability=1.0)).collect()[0]
+    assert all_rej["trades_count"] == 0
+    assert all_rej["orders_rejected"] >= 1
+
+    base = run_backtest(ticks, scen(spark)).collect()[0]
+    off = run_backtest(ticks, scen(spark, reject_probability=0.0)).collect()[0]
+    assert off["trades"] == base["trades"]
+    assert off["orders_rejected"] == base["orders_rejected"]
