@@ -7,6 +7,11 @@ Each query is forced end-to-end with a noop-format write (full plan executes,
 nothing is collected to the driver), so the timing covers scan -> shuffle ->
 final stage, not just plan construction. A warm-up query runs first so JVM/
 codegen startup isn't billed to the first headline entry.
+
+The warmup/timing helpers are shared with tests/test_bench_certificate.py,
+the in-repo regression gate modeled on the reference's committed benchmark
+certificates (tests/simulation/benchmark/conftest.py:300-390: tolerance
+bands, committed JSON report, expiry).
 """
 
 from __future__ import annotations
@@ -46,17 +51,13 @@ HEADLINE = [
 ]
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = build_session("bench")
-    spark.sparkContext.setLogLevel("ERROR")
+def warmup(spark, sf_dir: str) -> None:
+    """One-time process costs outside the timed region: JVM/codegen, parquet
+    footer reads for every table family, and the Python worker pool (Arrow/
+    applyInPandas paths fork workers on first use). Queries are still timed
+    cold w.r.t. their own computation — nothing here caches query results
+    (noop writes, count on raw tables)."""
     qs = all_queries()
-
-    # Warm up one-time process costs outside the timed region: JVM/codegen,
-    # parquet footer reads for every table family, and the Python worker
-    # pool (Arrow/applyInPandas paths fork workers on first use). Queries
-    # are still timed cold w.r.t. their own computation — nothing below
-    # caches query results (noop writes, count on raw tables).
     qs["bars_1d"].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
     from finiextestingide_spark.sources.tables import TABLES, load_table
 
@@ -93,19 +94,32 @@ def main() -> int:
     )
     run_backtest(mini_ticks, mini_scen).write.mode("overwrite").format("noop").save()
 
-    # Median of 3 runs per query — the same protocol as the reference's
-    # benchmark certificate (BASELINE.md: "3 runs, median reported"), which
-    # keeps one-off VM hiccups out of the recorded number. Results are never
-    # cached (noop sink), so every run re-executes the full plan.
+
+def time_queries(
+    spark, sf_dir: str, names: list[str] | None = None, runs: int = 3
+) -> dict[str, float]:
+    """Median-of-N wall time per query, full plan forced via a noop sink —
+    the reference's certificate protocol (BASELINE.md: '3 runs, median
+    reported'), which keeps one-off VM hiccups out of the recorded number.
+    Results are never cached; every run re-executes the full plan."""
+    qs = all_queries()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        runs = []
-        for _ in range(3):
+    for name in names or HEADLINE:
+        samples = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             qs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 4)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 4)
+    return timings
 
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    warmup(spark, sf_dir)
+    timings = time_queries(spark, sf_dir)
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
