@@ -210,7 +210,9 @@ def streaming_asof_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     signals = ev.where(F.col("event_type") == "purchase").select(
         F.lit("x").alias("symbol"), F.col("ts").alias("sig_ts"), F.col("value").alias("score")
     )
-    out = asof_signal_stream(ticks, signals)
+    # 10-minute staleness bound: both fresh and stale ticks exist at every
+    # SF, so the is_stale column (and its fresh->stale flips) is exercised
+    out = asof_signal_stream(ticks, signals, max_staleness_ms=600_000)
     name = "gate_streaming_asof_signal"
     run_to_memory(out, name, output_mode="append")
     res = spark.table(name)
@@ -220,6 +222,7 @@ def streaming_asof_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mid", 6).alias("mid"),
         "sig_ts",
         F.round("score", 6).alias("score"),
+        "is_stale",
     )
 
 
@@ -232,7 +235,9 @@ sigs AS (
 )
 SELECT 'x' AS symbol, c.ts, round(c.mid, 6) AS mid,
        make_timestamp((epoch_us(s.sig_ts) // 1000) * 1000) AS sig_ts,
-       round(s.score, 6) AS score
+       round(s.score, 6) AS score,
+       (s.sig_ts IS NULL
+        OR epoch_ms(c.ts) - epoch_ms(s.sig_ts) > 600000) AS is_stale
 FROM clicks c ASOF LEFT JOIN sigs s ON s.sig_ts <= c.ts
 """
 

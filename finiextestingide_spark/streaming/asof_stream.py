@@ -60,6 +60,10 @@ OUT_SCHEMA = StructType(
         StructField("mid", DoubleType()),
         StructField("sig_ts", TimestampType()),
         StructField("score", DoubleType()),
+        # feed-status envelope stamp (#434, abstract_signal_worker.py:200-203):
+        # the framework owns this channel; true on a gap (no signal yet) or
+        # when the served snapshot's age exceeds max_staleness_ms
+        StructField("is_stale", BooleanType()),
     ]
 )
 
@@ -70,7 +74,11 @@ _STATE_SCHEMA = StructType(
 
 
 def _resolve(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    *,
+    max_staleness_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     if state.hasTimedOut:  # pragma: no cover - no timeouts configured
         return
@@ -83,7 +91,7 @@ def _resolve(
     pdf = pdf.sort_values(["ts", "is_signal"], ascending=[True, False], kind="mergesort")
     sig_ms, score = state.get if state.exists else (None, None)
     (symbol,) = key
-    out_ts, out_mid, out_sig, out_score = [], [], [], []
+    out_ts, out_mid, out_sig, out_score, out_stale = [], [], [], [], []
     for is_sig, ts, mid, s_ts, s_score in zip(
         pdf["is_signal"], pdf["ts"], pdf["mid"], pdf["sig_ts"], pdf["score"]
     ):
@@ -96,6 +104,18 @@ def _resolve(
             out_mid.append(mid)
             out_sig.append(pd.Timestamp(sig_ms, unit="ms") if sig_ms is not None else pd.NaT)
             out_score.append(score)
+            # staleness evaluated per tick against the SERVED snapshot, the
+            # reference's _evaluate_stale: a gap is stale; age strictly over
+            # the bound is stale. Because every tick re-evaluates, the flip
+            # the reference's should_refresh watches for (feed dies, age
+            # crosses the boundary while the snapshot stops changing) is
+            # surfaced here as the is_stale transition between ticks.
+            if sig_ms is None:
+                out_stale.append(True)
+            elif max_staleness_ms is None:
+                out_stale.append(False)
+            else:
+                out_stale.append(ts.value // 1_000_000 - sig_ms > max_staleness_ms)
     if sig_ms is not None:
         state.update((int(sig_ms), float(score)))
     if out_ts:
@@ -106,6 +126,7 @@ def _resolve(
                 "mid": out_mid,
                 "sig_ts": out_sig,
                 "score": out_score,
+                "is_stale": pd.Series(out_stale, dtype="bool"),
             }
         )
 
@@ -132,14 +153,27 @@ def envelope(ticks: DataFrame, signals: DataFrame) -> DataFrame:
     return t.unionByName(s)
 
 
-def asof_signal_stream(ticks: DataFrame, signals: DataFrame) -> DataFrame:
+def asof_signal_stream(
+    ticks: DataFrame, signals: DataFrame, *, max_staleness_ms: int | None = None
+) -> DataFrame:
     """Streaming as-of join: every tick enriched with the latest signal at
-    or before it (per symbol)."""
+    or before it (per symbol) plus the ``is_stale`` feed-status stamp —
+    true on a gap or when the served signal is older than
+    ``max_staleness_ms`` at the tick (None disables age-based staleness;
+    gaps are always stale). The per-tick re-evaluation surfaces the
+    reference's staleness FLIP (abstract_signal_worker.py:159-179): when
+    the signal feed dies mid-session the snapshot stops changing but its
+    age keeps growing, and the emitted column flips fresh->stale on the
+    first tick past the boundary."""
+
+    def fn(key, pdfs, state):
+        return _resolve(key, pdfs, state, max_staleness_ms=max_staleness_ms)
+
     return (
         envelope(ticks, signals)
         .groupBy("symbol")
         .applyInPandasWithState(
-            _resolve,
+            fn,
             outputStructType=OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",

@@ -355,3 +355,38 @@ def test_streaming_dedup_reappearance_is_cumulative(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination()
+
+
+def test_asof_stream_staleness_flip(spark, tmp_path):
+    """Feed-death flip (#434): the signal feed stops but ticks keep coming;
+    the served snapshot stops changing while its age grows, and is_stale
+    flips False->True on the first tick past max_staleness_ms."""
+    from datetime import datetime, timedelta
+
+    from finiextestingide_spark.streaming.asof_stream import asof_signal_stream
+    from finiextestingide_spark.streaming.incremental_bars import drain_to_memory
+
+    def at(secs):
+        return datetime(2026, 1, 1, 0, 0, 0) + timedelta(seconds=secs)
+
+    ticks = spark.createDataFrame(
+        [("x", at(s), 100.0 + s) for s in (1, 5, 20, 40, 80)],
+        "symbol string, ts timestamp, mid double",
+    )
+    signals = spark.createDataFrame(
+        [("x", at(0), 1.0)], "symbol string, sig_ts timestamp, score double"
+    )
+    src_t, src_s = str(tmp_path / "t"), str(tmp_path / "s")
+    ticks.coalesce(1).write.parquet(src_t)
+    signals.coalesce(1).write.parquet(src_s)
+    st = spark.readStream.schema(ticks.schema).parquet(src_t)
+    ss = spark.readStream.schema(signals.schema).parquet(src_s)
+    # 30s bound: ticks at +1/+5/+20 are fresh, +40/+80 stale
+    out = asof_signal_stream(st, ss, max_staleness_ms=30_000)
+    drain_to_memory(out, "t_asof_stale", settle_secs=2.0, max_secs=60.0)
+    rows = sorted(
+        spark.table("t_asof_stale").collect(), key=lambda r: r["ts"]
+    )
+    assert [r["is_stale"] for r in rows] == [False, False, False, True, True]
+    # the snapshot itself never changed — only its age did
+    assert len({r["sig_ts"] for r in rows}) == 1
