@@ -654,3 +654,99 @@ def test_token_budget_greedy_skips_oversized_and_continues(spark):
     greedy = {r["doc_id"]: (r["selected"], r["kept_tokens"])
               for r in token_budget_sample_greedy(docs, 100).collect()}
     assert greedy == {1: (True, 40), 2: (False, 40), 3: (True, 70), 4: (True, 95)}
+
+
+def test_result_cache_hit_skips_source_entirely(spark, tmp_path):
+    """Second call with unchanged inputs+params is a pure cache read:
+    compute() must not be invoked (throwing callback) and every file
+    backing the returned DataFrame lives under the cache dir — zero
+    source files in the scan."""
+    import pyspark.sql.functions as F
+
+    from finiextestingide_spark.operators.result_cache import ResultCache
+
+    src = str(tmp_path / "src")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).write.parquet(src)
+    cache_dir = str(tmp_path / "cache")
+    cache = ResultCache(cache_dir)
+    params = {"mod": 7}
+
+    def compute():
+        return spark.read.parquet(src).groupBy("k").count().orderBy("k")
+
+    first = cache.get_or_compute(spark, "counts", [src], params, compute)
+    expect = sorted((r["k"], r["count"]) for r in first.collect())
+
+    def recomputed():
+        raise AssertionError("cache miss on unchanged inputs")
+
+    second = cache.get_or_compute(spark, "counts", [src], params, recomputed)
+    assert sorted((r["k"], r["count"]) for r in second.collect()) == expect
+    backing = second.inputFiles()
+    assert backing and all(cache_dir in f for f in backing)
+    assert not any(src in f for f in backing)
+
+
+def test_result_cache_invalidates_on_source_and_param_change(spark, tmp_path):
+    """New source file -> new fingerprint -> recompute reflects the new
+    data; param change alone also recomputes; superseded entries dropped."""
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    from finiextestingide_spark.operators.result_cache import ResultCache
+
+    src = str(tmp_path / "src")
+    spark.range(10).select(F.col("id")).write.parquet(src)
+    cache = ResultCache(str(tmp_path / "cache"))
+
+    def compute():
+        return spark.read.parquet(src).agg(F.count(F.lit(1)).alias("n"))
+
+    assert cache.get_or_compute(spark, "n", [src], {}, compute).collect()[0]["n"] == 10
+
+    time.sleep(0.05)  # ensure a distinct mtime on the appended file
+    spark.range(5).select(F.col("id")).write.mode("append").parquet(src)
+    info_after = cache.lookup("n", [src], {})
+    assert not info_after.hit  # staleness detected before any compute
+    assert cache.get_or_compute(spark, "n", [src], {}, compute).collect()[0]["n"] == 15
+
+    # param change is its own fingerprint
+    info_params = cache.lookup("n", [src], {"threshold": 2})
+    assert not info_params.hit
+    # one entry per name after the rewrite (superseded fingerprint dropped)
+    name_dir = os.path.join(str(tmp_path / "cache"), "n")
+    entries = [e for e in os.listdir(name_dir) if e != "manifest.json"]
+    assert len(entries) == 1
+
+
+def test_result_cache_discovery_shape(spark, tmp_path):
+    """The intended consumer shape: an extreme-moves style discovery scan
+    cached across calls with its config as the params dict."""
+    import pyspark.sql.functions as F
+
+    from finiextestingide_spark.operators.result_cache import ResultCache
+
+    src = str(tmp_path / "events")
+    spark.range(2000).select(
+        (F.col("id") % 4).cast("string").alias("symbol"),
+        F.col("id").alias("ms"),
+        (F.sin(F.col("id").cast("double")) * 10).alias("value"),
+    ).write.parquet(src)
+    cache = ResultCache(str(tmp_path / "cache"))
+    cfg = {"window": 16, "min_strength": 2.5}
+
+    def scan():
+        df = spark.read.parquet(src)
+        return (
+            df.groupBy("symbol")
+            .agg(F.max(F.abs("value")).alias("max_abs"))
+            .where(F.col("max_abs") >= cfg["min_strength"])
+        )
+
+    a = cache.get_or_compute(spark, "extreme_moves", [src], cfg, scan)
+    b = cache.get_or_compute(spark, "extreme_moves", [src], cfg, scan)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
