@@ -577,6 +577,36 @@ STRATEGIES = {
     "trend_channel": TrendChannel,
 }
 
+_PLUGIN_GROUP = "finiextestingide_spark.strategies"
+_plugins_loaded = False
+
+
+def load_strategy_plugins(*, force: bool = False) -> list[str]:
+    """USER-namespace decision-logic discovery (reference Readme.md:79:
+    decision logics are auto-discovered from an installed namespace, not
+    registered by editing framework code). Any installed distribution may
+    expose strategies via the ``finiextestingide_spark.strategies`` entry
+    -point group; each entry point loads to a strategy class (the same
+    duck-typed contract as the built-ins: __init__(params) plus
+    decide/on_bar_actions/on_bar_ctx). Called lazily on the first unknown
+    strategy name — which also makes it work inside Spark Python workers,
+    where each worker re-imports this module and re-discovers the same
+    installed plugins (sys.path is the contract, no driver-side state to
+    ship). Built-in names cannot be shadowed by a plugin."""
+    global _plugins_loaded
+    if _plugins_loaded and not force:
+        return []
+    from importlib.metadata import entry_points
+
+    loaded = []
+    for ep in entry_points(group=_PLUGIN_GROUP):
+        if ep.name in STRATEGIES:
+            continue
+        STRATEGIES[ep.name] = ep.load()
+        loaded.append(ep.name)
+    _plugins_loaded = True
+    return loaded
+
 
 @dataclass
 class _Position:
@@ -624,6 +654,8 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     params: dict = dict(raw_params) if isinstance(raw_params, dict) else {}
 
     strategy_name = params.get("strategy", "sma_cross")
+    if strategy_name not in STRATEGIES:
+        load_strategy_plugins()
     strategy = STRATEGIES[strategy_name](params)
     bar_ms = int(params.get("bar_ms", 60_000))
     lots = float(params.get("lots", 1.0))

@@ -943,3 +943,60 @@ def test_stress_rejection_seeded_determinism(spark):
     off = run_backtest(ticks, scen(spark, reject_probability=0.0)).collect()[0]
     assert off["trades"] == base["trades"]
     assert off["orders_rejected"] == base["orders_rejected"]
+
+
+def test_strategy_plugin_entry_point_discovery(tmp_path):
+    """A strategy shipped by an installed distribution (entry-point group
+    finiextestingide_spark.strategies) is auto-discovered on the first
+    unknown strategy name — registration without editing framework code."""
+    import sys
+    import pandas as pd
+
+    from finiextestingide_spark.operators import replay as R
+
+    # synthetic installed distribution: module + dist-info on sys.path
+    site = tmp_path / "site"
+    site.mkdir()
+    (site / "myplugin.py").write_text(
+        "class EveryBarLong:\n"
+        "    warmup = 1\n"
+        "    def __init__(self, params):\n"
+        "        self._opened = False\n"
+        "    def on_bar_actions(self, close):\n"
+        "        if not self._opened:\n"
+        "            self._opened = True\n"
+        "            return [('open', 1, 1.0)]\n"
+        "        return []\n"
+    )
+    dist = site / "myplugin-1.0.dist-info"
+    dist.mkdir()
+    (dist / "METADATA").write_text("Metadata-Version: 2.1\nName: myplugin\nVersion: 1.0\n")
+    (dist / "entry_points.txt").write_text(
+        "[finiextestingide_spark.strategies]\nplugin_long = myplugin:EveryBarLong\n"
+    )
+    sys.path.insert(0, str(site))
+    try:
+        R._plugins_loaded = False
+        rows = []
+        for i, p in enumerate([100.0 + 0.1 * i for i in range(8)]):
+            ms = T0_MS + i * 30_000
+            rows.append({"symbol": "X", "time_msc": ms, "collected_msc": ms,
+                         "bid": p - 0.01, "ask": p + 0.01})
+        scen_cfg = {
+            "scenario_id": 1,
+            "parameters": {**BASE, "strategy": "plugin_long"},
+            "tick_processing_budget_ms": None,
+            "latency_seed": 7,
+            "latency_min_ms": 0,
+            "latency_max_ms": 0,
+            "max_ticks": None,
+        }
+        res = R._replay_core(pd.DataFrame(rows), scen_cfg).iloc[0]
+        assert res["trades_count"] == 1  # the plugin's single long, END-closed
+        assert "plugin_long" in R.STRATEGIES
+        # built-ins cannot be shadowed
+        assert R.STRATEGIES["pyramid"].__name__ == "Pyramid"
+    finally:
+        sys.path.remove(str(site))
+        R.STRATEGIES.pop("plugin_long", None)
+        R._plugins_loaded = False
