@@ -40,11 +40,24 @@ TABLES = (
 _TS_NORMALIZE_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's session contract ONCE, explicitly: UTC wall-clock
+    (oracle comparisons assume DuckDB's naive-timestamp semantics) and the
+    legacy NANOS parquet read. Library embedders sharing a session with
+    other workloads should call this (or accept that load_table applies the
+    same settings lazily) — it is the single place the engine mutates
+    session state, and both settings are runtime-settable no-ops when
+    already applied."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    set_nanos_as_long(spark)
+    return spark
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The harness may hand us a vanilla session; timeZone is runtime-settable.
-    # UTC keeps date_trunc bucketing aligned with the DuckDB oracle's
-    # naive-timestamp semantics regardless of host TZ (see module docstring
-    # for the session-wide side-effect note).
+    # The harness may hand us a vanilla session (the driver does); the gate
+    # contract therefore applies configure_session's settings lazily here.
+    # Embedders who want explicit control call configure_session once
+    # instead — the settings are identical (see module docstring).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name in _TS_NORMALIZE_COLS:
         set_nanos_as_long(spark)
