@@ -386,13 +386,21 @@ class TrendChannel:
     R-multiple, cancel-on-gate-flip and re-price-on-band-drift for resting
     entries, and up to max_positions concurrent stacked positions.
 
-    Adaptation notes (engine model, not semantics changes): management runs
-    at bar closes (the reference runs per tick, but its gate/band inputs
-    only move on bar closes and its re-price is explicitly 'bar-close
-    bounded'); the H1 gate is aggregated strategy-side from every
-    ``gate_every_bars``-th base-bar close (the reference declares a second
-    worker timeframe); trailing-stop modifies apply synchronously (the
-    reference's capability-gated sync fallback path)."""
+    Management cadence: the reference's _execute_decision_impl runs EVERY
+    tick (manage positions -> manage resting entries -> place entry); only
+    its gate/band INPUTS move at bar closes. ``manage_per_tick`` (default
+    on, the reference-parity mode) reproduces that exactly via the engine's
+    per-tick hook: the trailing ratchet, R-rung partial close, gate-flip
+    cancel, band-drift re-price, and armed-entry placement all re-evaluate
+    at the current tick price against the latest bar-close band geometry.
+    ``manage_per_tick=0`` keeps the bar-close-bounded mode (one management
+    pass per closed bar) for cheaper sweeps.
+
+    Other adaptation notes (engine model, not semantics changes): the H1
+    gate is aggregated strategy-side from every ``gate_every_bars``-th
+    base-bar close (the reference declares a second worker timeframe);
+    trailing-stop modifies apply synchronously (the reference's
+    capability-gated sync fallback path)."""
 
     def __init__(self, params: dict):
         self.mode = params.get("entry_mode", "limit_pullback")
@@ -421,6 +429,16 @@ class TrendChannel:
         self._initial_risk: dict[int, float] = {}
         self._partial_done: set[int] = set()
         self._known_pos: set[int] = set()
+        # stashed band geometry (compute_tick's stash-for-execution-pass)
+        self._upper: float | None = None
+        self._lower: float | None = None
+        self._bh: float | None = None
+        self.manage_per_tick = params.get("manage_per_tick", "1") == "1"
+        if self.manage_per_tick:
+            # instance attribute, not a class method: the engine detects
+            # per-tick strategies by hasattr and skips the per-tick ctx
+            # build entirely for everything else
+            self.on_tick = self._on_tick
 
     def _geometry(self, buy: bool, upper: float, lower: float, bh: float):
         """(entry, sl, tp) from the band edges (_entry_geometry)."""
@@ -473,10 +491,23 @@ class TrendChannel:
         window = cs[-self.boll_n :]
         mid = fmean(window)
         std = pstdev(window)
-        upper = mid + self.boll_dev * std
-        lower = mid - self.boll_dev * std
-        bh = (upper - lower) / 2.0
-        price = (ctx["bid"] + ctx["ask"]) / 2.0
+        self._upper = mid + self.boll_dev * std
+        self._lower = mid - self.boll_dev * std
+        self._bh = (self._upper - self._lower) / 2.0
+        if self.manage_per_tick:
+            # reference cadence: the band/gate inputs just moved; the
+            # management + entry pass runs on this (and every) tick via
+            # the engine's on_tick hook
+            return []
+        return self._manage_and_enter((ctx["bid"] + ctx["ask"]) / 2.0, ctx)
+
+    def _on_tick(self, ctx: dict) -> list[tuple]:
+        if self._bh is None:
+            return []  # band not warm yet
+        return self._manage_and_enter((ctx["bid"] + ctx["ask"]) / 2.0, ctx)
+
+    def _manage_and_enter(self, price: float, ctx: dict) -> list[tuple]:
+        upper, lower, bh = self._upper, self._lower, self._bh
 
         acts: list[tuple] = []
         # 1. reconcile fills: a position first seen now seeds its initial
@@ -988,6 +1019,9 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
 
     use_actions = hasattr(strategy, "on_bar_actions")
     use_ctx = hasattr(strategy, "on_bar_ctx")
+    # per-tick management hook (reference _execute_decision_impl cadence):
+    # an instance exposing on_tick gets a management pass on EVERY tick
+    use_tick = hasattr(strategy, "on_tick")
 
     def handle_actions(acts: list[tuple], t: int, b: float, a: float) -> None:
         """Dispatch decision actions. Queueable order actions share ONE rng
@@ -1354,6 +1388,36 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 close_position(i, p.tp_price, "TP", p)
                 continue
             total_unreal += unreal
+
+        # Per-tick management pass (reference _execute_decision_impl runs
+        # every tick: partial close -> trail -> resting cancel/re-price ->
+        # armed entry). Runs AFTER this tick's broker-side stop evaluation,
+        # so a freshly-ratcheted SL takes effect on the next quote — the
+        # reference's modify lands broker-side after the tick that computed
+        # it, same ordering. Budget-clipped ticks are algo-invisible here
+        # exactly as they are for bar decisions.
+        if use_tick and not clipped:
+            acts = strategy.on_tick(
+                {
+                    "bid": b,
+                    "ask": a,
+                    "positions": [
+                        (p.pos_id, p.direction, p.lots, p.entry_price, p.sl_price, p.tp_price)
+                        for p in positions
+                    ],
+                    "resting": [
+                        (r.get("oid"), r["dir"], r["otype"], r["trig"], r["limit"])
+                        for r in resting
+                    ],
+                }
+            )
+            if acts:
+                handle_actions(acts, t, b, a)
+                # zero-latency actions resolve on this tick, matching the
+                # bar-decision path (Phase 1 already ran this iteration)
+                while pending and t >= pending[0][0]:
+                    _, act = pending.pop(0)
+                    execute(i, act, t, b, a, None)
 
         # R5 — account state (spot: equity = portfolio value at mid,
         # portfolio_manager.get_spot_equity)
