@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""sf1-scale spot-check: synthesize 10x data from sf0.1 and measure how the
+most expensive headline queries actually scale (SCALE.md records results).
+
+The driver ships no sf1 testdata, so this builds an sf1-shaped directory in
+a scratch dir (default /tmp/sf1_synth) from sf0.1:
+
+- lineitem x10: replicas with offset order keys (6M rows, TPC-H sf1 shape)
+- events    x10: replicas shifted in time past the prior span (a 10x-longer
+  history per symbol — the shape window scans and replay see at scale)
+- documents x10: replicas with offset doc ids and a per-replica token
+  appended to the text, so shingle relationships repeat WITHIN a replica
+  but no artificial cross-replica duplicate groups appear (replicating
+  text verbatim would make every doc a 10-way near-dup cluster and blow
+  the pair count quadratically — not what 10x organic data looks like)
+- every other table: symlinked from sf0.1 unchanged
+
+Then each target query runs at sf0.1 and at the synthetic sf1, median of
+`--runs` (default 2), and the ratio is printed. Linear-ish ratios (<= ~12x
+for 10x data on a fixed 32-core box) mean no quadratic stage or skew cliff
+is hiding below the sf0.1 horizon.
+
+    python scripts/scale_check.py            # build (if absent) + measure
+    python scripts/scale_check.py --rebuild  # force rebuild
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from finiextestingide_spark.gate import all_queries  # noqa: E402
+from finiextestingide_spark.session import build_session  # noqa: E402
+from finiextestingide_spark.sources.tables import TABLES  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+REPLICAS = 10
+TARGETS = [
+    "pricing_summary",
+    "extreme_moves_hourly",
+    "minhash_lsh_pairs",
+    "contamination_3gram",
+    "replay_loadtest_40",
+]
+
+
+def build_synth(spark, dest: str) -> None:
+    os.makedirs(dest, exist_ok=True)
+
+    # lineitem: offset order keys per replica
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    max_ok = li.agg(F.max("l_orderkey")).collect()[0][0]
+    parts = [
+        li.withColumn("l_orderkey", (F.col("l_orderkey") + F.lit(r * (max_ok + 1))))
+        for r in range(REPLICAS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{dest}/lineitem.parquet")
+
+    # events: shift each replica past the prior time span
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    ts_col = "ts"
+    bounds = ev.agg(
+        F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi"), F.max("event_id").alias("me")
+    ).collect()[0]
+    # ts may be TIMESTAMP(NANOS)-as-long or a real timestamp depending on
+    # generation; handle both by working in whatever type the column has
+    dtype = dict(ev.dtypes)[ts_col]
+    parts = []
+    for r in range(REPLICAS):
+        p = ev.withColumn("event_id", F.col("event_id") + F.lit(r * (bounds["me"] + 1)))
+        if dtype.startswith("timestamp"):
+            shift_s = int((bounds["hi"] - bounds["lo"]).total_seconds()) + 3600
+            p = p.withColumn(ts_col, F.col(ts_col) + F.expr(f"INTERVAL {r * shift_s} SECOND"))
+        else:  # ns-epoch long
+            shift_ns = int(bounds["hi"] - bounds["lo"]) + 3_600_000_000_000
+            p = p.withColumn(ts_col, F.col(ts_col) + F.lit(r * shift_ns))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{dest}/events.parquet")
+
+    # documents: offset ids + per-replica token (no cross-replica dups)
+    dc = spark.read.parquet(f"{SRC}/documents.parquet")
+    max_id = dc.agg(F.max("doc_id")).collect()[0][0]
+    parts = [
+        dc.withColumn("doc_id", F.col("doc_id") + F.lit(r * (max_id + 1))).withColumn(
+            "text", F.concat(F.col("text"), F.lit(f" replica{r}tok"))
+        )
+        for r in range(REPLICAS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{dest}/documents.parquet")
+
+    for t in TABLES:
+        link = f"{dest}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{SRC}/{t}.parquet", link)
+
+
+def median_time(qfn, spark, sf_dir: str, runs: int) -> float:
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        qfn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        samples.append(time.perf_counter() - t0)
+    return round(sorted(samples)[len(samples) // 2], 2)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scratch", default="/tmp/sf1_synth")
+    ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("targets", nargs="*", default=TARGETS)
+    args = ap.parse_args()
+
+    spark = build_session("scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.rebuild or not os.path.exists(f"{args.scratch}/documents.parquet"):
+        print("building 10x synthetic data ...", file=sys.stderr)
+        build_synth(spark, args.scratch)
+
+    import bench
+
+    bench.warmup(spark, SRC)  # JVM/codegen/worker-pool costs out of band
+    qs = all_queries()
+    results = {}
+    for name in args.targets or TARGETS:
+        base = median_time(qs[name].fn, spark, SRC, args.runs)
+        big = median_time(qs[name].fn, spark, args.scratch, args.runs)
+        results[name] = {
+            "sf0.1_sec": base,
+            "sf1_sec": big,
+            "ratio": round(big / base, 2) if base else None,
+        }
+        print(json.dumps({name: results[name]}))
+    print(json.dumps({"scale_check": results}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
