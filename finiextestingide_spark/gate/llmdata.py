@@ -722,6 +722,98 @@ WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {_ND_MIN_COS}
 # --- text statistics / quality scoring ---
 
 
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub + audit counts. The synthetic corpus carries no organic
+    PII, so every 7th doc gets a deterministic contact-info suffix BUILT IN
+    THE QUERY (identically on both engines) — the patterns genuinely fire
+    and the scrubbed text is hash-compared via md5."""
+    docs = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.org or 192.168.1.42 tel +1 415-555-0199"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    counts = tx.pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        F.md5(tx.redact_pii(aug)).alias("redacted_md5"),
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_ips"].cast("long").alias("n_ips"),
+        counts["n_phones"].cast("long").alias("n_phones"),
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d\s().-]{5,}\d\b"
+
+PII_REDACTION_SQL = rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0
+                      THEN ' contact user' || doc_id ||
+                           '@mail.example.org or 192.168.1.42 tel +1 415-555-0199'
+                      ELSE '' END AS text
+  FROM documents
+),
+step AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                        '{_PII_IP}', '<IP>', 'g') AS after_ei
+  FROM aug
+)
+SELECT doc_id,
+       md5(regexp_replace(after_ei, '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(after_ei, '{_PII_PHONE}')) AS BIGINT) AS n_phones
+FROM step
+"""
+
+
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    st = tx.repetition_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        st["n_words"].alias("n_words"),
+        F.round(st["dup_word_frac"], 6).alias("dup_word_frac"),
+        st["n_lines"].alias("n_lines"),
+        F.round(st["dup_line_frac"], 6).alias("dup_line_frac"),
+    )
+
+
+REPETITION_STATS_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm,
+         list_filter(regexp_split_to_array(text, '\n'), x -> trim(x) <> '') AS lines
+  FROM documents
+),
+w AS (
+  SELECT doc_id, lines,
+         CASE WHEN norm = '' THEN [] ELSE regexp_split_to_array(norm, ' ') END AS words
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       round(CASE WHEN len(words) > 0
+                  THEN 1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+                  ELSE 0.0 END, 6) AS dup_word_frac,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       round(CASE WHEN len(lines) > 0
+                  THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                  ELSE 0.0 END, 6) AS dup_line_frac
+FROM w
+"""
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tx.with_text_stats(_docs(spark, sf_dir))
     return out.select(
@@ -1072,6 +1164,12 @@ QUERIES: dict[str, Query] = {
     ),
     "embedding_neardup": Query(embedding_neardup, EMBEDDING_NEARDUP_SQL, "embedding near-dup pairs"),
     "text_stats": Query(text_stats, TEXT_STATS_SQL, "token counts + quality score"),
+    "pii_redaction": Query(
+        pii_redaction, PII_REDACTION_SQL, "PII scrub (email/IP/phone) + audit counts"
+    ),
+    "repetition_stats": Query(
+        repetition_stats_q, REPETITION_STATS_SQL, "within-doc repetition fractions"
+    ),
     "lang_id": Query(lang_id, LANG_ID_SQL, "heuristic language ID"),
     "tfidf_topterms_3": Query(
         tfidf_topterms_3, TFIDF_TOPTERMS_3_SQL, "top-3 TF-IDF terms per doc"

@@ -168,3 +168,68 @@ def ngram_contamination(
         )
         .select(id_col, "n_shingles", "n_contaminated", "contamination")
     )
+
+
+# PII patterns shared with the DuckDB oracle (POSIX-compatible, no
+# lookarounds): email, international-ish phone (7+ digits with optional
+# separators, anchored on word edges), dotted-quad IPv4. Order matters —
+# emails are redacted before phones so a numeric local-part is not
+# half-eaten by the phone pattern.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\s().-]{5,}\d\b", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Training-data PII scrubbing: replace emails, IPv4s, and phone-like
+    digit runs with typed placeholder tokens. Pure regexp_replace chain —
+    JVM-side, linear, mirrors 1:1 into any POSIX regex engine so the
+    redaction is engine-reproducible (the property a compliance pipeline
+    audits for)."""
+    out = text
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-class match counts BEFORE redaction (the audit trail a scrub
+    job ships next to the scrubbed corpus)."""
+    email = F.regexp_count(text, F.lit(PII_PATTERNS[0][0]))
+    ip = F.regexp_count(text, F.lit(PII_PATTERNS[1][0]))
+    # phones counted on the email+ip-redacted form, matching the chain
+    # order in redact_pii (an email's digits must not count as a phone)
+    after = F.regexp_replace(
+        F.regexp_replace(text, PII_PATTERNS[0][0], PII_PATTERNS[0][1]),
+        PII_PATTERNS[1][0],
+        PII_PATTERNS[1][1],
+    )
+    phone = F.regexp_count(after, F.lit(PII_PATTERNS[2][0]))
+    return {"n_emails": email, "n_ips": ip, "n_phones": phone}
+
+
+def repetition_stats(text: Column) -> dict[str, Column]:
+    """Within-document repetition signals (boilerplate/spam detector):
+    duplicate-word fraction (1 - distinct/total over normalized words) and
+    duplicate-line fraction over newline-split lines. Array built-ins only
+    (split/array_distinct/size) — codegen-side, no shuffle."""
+    words = F.split(normalized_text(text), " ")
+    n_words = F.when(normalized_text(text) == "", F.lit(0)).otherwise(F.size(words))
+    dup_word_frac = F.when(
+        n_words > 0,
+        1.0 - F.size(F.array_distinct(words)).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(F.split(text, r"\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_words": n_words.cast("long"),
+        "dup_word_frac": dup_word_frac,
+        "n_lines": n_lines.cast("long"),
+        "dup_line_frac": dup_line_frac,
+    }

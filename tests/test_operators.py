@@ -750,3 +750,58 @@ def test_result_cache_discovery_shape(spark, tmp_path):
     a = cache.get_or_compute(spark, "extreme_moves", [src], cfg, scan)
     b = cache.get_or_compute(spark, "extreme_moves", [src], cfg, scan)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pii_redaction_and_counts(spark):
+    from finiextestingide_spark.operators.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail me at jo.doe+x@corp.example.com or call +1 (415) 555-0134 now"),
+        (2, "server at 10.0.42.7 port 443"),
+        (3, "clean text, no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    c = pii_counts(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            redact_pii(F.col("text")).alias("red"),
+            c["n_emails"].alias("e"),
+            c["n_ips"].alias("i"),
+            c["n_phones"].alias("p"),
+        ).collect()
+    }
+    assert out[1]["red"] == "mail me at <EMAIL> or call <PHONE> now"
+    assert (out[1]["e"], out[1]["i"], out[1]["p"]) == (1, 0, 1)
+    assert out[2]["red"] == "server at <IP> port 443"
+    assert (out[2]["e"], out[2]["i"], out[2]["p"]) == (0, 1, 0)
+    assert out[3]["red"] == rows[2][1]
+    assert (out[3]["e"], out[3]["i"], out[3]["p"]) == (0, 0, 0)
+
+
+def test_repetition_stats_detects_boilerplate(spark):
+    from finiextestingide_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "one two three four"),                      # all distinct
+        (2, "spam spam spam spam"),                     # 75% dup words
+        (3, "line a\nline b\nline a\n\nline a"),        # dup lines, blank dropped
+        (4, ""),                                        # empty-safe
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    st = repetition_stats(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            st["n_words"].alias("nw"),
+            F.round(st["dup_word_frac"], 6).alias("dw"),
+            st["n_lines"].alias("nl"),
+            F.round(st["dup_line_frac"], 6).alias("dl"),
+        ).collect()
+    }
+    assert out[1]["dw"] == 0.0 and out[1]["nw"] == 4
+    assert out[2]["dw"] == 0.75
+    assert out[3]["nl"] == 4 and out[3]["dl"] == 0.5  # 2 distinct of 4 kept
+    assert out[4]["nw"] == 0 and out[4]["dw"] == 0.0
