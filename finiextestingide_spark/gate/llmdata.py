@@ -1004,6 +1004,33 @@ FROM walk
 """
 
 
+_QF_KEEP = 0.4
+
+
+def quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import quality_quantile_filter
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    return quality_quantile_filter(docs, _QF_KEEP)
+
+
+QUALITY_QUANTILE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang, round({_QUALITY_EXPR_SQL}, 6) AS quality FROM documents
+)
+SELECT doc_id, lang, quality,
+       round(percent_rank() OVER (PARTITION BY lang ORDER BY quality DESC), 6)
+         AS score_pct_rank,
+       percent_rank() OVER (PARTITION BY lang ORDER BY quality DESC) <= {_QF_KEEP}
+         AS selected
+FROM scored
+"""
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     out = docs.select("doc_id", "lang", tx.predict_lang(F.col("text")).alias("pred_lang"))
@@ -1169,6 +1196,11 @@ QUERIES: dict[str, Query] = {
     ),
     "repetition_stats": Query(
         repetition_stats_q, REPETITION_STATS_SQL, "within-doc repetition fractions"
+    ),
+    "quality_quantile_40": Query(
+        quality_quantile_gate,
+        QUALITY_QUANTILE_SQL,
+        "keep-top-40%-per-language quantile gate",
     ),
     "lang_id": Query(lang_id, LANG_ID_SQL, "heuristic language ID"),
     "tfidf_topterms_3": Query(

@@ -141,3 +141,34 @@ def token_budget_sample_greedy(
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in narrow.schema)
     out_schema = f"{schema}, kept_tokens bigint, selected boolean"
     return narrow.groupBy(group).applyInPandas(walk, out_schema)
+
+
+def quality_quantile_filter(
+    scored_docs,
+    keep_top_frac: float,
+    *,
+    group: str = "lang",
+    score: str = "quality",
+    id_col: str = "doc_id",
+):
+    """Per-group quantile gate: flag the top ``keep_top_frac`` of documents
+    by ``score`` within each group — "keep the best 40% per language", the
+    relative-threshold sibling of token_budget_sample's absolute budget.
+
+    percent_rank() over (group, score DESC) is engine-portable ANSI (ties
+    share a rank on both Spark and DuckDB, so the kept set is deterministic
+    without a tiebreak column); one window pass per group, shuffle carries
+    (id, group, score) only. A group with a single doc has percent_rank 0
+    and is always kept."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group).orderBy(F.col(score).desc())
+    pr = F.percent_rank().over(w)
+    return scored_docs.select(
+        id_col,
+        group,
+        score,
+        F.round(pr, 6).alias("score_pct_rank"),
+        (pr <= keep_top_frac).alias("selected"),
+    )
