@@ -949,6 +949,16 @@ FROM cum
 """
 
 
+# Rank cap applied before the greedy walk on BOTH engines: the walk only
+# ever keeps from the top of the ranking, and bounding the candidate set
+# keeps the oracle's recursive CTE linear (its per-step re-join made the
+# uncapped sf0.1 oracle quadratic in group size: ~9 min for 1250 docs/lang).
+# The Spark side doesn't need the cap but applies it to keep the compared
+# row sets identical — and a real pipeline prefilters exactly like this
+# before any sequential per-group stage.
+_TBG_RANK_CAP = 200
+
+
 def token_budget_mix_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import token_budget_sample_greedy
 
@@ -958,7 +968,13 @@ def token_budget_mix_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.whitespace_token_count(F.col("text")).alias("n_tokens"),
         F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
     )
-    out = token_budget_sample_greedy(docs, _TB_BUDGET)
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    capped = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= _TBG_RANK_CAP)
+        .drop("__rn")
+    )
+    out = token_budget_sample_greedy(capped, _TB_BUDGET)
     return out.select(
         "doc_id",
         "lang",
@@ -981,10 +997,12 @@ WITH RECURSIVE scored AS (
   FROM documents
 ),
 ranked AS (
-  SELECT doc_id, lang, n_tokens, quality,
-         row_number() OVER (PARTITION BY lang
-                            ORDER BY quality DESC, doc_id ASC) AS rn
-  FROM (SELECT doc_id, lang, n_tokens, round(quality, 6) AS quality FROM scored)
+  SELECT * FROM (
+    SELECT doc_id, lang, n_tokens, quality,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY quality DESC, doc_id ASC) AS rn
+    FROM (SELECT doc_id, lang, n_tokens, round(quality, 6) AS quality FROM scored)
+  ) WHERE rn <= {_TBG_RANK_CAP}
 ),
 walk AS (
   SELECT lang, rn, doc_id, n_tokens, quality,
