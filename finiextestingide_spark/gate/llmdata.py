@@ -989,14 +989,14 @@ def token_budget_mix_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle is a per-group recursive CTE stepping rank-by-rank — DuckDB has no
 # windowed equivalent (this is exactly why the Spark side is applyInPandas).
 TOKEN_BUDGET_MIX_GREEDY_SQL = f"""
-WITH RECURSIVE scored AS (
+WITH RECURSIVE scored AS MATERIALIZED (
   SELECT doc_id, lang,
          (CASE WHEN trim(text) = '' THEN 0
                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n_tokens,
          {_QUALITY_EXPR_SQL} AS quality
   FROM documents
 ),
-ranked AS (
+ranked AS MATERIALIZED (
   SELECT * FROM (
     SELECT doc_id, lang, n_tokens, quality,
            row_number() OVER (PARTITION BY lang
