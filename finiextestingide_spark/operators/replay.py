@@ -116,6 +116,10 @@ REPLAY_RESULT_SCHEMA = StructType(
         StructField("orders_filled", IntegerType()),
         StructField("orders_cancelled", IntegerType()),
         StructField("sl_tp_exits", IntegerType()),
+        # stale-data stress (#436): entries blocked inside a planned stale
+        # window, and whether the window was entered at all
+        StructField("stale_entries_rejected", IntegerType()),
+        StructField("stale_windows_hit", IntegerType()),
         StructField("wins", IntegerType()),
         StructField("losses", IntegerType()),
         StructField("gross_profit", DoubleType()),
@@ -758,6 +762,22 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         if reject_prob > 0.0
         else None
     )
+    # Stale-data stress (#436, tests/simulation/stale_stress): a PLANNED
+    # window [from, to) of epoch-ms during which the scenario's market data
+    # counts as stale — the guard blocks NEW entries deterministically
+    # (counted separately from broker rejections), an optional
+    # strategy.on_market_data_stale() hook fires once on window entry, and
+    # exits/stops still process (an outage must never trap a position).
+    stale_from = (
+        int(params["stale_window_from_ms"]) if "stale_window_from_ms" in params else None
+    )
+    stale_to = (
+        int(params["stale_window_to_ms"])
+        if "stale_window_to_ms" in params
+        else (2**62 if stale_from is not None else None)
+    )
+    n_stale_rejected = 0
+    stale_hook_fired = False
 
     budget_ms = scen.get("tick_processing_budget_ms")
     budget_ms = float(budget_ms) if budget_ms is not None and not pd.isna(budget_ms) else None
@@ -852,6 +872,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         and max_positions == 1
         and not spot_mode
         and stress_reject is None
+        and stale_from is None
         and not hasattr(strategy, "on_bar_actions")
         and not hasattr(strategy, "on_bar_ctx")
         and params.get("force_slow") != "1"
@@ -1088,7 +1109,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     def execute(i: int, act: tuple, t: int, b: float, a: float, due: int | None) -> None:
         """Phase-1 body for one latency-resolved action at quote (b, a).
         `due` non-None stamps heartbeat fills at their deadline instant."""
-        nonlocal n_rejected
+        nonlocal n_rejected, n_stale_rejected
         kind = act[0]
         if kind == "close_all":
             for p in list(positions):  # oldest first
@@ -1113,7 +1134,16 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                     break
         else:  # open
             _, d, olots, trig, lim, otype, sl, tp, oid = act
-            if trig is not None:
+            if stale_from is not None and stale_from <= t < stale_to:
+                # stale-window entry guard (#436): the order is consumed
+                # and counted; the strategy reclaims its slot. Applies to
+                # resting registration AND market opens — no NEW entry may
+                # originate inside the outage window.
+                n_stale_rejected += 1
+                notify = getattr(strategy, "on_open_dropped", None)
+                if notify is not None:
+                    notify()
+            elif trig is not None:
                 # limit/stop/stop_limit rest past their deadline; price
                 # triggers are evaluated in Phases 2/3 (same tick included)
                 resting.append(
@@ -1219,6 +1249,17 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 n_clipped += 1
             else:
                 clock = c + budget_ms
+
+        # stale-window entry transition (#436): status-plane dispatch, once
+        if (
+            stale_from is not None
+            and not stale_hook_fired
+            and stale_from <= t < stale_to
+        ):
+            stale_hook_fired = True
+            hook = getattr(strategy, "on_market_data_stale", None)
+            if hook is not None:
+                hook()
 
         # R7 — bar close on first tick of a new bucket; R9 decision
         if bk[i] != cur_bucket:
@@ -1341,6 +1382,8 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                             fill = r["trig"]
                 if fill is None:
                     kept_r.append(r)
+                elif stale_from is not None and stale_from <= t < stale_to:
+                    kept_r.append(r)  # outage: triggered entries wait it out
                 elif stress_reject is not None and stress_reject.should_trigger():
                     n_rejected += 1  # stress-test seeded rejection; consumed
                 elif len(positions) >= max_positions:
@@ -1458,6 +1501,8 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 "orders_filled": n_filled,
                 "orders_cancelled": n_cancelled,
                 "sl_tp_exits": n_sltp,
+                "stale_entries_rejected": n_stale_rejected,
+                "stale_windows_hit": 1 if stale_hook_fired else 0,
                 "wins": wins,
                 "losses": losses,
                 "gross_profit": sum(tr["gross_pnl"] for tr in trades if tr["gross_pnl"] > 0),
@@ -1667,6 +1712,8 @@ def _replay_fast(
                 "orders_filled": 2 * len(trades),
                 "orders_cancelled": 0,
                 "sl_tp_exits": 0,
+                "stale_entries_rejected": 0,
+                "stale_windows_hit": 0,
                 "wins": wins,
                 "losses": losses,
                 "gross_profit": sum(tr["gross_pnl"] for tr in trades if tr["gross_pnl"] > 0),

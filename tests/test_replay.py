@@ -1076,3 +1076,69 @@ def test_trend_channel_per_tick_ratchets_intrabar(spark):
     bc = _tc_run(spark, ticks, "limit_pullback", False)
     assert [t.asDict() for t in pt1["trades"]] == [t.asDict() for t in pt2["trades"]]
     assert [t.asDict() for t in pt1["trades"]] != [t.asDict() for t in bc["trades"]]
+
+
+def test_stale_window_blocks_entries_and_fires_hook_once():
+    """Stale-data stress (#436, tests/simulation/stale_stress): a planned
+    stale window blocks NEW entries deterministically (counted separately
+    from broker rejections), the status hook fires exactly once on window
+    entry, entries resume after the window, and a no-window control run is
+    untouched."""
+    import pandas as pd
+
+    from finiextestingide_spark.operators import replay as R
+
+    calls = []
+
+    class _OpenEachBar:
+        warmup = 1
+
+        def __init__(self, params):
+            self._n = 0
+
+        def on_bar_actions(self, close):
+            self._n += 1
+            return [("open", 1, 1.0)] if self._n <= 3 else []
+
+        def on_market_data_stale(self):
+            calls.append("stale")
+
+    rows = []
+    for i, p in enumerate([100.0 + 0.1 * i for i in range(16)]):
+        ms = T0_MS + i * 30_000
+        rows.append({"symbol": "X", "time_msc": ms, "collected_msc": ms,
+                     "bid": p - 0.01, "ask": p + 0.01})
+
+    def run(**extra):
+        calls.clear()
+        cfg = {
+            "scenario_id": 1,
+            "parameters": {**BASE, "strategy": "stale_probe_test",
+                           "max_positions": "3", **extra},
+            "tick_processing_budget_ms": None,
+            "latency_seed": 7,
+            "latency_min_ms": 0,
+            "latency_max_ms": 0,
+            "max_ticks": None,
+        }
+        R.STRATEGIES["stale_probe_test"] = _OpenEachBar
+        try:
+            return R._replay_core(pd.DataFrame(rows), cfg).iloc[0]
+        finally:
+            del R.STRATEGIES["stale_probe_test"]
+
+    control = run()
+    assert control["trades_count"] == 3
+    assert control["stale_entries_rejected"] == 0
+    assert control["stale_windows_hit"] == 0 and calls == []
+
+    # window covers the 2nd bar's decision tick only: entry 2 blocked,
+    # entries 1 and 3 fill; hook fires exactly once
+    w_from, w_to = T0_MS + 60_000, T0_MS + 120_000
+    stressed = run(stale_window_from_ms=w_from, stale_window_to_ms=w_to)
+    assert stressed["trades_count"] == 2
+    assert stressed["stale_entries_rejected"] == 1
+    assert stressed["stale_windows_hit"] == 1
+    assert calls == ["stale"]
+    # blocked entries are NOT broker rejections
+    assert stressed["orders_rejected"] == control["orders_rejected"]
