@@ -737,6 +737,14 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     # once per crossed boundary.
     swap_long = float(params.get("swap_long_daily", 0.0))
     swap_short = float(params.get("swap_short_daily", 0.0))
+    # Triple-swap weekday (ISO 1=Mon..7=Sun; brokers usually 3=Wednesday,
+    # charging the weekend's rollovers mid-week — portfolio_manager.py
+    # _accrue_swap's per-rollover multiplier / MarketCalendar
+    # iter_swap_rollovers). Opt-in to keep the flat accrual the gate
+    # oracles pin; operators/swap.py carries the same closed form batch-side.
+    swap_triple_weekday = (
+        int(params["swap_triple_weekday"]) if "swap_triple_weekday" in params else None
+    )
     # R5 — margin gate (portfolio_manager margin checks / the reference's
     # margin_validation suite): an open is REJECTED when current equity
     # cannot cover the required margin. None = margin checks off.
@@ -1201,9 +1209,21 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         if positions and i > 0 and not spot_mode and (swap_long != 0.0 or swap_short != 0.0):
             days = t // 86_400_000 - tsl[i - 1] // 86_400_000
             if days > 0:
+                units = days
+                if swap_triple_weekday is not None:
+                    # crossed midnights start days prev+1 .. prev+days; ISO
+                    # dow of epoch-day d is ((d + 3) % 7) + 1 (day 0 = Thu).
+                    # Each rollover landing on the triple weekday charges 2
+                    # extra units — the closed form of the reference's
+                    # per-rollover multiplier.
+                    first = tsl[i - 1] // 86_400_000 + 1
+                    first_dow = ((first + 3) % 7) + 1
+                    offset = (swap_triple_weekday - first_dow + 7) % 7
+                    triples = 0 if offset >= days else (days - 1 - offset) // 7 + 1
+                    units = days + 2 * triples
                 for p in positions:
                     rate = swap_long if p.direction > 0 else swap_short
-                    charge = rate * days * p.lots
+                    charge = rate * units * p.lots
                     balance -= charge
                     p.swap += charge
 

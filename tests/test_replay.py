@@ -1142,3 +1142,37 @@ def test_stale_window_blocks_entries_and_fires_hook_once():
     assert calls == ["stale"]
     # blocked entries are NOT broker rejections
     assert stressed["orders_rejected"] == control["orders_rejected"]
+
+
+def test_replay_triple_swap_wednesday(spark):
+    """Forex triple-swap parity (market_calendar suite: triple on the
+    configured Wednesday, not on Monday): a rollover into Wednesday
+    charges 3x the daily rate; into Monday charges 1x; flat accrual
+    unless the weekday is configured."""
+    day = 86_400_000
+    # T0 = Thu 2026-01-01. Wed = Jan 7 (offset 6 days), Mon = Jan 5 (offset 4).
+    def run(start_off_days, **extra):
+        base = T0_MS + start_off_days * day + 23 * 3_600_000  # 23:00 of day
+        # bar closes (and buy_hold enters) at 23:01, BEFORE the midnight
+        # rollover; the next ticks arrive after it
+        times = [base, base + 30_000, base + 60_000,
+                 base + 2 * 3_600_000, base + 2 * 3_600_000 + 30_000]
+        prices = [100.0, 100.5, 100.6, 101.0, 101.0]
+        rows = [("X", datetime.utcfromtimestamp(ms / 1000.0), ms, ms, p - 0.01, p + 0.01)
+                for ms, p in zip(times, prices)]
+        ticks = spark.createDataFrame(
+            rows,
+            "symbol string, timestamp timestamp, time_msc long, collected_msc long, bid double, ask double",
+        )
+        s = scen(spark, strategy="buy_hold", bar_ms=60_000,
+                 swap_long_daily=2.0, **extra)
+        return run_backtest(ticks, s).collect()[0]
+
+    into_wed = run(5, swap_triple_weekday=3)   # Jan 6 23:00 -> crosses into Wed Jan 7
+    assert into_wed["swap"] == pytest.approx(6.0)  # 3 units x 2.0
+
+    into_mon = run(3, swap_triple_weekday=3)   # Jan 4 23:00 -> crosses into Mon Jan 5
+    assert into_mon["swap"] == pytest.approx(2.0)  # 1 unit
+
+    flat = run(5)                               # no weekday configured: flat
+    assert flat["swap"] == pytest.approx(2.0)
