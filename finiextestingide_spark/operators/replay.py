@@ -637,7 +637,17 @@ def load_strategy_plugins(*, force: bool = False) -> list[str]:
     for ep in entry_points(group=_PLUGIN_GROUP):
         if ep.name in STRATEGIES:
             continue
-        STRATEGIES[ep.name] = ep.load()
+        cls = ep.load()
+        # startup validator (#359 / §9): USER strategies must not read the
+        # wall clock — same scan the CI lint runs on the shipped surface
+        import inspect
+
+        from .validation import validate_no_wall_clock
+
+        src = inspect.getsourcefile(cls)
+        if src is not None:
+            validate_no_wall_clock([src])
+        STRATEGIES[ep.name] = cls
         loaded.append(ep.name)
     _plugins_loaded = True
     return loaded

@@ -1,0 +1,74 @@
+"""Wall-clock ban for algo code (reference §9 / #359).
+
+Decision logic must never read wall-clock time (`datetime.now()`,
+`datetime.utcnow()`, `time.time()`, ...): a direct read breaks backtest
+reproducibility and decouples timing from the tick cadence that gates
+async resolution. The single canonical clock in this engine is the tick
+stream itself (the replay core hands strategies bar closes and tick
+contexts stamped from data).
+
+Shared scanning core, the reference's layout
+(validators/algo_clock_validator.find_wall_clock_calls): the CI lint scans
+the shipped strategy surface, and load_strategy_plugins() runs the same
+scan against USER plugin modules at load time.
+"""
+
+from __future__ import annotations
+
+import ast
+from pathlib import Path
+
+# attribute-call patterns that read the wall clock
+_BANNED_CALLS = {
+    ("datetime", "now"),
+    ("datetime", "utcnow"),
+    ("datetime", "today"),
+    ("date", "today"),
+    ("time", "time"),
+    ("time", "time_ns"),
+    ("time", "monotonic"),
+    ("time", "perf_counter"),
+}
+
+
+def find_wall_clock_calls(path: str | Path) -> list[str]:
+    """``file:line: call`` for every wall-clock read in a Python source
+    file. AST-based (no regex false positives on strings/comments); a
+    dotted call matches when its last two segments hit a banned pair, so
+    ``datetime.datetime.now()`` and ``dt.now()`` after
+    ``from datetime import datetime as dt`` are both caught."""
+    path = Path(path)
+    tree = ast.parse(path.read_text(), filename=str(path))
+    hits: list[str] = []
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Call):
+            continue
+        func = node.func
+        if not isinstance(func, ast.Attribute):
+            continue
+        attr = func.attr
+        base = func.value
+        base_name = None
+        if isinstance(base, ast.Name):
+            base_name = base.id
+        elif isinstance(base, ast.Attribute):
+            base_name = base.attr
+        if base_name is None:
+            continue
+        if (base_name, attr) in _BANNED_CALLS:
+            hits.append(f"{path}:{node.lineno}: {base_name}.{attr}()")
+    return hits
+
+
+def validate_no_wall_clock(paths: list[str | Path]) -> None:
+    """Raise if any scanned file reads the wall clock (load_strategy_plugins
+    runs this against plugin modules — the reference's startup validator)."""
+    violations: list[str] = []
+    for p in paths:
+        violations.extend(find_wall_clock_calls(p))
+    if violations:
+        raise ValueError(
+            "wall-clock read in strategy code (deterministic replay ban, "
+            "reference §9) — derive time from tick/bar data instead:\n  "
+            + "\n  ".join(violations)
+        )

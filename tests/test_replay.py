@@ -1176,3 +1176,60 @@ def test_replay_triple_swap_wednesday(spark):
 
     flat = run(5)                               # no weekday configured: flat
     assert flat["swap"] == pytest.approx(2.0)
+
+
+def test_no_wall_clock_in_strategy_surface():
+    """Reference §9 CI lint (algo_clock suite): the shipped strategy/
+    streaming surface must never read the wall clock — deterministic
+    replay derives all time from data."""
+    from pathlib import Path
+
+    from finiextestingide_spark.operators.validation import find_wall_clock_calls
+
+    pkg = Path(__file__).resolve().parents[1] / "finiextestingide_spark"
+    violations = []
+    for sub in ("operators", "streaming", "functions"):
+        for py in (pkg / sub).rglob("*.py"):
+            # incremental_bars.py hosts drain_to_memory, the stream-polling
+            # HARNESS loop (framework code in the reference's layout, not
+            # algo surface) — wall-clock polling is its job
+            if py.name == "incremental_bars.py":
+                continue
+            violations.extend(find_wall_clock_calls(py))
+    assert not violations, "\n".join(violations)
+
+
+def test_plugin_with_wall_clock_is_rejected(tmp_path):
+    """The startup validator (#359) blocks a USER plugin that reads the
+    wall clock."""
+    import sys
+
+    from finiextestingide_spark.operators import replay as R
+
+    site = tmp_path / "site"
+    site.mkdir()
+    (site / "badplugin.py").write_text(
+        "import datetime\n"
+        "class WallClockStrategy:\n"
+        "    warmup = 1\n"
+        "    def __init__(self, params):\n"
+        "        self.t0 = datetime.datetime.now()\n"
+        "    def on_bar_actions(self, close):\n"
+        "        return []\n"
+    )
+    dist = site / "badplugin-1.0.dist-info"
+    dist.mkdir()
+    (dist / "METADATA").write_text("Metadata-Version: 2.1\nName: badplugin\nVersion: 1.0\n")
+    (dist / "entry_points.txt").write_text(
+        "[finiextestingide_spark.strategies]\nbad_clock = badplugin:WallClockStrategy\n"
+    )
+    sys.path.insert(0, str(site))
+    try:
+        R._plugins_loaded = False
+        with pytest.raises(ValueError, match="wall-clock"):
+            R.load_strategy_plugins(force=True)
+        assert "bad_clock" not in R.STRATEGIES
+    finally:
+        sys.path.remove(str(site))
+        R.STRATEGIES.pop("bad_clock", None)
+        R._plugins_loaded = False
