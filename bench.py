@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -110,7 +111,7 @@ def time_queries(
             t0 = time.perf_counter()
             qs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(samples)[len(samples) // 2], 4)
+        timings[name] = round(statistics.median(samples), 4)
     return timings
 
 

@@ -749,9 +749,11 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_IP = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
-_PII_PHONE = r"\+?\d[\d\s().-]{5,}\d\b"
+# hash-parity depends on BOTH engines running byte-identical patterns:
+# interpolate the operator's own constants, never re-declare them
+_PII_EMAIL = tx.PII_PATTERNS[0][0]
+_PII_IP = tx.PII_PATTERNS[1][0]
+_PII_PHONE = tx.PII_PATTERNS[2][0]
 
 PII_REDACTION_SQL = rf"""
 WITH aug AS (

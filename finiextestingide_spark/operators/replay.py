@@ -521,6 +521,7 @@ class TrendChannel:
                 self._known_pos.add(pid)
                 self._initial_risk[pid] = abs(entry - slp) if slp is not None else bh
         live_oids = {r[0] for r in ctx["resting"]}
+        live_oids |= set(ctx.get("pending_oids", ()))  # latency in-flight
         for oid in list(self._resting):
             if oid not in live_oids:
                 del self._resting[oid]  # filled or cancelled
@@ -893,6 +894,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         and stale_from is None
         and not hasattr(strategy, "on_bar_actions")
         and not hasattr(strategy, "on_bar_ctx")
+        and not hasattr(strategy, "on_tick")
         and params.get("force_slow") != "1"
     ):
         return _replay_fast(
@@ -1338,6 +1340,14 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                             (r.get("oid"), r["dir"], r["otype"], r["trig"], r["limit"])
                             for r in resting
                         ],
+                        # latency-pending open orders not yet registered in
+                        # the resting book: strategies must treat these as
+                        # live submissions, not as filled/cancelled
+                        "pending_oids": [
+                            a[1][8]
+                            for a in pending
+                            if a[1][0] == "open" and a[1][8] is not None
+                        ],
                     }
                     acts = strategy.on_bar_ctx(ctx)
                     if not clipped and acts:
@@ -1414,10 +1424,14 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                     kept_r.append(r)
                 elif stale_from is not None and stale_from <= t < stale_to:
                     kept_r.append(r)  # outage: triggered entries wait it out
-                elif stress_reject is not None and stress_reject.should_trigger():
-                    n_rejected += 1  # stress-test seeded rejection; consumed
                 elif len(positions) >= max_positions:
                     kept_r.append(r)  # wait for capacity, keep resting
+                elif stress_reject is not None and stress_reject.should_trigger():
+                    # drawn at the order's actual fill moment — AFTER the
+                    # capacity wait, so a book-blocked order re-triggering
+                    # across ticks does not redraw (and compound) the
+                    # per-order Bernoulli or shift the shared seed sequence
+                    n_rejected += 1  # stress-test seeded rejection; consumed
                 elif can_open(d, r["lots"], fill):
                     open_position(i, t, d, r["lots"], fill, r.get("sl"), r.get("tp"))
                 # margin/funds-rejected triggered orders are consumed
@@ -1481,6 +1495,11 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                     "resting": [
                         (r.get("oid"), r["dir"], r["otype"], r["trig"], r["limit"])
                         for r in resting
+                    ],
+                    "pending_oids": [
+                        a[1][8]
+                        for a in pending
+                        if a[1][0] == "open" and a[1][8] is not None
                     ],
                 }
             )

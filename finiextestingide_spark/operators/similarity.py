@@ -60,7 +60,7 @@ def cosine_topk(
     return _ranked_topk(scored, k, id_col=id_col)
 
 
-def _ranked_topk(scored: DataFrame, k: int, *, id_col: str) -> Column:
+def _ranked_topk(scored: DataFrame, k: int, *, id_col: str) -> DataFrame:
     """Global top-k with a rank column, scale-safe: orderBy().limit(k) plans
     as TakeOrderedAndProject (per-partition heap of k rows + driver merge),
     never a single-partition sort of the full scored set; the rank window

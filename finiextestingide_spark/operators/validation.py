@@ -30,6 +30,9 @@ _BANNED_CALLS = {
     ("time", "perf_counter"),
 }
 
+# bare names that only exist as wall-clock reads (`from time import time`)
+_BANNED_BARE = {"time_ns", "monotonic", "perf_counter"}
+
 
 def find_wall_clock_calls(path: str | Path) -> list[str]:
     """``file:line: call`` for every wall-clock read in a Python source
@@ -40,10 +43,25 @@ def find_wall_clock_calls(path: str | Path) -> list[str]:
     path = Path(path)
     tree = ast.parse(path.read_text(), filename=str(path))
     hits: list[str] = []
+    # `from time import time` style aliases: map imported names back to the
+    # wall-clock functions they bind so a bare call is still caught
+    bare_aliases: dict[str, str] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module == "time":
+            for alias in node.names:
+                if alias.name in {"time", "time_ns", "monotonic", "perf_counter"}:
+                    bare_aliases[alias.asname or alias.name] = alias.name
     for node in ast.walk(tree):
         if not isinstance(node, ast.Call):
             continue
         func = node.func
+        if isinstance(func, ast.Name):
+            bound = bare_aliases.get(func.id)
+            if bound is not None or func.id in _BANNED_BARE:
+                hits.append(
+                    f"{path}:{node.lineno}: {func.id}() [time.{bound or func.id}]"
+                )
+            continue
         if not isinstance(func, ast.Attribute):
             continue
         attr = func.attr

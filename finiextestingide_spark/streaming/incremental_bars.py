@@ -247,13 +247,44 @@ def drain_to_memory(
                     drained = bool(ops) and all(
                         op.get("numRowsTotal", 1) == 0 for op in ops
                     )
-                    emitted_and_idle = (
+                    # Kept-state streams: safe to exit only when (a) the
+                    # current batch is fully idle (no input, no state
+                    # updates) AND (b) the most recent DATA batch has
+                    # already been followed by its timeout wave — every
+                    # data batch re-arms its keys' timers, and the wave
+                    # that fires them updates state with zero input, so a
+                    # 0-input updates>0 batch AFTER the last input>0 batch
+                    # is the evidence. Without (b), an idle CHECK batch
+                    # completing between a data batch and its wave would
+                    # truncate the wave's emissions (the race the old
+                    # numRowsTotal==0 signal existed to prevent).
+                    idle_now = (
                         last > 0
                         and progress.get("numInputRows", 1) == 0
                         and bool(ops)
                         and all(op.get("numRowsUpdated", 1) == 0 for op in ops)
                     )
-                    quiesced = drained or emitted_and_idle
+                    wave_done = False
+                    if idle_now:
+                        last_data_bid = -1
+                        last_wave_bid = -1
+                        for p in q.recentProgress:
+                            if not p:
+                                continue
+                            bid_ = p.get("batchId", -1)
+                            if p.get("numInputRows", 0) > 0:
+                                last_data_bid = max(last_data_bid, bid_)
+                            else:
+                                pops = p.get("stateOperators") or []
+                                if any(
+                                    op.get("numRowsUpdated", 0) > 0 for op in pops
+                                ):
+                                    last_wave_bid = max(last_wave_bid, bid_)
+                        # data batch may have scrolled out of the progress
+                        # buffer (last_data_bid -1): any wave still in the
+                        # buffer necessarily came after it
+                        wave_done = last_wave_bid >= 0 and last_wave_bid > last_data_bid
+                    quiesced = drained or (idle_now and wave_done)
             else:
                 quiesced = progress is not None and progress.get("numInputRows", 1) == 0
             if (

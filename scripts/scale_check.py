@@ -16,7 +16,7 @@ a scratch dir (default /tmp/sf1_synth) from sf0.1:
 - every other table: symlinked from sf0.1 unchanged
 
 Then each target query runs at sf0.1 and at the synthetic sf1, median of
-`--runs` (default 2), and the ratio is printed. Linear-ish ratios (<= ~12x
+`--runs` (default 3), and the ratio is printed. Linear-ish ratios (<= ~12x
 for 10x data on a fixed 32-core box) mean no quadratic stage or skew cliff
 is hiding below the sf0.1 horizon.
 
@@ -30,13 +30,11 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyspark.sql.functions as F  # noqa: E402
 
-from finiextestingide_spark.gate import all_queries  # noqa: E402
 from finiextestingide_spark.session import build_session  # noqa: E402
 from finiextestingide_spark.sources.tables import TABLES  # noqa: E402
 
@@ -110,13 +108,6 @@ def build_synth(spark, dest: str) -> None:
             os.symlink(f"{SRC}/{t}.parquet", link)
 
 
-def median_time(qfn, spark, sf_dir: str, runs: int) -> float:
-    samples = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        qfn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        samples.append(time.perf_counter() - t0)
-    return round(sorted(samples)[len(samples) // 2], 2)
 
 
 def main() -> int:
@@ -136,11 +127,10 @@ def main() -> int:
     import bench
 
     bench.warmup(spark, SRC)  # JVM/codegen/worker-pool costs out of band
-    qs = all_queries()
     results = {}
     for name in args.targets or TARGETS:
-        base = median_time(qs[name].fn, spark, SRC, args.runs)
-        big = median_time(qs[name].fn, spark, args.scratch, args.runs)
+        base = bench.time_queries(spark, SRC, names=[name], runs=args.runs)[name]
+        big = bench.time_queries(spark, args.scratch, names=[name], runs=args.runs)[name]
         results[name] = {
             "sf0.1_sec": base,
             "sf1_sec": big,

@@ -50,7 +50,9 @@ def test_certificate_covers_headline(cert):
 
 
 def test_headline_queries_within_certificate_bands(spark, cert):
-    sf_dir = cert["sf_dir"]
+    sf_dir = os.environ.get("SPARK_GRAFT_BENCH_SF_DIR", cert["sf_dir"])
+    if not os.path.exists(sf_dir):
+        pytest.skip(f"benchmark testdata not present: {sf_dir}")
     bench.warmup(spark, sf_dir)
     measured = bench.time_queries(spark, sf_dir, runs=3)
     tol, slack = cert["tolerance"], cert["abs_slack_sec"]

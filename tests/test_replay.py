@@ -1233,3 +1233,48 @@ def test_plugin_with_wall_clock_is_rejected(tmp_path):
         sys.path.remove(str(site))
         R.STRATEGIES.pop("bad_clock", None)
         R._plugins_loaded = False
+
+
+def test_trend_channel_inflight_submission_not_rearmed():
+    """A latency-pending entry (submitted but not yet in the resting book)
+    must count as live: the strategy keeps tracking it via ctx
+    pending_oids and does NOT re-arm a duplicate each tick."""
+    from finiextestingide_spark.operators.replay import TrendChannel
+
+    tc = TrendChannel({
+        "boll_period": "3", "gate_every_bars": "1", "gate_ma_period": "2",
+        "gate_flat_threshold": "0.01", "entry_band_pos": "1.0",
+        "entry_mode": "limit_pullback", "manage_per_tick": "1",
+    })
+    # rising closes warm the gate UP and the band
+    for i, c in enumerate([100.0, 100.5, 101.0, 101.5, 102.0]):
+        tc.on_bar_ctx({"close": c, "bid": c - 0.01, "ask": c + 0.01,
+                       "positions": [], "resting": [], "pending_oids": []})
+    base = {"bid": 101.99, "ask": 102.01, "positions": [], "resting": []}
+    first = tc._on_tick({**base, "pending_oids": []})
+    opens = [a for a in first if a[0] == "open_order"]
+    assert len(opens) == 1
+    oid = opens[0][8]
+    # order still in the latency queue: not resting yet, but in flight
+    second = tc._on_tick({**base, "pending_oids": [oid]})
+    assert [a for a in second if a[0] == "open_order"] == []
+    assert oid in tc._resting
+    # once it is in NEITHER (filled/cancelled), tracking is dropped and a
+    # new entry may arm
+    third = tc._on_tick({**base, "pending_oids": []})
+    assert oid not in tc._resting
+    assert [a for a in third if a[0] == "open_order"] != []
+
+
+def test_wall_clock_validator_catches_bare_import(tmp_path):
+    """`from time import time; time()` must not bypass the ban."""
+    from finiextestingide_spark.operators.validation import find_wall_clock_calls
+
+    p = tmp_path / "sneaky.py"
+    p.write_text(
+        "from time import time as now_fn\n"
+        "def decide():\n"
+        "    return now_fn()\n"
+    )
+    hits = find_wall_clock_calls(p)
+    assert len(hits) == 1 and "now_fn()" in hits[0]
