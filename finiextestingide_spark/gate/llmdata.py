@@ -1163,6 +1163,45 @@ FROM documents
 """
 
 
+_CHUNK_BYTES = 64
+
+
+def multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary chunk fingerprints. The payload is the ASCII-normalized text
+    encoded to bytes — normalization guarantees byte==char so DuckDB (which
+    cannot slice BLOBs) can mirror the exact chunk boundaries on VARCHAR;
+    the Spark operator itself runs on true BINARY."""
+    from ..operators.multimodal import chunk_hashes
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(tx.normalized_text(F.col("text")), "UTF-8").alias("media")
+    )
+    return chunk_hashes(docs, chunk_bytes=_CHUNK_BYTES).select(
+        "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_md5", "chunk_len",
+    )
+
+
+MULTIMODAL_CHUNKS_SQL = f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS payload
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, payload, CAST(i AS BIGINT) AS chunk_idx
+  FROM norm, UNNEST(generate_series(0,
+         CAST(ceil(len(payload) / {_CHUNK_BYTES}.0) AS BIGINT) - 1)) AS t(i)
+  WHERE len(payload) > 0
+)
+SELECT doc_id, chunk_idx,
+       md5(substring(payload, chunk_idx * {_CHUNK_BYTES} + 1, {_CHUNK_BYTES})) AS chunk_md5,
+       CAST(len(substring(payload, chunk_idx * {_CHUNK_BYTES} + 1, {_CHUNK_BYTES})) AS BIGINT)
+         AS chunk_len
+FROM idx
+"""
+
+
 QUERIES: dict[str, Query] = {
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via content hash"),
     "dedup_keep_best": Query(
@@ -1228,6 +1267,9 @@ QUERIES: dict[str, Query] = {
     ),
     "doc_fingerprints": Query(doc_fingerprints, DOC_FINGERPRINTS_SQL, "md5 fingerprints"),
     "multimodal_meta": Query(multimodal_meta, MULTIMODAL_META_SQL, "binary-column metadata plumbing"),
+    "multimodal_chunks": Query(
+        multimodal_chunks, MULTIMODAL_CHUNKS_SQL, "fixed-size binary chunk fingerprints"
+    ),
     "sample_deterministic_30": Query(
         sample_deterministic_30, SAMPLE_DETERMINISTIC_30_SQL, "hash-bucket deterministic sample"
     ),

@@ -176,3 +176,37 @@ def frame_sample_stub(
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, media).mapInPandas(run, schema)
+
+
+def chunk_hashes(
+    df: DataFrame,
+    *,
+    media: str = "media",
+    id_col: str = "doc_id",
+    chunk_bytes: int = 65536,
+) -> DataFrame:
+    """Fixed-size chunk fingerprints over a binary column: (id, chunk_idx,
+    chunk_md5, chunk_len). The media analogue of document shingling — the
+    unit for chunk-level dedup (two videos sharing a leading segment), for
+    content-defined shard verification, and for frame-aligned sampling when
+    ``chunk_bytes`` matches the codec's frame stride.
+
+    Pure Column expressions (sequence/posexplode/substring/md5 — substring
+    and md5 operate natively on BINARY): JVM-side, no Python round-trip,
+    and the explode is lazy per row so a partition never holds more than
+    one payload's chunk list. Empty payloads emit zero rows."""
+    n = F.octet_length(F.col(media))
+    n_chunks = F.ceil(n / F.lit(chunk_bytes)).cast("int")
+    idx = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    exploded = df.select(id_col, media, F.explode(idx).alias("chunk_idx"))
+    chunk = F.expr(
+        f"substring({media}, chunk_idx * {chunk_bytes} + 1, {chunk_bytes})"
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.md5(chunk).alias("chunk_md5"),
+        F.octet_length(chunk).cast("long").alias("chunk_len"),
+    )

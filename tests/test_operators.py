@@ -805,3 +805,21 @@ def test_repetition_stats_detects_boilerplate(spark):
     assert out[2]["dw"] == 0.75
     assert out[3]["nl"] == 4 and out[3]["dl"] == 0.5  # 2 distinct of 4 kept
     assert out[4]["nw"] == 0 and out[4]["dw"] == 0.0
+
+
+def test_chunk_hashes_true_binary(spark):
+    """chunk_hashes operates on real (non-ASCII) bytes: boundaries at
+    chunk_bytes, last chunk short, empty payload emits nothing."""
+    import hashlib
+
+    from finiextestingide_spark.operators.multimodal import chunk_hashes
+
+    payload = bytes(range(256)) * 2 + b"\xff\x00\xfe"  # 515 bytes, non-ASCII
+    rows = [(1, payload), (2, b"")]
+    df = spark.createDataFrame(rows, "doc_id int, media binary")
+    out = {r["chunk_idx"]: r for r in chunk_hashes(df, chunk_bytes=256).collect()}
+    assert len(out) == 3  # 256 + 256 + 3; doc 2 absent
+    assert [out[i]["chunk_len"] for i in (0, 1, 2)] == [256, 256, 3]
+    for i in range(3):
+        expect = hashlib.md5(payload[i * 256:(i + 1) * 256]).hexdigest()
+        assert out[i]["chunk_md5"] == expect
