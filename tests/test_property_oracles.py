@@ -440,3 +440,81 @@ def test_action_strategies_deterministic_under_latency(seed, strat):
     b = _core(seed, params, lat=(10, 4000), lat_seed=9)
     assert a.trades == b.trades
     assert a.final_equity == b.final_equity
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # doc_id (deduped below)
+            st.sampled_from(["en", "de", "fr"]),
+            st.integers(min_value=0, max_value=120),      # n_tokens
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    budget=st.integers(min_value=0, max_value=300),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_greedy_budget_invariants(spark, docs, budget):
+    """token_budget_sample_greedy vs an independent per-group walk: the
+    kept set is exactly the greedy skip-and-continue solution, kept token
+    sums never exceed the budget, and kept_tokens is the running kept-sum."""
+    from finiextestingide_spark.operators.sampling import token_budget_sample_greedy
+
+    seen = set()
+    rows = []
+    for i, (d, lang, n, q) in enumerate(docs):
+        if d in seen:
+            continue
+        seen.add(d)
+        rows.append((d, lang, n, round(q, 6)))
+    df = spark.createDataFrame(rows, "doc_id int, lang string, n_tokens int, quality double")
+    got = {
+        (r["lang"], r["doc_id"]): (r["selected"], r["kept_tokens"])
+        for r in token_budget_sample_greedy(df, budget).collect()
+    }
+    # independent reference walk
+    by_lang: dict = {}
+    for d, lang, n, q in rows:
+        by_lang.setdefault(lang, []).append((d, n, q))
+    for lang, items in by_lang.items():
+        items.sort(key=lambda x: (-x[2], x[0]))
+        kept_sum = 0
+        for d, n, _q in items:
+            sel = kept_sum + n <= budget
+            if sel:
+                kept_sum += n
+            assert got[(lang, d)] == (sel, kept_sum), (lang, d)
+        assert kept_sum <= budget
+
+
+@given(
+    payloads=st.lists(st.binary(min_size=0, max_size=700), min_size=1, max_size=6),
+    chunk=st.integers(min_value=1, max_value=300),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunk_hashes_partition_invariants(spark, payloads, chunk):
+    """chunk_hashes is an exact partition of the payload: per-id chunk
+    count == ceil(len/chunk), lengths sum to the payload length, every
+    chunk but the last is full-size, and hashes match hashlib."""
+    import hashlib
+    import math
+
+    from finiextestingide_spark.operators.multimodal import chunk_hashes
+
+    rows = [(i, p) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "doc_id int, media binary")
+    out: dict = {}
+    for r in chunk_hashes(df, chunk_bytes=chunk).collect():
+        out.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    for i, p in rows:
+        chunks = out.get(i, {})
+        n_expected = math.ceil(len(p) / chunk)
+        assert len(chunks) == n_expected
+        assert sorted(chunks) == list(range(n_expected))
+        assert sum(c["chunk_len"] for c in chunks.values()) == len(p)
+        for idx, c in chunks.items():
+            piece = p[idx * chunk:(idx + 1) * chunk]
+            assert c["chunk_len"] == len(piece)
+            assert c["chunk_md5"] == hashlib.md5(piece).hexdigest()
