@@ -719,6 +719,45 @@ WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {_ND_MIN_COS}
 """
 
 
+def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup composition: blocked embedding-cosine pairs ->
+    connected components. The clustering the n-gram path gets from
+    MinHash edges, here over the embedding edge set — the full semantic
+    dedup pipeline a curation job runs on an embedded corpus."""
+    pairs = sim.neardup_pairs_blocked(_emb(spark, sf_dir), "label", _ND_MIN_COS)
+    cc = dd.connected_components(pairs.select("id_a", "id_b"))
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(
+        F.col("node").alias("vec_id"),
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+EMBEDDING_NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {_ND_MIN_COS}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+sizes AS (SELECT cluster_id, count(*) AS n FROM labels GROUP BY 1)
+SELECT l.vec_id, l.cluster_id, CAST(s.n AS BIGINT) AS cluster_size
+FROM labels l JOIN sizes s USING (cluster_id)
+"""
+
+
 # --- text statistics / quality scoring ---
 
 
@@ -1249,6 +1288,11 @@ QUERIES: dict[str, Query] = {
         lsh_ann_multiprobe_8, LSH_ANN_MULTIPROBE_8_SQL, "multiprobe LSH ANN (Hamming-1 ring)"
     ),
     "embedding_neardup": Query(embedding_neardup, EMBEDDING_NEARDUP_SQL, "embedding near-dup pairs"),
+    "embedding_neardup_clusters": Query(
+        embedding_neardup_clusters,
+        EMBEDDING_NEARDUP_CLUSTERS_SQL,
+        "semantic dedup: embedding pairs -> connected components",
+    ),
     "text_stats": Query(text_stats, TEXT_STATS_SQL, "token counts + quality score"),
     "pii_redaction": Query(
         pii_redaction, PII_REDACTION_SQL, "PII scrub (email/IP/phone) + audit counts"
