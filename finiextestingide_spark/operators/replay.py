@@ -707,6 +707,21 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     lots = float(params.get("lots", 1.0))
     contract = float(params.get("contract_size", 1.0))
     fee_per_side = float(params.get("fee_per_side", 0.0))
+    # Maker/taker value-based fees (reference trading_fee_factory.py:44-75,
+    # abstract_trade_executor.py:630: LIMIT/STOP_LIMIT entries add
+    # liquidity = maker rate; MARKET/STOP and synthetic closes = taker).
+    # Rates are PERCENT of order value (lots x contract x price), the
+    # Kraken convention (0.16/0.26). When configured they replace the flat
+    # per-lot fee; unset keeps the historical flat model bit-identical.
+    maker_fee_pct = float(params["maker_fee_pct"]) if "maker_fee_pct" in params else None
+    taker_fee_pct = float(params["taker_fee_pct"]) if "taker_fee_pct" in params else None
+    mt_fees = maker_fee_pct is not None or taker_fee_pct is not None
+
+    def side_fee(olots: float, price: float, maker: bool) -> float:
+        if mt_fees:
+            rate = (maker_fee_pct if maker else taker_fee_pct) or 0.0
+            return olots * contract * price * rate / 100.0
+        return fee_per_side * olots
     sl_dist = float(params["sl_dist"]) if "sl_dist" in params else None
     tp_dist = float(params["tp_dist"]) if "tp_dist" in params else None
     start_balance = float(params.get("start_balance", 10_000.0))
@@ -892,6 +907,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         and not spot_mode
         and stress_reject is None
         and stale_from is None
+        and not mt_fees
         and not hasattr(strategy, "on_bar_actions")
         and not hasattr(strategy, "on_bar_ctx")
         and not hasattr(strategy, "on_tick")
@@ -932,12 +948,12 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         ratio = close_lots / p.lots
         full = close_lots >= p.lots
         gross = p.direction * (price - p.entry_price) * contract * close_lots
-        fees = p.fees * ratio + fee_per_side * close_lots
+        exit_fee = side_fee(close_lots, price, maker=False)  # closes are taker
+        fees = p.fees * ratio + exit_fee
         swap_part = p.swap * ratio
         if spot_mode:
             # balance walk: entry-side fees were paid at open; only the exit
             # fee moves cash here (portfolio_manager.py:395-407,509-521)
-            exit_fee = fee_per_side * close_lots
             if p.direction > 0:  # close LONG = SELL base for quote
                 base_bal -= close_lots
                 quote_bal += close_lots * price - exit_fee
@@ -981,14 +997,14 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
             p.fees *= 1.0 - ratio
             p.swap *= 1.0 - ratio
 
-    def can_open(d: int, olots: float, price: float) -> bool:
+    def can_open(d: int, olots: float, price: float, maker: bool = False) -> bool:
         """Fill-time gate. Margin mode: balance must cover the margin of ALL
         open lots plus the new order (reduces to the flat-account check when
         no position is open). Spot mode: the spending balance must cover the
         trade (INSUFFICIENT_FUNDS rejection, reference spot_trading suite)."""
         nonlocal n_rejected
         if spot_mode:
-            fee = fee_per_side * olots
+            fee = side_fee(olots, price, maker)
             ok = (quote_bal >= olots * price + fee) if d > 0 else (base_bal >= olots)
             if not ok:
                 n_rejected += 1
@@ -1011,10 +1027,11 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         price: float,
         sl: float | None = None,
         tp: float | None = None,
+        maker: bool = False,
     ) -> None:
         nonlocal next_pos_id, quote_bal, base_bal, n_filled
         n_filled += 1
-        fee = fee_per_side * olots
+        fee = side_fee(olots, price, maker)
         if spot_mode:  # asset transfer on open (portfolio_manager.py:334-348)
             if d > 0:  # BUY: spend quote, receive base
                 quote_bal -= olots * price + fee
@@ -1432,9 +1449,14 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                     # across ticks does not redraw (and compound) the
                     # per-order Bernoulli or shift the shared seed sequence
                     n_rejected += 1  # stress-test seeded rejection; consumed
-                elif can_open(d, r["lots"], fill):
-                    open_position(i, t, d, r["lots"], fill, r.get("sl"), r.get("tp"))
-                # margin/funds-rejected triggered orders are consumed
+                else:
+                    is_maker = r["otype"] == "limit"  # stop fills take liquidity
+                    if can_open(d, r["lots"], fill, maker=is_maker):
+                        open_position(
+                            i, t, d, r["lots"], fill, r.get("sl"), r.get("tp"),
+                            maker=is_maker,
+                        )
+                    # margin/funds-rejected triggered orders are consumed
             resting = kept_r
 
         # R4 — excursion update as the price arrives (before stop evaluation,

@@ -1278,3 +1278,46 @@ def test_wall_clock_validator_catches_bare_import(tmp_path):
     )
     hits = find_wall_clock_calls(p)
     assert len(hits) == 1 and "now_fn()" in hits[0]
+
+
+def test_maker_taker_fees_spot(spark):
+    """Maker/taker value-based fees (trading_fee_factory.py): a LIMIT entry
+    pays the maker rate on entry value, the synthetic close pays the taker
+    rate on exit value; fees on the trade record are their sum and the
+    spot balance walk matches exactly."""
+    prices = [100.0] * 4 + [99.0] * 4 + [101.0, 101.0]
+    ticks = make_ticks(spark, prices, spread=0.0)
+    s = scen(
+        spark, strategy="buy_hold", entry_type="limit", entry_offset=1.0,
+        spot_mode=1, maker_fee_pct=0.16, taker_fee_pct=0.26,
+        start_balance=10_000.0,
+    )
+    res = run_backtest(ticks, s).collect()[0]
+    tr = res["trades"]
+    assert len(tr) == 1
+    entry, exit_p, lots = tr[0]["entry_price"], tr[0]["exit_price"], tr[0]["lots"]
+    expect = lots * entry * 0.0016 + lots * exit_p * 0.0026
+    assert tr[0]["fees"] == pytest.approx(expect)
+    # balance identity: quote spent at entry incl. maker fee, received at
+    # exit net of taker fee
+    assert res["final_equity"] == pytest.approx(
+        10_000.0 - lots * entry - lots * entry * 0.0016
+        + lots * exit_p - lots * exit_p * 0.0026
+        + 0.0,
+    )
+
+    # market entry pays taker on BOTH sides
+    m = run_backtest(
+        ticks,
+        scen(spark, strategy="buy_hold", spot_mode=1,
+             maker_fee_pct=0.16, taker_fee_pct=0.26),
+    ).collect()[0]
+    mt = m["trades"][0]
+    assert mt["fees"] == pytest.approx(
+        mt["lots"] * mt["entry_price"] * 0.0026 + mt["lots"] * mt["exit_price"] * 0.0026
+    )
+
+    # unset rates keep the flat model bit-identical
+    flat_a = run_backtest(ticks, scen(spark, strategy="buy_hold", fee_per_side=1.0)).collect()[0]
+    flat_b = run_backtest(ticks, scen(spark, strategy="buy_hold", fee_per_side=1.0)).collect()[0]
+    assert flat_a["trades"] == flat_b["trades"]
