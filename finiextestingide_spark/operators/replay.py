@@ -120,6 +120,10 @@ REPLAY_RESULT_SCHEMA = StructType(
         # window, and whether the window was entered at all
         StructField("stale_entries_rejected", IntegerType()),
         StructField("stale_windows_hit", IntegerType()),
+        # event channel (reference backtesting_metadata.received_events):
+        # engine status events + strategy emit() calls, order-preserving,
+        # capped to bound driver memory
+        StructField("events", ArrayType(StringType())),
         StructField("wins", IntegerType()),
         StructField("losses", IntegerType()),
         StructField("gross_profit", DoubleType()),
@@ -812,6 +816,21 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     )
     n_stale_rejected = 0
     stale_hook_fired = False
+    # Event channel (reference event_channel / stale_stress suites read
+    # decision_statistics.backtesting_metadata.received_events): the engine
+    # records status-plane events; strategies append via the ctx "emit"
+    # callable. Order-preserving, capped — overflow is summarized, never
+    # silently dropped.
+    _EVENTS_CAP = 1000
+    events_buf: list[str] = []
+    events_dropped = 0
+
+    def emit_event(name: str) -> None:
+        nonlocal events_dropped
+        if len(events_buf) < _EVENTS_CAP:
+            events_buf.append(name)
+        else:
+            events_dropped += 1
 
     budget_ms = scen.get("tick_processing_budget_ms")
     budget_ms = float(budget_ms) if budget_ms is not None and not pd.isna(budget_ms) else None
@@ -1177,6 +1196,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 # resting registration AND market opens — no NEW entry may
                 # originate inside the outage window.
                 n_stale_rejected += 1
+                emit_event("stale_entry_rejected")
                 notify = getattr(strategy, "on_open_dropped", None)
                 if notify is not None:
                     notify()
@@ -1306,6 +1326,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
             and stale_from <= t < stale_to
         ):
             stale_hook_fired = True
+            emit_event("market_data_stale")
             hook = getattr(strategy, "on_market_data_stale", None)
             if hook is not None:
                 hook()
@@ -1365,6 +1386,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                             for a in pending
                             if a[1][0] == "open" and a[1][8] is not None
                         ],
+                        "emit": emit_event,
                     }
                     acts = strategy.on_bar_ctx(ctx)
                     if not clipped and acts:
@@ -1523,6 +1545,7 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                         for a in pending
                         if a[1][0] == "open" and a[1][8] is not None
                     ],
+                    "emit": emit_event,
                 }
             )
             if acts:
@@ -1574,6 +1597,8 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                 "sl_tp_exits": n_sltp,
                 "stale_entries_rejected": n_stale_rejected,
                 "stale_windows_hit": 1 if stale_hook_fired else 0,
+                "events": events_buf
+                + ([f"events_overflow:{events_dropped}"] if events_dropped else []),
                 "wins": wins,
                 "losses": losses,
                 "gross_profit": sum(tr["gross_pnl"] for tr in trades if tr["gross_pnl"] > 0),
@@ -1785,6 +1810,7 @@ def _replay_fast(
                 "sl_tp_exits": 0,
                 "stale_entries_rejected": 0,
                 "stale_windows_hit": 0,
+                "events": [],
                 "wins": wins,
                 "losses": losses,
                 "gross_profit": sum(tr["gross_pnl"] for tr in trades if tr["gross_pnl"] > 0),

@@ -1142,6 +1142,11 @@ def test_stale_window_blocks_entries_and_fires_hook_once():
     assert calls == ["stale"]
     # blocked entries are NOT broker rejections
     assert stressed["orders_rejected"] == control["orders_rejected"]
+    # event channel (reference received_events assertions: hook fired once,
+    # entry blocked once; control run records no events at all)
+    assert list(stressed["events"]).count("market_data_stale") == 1
+    assert list(stressed["events"]).count("stale_entry_rejected") == 1
+    assert list(control["events"]) == []
 
 
 def test_replay_triple_swap_wednesday(spark):
@@ -1321,3 +1326,41 @@ def test_maker_taker_fees_spot(spark):
     flat_a = run_backtest(ticks, scen(spark, strategy="buy_hold", fee_per_side=1.0)).collect()[0]
     flat_b = run_backtest(ticks, scen(spark, strategy="buy_hold", fee_per_side=1.0)).collect()[0]
     assert flat_a["trades"] == flat_b["trades"]
+
+
+def test_strategy_emit_reaches_event_channel():
+    """A strategy's ctx emit() lands in the result's events array in
+    decision order (reference emit_event -> received_events)."""
+    import pandas as pd
+
+    from finiextestingide_spark.operators import replay as R
+
+    class _Emitter:
+        warmup = 1
+
+        def __init__(self, params):
+            self._n = 0
+
+        def on_bar_ctx(self, ctx):
+            self._n += 1
+            ctx["emit"](f"bar_{self._n}")
+            return []
+
+    rows = []
+    for i, p in enumerate([100.0 + 0.1 * i for i in range(8)]):
+        ms = T0_MS + i * 30_000
+        rows.append({"symbol": "X", "time_msc": ms, "collected_msc": ms,
+                     "bid": p - 0.01, "ask": p + 0.01})
+    cfg = {
+        "scenario_id": 1,
+        "parameters": {**BASE, "strategy": "emitter_test"},
+        "tick_processing_budget_ms": None,
+        "latency_seed": 7, "latency_min_ms": 0, "latency_max_ms": 0,
+        "max_ticks": None,
+    }
+    R.STRATEGIES["emitter_test"] = _Emitter
+    try:
+        res = R._replay_core(pd.DataFrame(rows), cfg).iloc[0]
+    finally:
+        del R.STRATEGIES["emitter_test"]
+    assert list(res["events"]) == ["bar_1", "bar_2", "bar_3"]
