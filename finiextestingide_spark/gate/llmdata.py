@@ -719,6 +719,48 @@ WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {_ND_MIN_COS}
 """
 
 
+_DECON_MAX = 0.2
+
+
+def decontaminated_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enforcement side of the contamination audit: per-train-doc overlap
+    with the eval split's shingle set + the keep decision."""
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    out = tx.decontaminate(
+        dd.word_shingles(train, 3), dd.word_shingles(ev, 3), _DECON_MAX
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        F.round("contamination", 6).alias("contamination"),
+        "keep",
+    )
+
+
+DECONTAMINATED_TRAIN_SQL = f"""
+WITH {_SHINGLES_CTE},
+evset AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_contaminated
+  FROM tr t JOIN evset e ON e.shingle = t.shingle
+  GROUP BY 1
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1)
+SELECT s.doc_id,
+       CAST(s.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / s.n_shingles, 6)
+         AS contamination,
+       (CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / s.n_shingles)
+         <= {_DECON_MAX} AS keep
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-dedup composition: blocked embedding-cosine pairs ->
     connected components. The clustering the n-gram path gets from
@@ -1288,6 +1330,11 @@ QUERIES: dict[str, Query] = {
         lsh_ann_multiprobe_8, LSH_ANN_MULTIPROBE_8_SQL, "multiprobe LSH ANN (Hamming-1 ring)"
     ),
     "embedding_neardup": Query(embedding_neardup, EMBEDDING_NEARDUP_SQL, "embedding near-dup pairs"),
+    "decontaminated_train": Query(
+        decontaminated_train,
+        DECONTAMINATED_TRAIN_SQL,
+        "per-train-doc eval-overlap + keep decision (decontamination)",
+    ),
     "embedding_neardup_clusters": Query(
         embedding_neardup_clusters,
         EMBEDDING_NEARDUP_CLUSTERS_SQL,

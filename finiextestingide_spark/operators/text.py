@@ -233,3 +233,41 @@ def repetition_stats(text: Column) -> dict[str, Column]:
         "n_lines": n_lines.cast("long"),
         "dup_line_frac": dup_line_frac,
     }
+
+
+def decontaminate(
+    train_shingles: DataFrame,
+    eval_shingles: DataFrame,
+    max_contamination: float = 0.1,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The enforcement side of ngram_contamination: flag TRAIN documents
+    whose n-gram overlap with the EVAL corpus exceeds ``max_contamination``
+    so they can be dropped before training — the decontamination step that
+    turns the audit into a clean train set.
+
+    Same scale shape, reversed: the eval side collapses to its DISTINCT
+    shingle set (a benchmark — small, broadcastable); each train doc joins
+    against it once; shuffled rows carry (shingle, train doc id) only.
+    Output: (doc_id, n_shingles, n_contaminated, contamination, keep) for
+    EVERY train doc (zero-overlap docs included, keep = true)."""
+    eval_set = eval_shingles.select("shingle").distinct()
+    tr = train_shingles.select(F.col(id_col), F.col("shingle"))
+    hits = (
+        tr.join(F.broadcast(eval_set), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    sizes = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    contamination = F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_shingles")
+    return (
+        sizes.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            contamination.alias("contamination"),
+            (contamination <= max_contamination).alias("keep"),
+        )
+    )

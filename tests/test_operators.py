@@ -823,3 +823,32 @@ def test_chunk_hashes_true_binary(spark):
     for i in range(3):
         expect = hashlib.md5(payload[i * 256:(i + 1) * 256]).hexdigest()
         assert out[i]["chunk_md5"] == expect
+
+
+def test_decontaminate_keep_decision(spark):
+    """decontaminate flags train docs over the overlap bound and keeps
+    zero-overlap docs with contamination 0.0 (left-join completeness)."""
+    from finiextestingide_spark.operators.dedup import word_shingles
+    from finiextestingide_spark.operators.text import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # heavy overlap
+            (2, "one two three four five six"),           # zero overlap
+            (3, "alpha beta gamma nine ten eleven"),      # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(
+            word_shingles(train, 3), word_shingles(ev, 3), 0.3
+        ).collect()
+    }
+    assert out[1]["contamination"] == 1.0 and not out[1]["keep"]
+    assert out[2]["contamination"] == 0.0 and out[2]["keep"]
+    # doc 3: 4 shingles, 1 shared ("alpha beta gamma") -> 0.25 <= 0.3
+    assert out[3]["n_contaminated"] == 1 and out[3]["keep"]
