@@ -852,3 +852,60 @@ def test_decontaminate_keep_decision(spark):
     assert out[2]["contamination"] == 0.0 and out[2]["keep"]
     # doc 3: 4 shingles, 1 shared ("alpha beta gamma") -> 0.25 <= 0.3
     assert out[3]["n_contaminated"] == 1 and out[3]["keep"]
+
+
+def test_result_cache_wraps_extreme_move_discovery(spark, tmp_path):
+    """The intended end-to-end consumer (reference discovery_cache.py
+    get_extreme_moves): an extreme-move scan over a bar lake, cached by
+    (bar files + scan config) fingerprint. Second call is a pure cache
+    read; a config change re-scans and changes the result."""
+    import math
+
+    from finiextestingide_spark.operators.extremes import (
+        deduplicate_overlaps,
+        extreme_move_candidates,
+    )
+    from finiextestingide_spark.operators.result_cache import ResultCache
+
+    bars_dir = str(tmp_path / "bars")
+    rows = []
+    for s, amp in (("EURUSD", 4.0), ("USDJPY", 0.5)):
+        price = 100.0
+        for i in range(400):
+            # a few violent moves on EURUSD only
+            step = amp if (i % 97 == 0 and amp > 1) else math.sin(i * 0.7) * 0.3
+            price += step
+            rows.append(
+                (s, datetime(2026, 1, 1) + timedelta(minutes=5 * i),
+                 price - step, price + abs(step), price - abs(step), price, 0.4, 10)
+            )
+    spark.createDataFrame(
+        rows,
+        "symbol string, bar_ts timestamp, open double, high double, "
+        "low double, close double, atr double, tick_count int",
+    ).write.parquet(bars_dir)
+    cache = ResultCache(str(tmp_path / ".discovery_caches"))
+
+    def scan(cfg):
+        def compute():
+            cands = extreme_move_candidates(
+                spark.read.parquet(bars_dir),
+                window_sizes=cfg["window_sizes"],
+                min_atr_multiple=cfg["min_atr_multiple"],
+            )
+            return deduplicate_overlaps(cands)
+
+        return cache.get_or_compute(
+            spark, "extreme_moves", [bars_dir], cfg, compute
+        )
+
+    cfg = {"window_sizes": [10, 50], "min_atr_multiple": 3.0}
+    first = scan(cfg).collect()
+    assert len(first) > 0  # the EURUSD spikes are found
+    again = scan(cfg)
+    assert all(str(tmp_path / ".discovery_caches") in f for f in again.inputFiles())
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, first))
+
+    # stricter threshold is a different fingerprint -> fresh scan
+    strict = scan({"window_sizes": [10, 50], "min_atr_multiple": 9000.0})
+    assert strict.count() == 0
