@@ -729,7 +729,8 @@ def decontaminated_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.where(F.col("doc_id") % 20 != 0)
     ev = docs.where(F.col("doc_id") % 20 == 0)
     out = tx.decontaminate(
-        dd.word_shingles(train, 3), dd.word_shingles(ev, 3), _DECON_MAX
+        dd.word_shingles(train, 3), dd.word_shingles(ev, 3), _DECON_MAX,
+        train_ids=train,
     )
     return out.select(
         "doc_id",
@@ -749,14 +750,22 @@ hits AS (
   FROM tr t JOIN evset e ON e.shingle = t.shingle
   GROUP BY 1
 ),
-sizes AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1)
+shc AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+sizes AS (
+  -- full train universe: a doc too short to shingle still gets a row
+  SELECT d.doc_id, coalesce(shc.n_shingles, 0) AS n_shingles
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+  LEFT JOIN shc USING (doc_id)
+)
 SELECT s.doc_id,
        CAST(s.n_shingles AS BIGINT) AS n_shingles,
        CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
-       round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / s.n_shingles, 6)
-         AS contamination,
-       (CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / s.n_shingles)
-         <= {_DECON_MAX} AS keep
+       round(CASE WHEN s.n_shingles > 0
+                  THEN CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / s.n_shingles
+                  ELSE 0.0 END, 6) AS contamination,
+       (CASE WHEN s.n_shingles > 0
+             THEN CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / s.n_shingles
+             ELSE 0.0 END) <= {_DECON_MAX} AS keep
 FROM sizes s LEFT JOIN hits h USING (doc_id)
 """
 

@@ -720,11 +720,21 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     maker_fee_pct = float(params["maker_fee_pct"]) if "maker_fee_pct" in params else None
     taker_fee_pct = float(params["taker_fee_pct"]) if "taker_fee_pct" in params else None
     mt_fees = maker_fee_pct is not None or taker_fee_pct is not None
+    if mt_fees and (maker_fee_pct is None or taker_fee_pct is None):
+        # a one-sided config would silently make the other liquidity side
+        # free (it does NOT fall back to fee_per_side) — fail loud instead
+        raise ValueError(
+            "maker_fee_pct and taker_fee_pct must be configured together"
+        )
 
     def side_fee(olots: float, price: float, maker: bool) -> float:
         if mt_fees:
-            rate = (maker_fee_pct if maker else taker_fee_pct) or 0.0
-            return olots * contract * price * rate / 100.0
+            rate = maker_fee_pct if maker else taker_fee_pct
+            # spot balances move lots*price cash (no contract multiplier),
+            # so the fee notional must match or affordability and the
+            # balance walk disagree; margin-mode P&L scales with contract
+            notional = olots * price * (1.0 if spot_mode else contract)
+            return notional * rate / 100.0
         return fee_per_side * olots
     sl_dist = float(params["sl_dist"]) if "sl_dist" in params else None
     tp_dist = float(params["tp_dist"]) if "tp_dist" in params else None

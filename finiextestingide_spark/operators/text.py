@@ -241,6 +241,7 @@ def decontaminate(
     max_contamination: float = 0.1,
     *,
     id_col: str = "doc_id",
+    train_ids: DataFrame | None = None,
 ) -> DataFrame:
     """The enforcement side of ngram_contamination: flag TRAIN documents
     whose n-gram overlap with the EVAL corpus exceeds ``max_contamination``
@@ -251,7 +252,10 @@ def decontaminate(
     shingle set (a benchmark — small, broadcastable); each train doc joins
     against it once; shuffled rows carry (shingle, train doc id) only.
     Output: (doc_id, n_shingles, n_contaminated, contamination, keep) for
-    EVERY train doc (zero-overlap docs included, keep = true)."""
+    every train doc WITH at least one shingle (zero-overlap docs included,
+    keep = true). A doc too short to shingle produces no shingle rows and
+    would be silently absent — pass ``train_ids`` (the full train doc-id
+    universe) to also emit those as (0 shingles, 0 contamination, keep)."""
     eval_set = eval_shingles.select("shingle").distinct()
     tr = train_shingles.select(F.col(id_col), F.col("shingle"))
     hits = (
@@ -260,7 +264,17 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
     sizes = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    contamination = F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_shingles")
+    if train_ids is not None:
+        sizes = (
+            train_ids.select(id_col)
+            .distinct()
+            .join(sizes, id_col, "left")
+            .select(id_col, F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"))
+        )
+    contamination = F.when(
+        F.col("n_shingles") > 0,
+        F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_shingles"),
+    ).otherwise(F.lit(0.0))
     return (
         sizes.join(hits, id_col, "left")
         .select(

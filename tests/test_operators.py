@@ -903,9 +903,35 @@ def test_result_cache_wraps_extreme_move_discovery(spark, tmp_path):
     first = scan(cfg).collect()
     assert len(first) > 0  # the EURUSD spikes are found
     again = scan(cfg)
-    assert all(str(tmp_path / ".discovery_caches") in f for f in again.inputFiles())
+    backing = again.inputFiles()
+    assert backing, "cached result must report its backing files"
+    assert all(str(tmp_path / ".discovery_caches") in f for f in backing)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, first))
 
     # stricter threshold is a different fingerprint -> fresh scan
     strict = scan({"window_sizes": [10, 50], "min_atr_multiple": 9000.0})
     assert strict.count() == 0
+
+
+def test_decontaminate_short_docs_with_universe(spark):
+    """A train doc too short to shingle still appears (0 shingles, keep)
+    when the full train-id universe is provided."""
+    from finiextestingide_spark.operators.dedup import word_shingles
+    from finiextestingide_spark.operators.text import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "too short")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(9, "alpha beta gamma")], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(
+            word_shingles(train, 3), word_shingles(ev, 3), 0.3, train_ids=train
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[2]["n_shingles"] == 0 and out[2]["contamination"] == 0.0 and out[2]["keep"]
+    # without the universe, the short doc is absent (documented behavior)
+    part = decontaminate(word_shingles(train, 3), word_shingles(ev, 3), 0.3).collect()
+    assert {r["doc_id"] for r in part} == {1}

@@ -1322,10 +1322,17 @@ def test_maker_taker_fees_spot(spark):
         mt["lots"] * mt["entry_price"] * 0.0026 + mt["lots"] * mt["exit_price"] * 0.0026
     )
 
-    # unset rates keep the flat model bit-identical
-    flat_a = run_backtest(ticks, scen(spark, strategy="buy_hold", fee_per_side=1.0)).collect()[0]
-    flat_b = run_backtest(ticks, scen(spark, strategy="buy_hold", fee_per_side=1.0)).collect()[0]
-    assert flat_a["trades"] == flat_b["trades"]
+    # unset rates keep the flat per-lot model: 1.0 per side x 2 sides
+    flat = run_backtest(
+        ticks, scen(spark, strategy="buy_hold", fee_per_side=1.0)
+    ).collect()[0]
+    assert flat["trades"][0]["fees"] == pytest.approx(2.0 * flat["trades"][0]["lots"])
+
+    # a one-sided rate config is a loud error, not a silently-free side
+    with pytest.raises(Exception, match="configured together"):
+        run_backtest(
+            ticks, scen(spark, strategy="buy_hold", spot_mode=1, taker_fee_pct=0.26)
+        ).collect()
 
 
 def test_strategy_emit_reaches_event_channel():
