@@ -96,23 +96,43 @@ def warmup(spark, sf_dir: str) -> None:
     run_backtest(mini_ticks, mini_scen).write.mode("overwrite").format("noop").save()
 
 
-def time_queries(
+def time_queries_stats(
     spark, sf_dir: str, names: list[str] | None = None, runs: int = 3
-) -> dict[str, float]:
-    """Median-of-N wall time per query, full plan forced via a noop sink —
-    the reference's certificate protocol (BASELINE.md: '3 runs, median
-    reported'), which keeps one-off VM hiccups out of the recorded number.
-    Results are never cached; every run re-executes the full plan."""
+) -> dict[str, dict[str, float]]:
+    """Per-query wall-time distribution over N runs, full plan forced via a
+    noop sink. Emitting min/median/max (not a single point) is what makes a
+    recorded benchmark distinguishable from co-tenant load noise: a real
+    regression shifts the MIN; noise inflates median/max while the min
+    stays put (round 5's 2.1x 'minhash regression' was exactly this —
+    VERDICT r5 What's-wrong #1). Results are never cached; every run
+    re-executes the full plan."""
     qs = all_queries()
-    timings: dict[str, float] = {}
+    out: dict[str, dict[str, float]] = {}
     for name in names or HEADLINE:
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
             qs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 4)
-    return timings
+        out[name] = {
+            "min": round(min(samples), 4),
+            "median": round(statistics.median(samples), 4),
+            "max": round(max(samples), 4),
+            "n": runs,
+        }
+    return out
+
+
+def time_queries(
+    spark, sf_dir: str, names: list[str] | None = None, runs: int = 3
+) -> dict[str, float]:
+    """Median-of-N wall time per query (the reference's certificate
+    protocol, BASELINE.md: '3 runs, median reported'). Thin view over
+    time_queries_stats for callers that want one number per query."""
+    return {
+        name: s["median"]
+        for name, s in time_queries_stats(spark, sf_dir, names, runs).items()
+    }
 
 
 def main() -> int:
@@ -120,7 +140,8 @@ def main() -> int:
     spark = build_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
     warmup(spark, sf_dir)
-    timings = time_queries(spark, sf_dir)
+    stats = time_queries_stats(spark, sf_dir)
+    timings = {name: s["median"] for name, s in stats.items()}
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -130,6 +151,10 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # full distribution per query (min/median/max/n) so a
+                # recorded artifact is variance-aware: compare mins across
+                # rounds to separate real regressions from machine load
+                "queries_stats": stats,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

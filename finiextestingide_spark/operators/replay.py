@@ -650,8 +650,18 @@ def load_strategy_plugins(*, force: bool = False) -> list[str]:
         from .validation import validate_no_wall_clock
 
         src = inspect.getsourcefile(cls)
-        if src is not None:
-            validate_no_wall_clock([src])
+        if src is None:
+            # compiled extension / zipimport / exec'd module: the ban is
+            # unenforceable for exactly the plugins hardest to audit —
+            # refuse instead of silently skipping the check
+            raise ValueError(
+                f"strategy plugin {ep.name!r} ({cls!r}) has no locatable "
+                "Python source; the wall-clock ban cannot be verified, "
+                "refusing to load (ship the plugin as plain .py source)"
+            )
+        # scoped to the class body: unrelated module-level timing code in
+        # the plugin's file must not false-positive the ban
+        validate_no_wall_clock([src], only_class=cls.__name__)
         STRATEGIES[ep.name] = cls
         loaded.append(ep.name)
     _plugins_loaded = True
@@ -766,6 +776,17 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     # receive base, sells the reverse; equity = quote + base*mid; no margin,
     # no swap; insufficient funds rejects the order.
     spot_mode = params.get("spot_mode") == "1"
+    if spot_mode and contract != 1.0:
+        # Spot balances move lots*price cash with NO contract multiplier
+        # (the balance walk below and side_fee both assume it); the
+        # reference's maker/taker fee notional however always includes
+        # contract_size (create_maker_taker_fee: lots*contract*price), so a
+        # non-unit contract in spot mode would diverge silently. Reject it
+        # loudly instead of producing self-consistent-but-wrong numbers.
+        raise ValueError(
+            "spot_mode requires contract_size == 1 (spot cash accounting "
+            f"carries no contract multiplier; got contract_size={contract})"
+        )
     base_start = float(params.get("base_start", 0.0))
     # Order-price precision: limit/stop triggers and SL/TP levels are
     # snapped to the symbol's digits at SUBMISSION (the reference's
@@ -1228,19 +1249,24 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
                         "op": None,
                     }
                 )
-            elif stress_reject is not None and stress_reject.should_trigger():
-                # stress-test seeded rejection (BROKER_ERROR in the
-                # reference): the order is consumed, counted rejected, and
-                # the strategy's reserved slot reclaimed
-                n_rejected += 1
-                notify = getattr(strategy, "on_open_dropped", None)
-                if notify is not None:
-                    notify()
             elif len(positions) >= max_positions:
                 # capacity-dropped market open: counted as rejected (it was
                 # neither filled nor left resting) and surfaced to the
                 # strategy so self-tracked open counts don't drift — a
                 # latency-delayed open can arrive after the book filled up
+                n_rejected += 1
+                notify = getattr(strategy, "on_open_dropped", None)
+                if notify is not None:
+                    notify()
+            elif stress_reject is not None and stress_reject.should_trigger():
+                # stress-test seeded rejection (BROKER_ERROR in the
+                # reference): the order is consumed, counted rejected, and
+                # the strategy's reserved slot reclaimed. Drawn AFTER the
+                # capacity branch — only orders that would actually fill
+                # consume a Bernoulli draw, matching the resting-trigger
+                # path below so the shared seed sequence stays consistent
+                # between market and resting fills (the reference evaluates
+                # should_reject uniformly at pending-order fill time)
                 n_rejected += 1
                 notify = getattr(strategy, "on_open_dropped", None)
                 if notify is not None:

@@ -108,18 +108,25 @@ class ResultCache:
         materializing it on miss. A hit reads ONLY the materialized
         parquet — no source file is touched. Stale entries (same name,
         different fingerprint) are removed on write, the reference's
-        overwrite-on-invalid behavior."""
+        overwrite-on-invalid behavior.
+
+        Concurrency contract: SINGLE WRITER per cache name (the
+        reference's caches share the assumption — one analyst process per
+        discovery cache). The write sequence is crash-ordered: the new
+        entry's parquet lands first (with its _SUCCESS marker), then the
+        manifest describing it, then superseded entries are deleted — so a
+        crash at any point leaves a manifest that describes an existing,
+        complete entry. Concurrent READERS of the current fingerprint are
+        safe; a reader still holding a superseded fingerprint can observe
+        its files vanishing mid-read (accepted under single-writer)."""
         info = self.lookup(name, inputs, params)
         if info.hit and not force_rebuild:
             return spark.read.parquet(info.path)
         df = compute()
         name_dir = os.path.dirname(info.path)
         df.write.mode("overwrite").parquet(info.path)
-        # drop superseded fingerprints so the cache holds one entry per name
-        for entry in os.listdir(name_dir):
-            if entry != info.fingerprint:
-                shutil.rmtree(os.path.join(name_dir, entry), ignore_errors=True)
-        # sidecar for auditability (what produced this entry)
+        # manifest BEFORE deleting superseded entries: a crash between the
+        # two steps must never leave a manifest pointing at deleted data
         with open(os.path.join(name_dir, "manifest.json"), "w") as f:
             json.dump(
                 {"fingerprint": info.fingerprint, "params": params, "inputs": sorted(inputs)},
@@ -127,4 +134,10 @@ class ResultCache:
                 indent=1,
                 sort_keys=True,
             )
+        # drop superseded fingerprints so the cache holds one entry per
+        # name; only directories qualify (manifest.json lives alongside)
+        for entry in os.listdir(name_dir):
+            full = os.path.join(name_dir, entry)
+            if entry != info.fingerprint and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
         return spark.read.parquet(info.path)

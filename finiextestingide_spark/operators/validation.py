@@ -34,12 +34,18 @@ _BANNED_CALLS = {
 _BANNED_BARE = {"time_ns", "monotonic", "perf_counter"}
 
 
-def find_wall_clock_calls(path: str | Path) -> list[str]:
+def find_wall_clock_calls(
+    path: str | Path, *, only_class: str | None = None
+) -> list[str]:
     """``file:line: call`` for every wall-clock read in a Python source
     file. AST-based (no regex false positives on strings/comments); a
     dotted call matches when its last two segments hit a banned pair, so
     ``datetime.datetime.now()`` and ``dt.now()`` after
-    ``from datetime import datetime as dt`` are both caught."""
+    ``from datetime import datetime as dt`` are both caught.
+
+    ``only_class`` scopes the call scan to that class's body (import
+    aliases are still resolved module-wide), so a plugin class in a file
+    with unrelated module-level timing code doesn't false-positive."""
     path = Path(path)
     tree = ast.parse(path.read_text(), filename=str(path))
     hits: list[str] = []
@@ -51,7 +57,20 @@ def find_wall_clock_calls(path: str | Path) -> list[str]:
             for alias in node.names:
                 if alias.name in {"time", "time_ns", "monotonic", "perf_counter"}:
                     bare_aliases[alias.asname or alias.name] = alias.name
-    for node in ast.walk(tree):
+    scan_root: ast.AST = tree
+    if only_class is not None:
+        cls_nodes = [
+            n
+            for n in ast.walk(tree)
+            if isinstance(n, ast.ClassDef) and n.name == only_class
+        ]
+        if not cls_nodes:
+            raise ValueError(
+                f"class {only_class!r} not found in {path} — cannot scope "
+                "the wall-clock scan (refusing to skip it)"
+            )
+        scan_root = ast.Module(body=cls_nodes, type_ignores=[])
+    for node in ast.walk(scan_root):
         if not isinstance(node, ast.Call):
             continue
         func = node.func
@@ -78,12 +97,14 @@ def find_wall_clock_calls(path: str | Path) -> list[str]:
     return hits
 
 
-def validate_no_wall_clock(paths: list[str | Path]) -> None:
+def validate_no_wall_clock(
+    paths: list[str | Path], *, only_class: str | None = None
+) -> None:
     """Raise if any scanned file reads the wall clock (load_strategy_plugins
     runs this against plugin modules — the reference's startup validator)."""
     violations: list[str] = []
     for p in paths:
-        violations.extend(find_wall_clock_calls(p))
+        violations.extend(find_wall_clock_calls(p, only_class=only_class))
     if violations:
         raise ValueError(
             "wall-clock read in strategy code (deterministic replay ban, "
