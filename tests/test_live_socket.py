@@ -1,0 +1,359 @@
+"""Live-path end-to-end over a REAL unbounded source (round-6 task #1).
+
+The reference's live lifecycle is a WebSocket feed -> queue -> the same
+per-tick pipeline as batch (autotrader_tick_loop.py:47-60), with a parity
+suite that replays a recorded feed through the live path and compares it to
+the batch render (tests/parity/test_bar_parity_kraken_spot_btcusd.py).
+
+These tests do the same against a real TCP socket source: the recorded
+sf0.001 events feed is replayed over a socket by TickFeedServer, parsed,
+and driven through each streaming operator while the query is genuinely
+UNBOUNDED (no availableNow — the market 'keeps ticking' via keepalive
+lines, which is also what lets the watermark pass the final real windows).
+The results must hash-match the batch oracle queries on the same rows, and
+the watermark must be observed progressing through the run.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pandas as pd
+import pytest
+import pyspark.sql.functions as F
+
+from finiextestingide_spark.sources.tables import load_table
+from finiextestingide_spark.streaming.live_source import (
+    TickFeedServer,
+    read_socket_signals,
+    read_socket_ticks,
+    signal_line,
+    tick_line,
+)
+
+KEEPALIVE_SYMBOL = "__keepalive__"
+
+
+def _epoch_us(ts) -> int:
+    # ns-exact conversion; naive timestamps are UTC by session contract
+    return int(pd.Timestamp(ts).value // 1_000)
+
+
+@pytest.fixture(scope="module")
+def recorded_feed(spark, sf_dir):
+    """The recorded feed: sf0.001 events serialized to wire lines in
+    (ts, event_id) order — symbol=event_type, mid=value, vol=value,
+    seq=event_id, the exact projection the batch bars_1h oracle buckets."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    lines = [
+        tick_line(r["event_type"], _epoch_us(r["ts"]), r["value"], r["value"], r["event_id"])
+        for r in rows
+    ]
+    max_us = max(_epoch_us(r["ts"]) for r in rows)
+    return lines, max_us
+
+
+def _drain(spark, table, target_rows, q, deadline_secs=120.0, count_fn=None):
+    """Poll the memory sink of a live (unbounded) query until it holds at
+    least target_rows, collecting watermark observations as we go.
+    ``count_fn`` overrides the row counter (e.g. to count only non-
+    keepalive rows)."""
+    count = count_fn or (lambda: spark.table(table).count())
+    watermarks = []
+    deadline = time.time() + deadline_secs
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p.get("eventTime", {}).get("watermark"):
+            watermarks.append(p["eventTime"]["watermark"])
+        if count() >= target_rows:
+            return watermarks
+        time.sleep(0.5)
+    raise AssertionError(
+        f"live query never reached {target_rows} rows in {table} "
+        f"(have {count()}); watermarks seen: {watermarks[-3:]}"
+    )
+
+
+def test_socket_bars_match_batch_oracle(spark, sf_dir, recorded_feed):
+    """Socket feed -> windowed OHLCV -> append sink == the oracle-backed
+    batch bars_1h gate query, row for row, with the watermark observed
+    advancing past the last real event (the unbounded-source analogue of
+    gate:streaming_bars_1h)."""
+    from finiextestingide_spark.gate.timeseries import bars_1h
+    from finiextestingide_spark.streaming.bars_stream import stream_ohlcv_bars
+
+    lines, max_us = recorded_feed
+    hour_us = 3_600_000_000
+
+    def keepalive(seq: int) -> str:
+        # advancing event time past the feed: closes the final real windows
+        return tick_line(KEEPALIVE_SYMBOL, max_us + (seq + 1) * hour_us, 1.0, 1.0, 10**9 + seq)
+
+    expected = {
+        (r["symbol"], r["bar_ts"]): r for r in bars_1h(spark, sf_dir).collect()
+    }
+    name = f"live_bars_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with TickFeedServer(lines, keepalive=keepalive, chunk_lines=250,
+                            chunk_pause_secs=0.4) as srv:
+            ticks = read_socket_ticks(spark, "127.0.0.1", srv.port)
+            # identical projection to the streaming_bars_1h gate: exact
+            # decimal volume, unique-seq tiebreak for open/close
+            bars = stream_ohlcv_bars(
+                ticks.withColumn("__vol", F.col("vol").cast("decimal(18,2)")),
+                "H1",
+                ts="ts",
+                key="symbol",
+                price="mid",
+                volume="__vol",
+                tiebreak="seq",
+            )
+            # NOTE: do NOT filter out the keepalive symbol before the sink —
+            # a filter on a grouping column is pushed below the aggregation
+            # AND below the watermark node, so the keepalive ticks would be
+            # dropped before ever advancing the watermark and the final real
+            # windows would never close. Filter at comparison time instead.
+            q = (
+                bars.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                watermarks = _drain(
+                    spark,
+                    name,
+                    len(expected),
+                    q,
+                    count_fn=lambda: spark.table(name)
+                    .where(F.col("symbol") != KEEPALIVE_SYMBOL)
+                    .count(),
+                )
+                # same output projection as the gate's _bar_out (exact
+                # decimal sum -> double, rounded to 6)
+                got = {
+                    (r["symbol"], r["bar_ts"]): r
+                    for r in spark.table(name)
+                    .withColumn("volume", F.round(F.col("volume").cast("double"), 6))
+                    .withColumn("tick_count", F.col("tick_count").cast("long"))
+                    .collect()
+                    if r["symbol"] != KEEPALIVE_SYMBOL
+                }
+            finally:
+                q.stop()
+                q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    # watermark progress: observed at least two distinct values, and the
+    # final one passed the last real event (that's WHY the last bars closed)
+    distinct_wm = list(dict.fromkeys(watermarks))
+    assert len(distinct_wm) >= 2, f"watermark never advanced: {distinct_wm}"
+    final_wm = pd.Timestamp(distinct_wm[-1].replace("Z", "+00:00")).tz_convert(None)
+    assert final_wm >= pd.Timestamp(max_us * 1000), (
+        f"final watermark {final_wm} never passed the last real event"
+    )
+
+    # exact parity with the oracle-backed batch query
+    assert set(got) == set(expected)
+    for k, g in got.items():
+        w = expected[k]
+        for c in ("open", "high", "low", "close", "volume", "tick_count"):
+            assert g[c] == w[c], (k, c)
+
+
+def test_socket_incremental_bars_with_heartbeat_close(spark, sf_dir, recorded_feed):
+    """Socket feed -> the stateful R7 renderer: close-on-next-bucket for
+    interior bars and HEARTBEAT (processing-time timeout) close for each
+    symbol's final bar once the feed goes quiet — the live idle-close the
+    reference implements in process_tick_loop.py:52-107. The union must
+    equal the batch render exactly (OHLC/tick_count; volume to 1e-9)."""
+    from finiextestingide_spark.operators.bars import ohlcv_bars
+    from finiextestingide_spark.streaming.incremental_bars import incremental_bars
+
+    lines, _max_us = recorded_feed
+    events = load_table(spark, sf_dir, "events")
+    expected = {
+        (r["symbol"], r["bar_ts"]): r
+        for r in ohlcv_bars(
+            events.select(
+                F.col("event_type").alias("symbol"),
+                F.col("ts").alias("timestamp"),
+                F.col("value").alias("mid"),
+                F.col("value").alias("volume"),
+                F.col("event_id").alias("time_msc"),
+            ),
+            "H1",
+            ts="timestamp",
+            key="symbol",
+            price="mid",
+            volume=F.col("volume"),
+            tiebreak="time_msc",
+        ).collect()
+    }
+
+    name = f"live_inc_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        # no keepalive: the feed going quiet is the point — heartbeat closes
+        with TickFeedServer(lines, chunk_lines=400, chunk_pause_secs=0.3) as srv:
+            ticks = read_socket_ticks(spark, "127.0.0.1", srv.port).select(
+                "symbol",
+                F.col("ts").alias("timestamp"),
+                F.col("seq").alias("time_msc"),
+                "mid",
+                F.col("vol").alias("volume"),
+            )
+            bars = incremental_bars(ticks, 3_600_000, heartbeat_ms=2_000)
+            q = (
+                bars.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                _drain(spark, name, len(expected), q)
+                got = {
+                    (r["symbol"], r["bar_ts"]): r for r in spark.table(name).collect()
+                }
+            finally:
+                q.stop()
+                q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    assert set(got) == set(expected)
+    for k, g in got.items():
+        w = expected[k]
+        for c in ("open", "high", "low", "close"):
+            assert g[c] == w[c], (k, c)
+        assert g["tick_count"] == w["tick_count"], k
+        # renderer folds volume in (ts, seq) order; batch sum order differs
+        assert g["volume"] == pytest.approx(w["volume"], rel=1e-9), k
+
+
+def test_socket_asof_signal_stream(spark):
+    """Two live sockets (tick feed + signal feed) -> the stateful as-of
+    join: every tick enriched with the latest signal at-or-before it, equal
+    to the batch asof_join on the same rows.
+
+    Arrival-order contract (asof_stream module docstring): across
+    micro-batches, state only moves FORWARD — the live pipeline cannot
+    rewrite ticks it already served. So the replay must deliver the two
+    feeds in event-time lockstep, as a real market feed does: era k's
+    signal goes on the wire ~2s before era k's ticks, and era k+1's signal
+    ~2s after them. Batch-boundary races are benign in BOTH directions
+    because the operator merges each micro-batch in event-time order
+    (signal-first at equal ts)."""
+    from datetime import datetime, timedelta
+
+    from finiextestingide_spark.operators.asof import asof_join
+    from finiextestingide_spark.streaming.asof_stream import asof_signal_stream
+
+    t0 = datetime(2026, 3, 2)
+    symbols = ["EURUSD", "BTCUSD", "XAUUSD"]
+    eras = 5
+    sig_rows, tick_rows = [], []
+    for k in range(eras):
+        base = t0 + timedelta(seconds=600 * k)
+        for si, s in enumerate(symbols):
+            if (k + si) % 2 == 0:  # not every symbol signals every era -> gaps
+                sig_rows.append((s, base, float(10 * k + si)))
+        for j, off in enumerate((60, 240, 420)):
+            for si, s in enumerate(symbols):
+                tick_rows.append((s, base + timedelta(seconds=off), 100.0 + k + 0.01 * j + si))
+
+    # wire scripts: era k signal burst at wall t=3k, its ticks at t=3k+1.5
+    sig_lines, tick_lines = [], []
+    for k in range(eras):
+        first = True
+        for s, ts, v in sig_rows:
+            if (ts - t0).total_seconds() // 600 == k:
+                sig_lines.append((3.0 if first and k else 0.0, signal_line(s, _epoch_us(ts), v)))
+                first = False
+    seq = 0
+    for k in range(eras):
+        first = True
+        for s, ts, v in tick_rows:
+            if (ts - t0).total_seconds() // 600 == k:
+                delay = (1.5 if k == 0 else 3.0) if first else 0.0
+                tick_lines.append((delay, tick_line(s, _epoch_us(ts), v, 1.0, seq)))
+                first = False
+                seq += 1
+
+    ticks_df = spark.createDataFrame(tick_rows, "symbol string, ts timestamp, mid double")
+    sigs_df = spark.createDataFrame(sig_rows, "symbol string, sig_ts timestamp, score double")
+    expected = {
+        (r["symbol"], r["ts"]): (r["sig_ts"], r["score"])
+        for r in asof_join(
+            ticks_df, sigs_df, on=["symbol"], left_ts="ts", right_ts="sig_ts", how="left"
+        ).collect()
+    }
+
+    name = f"live_asof_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with TickFeedServer(sig_lines) as sig_srv, TickFeedServer(tick_lines) as tick_srv:
+            st = read_socket_ticks(spark, "127.0.0.1", tick_srv.port).select(
+                "symbol", "ts", "mid"
+            )
+            ss = read_socket_signals(spark, "127.0.0.1", sig_srv.port).select(
+                "symbol", "sig_ts", "score"
+            )
+            out = asof_signal_stream(st, ss)
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                _drain(spark, name, len(expected), q)
+                got = {
+                    (r["symbol"], r["ts"]): (r["sig_ts"], r["score"])
+                    for r in spark.table(name).collect()
+                }
+            finally:
+                q.stop()
+                q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    assert got == expected
+
+
+def test_malformed_lines_are_dropped_not_fatal(spark):
+    """A live feed must survive garbage frames: malformed JSON lines are
+    dropped by the parse (NULL-struct filter), valid lines flow through."""
+    lines = [
+        tick_line("A", 1_700_000_000_000_000, 1.5, 1.0, 1),
+        "NOT JSON AT ALL {{{",
+        '{"symbol":"A"}',  # no ts_us -> dropped
+        tick_line("A", 1_700_000_060_000_000, 2.5, 1.0, 2),
+    ]
+    name = f"live_bad_{uuid.uuid4().hex[:8]}"
+    with TickFeedServer(lines) as srv:
+        ticks = read_socket_ticks(spark, "127.0.0.1", srv.port)
+        q = (
+            ticks.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            _drain(spark, name, 2, q, deadline_secs=60.0)
+        finally:
+            q.stop()
+            q.awaitTermination()
+    rows = sorted(spark.table(name).collect(), key=lambda r: r["seq"])
+    assert [r["mid"] for r in rows] == [1.5, 2.5]
