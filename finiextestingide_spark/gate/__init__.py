@@ -57,7 +57,6 @@ CURATED_ORDER: tuple[str, ...] = (
     "volatility_regimes",
     "volatility_profile",
     "robustness_daily",
-    "ma_trend_daily",
     "interval_coverage",
     "macd_daily",
     "trade_analytics_by_scenario",
@@ -87,6 +86,19 @@ CURATED_ORDER: tuple[str, ...] = (
     "cosine_topk_10",
     "ivf_train_centroids",
     "contamination_3gram",
+    # real-codec decode through the multimodal seam (round-6 de-stub;
+    # replaced ma_trend_daily in-window — W5 stays green via check_gate +
+    # golden pytest, the codec gate carries more information per slot)
+    "multimodal_decode",
+    # --- driver window cutoff (first 50 above) ---
+    # positions 51+: highest-information out-of-window entries first, so a
+    # widened driver window picks them up in this order (round-5 VERDICT #8)
+    "atr_ewm_daily",
+    "jaccard_pairs_dfcap",
+    "token_budget_mix_greedy",
+    "streaming_dedup_exact",
+    "ivf_topk_5",
+    "ma_trend_daily",
 )
 
 

@@ -1292,6 +1292,84 @@ FROM idx
 """
 
 
+_IMG_H, _IMG_W = 6, 10  # W=10 -> 30-byte rows, 2 pad bytes: exercises padding
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the codec seam (round-6 de-stub): one
+    24-bit BMP per document is synthesized DISTRIBUTED (hand-packed DIB
+    bytes — deliberately independent of operators.multimodal.encode_bmp, so
+    a symmetric encoder/decoder layout bug cannot cancel out), decoded by
+    the real decode_bmp via extract_features' mapInPandas seam, and reduced
+    to exact-integer pixel stats. Oracle: DuckDB recomputes the same stats
+    from the pixel formula p(r,c,ch) = (doc_id*7 + r*31 + c*3 + ch) % 256 —
+    any error in BGR order, bottom-up rows, or row padding shifts wsum."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import extract_features
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    h, w = _IMG_H, _IMG_W
+    n_px = h * w * 3
+
+    def synth(batches):
+        row_bytes = w * 3
+        stride = (row_bytes + 3) // 4 * 4
+        hdr_fmt = "<2sIHHIIiiHHIIiiII"
+        r, c, ch = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+        base = r * 31 + c * 3 + ch
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                img = ((int(did) * 7 + base) % 256).astype(np.uint8)
+                bgr = img[::-1, :, ::-1]  # bottom-up rows, BGR channels
+                rows = np.zeros((h, stride), dtype=np.uint8)
+                rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+                hdr = struct.pack(
+                    hdr_fmt, b"BM", 54 + stride * h, 0, 0, 54,
+                    40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0,
+                )
+                payloads.append(hdr + rows.tobytes())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    blobs = docs.mapInPandas(synth, "doc_id long, media binary")
+    feats = extract_features(blobs, id_col="doc_id", feature_dim=n_px)
+    idx = F.sequence(F.lit(0), F.lit(n_px - 1))
+    weighted = F.zip_with(
+        F.col("features"), idx, lambda p, i: p * (1 + (i % 97).cast("double"))
+    )
+    total = F.aggregate("features", F.lit(0.0), lambda acc, x: acc + x)
+    wsum = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    return feats.select(
+        "doc_id",
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        total.cast("long").alias("px_sum"),
+        wsum.cast("long").alias("wsum"),
+    )
+
+
+MULTIMODAL_DECODE_SQL = f"""
+WITH px AS (
+  SELECT d.doc_id, t.i,
+         (d.doc_id * 7 + ((t.i // 3) // {_IMG_W}) * 31
+          + ((t.i // 3) % {_IMG_W}) * 3 + (t.i % 3)) % 256 AS p
+  FROM documents d,
+       (SELECT unnest(generate_series(0, {_IMG_H * _IMG_W * 3} - 1)) AS i) t
+)
+SELECT doc_id,
+       CAST({_IMG_H} AS BIGINT) AS height,
+       CAST({_IMG_W} AS BIGINT) AS width,
+       CAST(SUM(p) AS BIGINT) AS px_sum,
+       CAST(SUM(p * (1 + i % 97)) AS BIGINT) AS wsum
+FROM px
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via content hash"),
     "dedup_keep_best": Query(
@@ -1367,6 +1445,11 @@ QUERIES: dict[str, Query] = {
     ),
     "doc_fingerprints": Query(doc_fingerprints, DOC_FINGERPRINTS_SQL, "md5 fingerprints"),
     "multimodal_meta": Query(multimodal_meta, MULTIMODAL_META_SQL, "binary-column metadata plumbing"),
+    "multimodal_decode": Query(
+        multimodal_decode,
+        MULTIMODAL_DECODE_SQL,
+        "REAL BMP decode through the codec seam, pixel-stat hash-matched",
+    ),
     "multimodal_chunks": Query(
         multimodal_chunks, MULTIMODAL_CHUNKS_SQL, "fixed-size binary chunk fingerprints"
     ),

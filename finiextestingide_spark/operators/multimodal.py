@@ -3,9 +3,14 @@
 A 100 TB training-data lake carries media as binary columns with sidecar
 metadata; the engine's job is the Spark-side plumbing — schema, Arrow batch
 shape, partition-friendly transforms — with the codec behind a narrow seam.
-The decode seam is STUBBED here (no image/audio libs in this container):
-``decoder=None`` uses a deterministic fake so the distributed plumbing is
-fully testable; pass a real decode callable (PIL/av/librosa) in production.
+
+The seam carries REAL codecs for the uncompressed raster formats that need
+only stdlib + numpy — BMP (24-bit BI_RGB, padded bottom-up rows, the
+Windows DIB layout) and PPM (P6 binary, the Netpbm layout ffmpeg's
+image2pipe emits) — plus PPM-stream frame sampling as the video path.
+Compressed formats (JPEG/PNG/RIFF) raise ``NotImplementedError`` through
+``decode_media`` until a real codec callable (PIL/av) is passed in; the
+distributed plumbing is identical either way.
 
 Everything runs through ``mapInPandas``: Arrow-batched, streaming per
 partition (never materializes a partition of binaries in memory at once),
@@ -14,6 +19,7 @@ and schema-checked at the boundary.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -47,6 +53,8 @@ def with_media_metadata(df: DataFrame, media: str = "media") -> DataFrame:
             "png",
         )
         .when(F.substring(F.col(media), 1, 4) == F.lit(b"RIFF"), "riff")
+        .when(F.substring(F.col(media), 1, 2) == F.lit(b"BM"), "bmp")
+        .when(F.substring(F.col(media), 1, 2) == F.lit(b"P6"), "ppm")
         .otherwise("unknown")
     )
     return (
@@ -56,12 +64,114 @@ def with_media_metadata(df: DataFrame, media: str = "media") -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for a real image decode: byte histogram shaped
-    as an 16x16 'image'. Stable across runs/workers (pure function of bytes)."""
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    hist = np.bincount(arr, minlength=256).astype(np.float64)
-    return hist.reshape(16, 16)
+# --- real codecs (pure stdlib + numpy) -------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    BI_RGB): BGR channel order, BOTTOM-UP row order, rows zero-padded to a
+    4-byte boundary — the DIB layout every BMP reader expects."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError(f"expected (H, W, 3) uint8 RGB, got {img.shape} {img.dtype}")
+    h, w = img.shape[:2]
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    stride = row_bytes + pad
+    image_size = stride * h
+    header = struct.pack(
+        "<2sIHHI"  # BITMAPFILEHEADER: magic, file size, res, res, data offset
+        "IiiHHIIiiII",  # BITMAPINFOHEADER
+        b"BM", 54 + image_size, 0, 0, 54,
+        40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0,
+    )
+    bgr = img[::-1, :, ::-1]  # bottom-up rows, BGR channels
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    return header + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> (H, W, 3) uint8 RGB (top-down). Handles
+    both bottom-up (positive height) and top-down (negative height) DIBs
+    and the per-row 4-byte padding."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP supported (header={hdr_size}, bpp={bpp}, "
+            f"compression={compression}) — pass a real codec for anything else"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    need = data_offset + stride * h
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: {len(payload)} bytes, need {need}")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_offset)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> binary PPM (P6, maxval 255)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError(f"expected (H, W, 3) uint8 RGB, got {img.shape} {img.dtype}")
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def _ppm_header(payload: bytes, offset: int = 0) -> tuple[int, int, int]:
+    """Parse one P6 header at ``offset`` (whitespace + '#' comments per the
+    Netpbm spec) -> (width, height, pixel_data_offset)."""
+    if payload[offset : offset + 2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = offset + 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    if fields[2] != 255:
+        raise NotImplementedError(f"only maxval 255 PPM supported, got {fields[2]}")
+    return fields[0], fields[1], pos + 1  # single whitespace after maxval
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255) -> (H, W, 3) uint8 RGB."""
+    w, h, data = _ppm_header(payload)
+    need = data + w * h * 3
+    if len(payload) < need:
+        raise ValueError(f"truncated PPM: {len(payload)} bytes, need {need}")
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=data)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def decode_media(payload: bytes) -> np.ndarray:
+    """Magic-sniffed decode -> (H, W, 3) uint8 RGB. Real for BMP/PPM;
+    compressed formats raise through the seam (pass PIL/av's decode as the
+    ``decoder=`` argument of extract_features for those)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        f"no built-in codec for magic {payload[:4]!r} — BMP/PPM decode "
+        "natively; pass a real decoder callable for compressed formats"
+    )
 
 
 def extract_features(
@@ -76,10 +186,12 @@ def extract_features(
     """Decode -> feature-vector per media row via mapInPandas.
 
     The output schema (id, features array<double>, height, width) is the
-    contract downstream similarity search consumes; the decoder is the only
-    swap point for real codecs.
+    contract downstream similarity search consumes. The default decoder is
+    the real BMP/PPM codec (``decode_media``); pass ``decoder=`` to plug a
+    compressed-format codec (PIL/av) — the Arrow batch plumbing is
+    identical either way.
     """
-    decode = decoder or _fake_decode
+    decode = decoder or decode_media
     schema = StructType(
         [
             StructField(id_col, LongType()),
@@ -108,16 +220,30 @@ def extract_features(
     return df.select(id_col, media).mapInPandas(run, schema)
 
 
-def resize_stub(
-    df: DataFrame, height: int, width: int, *, media: str = "media", id_col: str = "media_id"
-) -> DataFrame:
-    """Resize plumbing with the codec stubbed: validates the batch contract
-    and emits (id, resized binary, h, w). A real implementation replaces the
-    body's transform only.
+def resize_nearest(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Nearest-neighbor resample of (H, W, 3) to (height, width, 3) —
+    index mapping src = floor(dst * src_dim / dst_dim), the classic NN rule."""
+    h, w = img.shape[:2]
+    ri = (np.arange(height) * h) // height
+    ci = (np.arange(width) * w) // width
+    return img[ri][:, ci]
 
-    Raises NotImplementedError through the seam if called with
-    ``require_real=True`` semantics — here the deterministic fake truncates/
-    pads the byte payload so tests can assert the plumbing end-to-end."""
+
+def resize(
+    df: DataFrame,
+    height: int,
+    width: int,
+    *,
+    media: str = "media",
+    id_col: str = "media_id",
+    decoder: Callable[[bytes], np.ndarray] | None = None,
+    encoder: Callable[[np.ndarray], bytes] | None = None,
+) -> DataFrame:
+    """Real resize over a binary media column: decode (BMP/PPM natively) ->
+    nearest-neighbor resample -> re-encode in the SOURCE format. Emits
+    (id, resized media, h, w); a NULL payload passes through as NULL rows
+    (same contract as extract_features)."""
+    decode = decoder or decode_media
     schema = StructType(
         [
             StructField(id_col, LongType()),
@@ -126,7 +252,6 @@ def resize_stub(
             StructField("width", IntegerType()),
         ]
     )
-    target = height * width
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -136,23 +261,32 @@ def resize_stub(
                     out.append((mid, None, None, None))
                     continue
                 b = bytes(payload)
-                resized = (b * (target // max(len(b), 1) + 1))[:target]
-                out.append((mid, resized, height, width))
+                img = resize_nearest(decode(b), height, width)
+                if encoder is not None:
+                    enc = encoder(img)
+                elif b[:2] == b"BM":
+                    enc = encode_bmp(img)
+                else:
+                    enc = encode_ppm(img)
+                out.append((mid, enc, height, width))
             yield pd.DataFrame(out, columns=[id_col, "media", "height", "width"])
 
     return df.select(id_col, media).mapInPandas(run, schema)
 
 
-def frame_sample_stub(
+def frame_sample(
     df: DataFrame,
     every_n: int = 10,
     *,
     media: str = "media",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled frame with
-    a frame index — the explode shape a real av-based sampler produces. The
-    fake treats each 64-byte block as a 'frame'."""
+    """Video frame sampling over a PPM stream (concatenated P6 frames — the
+    raw-video container ffmpeg's ``-f image2pipe -c:v ppm`` emits): one
+    output row per sampled frame, each a standalone decodable PPM, with its
+    frame index. Non-PPM payloads raise through the seam (an av-backed
+    sampler replaces ``_ppm_header``-walking only; the explode shape and
+    Arrow plumbing stay)."""
     schema = StructType(
         [
             StructField(id_col, LongType()),
@@ -168,11 +302,19 @@ def frame_sample_stub(
                 if payload is None:
                     continue
                 b = bytes(payload)
-                n_frames = max(len(b) // 64, 1)
-                for fi in range(0, n_frames, every_n):
-                    ids.append(mid)
-                    idxs.append(fi)
-                    frames.append(b[fi * 64 : (fi + 1) * 64])
+                pos = fi = 0
+                while pos < len(b):
+                    w, h, data = _ppm_header(b, pos)
+                    end = data + w * h * 3
+                    if end > len(b):
+                        raise ValueError(
+                            f"truncated frame {fi} at byte {pos}: need {end}"
+                        )
+                    if fi % every_n == 0:
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(b"P6\n%d %d\n255\n" % (w, h) + b[data:end])
+                    pos, fi = end, fi + 1
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, media).mapInPandas(run, schema)

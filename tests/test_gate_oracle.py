@@ -51,7 +51,10 @@ def test_driver_window_is_curated():
 
     names = list(QUERIES)
     assert names[: len(CURATED_ORDER)] == list(CURATED_ORDER)
-    assert len(CURATED_ORDER) == 50
-    assert len(set(CURATED_ORDER)) == 50
-    window_no_oracle = [n for n in CURATED_ORDER if QUERIES[n].sql is None]
+    # entries past 50 are the explicit promotion queue should the driver
+    # widen its window (round-5 VERDICT #8); the WINDOW itself is the
+    # first 50 and every windowed slot must carry an oracle
+    assert len(CURATED_ORDER) >= 50
+    assert len(set(CURATED_ORDER)) == len(CURATED_ORDER)
+    window_no_oracle = [n for n in CURATED_ORDER[:50] if QUERIES[n].sql is None]
     assert window_no_oracle == []

@@ -8,10 +8,18 @@ from datetime import datetime, timedelta
 import pytest
 import pyspark.sql.functions as F
 
+import numpy as np
+
 from finiextestingide_spark.operators.multimodal import (
+    decode_bmp,
+    decode_media,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
     extract_features,
-    frame_sample_stub,
-    resize_stub,
+    frame_sample,
+    resize,
+    resize_nearest,
     with_media_metadata,
 )
 from finiextestingide_spark.operators.scenario_gen import (
@@ -29,13 +37,19 @@ from finiextestingide_spark.sources.index import (
 T0 = datetime(2026, 1, 5)
 
 
+def _img(seed: int, h: int, w: int) -> np.ndarray:
+    """Deterministic synthetic RGB image: p(r,c,ch) = (seed*7+r*31+c*3+ch)%256."""
+    r, c, ch = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+    return ((seed * 7 + r * 31 + c * 3 + ch) % 256).astype(np.uint8)
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [
-        (1, bytes.fromhex("ffd8ff") + b"jpegpayload" * 30),
-        (2, bytes.fromhex("89504e470d0a1a0a") + b"png!" * 50),
-        (3, b"RIFF" + b"\x00" * 200),
-        (4, b"garbage-bytes" * 10),
+        (1, encode_bmp(_img(1, 6, 10))),   # W=10 -> 2 pad bytes per BMP row
+        (2, encode_ppm(_img(2, 5, 7))),
+        (3, b"".join(encode_ppm(_img(30 + k, 4, 4)) for k in range(5))),  # 5-frame video
+        (4, bytes.fromhex("ffd8ff") + b"jpegpayload" * 30),  # compressed: seam raises
         (5, None),
     ]
     return spark.createDataFrame(rows, "media_id long, media binary")
@@ -43,39 +57,79 @@ def media(spark):
 
 def test_media_metadata_kind_sniff(spark, media):
     out = {r["media_id"]: r for r in with_media_metadata(media).collect()}
-    assert out[1]["media_kind"] == "jpeg"
-    assert out[2]["media_kind"] == "png"
-    assert out[3]["media_kind"] == "riff"
-    assert out[4]["media_kind"] == "unknown"
-    assert out[1]["media_size_bytes"] == 3 + 11 * 30
+    assert out[1]["media_kind"] == "bmp"
+    assert out[2]["media_kind"] == "ppm"
+    assert out[3]["media_kind"] == "ppm"
+    assert out[4]["media_kind"] == "jpeg"
     assert out[1]["media_sha"] is not None and len(out[1]["media_sha"]) == 64
 
 
-def test_extract_features_deterministic(spark, media):
-    a = {r["media_id"]: r for r in extract_features(media).collect()}
-    b = {r["media_id"]: r for r in extract_features(media).collect()}
+def test_bmp_golden_byte_layout():
+    """Pin the DIB byte layout against a hand-built literal (independent of
+    encode_bmp, so a symmetric encoder/decoder bug cannot cancel out):
+    1x2 image, red above green -> bottom-up rows = green row first, BGR
+    channel order, 2-pixel row = 6 bytes + 2 pad."""
+    import struct
+
+    pixels = (
+        b"\x00\x80\x00" + b"\x00\x80\x00" + b"\x00\x00"  # bottom row: green,green + pad
+        + b"\x00\x00\xff" + b"\x00\x00\xff" + b"\x00\x00"  # top row: red,red + pad
+    )
+    hdr = struct.pack(
+        "<2sIHHIIiiHHIIiiII", b"BM", 54 + len(pixels), 0, 0, 54,
+        40, 2, 2, 1, 24, 0, len(pixels), 2835, 2835, 0, 0,
+    )
+    img = decode_bmp(hdr + pixels)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]   # top-left red (RGB out)
+    assert img[1, 1].tolist() == [0, 128, 0]   # bottom-right green
+
+
+def test_codec_roundtrips():
+    for h, w in ((6, 10), (1, 1), (3, 4)):
+        img = _img(9, h, w)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # PPM comments in the header survive the parser
+    img = _img(2, 2, 3)
+    raw = b"P6\n# a comment\n3 2\n# another\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(raw), img)
+    with pytest.raises(NotImplementedError):
+        decode_media(bytes.fromhex("ffd8ff") + b"x" * 64)
+
+
+def test_extract_features_real_decode(spark, media):
+    dec = media.where("media_id in (1,2,5)")  # jpeg row raises by contract
+    a = {r["media_id"]: r for r in extract_features(dec, feature_dim=180).collect()}
+    b = {r["media_id"]: r for r in extract_features(dec, feature_dim=180).collect()}
     assert a[1]["features"] == b[1]["features"]  # pure function of bytes
-    assert len(a[1]["features"]) == 256
-    assert (a[1]["height"], a[1]["width"]) == (16, 16)
+    assert (a[1]["height"], a[1]["width"]) == (6, 10)
+    assert a[1]["features"] == _img(1, 6, 10).reshape(-1).astype(float).tolist()
+    assert (a[2]["height"], a[2]["width"]) == (5, 7)
     assert a[5]["features"] is None  # null media -> null features
-    # histogram property: sum == payload length
-    assert sum(a[3]["features"]) == pytest.approx(204)
 
 
-def test_resize_stub_shapes(spark, media):
-    out = {r["media_id"]: r for r in resize_stub(media, 8, 8).collect()}
-    assert len(out[1]["media"]) == 64
-    assert (out[1]["height"], out[1]["width"]) == (8, 8)
+def test_resize_real(spark, media):
+    out = {r["media_id"]: r for r in resize(media.where("media_id in (1,2,5)"), 3, 5).collect()}
+    assert (out[1]["height"], out[1]["width"]) == (3, 5)
+    # re-encoded in the source format, decodable, and exactly the NN sample
+    assert bytes(out[1]["media"])[:2] == b"BM"
+    assert np.array_equal(decode_bmp(bytes(out[1]["media"])), resize_nearest(_img(1, 6, 10), 3, 5))
+    assert bytes(out[2]["media"])[:2] == b"P6"
+    assert np.array_equal(decode_ppm(bytes(out[2]["media"])), resize_nearest(_img(2, 5, 7), 3, 5))
     assert out[5]["media"] is None
 
 
-def test_frame_sample_stub(spark, media):
-    out = frame_sample_stub(media, every_n=2).collect()
+def test_frame_sample_real(spark, media):
+    out = frame_sample(media.where("media_id in (3,5)"), every_n=2).collect()
     by_id = {}
     for r in out:
-        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
-    # id=3: 204 bytes -> 3 frames -> sampled idx 0, 2
-    assert sorted(by_id[3]) == [0, 2]
+        by_id.setdefault(r["media_id"], []).append(r)
+    # id=3: 5 PPM frames -> sampled idx 0, 2, 4; each standalone-decodable
+    rows = sorted(by_id[3], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    for r in rows:
+        assert np.array_equal(decode_ppm(bytes(r["frame"])), _img(30 + r["frame_idx"], 4, 4))
     assert 5 not in by_id  # null media skipped
 
 
