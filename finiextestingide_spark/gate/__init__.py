@@ -98,6 +98,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "token_budget_mix_greedy",
     "streaming_dedup_exact",
     "ivf_topk_5",
+    "ivf_recall_audit",
     "ma_trend_daily",
 )
 

@@ -541,6 +541,83 @@ WHERE rank <= {_IVF_K} AND vec_id <> 0
 """
 
 
+_RECALL_K = 10
+_RECALL_NPROBE = 2
+_RECALL_NQUERIES = 20
+
+
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF bucketed path vs brute-force ground truth
+    (round-6: the determinism gates prove the ANN is reproducible, this
+    measures whether it is GOOD). Per query point: recall = |IVF top-k ∩
+    exact top-k| / k, nprobe=2 of 8 buckets. Oracle: DuckDB recomputes
+    both ranked sets and the intersection. Measured recall/probe curve is
+    documented on operators.similarity.ivf_recall."""
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < _IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = sim.assign_centroids(emb, centroids)
+    queries = emb.where(F.col("vec_id") < _RECALL_NQUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivf_recall(
+        assigned, centroids, queries, k=_RECALL_K, nprobe=_RECALL_NPROBE
+    )
+
+
+IVF_RECALL_AUDIT_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {_RECALL_NQUERIES}),
+cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+          WHERE vec_id < {_IVF_NCENTROIDS}),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_cos_sql('e.embedding', 'q.qv')} DESC, e.vec_id) AS r
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+  WHERE r <= {_RECALL_K}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS r
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE r = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_cos_sql('c.cvec', 'q.qv')} DESC, c.centroid_id) AS r
+    FROM cents c CROSS JOIN q)
+  WHERE r <= {_RECALL_NPROBE}
+),
+ivf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY p.query_id
+             ORDER BY {_cos_sql('a.embedding', 'q.qv')} DESC, a.vec_id) AS r
+    FROM assigned a
+    JOIN probes p ON a.centroid_id = p.centroid_id
+    JOIN q ON q.query_id = p.query_id
+    WHERE a.vec_id <> p.query_id)
+  WHERE r <= {_RECALL_K}
+),
+hits AS (
+  SELECT i.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+  FROM ivf i JOIN truth t ON t.query_id = i.query_id AND t.vec_id = i.vec_id
+  GROUP BY i.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       round(COALESCE(h.hits, 0) / {_RECALL_K}.0, 6) AS recall
+FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+"""
+
+
 # --- random-hyperplane LSH ANN (bucketed scale path, single probe) ---
 
 _LSH_NBITS = 4
@@ -1410,6 +1487,11 @@ QUERIES: dict[str, Query] = {
     "simhash_docs": Query(simhash_docs, SIMHASH_DOCS_SQL, "64-bit SimHash signatures"),
     "cosine_topk_10": Query(cosine_topk_10, COSINE_TOPK_10_SQL, "brute-force cosine top-k"),
     "ivf_topk_5": Query(ivf_topk_5, IVF_TOPK_5_SQL, "IVF-bucketed ANN"),
+    "ivf_recall_audit": Query(
+        ivf_recall_audit,
+        IVF_RECALL_AUDIT_SQL,
+        "recall@k of the IVF path vs brute-force truth, per query point",
+    ),
     "lsh_ann_topk_5": Query(
         lsh_ann_topk_5, LSH_ANN_TOPK_5_SQL, "random-hyperplane LSH-bucketed ANN"
     ),

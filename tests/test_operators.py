@@ -935,3 +935,33 @@ def test_decontaminate_short_docs_with_universe(spark):
     # without the universe, the short doc is absent (documented behavior)
     part = decontaminate(word_shingles(train, 3), word_shingles(ev, 3), 0.3).collect()
     assert {r["doc_id"] for r in part} == {1}
+
+
+def test_ivf_recall_floor_and_monotone(spark, sf_dir):
+    """ANN quality gate (round-6): recall@k of the IVF path must clear a
+    floor at the documented operating point (nprobe=2 of 8 buckets on the
+    synthetic embeddings) and be monotone in nprobe, reaching exactly 1.0
+    when every bucket is probed (all-bucket IVF == brute force)."""
+    import pyspark.sql.functions as F
+
+    import finiextestingide_spark.operators.similarity as sim
+    from finiextestingide_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = sim.assign_centroids(emb, cents)
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    means = {}
+    for nprobe in (1, 2, 8):
+        rows = sim.ivf_recall(assigned, cents, queries, k=10, nprobe=nprobe).collect()
+        assert len(rows) == 20
+        means[nprobe] = sum(r["recall"] for r in rows) / len(rows)
+    # documented floor at the nprobe=2 operating point (measured 0.615 at
+    # sf0.01; floor leaves headroom for other SFs' synthetic draws)
+    assert means[2] >= 0.5, means
+    assert means[1] <= means[2] <= means[8], means
+    assert means[8] == 1.0, means
