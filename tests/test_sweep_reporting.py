@@ -148,3 +148,76 @@ def test_report_sinks_roundtrip(spark, tmp_path):
         back = read_report(spark, p, fmt=fmt)
         got = sorted((r["currency"], int(r["trades"]), float(r["net"])) for r in back.collect())
         assert got == [("EUR", 12, 345.5), ("USD", 7, -12.25)]
+
+
+def test_sweep_warm_mount_no_rescan(spark, tmp_path):
+    """SURVEY §3.3 mount reuse (#418/#419): the reference builds the data
+    mount once and re-executes each sweep combination against it; the
+    engine's analogue is .persist() on the base tick DataFrame. Proof of
+    zero re-scan on the warm path is physical: after the first combination
+    materializes the mount, the SOURCE FILES ARE DELETED — the second
+    combination can only succeed if it reads the cached mount and never
+    touches the scan. A control assertion shows a fresh (cold) read of the
+    deleted source fails, so the deletion is load-bearing."""
+    import shutil
+    from datetime import datetime, timedelta
+
+    import pytest
+    import pyspark.sql.functions as F
+
+    from finiextestingide_spark.operators.replay import run_backtest
+
+    src = str(tmp_path / "ticks")
+    rows = [
+        (
+            "W",
+            datetime(2026, 1, 1) + timedelta(seconds=i),
+            1_767_225_600_000 + i * 1000,
+            1_767_225_600_000 + i * 1000,
+            100.0 + (i % 50) * 0.01,
+            100.02 + (i % 50) * 0.01,
+        )
+        for i in range(600)
+    ]
+    spark.createDataFrame(
+        rows,
+        "symbol string, timestamp timestamp, time_msc long, collected_msc long, "
+        "bid double, ask double",
+    ).coalesce(2).write.parquet(src)
+
+    def scen(sid, fast, slow):
+        return (
+            sid, f"combo_{sid}", "W", None, None, 1, 0, 0,
+            {"strategy": "sma_cross", "bar_ms": "10000", "fast": fast, "slow": slow},
+        )
+
+    scen_ddl = (
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+        "latency_max_ms int, parameters map<string,string>"
+    )
+
+    # expected combo-2 result computed while the source still exists
+    combo2 = spark.createDataFrame([scen(2, "3", "7")], scen_ddl)
+    expected = run_backtest(spark.read.parquet(src), combo2).collect()
+
+    # build the mount ONCE: persist + full materialization
+    mount = spark.read.parquet(src).persist()
+    assert mount.count() == 600  # every partition cached
+
+    r1 = run_backtest(mount, spark.createDataFrame([scen(1, "2", "5")], scen_ddl)).collect()
+    assert r1[0]["ticks_processed"] == 600
+
+    shutil.rmtree(src)  # the mount is now the ONLY copy
+
+    # control: a cold path MUST fail — proves deletion breaks any re-scan
+    with pytest.raises(Exception):
+        spark.read.parquet(src).count()
+
+    # warm path: second combination re-executes against the shared mount
+    r2 = run_backtest(mount, combo2).collect()
+    assert r2[0]["ticks_processed"] == 600
+    got = {k: r2[0][k] for k in ("trades_count", "net_pnl", "final_equity")}
+    want = {k: expected[0][k] for k in ("trades_count", "net_pnl", "final_equity")}
+    assert got == want
+    mount.unpersist()
