@@ -619,9 +619,10 @@ STRATEGIES = {
 
 _PLUGIN_GROUP = "finiextestingide_spark.strategies"
 _plugins_loaded = False
+_PLUGIN_NAMES: set[str] = set()  # names registered FROM plugins (reloadable)
 
 
-def load_strategy_plugins(*, force: bool = False) -> list[str]:
+def load_strategy_plugins(*, force: bool = False, hot_reload: bool = False) -> list[str]:
     """USER-namespace decision-logic discovery (reference Readme.md:79:
     decision logics are auto-discovered from an installed namespace, not
     registered by editing framework code). Any installed distribution may
@@ -632,17 +633,39 @@ def load_strategy_plugins(*, force: bool = False) -> list[str]:
     strategy name — which also makes it work inside Spark Python workers,
     where each worker re-imports this module and re-discovers the same
     installed plugins (sys.path is the contract, no driver-side state to
-    ship). Built-in names cannot be shadowed by a plugin."""
+    ship). Built-in names cannot be shadowed by a plugin.
+
+    ``hot_reload=True`` re-imports already-registered plugin modules and
+    swaps the refreshed classes in (the reference's USER-namespace hot
+    reload, Readme.md:79): an iterating strategy author re-runs without
+    restarting the session. Each reloaded class passes the same wall-clock
+    validation as a fresh load; built-ins are never reloadable. Scope:
+    driver-side registry only — replays already IN FLIGHT in Spark workers
+    keep the class they shipped with (cloudpickle closure), exactly the
+    isolation a mid-sweep reload needs."""
     global _plugins_loaded
-    if _plugins_loaded and not force:
+    if _plugins_loaded and not (force or hot_reload):
         return []
     from importlib.metadata import entry_points
 
     loaded = []
     for ep in entry_points(group=_PLUGIN_GROUP):
-        if ep.name in STRATEGIES:
+        if ep.name in STRATEGIES and ep.name not in _PLUGIN_NAMES:
+            continue  # built-in shadow ban
+        if ep.name in _PLUGIN_NAMES and not hot_reload:
             continue
         cls = ep.load()
+        if hot_reload and ep.name in _PLUGIN_NAMES:
+            import importlib
+            import sys as _sys
+
+            mod = _sys.modules.get(cls.__module__)
+            if mod is not None:
+                mod = importlib.reload(mod)
+                obj = mod
+                for part in ep.attr.split("."):
+                    obj = getattr(obj, part)
+                cls = obj
         # startup validator (#359 / §9): USER strategies must not read the
         # wall clock — same scan the CI lint runs on the shipped surface
         import inspect
@@ -663,6 +686,7 @@ def load_strategy_plugins(*, force: bool = False) -> list[str]:
         # the plugin's file must not false-positive the ban
         validate_no_wall_clock([src], only_class=cls.__name__)
         STRATEGIES[ep.name] = cls
+        _PLUGIN_NAMES.add(ep.name)
         loaded.append(ep.name)
     _plugins_loaded = True
     return loaded

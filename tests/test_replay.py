@@ -1371,3 +1371,84 @@ def test_strategy_emit_reaches_event_channel():
     finally:
         del R.STRATEGIES["emitter_test"]
     assert list(res["events"]) == ["bar_1", "bar_2", "bar_3"]
+
+
+def test_strategy_plugin_hot_reload(tmp_path):
+    """Hot reload (Readme.md:79): after the plugin module's source changes
+    on disk, load_strategy_plugins(hot_reload=True) re-imports it and swaps
+    the refreshed class in — new replays pick up the new behavior without a
+    session restart. Built-ins stay non-reloadable, and a reloaded class
+    that starts reading the wall clock is refused."""
+    import sys
+    import pandas as pd
+    import pytest
+
+    from finiextestingide_spark.operators import replay as R
+
+    site = tmp_path / "site"
+    site.mkdir()
+    plugin_v1 = (
+        "class FlipFlop:\n"
+        "    warmup = 1\n"
+        "    VERSION = 1\n"
+        "    def __init__(self, params):\n"
+        "        self._opened = False\n"
+        "    def on_bar_actions(self, close):\n"
+        "        if not self._opened:\n"
+        "            self._opened = True\n"
+        "            return [('open', 1, 1.0)]\n"
+        "        return []\n"
+    )
+    (site / "hotplugin.py").write_text(plugin_v1)
+    dist = site / "hotplugin-1.0.dist-info"
+    dist.mkdir()
+    (dist / "METADATA").write_text("Metadata-Version: 2.1\nName: hotplugin\nVersion: 1.0\n")
+    (dist / "entry_points.txt").write_text(
+        "[finiextestingide_spark.strategies]\nflip_flop = hotplugin:FlipFlop\n"
+    )
+    sys.path.insert(0, str(site))
+    try:
+        R._plugins_loaded = False
+        loaded = R.load_strategy_plugins(force=True)
+        assert "flip_flop" in loaded
+        assert R.STRATEGIES["flip_flop"].VERSION == 1
+
+        # v2: opens SHORT instead of long
+        (site / "hotplugin.py").write_text(plugin_v1.replace(
+            "VERSION = 1", "VERSION = 2").replace("('open', 1, 1.0)", "('open', -1, 1.0)"))
+        # without hot_reload the stale class stays registered
+        R.load_strategy_plugins(force=True)
+        assert R.STRATEGIES["flip_flop"].VERSION == 1
+        reloaded = R.load_strategy_plugins(hot_reload=True)
+        assert "flip_flop" in reloaded
+        assert R.STRATEGIES["flip_flop"].VERSION == 2
+        assert R.STRATEGIES["pyramid"].__name__ == "Pyramid"  # built-ins untouched
+
+        rows = []
+        for i, p in enumerate([100.0 + 0.1 * i for i in range(6)]):
+            ms = T0_MS + i * 30_000
+            rows.append({"symbol": "X", "time_msc": ms, "collected_msc": ms,
+                         "bid": p - 0.01, "ask": p + 0.01})
+        scen_cfg = {
+            "scenario_id": 1,
+            "parameters": {**BASE, "strategy": "flip_flop"},
+            "tick_processing_budget_ms": None,
+            "latency_seed": 7, "latency_min_ms": 0, "latency_max_ms": 0,
+            "max_ticks": None,
+        }
+        res = R._replay_core(pd.DataFrame(rows), scen_cfg).iloc[0]
+        assert res["trades_count"] == 1
+        assert res["net_pnl"] < 0  # short into a rising market: v2 behavior
+
+        # a reload that introduces a wall-clock read is refused
+        (site / "hotplugin.py").write_text(
+            "import time\n" + plugin_v1.replace(
+                "return []", "return [] if time.time() else []"))
+        with pytest.raises(ValueError, match="wall-clock"):
+            R.load_strategy_plugins(hot_reload=True)
+    finally:
+        sys.path.remove(str(site))
+        sys.modules.pop("hotplugin", None)
+        R.STRATEGIES.pop("flip_flop", None)
+        R._PLUGIN_NAMES.discard("flip_flop")
+        R._plugins_loaded = False
