@@ -99,6 +99,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "streaming_dedup_exact",
     "ivf_topk_5",
     "ivf_recall_audit",
+    "multimodal_resize",
     "ma_trend_daily",
 )
 

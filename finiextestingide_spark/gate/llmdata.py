@@ -1447,6 +1447,84 @@ GROUP BY doc_id
 """
 
 
+_RSZ_H, _RSZ_W = 3, 5  # 6x10 -> 3x5: src index = dst * 2 on both axes
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize through the codec seam: the synthesized BMPs are decoded,
+    nearest-neighbor resampled 6x10 -> 3x5, RE-ENCODED as BMP, decoded
+    AGAIN by extract_features, and reduced to pixel stats. Oracle: DuckDB
+    maps each output pixel back to its source via the NN index rule
+    (src = floor(dst * src_dim / dst_dim)) and recomputes the stats from
+    the generator formula — pinning decoder, encoder, and the resample
+    rule in one hash."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import extract_features, resize
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    h, w = _IMG_H, _IMG_W
+
+    def synth(batches):
+        row_bytes = w * 3
+        stride = (row_bytes + 3) // 4 * 4
+        hdr_fmt = "<2sIHHIIiiHHIIiiII"
+        r, c, ch = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+        base = r * 31 + c * 3 + ch
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                img = ((int(did) * 7 + base) % 256).astype(np.uint8)
+                bgr = img[::-1, :, ::-1]
+                rows = np.zeros((h, stride), dtype=np.uint8)
+                rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+                hdr = struct.pack(
+                    hdr_fmt, b"BM", 54 + stride * h, 0, 0, 54,
+                    40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0,
+                )
+                payloads.append(hdr + rows.tobytes())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    blobs = docs.mapInPandas(synth, "doc_id long, media binary")
+    small = resize(blobs, _RSZ_H, _RSZ_W, id_col="doc_id")
+    n_px = _RSZ_H * _RSZ_W * 3
+    feats = extract_features(small, id_col="doc_id", feature_dim=n_px)
+    idx = F.sequence(F.lit(0), F.lit(n_px - 1))
+    weighted = F.zip_with(
+        F.col("features"), idx, lambda p, i: p * (1 + (i % 97).cast("double"))
+    )
+    return feats.select(
+        "doc_id",
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        F.aggregate("features", F.lit(0.0), lambda a, x: a + x).cast("long").alias("px_sum"),
+        F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x).cast("long").alias("wsum"),
+    )
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH px AS (
+  SELECT d.doc_id, t.i,
+         (d.doc_id * 7
+          + ((((t.i // 3) // {_RSZ_W}) * {_IMG_H}) // {_RSZ_H}) * 31
+          + ((((t.i // 3) % {_RSZ_W}) * {_IMG_W}) // {_RSZ_W}) * 3
+          + (t.i % 3)) % 256 AS p
+  FROM documents d,
+       (SELECT unnest(generate_series(0, {_RSZ_H * _RSZ_W * 3} - 1)) AS i) t
+)
+SELECT doc_id,
+       CAST({_RSZ_H} AS BIGINT) AS height,
+       CAST({_RSZ_W} AS BIGINT) AS width,
+       CAST(SUM(p) AS BIGINT) AS px_sum,
+       CAST(SUM(p * (1 + i % 97)) AS BIGINT) AS wsum
+FROM px
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via content hash"),
     "dedup_keep_best": Query(
@@ -1531,6 +1609,11 @@ QUERIES: dict[str, Query] = {
         multimodal_decode,
         MULTIMODAL_DECODE_SQL,
         "REAL BMP decode through the codec seam, pixel-stat hash-matched",
+    ),
+    "multimodal_resize": Query(
+        multimodal_resize,
+        MULTIMODAL_RESIZE_SQL,
+        "decode -> NN resize -> re-encode -> decode, index-rule oracle",
     ),
     "multimodal_chunks": Query(
         multimodal_chunks, MULTIMODAL_CHUNKS_SQL, "fixed-size binary chunk fingerprints"
