@@ -339,10 +339,10 @@ def neardup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEARDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
 {MINHASH_LSH_PAIRS_SQL}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
   SELECT id_b AS a, id_a AS b FROM pairs
@@ -385,10 +385,10 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEARDUP_KEEP_BEST_SQL = f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
 {MINHASH_LSH_PAIRS_SQL}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
   SELECT id_b AS a, id_a AS b FROM pairs
@@ -863,13 +863,13 @@ def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_NEARDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM embeddings a
   JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
   WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {_ND_MIN_COS}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
   SELECT id_b AS a, id_a AS b FROM pairs

@@ -1106,7 +1106,7 @@ def macd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MACD_DAILY_SQL = f"""
 WITH RECURSIVE {_bars_cte('day')},
-c AS (
+c AS MATERIALIZED (
   SELECT symbol, bar_ts, close,
          row_number() OVER w AS rn,
          avg(close) OVER (w ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS sma_f,
@@ -1125,7 +1125,7 @@ se(symbol, rn, e) AS (
   SELECT c.symbol, c.rn, (2.0/27.0) * c.close + (1.0 - 2.0/27.0) * se.e
   FROM c JOIN se ON c.symbol = se.symbol AND c.rn = se.rn + 1
 ),
-m AS (
+m AS MATERIALIZED (
   SELECT c.symbol, c.bar_ts, fe.e - se.e AS macd,
          row_number() OVER (PARTITION BY c.symbol ORDER BY c.rn) AS srn,
          avg(fe.e - se.e) OVER (PARTITION BY c.symbol ORDER BY c.rn
@@ -1155,7 +1155,7 @@ def atr_ewm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ATR_EWM_DAILY_SQL = f"""
 WITH RECURSIVE {_bars_cte('day')},
-tr AS (
+tr AS MATERIALIZED (
   SELECT symbol, bar_ts,
          row_number() OVER w AS rn,
          greatest(high - low,
