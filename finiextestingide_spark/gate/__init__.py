@@ -100,6 +100,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "ivf_topk_5",
     "ivf_recall_audit",
     "multimodal_resize",
+    "multimodal_frames",
     "ma_trend_daily",
 )
 

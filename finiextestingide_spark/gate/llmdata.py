@@ -1525,6 +1525,79 @@ GROUP BY doc_id
 """
 
 
+_FR_H, _FR_W = 4, 4  # per-frame geometry
+_FR_EVERY = 2
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling through the PPM-stream seam: each doc gets
+    a synthesized 'video' (3 + doc_id % 5 concatenated P6 frames, headers
+    hand-built, pixel p(f,r,c,ch) = (doc_id*11 + f*53 + r*17 + c*5 + ch) %
+    256), frame_sample walks the stream taking every 2nd frame, and every
+    sampled frame is DECODED back by the real PPM codec and reduced to its
+    pixel sum. Oracle: DuckDB enumerates (doc, frame, pixel) from the same
+    formula, keeping frames with f %% 2 == 0 — a wrong frame stride,
+    header walk, or payload slice shifts some frame's sum."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import extract_features, frame_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    h, w = _FR_H, _FR_W
+
+    def synth(batches):
+        header = b"P6\n%d %d\n255\n" % (w, h)
+        r, c, ch = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+        base = r * 17 + c * 5 + ch
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                parts = []
+                for f in range(3 + did % 5):
+                    img = ((did * 11 + f * 53 + base) % 256).astype(np.uint8)
+                    parts.append(header + img.tobytes())
+                payloads.append(b"".join(parts))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    blobs = docs.mapInPandas(synth, "doc_id long, media binary")
+    frames = frame_sample(blobs, every_n=_FR_EVERY, id_col="doc_id")
+    keyed = frames.select(
+        (F.col("doc_id") * 1000 + F.col("frame_idx")).cast("long").alias("fkey"),
+        F.col("frame").alias("media"),
+    )
+    n_px = h * w * 3
+    feats = extract_features(keyed, id_col="fkey", feature_dim=n_px)
+    return feats.select(
+        (F.col("fkey") / 1000).cast("long").alias("doc_id"),
+        (F.col("fkey") % 1000).cast("long").alias("frame_idx"),
+        F.aggregate("features", F.lit(0.0), lambda a, x: a + x).cast("long").alias("px_sum"),
+    )
+
+
+MULTIMODAL_FRAMES_SQL = f"""
+WITH fr AS (
+  SELECT d.doc_id, t.f
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 6)) AS f) t
+  WHERE t.f < 3 + d.doc_id % 5 AND t.f % {_FR_EVERY} = 0
+),
+px AS (
+  SELECT fr.doc_id, fr.f,
+         (fr.doc_id * 11 + fr.f * 53
+          + (((t2.i // 3) // {_FR_W}) * 17)
+          + (((t2.i // 3) % {_FR_W}) * 5)
+          + (t2.i % 3)) % 256 AS p
+  FROM fr,
+       (SELECT unnest(generate_series(0, {_FR_H * _FR_W * 3} - 1)) AS i) t2
+)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, CAST(SUM(p) AS BIGINT) AS px_sum
+FROM px
+GROUP BY doc_id, f
+"""
+
+
 QUERIES: dict[str, Query] = {
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via content hash"),
     "dedup_keep_best": Query(
@@ -1614,6 +1687,11 @@ QUERIES: dict[str, Query] = {
         multimodal_resize,
         MULTIMODAL_RESIZE_SQL,
         "decode -> NN resize -> re-encode -> decode, index-rule oracle",
+    ),
+    "multimodal_frames": Query(
+        multimodal_frames,
+        MULTIMODAL_FRAMES_SQL,
+        "PPM-stream frame sampling + per-frame decode, formula oracle",
     ),
     "multimodal_chunks": Query(
         multimodal_chunks, MULTIMODAL_CHUNKS_SQL, "fixed-size binary chunk fingerprints"

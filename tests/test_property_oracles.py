@@ -518,3 +518,41 @@ def test_chunk_hashes_partition_invariants(spark, payloads, chunk):
             piece = p[idx * chunk:(idx + 1) * chunk]
             assert c["chunk_len"] == len(piece)
             assert c["chunk_md5"] == hashlib.md5(piece).hexdigest()
+
+
+@given(
+    h=st.integers(min_value=1, max_value=9),
+    w=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_image_codec_roundtrip_property(h, w, seed):
+    """Any (H, W, 3) uint8 image round-trips bit-exactly through both real
+    codecs — BMP (including the per-row padding every W % 4 != 0 width
+    exercises, BGR order, bottom-up rows) and PPM — and decode_media
+    dispatches to the right one by magic. Pure-Python property (no Spark):
+    the codec is the per-row kernel the mapInPandas operators batch."""
+    import numpy as np
+
+    from finiextestingide_spark.operators.multimodal import (
+        decode_bmp,
+        decode_media,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    bmp, ppm = encode_bmp(img), encode_ppm(img)
+    assert np.array_equal(decode_bmp(bmp), img)
+    assert np.array_equal(decode_ppm(ppm), img)
+    assert np.array_equal(decode_media(bmp), img)
+    assert np.array_equal(decode_media(ppm), img)
+    # truncation is detected, never silently misdecoded
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_bmp(bmp[:-1])
+    with pytest.raises(ValueError):
+        decode_ppm(ppm[:-1])
