@@ -154,21 +154,22 @@ class SmaCross:
         self.slow = int(params.get("slow", 20))
         self.warmup = self.slow
         self._closes: list[float] = []
-        self._fsum = 0.0
-        self._ssum = 0.0
 
     def on_bar(self, close: float) -> int:
+        # SMAs are recomputed FRESH over the window each bar, never kept as
+        # incremental rolling sums: add-newest/subtract-oldest drifts in the
+        # last ulps over thousands of bars, and a near-tie crossover then
+        # resolves differently from a fresh windowed avg — surfaced at the
+        # 10x (sf1) scale check as two missed flips ~1,350 trades in, while
+        # every smaller SF hash-matched. O(slow) per bar is noise; the exact
+        # window is also what the DuckDB oracle computes.
         cs = self._closes
         cs.append(close)
-        self._fsum += close
-        self._ssum += close
-        if len(cs) > self.fast:
-            self._fsum -= cs[-self.fast - 1]
         if len(cs) > self.slow:
-            self._ssum -= cs[-self.slow - 1]
+            del cs[0]
         if len(cs) < self.warmup:
             return 0
-        return 1 if self._fsum / self.fast > self._ssum / self.slow else -1
+        return 1 if sum(cs[-self.fast:]) / self.fast > sum(cs) / self.slow else -1
 
 
 class RsiReversion:
@@ -277,35 +278,30 @@ class Consensus:
 
 
 class _SmaState:
-    """Shared incremental SMA(fast)/SMA(slow) condition used by the
-    multi-position strategies (same running-sum bookkeeping as SmaCross)."""
+    """Shared SMA(fast)/SMA(slow) condition used by the multi-position
+    strategies (same fresh-window arithmetic as SmaCross — see the drift
+    note there; rolling add/subtract sums diverge on long histories)."""
 
     def __init__(self, params: dict):
         self.fast = int(params.get("fast", 5))
         self.slow = int(params.get("slow", 20))
         self.warmup = self.slow
         self._closes: list[float] = []
-        self._fsum = 0.0
-        self._ssum = 0.0
 
     def update(self, close: float) -> bool | None:
         """None until warmup, else SMA(fast) > SMA(slow)."""
         cs = self._closes
         cs.append(close)
-        self._fsum += close
-        self._ssum += close
-        if len(cs) > self.fast:
-            self._fsum -= cs[-self.fast - 1]
         if len(cs) > self.slow:
-            self._ssum -= cs[-self.slow - 1]
+            del cs[0]
         if len(cs) < self.warmup:
             return None
-        return self._fsum / self.fast > self._ssum / self.slow
+        return sum(cs[-self.fast:]) / self.fast > sum(cs) / self.slow
 
     def drop_history(self) -> None:
-        # keep the rolling window bounded (only the last `slow` closes matter)
-        if len(self._closes) > 4 * self.slow:
-            del self._closes[: -2 * self.slow]
+        # the window is trimmed to `slow` closes on every update; nothing
+        # further to drop (kept for caller compatibility)
+        pass
 
 
 class Pyramid:
