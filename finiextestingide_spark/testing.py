@@ -27,8 +27,21 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
-    """Empty list == frames identical under canonicalization."""
+def compare_frames(
+    spark_pdf: pd.DataFrame,
+    oracle_pdf: pd.DataFrame,
+    *,
+    float_atol: float = 0.0,
+    float_rtol: float = 0.0,
+) -> list[str]:
+    """Empty list == frames identical under canonicalization.
+
+    Default is EXACT float equality — the driver's value-hash semantics,
+    and what the sf0.01 gate runs under. ``float_atol``/``float_rtol``
+    opt into a tolerance for extended-scale verification (sf1), where
+    10x-longer float accumulations legitimately diverge past a 1e-6
+    rounding boundary between summation orders; callers that use it must
+    disclose tolerance-passes separately from exact passes."""
     issues: list[str] = []
     a, b = canonicalize(spark_pdf), canonicalize(oracle_pdf)
     if list(a.columns) != list(b.columns):
@@ -38,7 +51,14 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if pd.api.types.is_float_dtype(a[c]):
-            eq = (av == bv) | (pd.isna(av) & pd.isna(bv))
+            if float_atol or float_rtol:
+                with np.errstate(invalid="ignore"):
+                    eq = np.isclose(
+                        av.astype(float), bv.astype(float),
+                        atol=float_atol, rtol=float_rtol,
+                    ) | (pd.isna(av) & pd.isna(bv))
+            else:
+                eq = (av == bv) | (pd.isna(av) & pd.isna(bv))
             if not eq.all():
                 bad = int((~eq).sum())
                 with np.errstate(invalid="ignore"):
