@@ -27,10 +27,12 @@ AFTER fills so the entry tick's spread shows up in MAE. Closes are stored
 as array<double> state, so the SMA arithmetic runs over the exact same
 float64 values in both pipelines.
 
-Scope (v1, honest): strategies whose decision is a pure function of the
-last W bar closes — sma_cross and buy_hold. Path-dependent strategies
-(recursive EMA state, stop books) need their state lifted into the state
-tuple the same way; the seam is ``_decide``.
+Scope (honest): strategies whose cross-bar state is the close window
+plus the held target — sma_cross, buy_hold, and rsi_reversion (its
+hold-previous semantics ride the stored target; its deltas are diffs of
+the stored closes). Path-dependent strategies beyond that (recursive EMA
+state, stop books, seeded latency queues) lift their state into the
+state tuple through the same seam; ``_decide`` is the swap point.
 """
 
 from __future__ import annotations
@@ -92,12 +94,31 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _decide(closes: list[float], params: dict) -> int:
-    """Pure-window decision — the same arithmetic as the batch strategies
-    (operators/replay.SmaCross after the round-6 fresh-window fix):
-    0 during warmup, else sign(SMA(fast) - SMA(slow)); buy_hold -> 1."""
-    if params.get("strategy", "sma_cross") == "buy_hold":
+def _decide(closes: list[float], target: int, params: dict) -> int:
+    """Decision from the stored close window + held target — the same
+    arithmetic as the batch strategies (operators/replay.SmaCross after the
+    round-6 fresh-window fix; RsiReversion's SMA-flavor RSI with
+    hold-previous semantics, whose only cross-bar state is the previous
+    target and the last period+1 closes — both already in the state tuple).
+    buy_hold -> 1."""
+    strat = params.get("strategy", "sma_cross")
+    if strat == "buy_hold":
         return 1
+    if strat == "rsi_reversion":
+        period = int(params.get("period", 14))
+        buy_below = float(params.get("buy_below", 30.0))
+        sell_above = float(params.get("sell_above", 70.0))
+        if len(closes) < period + 1:
+            return target
+        window = [closes[i] - closes[i - 1] for i in range(len(closes) - period, len(closes))]
+        gain = sum(d for d in window if d > 0) / period
+        loss = sum(-d for d in window if d < 0) / period
+        rsi = 100.0 if loss == 0 else 100.0 - 100.0 / (1.0 + gain / loss)
+        if rsi < buy_below:
+            return 1
+        if rsi > sell_above:
+            return -1
+        return target
     fast = int(params.get("fast", 5))
     slow = int(params.get("slow", 20))
     if len(closes) < slow:
@@ -119,7 +140,8 @@ def live_backtest(
     lots = float(params.get("lots", 1.0))
     contract = float(params.get("contract_size", 1.0))
     fee_per_side = float(params.get("fee_per_side", 0.0))
-    slow = int(params.get("slow", 20))
+    # close-window bound: enough history for whichever decision runs
+    win = max(int(params.get("slow", 20)), int(params.get("period", 14)) + 1)
 
     def run(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (symbol,) = key
@@ -157,9 +179,9 @@ def live_backtest(
                 if bucket != -1:
                     # bar closes: append its close, trim, decide
                     closes.append(cur_close)
-                    if len(closes) > slow:
+                    if len(closes) > win:
                         del closes[0]
-                    new_target = _decide(closes, params)
+                    new_target = _decide(closes, target, params)
                     if new_target != target:
                         target = new_target
                         flip = True
