@@ -90,6 +90,13 @@ _STATE_SCHEMA = StructType(
         StructField("pos_mae_price", DoubleType()),
         StructField("pos_mfe_price", DoubleType()),
         StructField("trade_count", IntegerType()),
+        # seeded latency queue (R2): FIFO of in-flight actions + the rng
+        # draw count (the generator is rebuilt per batch by replaying
+        # exactly n_draws randint calls — same sequence as the batch core)
+        StructField("pend_due", ArrayType(LongType())),
+        StructField("pend_kind", ArrayType(IntegerType())),  # 0 close_all, 1 open
+        StructField("pend_dir", ArrayType(IntegerType())),
+        StructField("n_draws", IntegerType()),
     ]
 )
 
@@ -130,12 +137,25 @@ def live_backtest(
     ticks: DataFrame,
     params: dict,
     *,
+    latency_seed: int = 0,
+    latency_min_ms: int = 0,
+    latency_max_ms: int = 0,
     timeout_ms: int = 0,
 ) -> DataFrame:
     """ticks(symbol, timestamp, time_msc, bid, ask) STREAM -> trade-record
     stream, one row per closed trade, per-symbol state = the live loop's
     in-memory session. ``params`` is the scenario's parameters map
-    (strategy/fast/slow/bar_ms/lots/contract_size/fee_per_side)."""
+    (strategy/fast/slow/bar_ms/lots/contract_size/fee_per_side).
+
+    Seeded latency (R2): with ``latency_max_ms > 0`` every signal flip
+    draws one delay from random.Random(latency_seed).randint(min, max) —
+    the batch core's exact call sequence — and its close/open actions rest
+    in a FIFO drained head-first once the tick clock passes each deadline
+    (the batch's Phase-1 contract: the queue is FIFO by SUBMISSION, so a
+    later order with a shorter draw still waits for the head). The draw
+    count rides in the state tuple; the generator is rebuilt per
+    micro-batch by replaying exactly that many draws, which keeps the
+    live sequence bit-identical to the batch run's."""
     bar_ms = int(params.get("bar_ms", 60_000))
     lots = float(params.get("lots", 1.0))
     contract = float(params.get("contract_size", 1.0))
@@ -159,13 +179,23 @@ def live_backtest(
         if state.exists:
             (bucket, cur_close, closes, target, pos_dir, pos_lots, pos_entry_ms,
              pos_entry_price, pos_fees, pos_mae, pos_mfe, pos_mae_price,
-             pos_mfe_price, trade_count) = state.get
+             pos_mfe_price, trade_count, pend_due, pend_kind, pend_dir,
+             n_draws) = state.get
             closes = list(closes)
+            pending = list(zip(pend_due, pend_kind, pend_dir))
         else:
             bucket, cur_close, closes, target = -1, 0.0, [], 0
             pos_dir, pos_lots, pos_entry_ms, pos_entry_price = 0, 0.0, 0, 0.0
             pos_fees, pos_mae, pos_mfe = 0.0, 0.0, 0.0
             pos_mae_price, pos_mfe_price, trade_count = 0.0, 0.0, 0
+            pending, n_draws = [], 0
+        rng = None
+        if latency_max_ms > 0:
+            import random
+
+            rng = random.Random(latency_seed)
+            for _ in range(n_draws):
+                rng.randint(latency_min_ms, latency_max_ms)
 
         out: list[tuple] = []
         ts_ms = (pdf["timestamp"].astype("int64") // 1_000_000).tolist()
@@ -189,31 +219,51 @@ def live_backtest(
             cur_close = (b + a) / 2.0
 
             if flip:
-                # same-tick close-then-open, latency 0 (replay execute():
-                # close at bid for LONG / ask for SHORT; open at ask for
-                # LONG / bid for SHORT; flat per-side fee)
+                # one rng draw per flip regardless of what gets queued
+                # (the batch core's sequence contract); latency 0 resolves
+                # on this same tick via the drain below
+                delay = rng.randint(latency_min_ms, latency_max_ms) if rng else 0
+                if rng:
+                    n_draws += 1
+                due = t + delay
                 if pos_dir != 0:
-                    price = b if pos_dir > 0 else a
-                    gross = pos_dir * (price - pos_entry_price) * contract * pos_lots
-                    fees = pos_fees + fee_per_side * pos_lots
-                    out.append(
-                        (
-                            symbol, trade_count,
-                            "LONG" if pos_dir > 0 else "SHORT", pos_lots,
-                            pd.Timestamp(pos_entry_ms, unit="ms"), pos_entry_price,
-                            pd.Timestamp(t, unit="ms"), price,
-                            gross, fees, gross - fees,
-                            pos_mae, pos_mfe, pos_mae_price, pos_mfe_price,
-                            "SIGNAL",
-                        )
-                    )
-                    trade_count += 1
-                    pos_dir = 0
+                    # close_all queued ONLY when a position exists at
+                    # SIGNAL time — the batch contract. (An open still in
+                    # flight gets no close: it fills, the next flip's
+                    # close_all takes it out. Faithful, not "fixed".)
+                    pending.append((due, 0, 0))
                 if target != 0:
-                    pos_dir = target
+                    pending.append((due, 1, target))
+
+            # Phase 1 — drain the latency queue head-first (FIFO by
+            # submission, the batch contract) at the current quote
+            while pending and t >= pending[0][0]:
+                _, kind, d = pending.pop(0)
+                if kind == 0:  # close_all
+                    if pos_dir != 0:
+                        price = b if pos_dir > 0 else a
+                        gross = pos_dir * (price - pos_entry_price) * contract * pos_lots
+                        fees = pos_fees + fee_per_side * pos_lots
+                        out.append(
+                            (
+                                symbol, trade_count,
+                                "LONG" if pos_dir > 0 else "SHORT", pos_lots,
+                                pd.Timestamp(pos_entry_ms, unit="ms"), pos_entry_price,
+                                pd.Timestamp(t, unit="ms"), price,
+                                gross, fees, gross - fees,
+                                pos_mae, pos_mfe, pos_mae_price, pos_mfe_price,
+                                "SIGNAL",
+                            )
+                        )
+                        trade_count += 1
+                        pos_dir = 0
+                elif pos_dir != 0:
+                    pass  # capacity-dropped open: consumed (batch execute())
+                else:
+                    pos_dir = d
                     pos_lots = lots
                     pos_entry_ms = t
-                    pos_entry_price = a if target > 0 else b
+                    pos_entry_price = a if d > 0 else b
                     pos_fees = fee_per_side * lots
                     pos_mae = pos_mfe = 0.0
                     # a side with no excursion reports the ENTRY price as
@@ -237,6 +287,8 @@ def live_backtest(
                 int(pos_dir), float(pos_lots), int(pos_entry_ms), float(pos_entry_price),
                 float(pos_fees), float(pos_mae), float(pos_mfe),
                 float(pos_mae_price), float(pos_mfe_price), int(trade_count),
+                [int(x[0]) for x in pending], [int(x[1]) for x in pending],
+                [int(x[2]) for x in pending], int(n_draws),
             )
         )
         if timeout_ms > 0:
