@@ -162,6 +162,8 @@ def live_backtest(
     fee_per_side = float(params.get("fee_per_side", 0.0))
     # close-window bound: enough history for whichever decision runs
     win = max(int(params.get("slow", 20)), int(params.get("period", 14)) + 1)
+    sl_dist = float(params["sl_dist"]) if "sl_dist" in params else None
+    tp_dist = float(params["tp_dist"]) if "tp_dist" in params else None
 
     def run(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (symbol,) = key
@@ -280,6 +282,35 @@ def live_backtest(
                     pos_mae, pos_mae_price = unreal, mark
                 if unreal > pos_mfe:
                     pos_mfe, pos_mfe_price = unreal, mark
+                # broker-side SL/TP on the close-side mark, FILL AT THE
+                # LEVEL (the batch R3 contract: excursion above runs on the
+                # raw mark first, so a gap through the level still lands in
+                # MAE/MFE; SL checked before TP)
+                if sl_dist is not None or tp_dist is not None:
+                    move = pos_dir * (mark - pos_entry_price)
+                    fill = reason = None
+                    if sl_dist is not None and move <= -sl_dist:
+                        fill = pos_entry_price - pos_dir * sl_dist
+                        reason = "SL"
+                    elif tp_dist is not None and move >= tp_dist:
+                        fill = pos_entry_price + pos_dir * tp_dist
+                        reason = "TP"
+                    if fill is not None:
+                        gross = pos_dir * (fill - pos_entry_price) * contract * pos_lots
+                        fees = pos_fees + fee_per_side * pos_lots
+                        out.append(
+                            (
+                                symbol, trade_count,
+                                "LONG" if pos_dir > 0 else "SHORT", pos_lots,
+                                pd.Timestamp(pos_entry_ms, unit="ms"), pos_entry_price,
+                                pd.Timestamp(t, unit="ms"), fill,
+                                gross, fees, gross - fees,
+                                pos_mae, pos_mfe, pos_mae_price, pos_mfe_price,
+                                reason,
+                            )
+                        )
+                        trade_count += 1
+                        pos_dir = 0
 
         state.update(
             (
