@@ -749,3 +749,115 @@ def test_live_sl_tp_parity(spark, sf_dir):
                       "gross_pnl", "fees", "net_pnl", "mae_pnl", "mfe_pnl",
                       "mae_price", "mfe_price", "exit_reason"):
                 assert lr[c] == br[c], (s, br["trade_id"], c, lr[c], br[c])
+
+
+def test_live_session_survives_restart(spark, sf_dir, tmp_path):
+    """Fault tolerance: the live session's state (forming bar, close
+    window, target, open position, latency queue, rng draw count) is
+    checkpointed by Structured Streaming — a query killed mid-feed and
+    restarted from its checkpoint must finish with EXACTLY the batch trade
+    records, including trades whose entry happened before the crash and
+    exit after it. Uses the replayable file source (a socket is not
+    recoverable by design; on a cluster this is the Kafka offset story)."""
+    import pyspark.sql.functions as F
+
+    from finiextestingide_spark.operators.replay import run_backtest, trades_table
+    from finiextestingide_spark.streaming.live_replay import live_backtest
+
+    params = {
+        "strategy": "sma_cross", "fast": "3", "slow": "7",
+        "bar_ms": "3600000", "fee_per_side": "0.05", "lots": "1.0",
+        "equity_sample_every": "0",
+    }
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    symbols = sorted({r["event_type"] for r in events})
+    tick_rows = [
+        (r["event_type"], r["ts"], _epoch_us(r["ts"]) // 1000,
+         _epoch_us(r["ts"]) // 1000, r["value"] - 0.005, r["value"] + 0.005)
+        for r in events
+    ]
+    ddl = (
+        "symbol string, timestamp timestamp, time_msc long, collected_msc long, "
+        "bid double, ask double"
+    )
+    ticks_df = spark.createDataFrame(tick_rows, ddl)
+    scenarios = spark.createDataFrame(
+        [(i + 1, f"restart-{s}", s, None, None, i + 1, 0, 0, params)
+         for i, s in enumerate(symbols)],
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+        "latency_max_ms int, parameters map<string,string>",
+    )
+    sym_of = {i + 1: s for i, s in enumerate(symbols)}
+    batch = {}
+    for r in trades_table(run_backtest(ticks_df, scenarios)).collect():
+        if r["exit_reason"] == "END":
+            continue
+        batch.setdefault(sym_of[r["scenario_id"]], []).append(r)
+    n_expected = sum(len(v) for v in batch.values())
+
+    src = tmp_path / "feed"
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    src.mkdir()
+    half = len(tick_rows) // 2
+    spark.createDataFrame(tick_rows[:half], ddl).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+
+    schema = ticks_df.schema
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "p*"))
+        )
+        return (
+            live_backtest(stream, params)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    try:
+        q1 = start_query()
+        q1.awaitTermination()  # phase 1 fully processed, then query "dies"
+        n_phase1 = spark.read.parquet(out_dir).count()
+        assert 0 < n_phase1 < n_expected  # mid-session: some trades open
+
+        # the feed continues while the query is down; restart from ckpt
+        spark.createDataFrame(tick_rows[half:], ddl).coalesce(1).write.parquet(
+            str(src / "p2")
+        )
+        q2 = start_query()
+        q2.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    got = {}
+    for r in sorted(
+        spark.read.parquet(out_dir).collect(), key=lambda r: (r["symbol"], r["trade_id"])
+    ):
+        got.setdefault(r["symbol"], []).append(r)
+    assert {s: len(v) for s, v in got.items()} == {s: len(v) for s, v in batch.items()}
+    crossers = 0
+    boundary_ts = tick_rows[half][1]
+    for s, brs in batch.items():
+        for br, lr in zip(brs, got[s]):
+            crossers += br["entry_ts"] < boundary_ts <= br["exit_ts"]
+            for c in ("direction", "entry_ts", "entry_price", "exit_ts", "exit_price",
+                      "gross_pnl", "fees", "net_pnl", "mae_pnl", "mfe_pnl",
+                      "mae_price", "mfe_price", "exit_reason"):
+                assert lr[c] == br[c], (s, br["trade_id"], c, lr[c], br[c])
+    assert crossers > 0  # at least one trade spans the crash boundary
