@@ -101,6 +101,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "ivf_recall_audit",
     "multimodal_resize",
     "multimodal_frames",
+    "streaming_live_replay",
     "ma_trend_daily",
 )
 

@@ -1294,6 +1294,73 @@ _RSO_CONFIGS = [(3, 8), (5, 13)]  # (fast, slow) SMA pairs
 _RSO_BAR_MS = 3_600_000
 
 
+def streaming_live_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE autotrader loop (streaming/live_replay.live_backtest) driven
+    as a stream inside the gate: events replayed through a file stream into
+    the per-symbol stateful session (bars + SMA decision + fills +
+    excursions), trades drained to a memory sink. Oracle: the SAME SQL
+    trade-sequence reconstruction that hash-checks the batch replay
+    (REPLAY_SMA_ORACLE_SQL), restricted to the first config's scenarios and
+    to non-END exits — a live session has no end of data, so its final
+    open position never force-closes. Passing means the live pipeline's
+    trade records are hash-identical to a third engine's model of the
+    batch semantics: the reference's dual-pipeline parity contract
+    (tests/parity/test_trade_records_parity.py), driver-checked."""
+    from ..streaming.bars_stream import read_tick_stream
+    from ..streaming.live_replay import live_backtest
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    set_nanos_as_long(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ticks = (
+        normalize_ts(read_tick_stream(spark, f"{sf_dir}/events.parque*", raw_schema))
+        .select(
+            F.col("event_type").alias("symbol"),
+            F.col("ts").alias("timestamp"),
+            F.col("event_id").alias("time_msc"),
+            (F.col("value") - 0.005).alias("bid"),
+            (F.col("value") + 0.005).alias("ask"),
+        )
+    )
+    fast, slow = _RSO_CONFIGS[0]
+    params = {
+        "strategy": "sma_cross",
+        "fast": str(fast),
+        "slow": str(slow),
+        "bar_ms": str(_RSO_BAR_MS),
+        "equity_sample_every": "0",
+    }
+    name = "gate_streaming_live_replay"
+    q = (
+        live_backtest(ticks, params)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sid = F.create_map(
+        *[x for i, s in enumerate(_RSO_SYMBOLS) for x in (F.lit(s), F.lit(i + 1))]
+    )[F.col("symbol")]
+    return spark.table(name).select(
+        sid.cast("int").alias("scenario_id"),
+        "trade_id",
+        "direction",
+        "entry_ts",
+        F.round("entry_price", 6).alias("entry_price"),
+        "exit_ts",
+        F.round("exit_price", 6).alias("exit_price"),
+        F.round("gross_pnl", 6).alias("gross_pnl"),
+        F.round("net_pnl", 6).alias("net_pnl"),
+        F.round("mae_pnl", 6).alias("mae_pnl"),
+        F.round("mfe_pnl", 6).alias("mfe_pnl"),
+        F.round("mae_price", 6).alias("mae_price"),
+        F.round("mfe_price", 6).alias("mfe_price"),
+        "exit_reason",
+    )
+
+
 def replay_sma_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.replay import run_backtest, trades_table
 
@@ -1479,6 +1546,13 @@ bars AS (
 
 
 REPLAY_SMA_ORACLE_SQL = _rso_sql()
+
+# live-loop twin: same reconstruction, first config only, no END closes
+# (a live session's final position is still open when the feed pauses)
+STREAMING_LIVE_REPLAY_SQL = f"""
+SELECT * FROM ({REPLAY_SMA_ORACLE_SQL})
+WHERE scenario_id <= {len(_RSO_SYMBOLS)} AND exit_reason <> 'END'
+"""
 
 
 # --- S5 ingest quality checks over events-as-ticks, oracle-checked:
@@ -2545,6 +2619,11 @@ QUERIES: dict[str, Query] = {
     ),
     "replay_loadtest_40": Query(
         replay_loadtest_40, None, "40-scenario replay loadtest (BASELINE.md shape)"
+    ),
+    "streaming_live_replay": Query(
+        streaming_live_replay,
+        STREAMING_LIVE_REPLAY_SQL,
+        "LIVE autotrader loop (stateful stream) hash-checked vs the batch trade-sequence oracle",
     ),
     "replay_sma_oracle": Query(
         replay_sma_oracle,
