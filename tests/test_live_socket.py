@@ -861,3 +861,103 @@ def test_live_session_survives_restart(spark, sf_dir, tmp_path):
                       "mae_price", "mfe_price", "exit_reason"):
                 assert lr[c] == br[c], (s, br["trade_id"], c, lr[c], br[c])
     assert crossers > 0  # at least one trade spans the crash boundary
+
+
+def test_live_pyramid_multiposition_parity(spark, sf_dir):
+    """Action-model multi-position live session: the pyramid strategy adds
+    one position per favorable closed bar up to max_positions and closes
+    ALL (oldest first) on the flip. Slot accounting (including the
+    capacity-drop reclaim the batch delivers via on_open_dropped) rides in
+    the state tuple. Trade records from the socket-replayed feed must
+    equal the batch replay's field-for-field."""
+    import pyspark.sql.functions as F
+
+    from finiextestingide_spark.operators.replay import run_backtest, trades_table
+    from finiextestingide_spark.streaming.live_replay import live_backtest
+
+    params = {
+        "strategy": "pyramid", "fast": "3", "slow": "7", "max_positions": "3",
+        "bar_ms": "3600000", "fee_per_side": "0.05", "lots": "1.0",
+        "equity_sample_every": "0",
+    }
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    symbols = sorted({r["event_type"] for r in events})
+    ticks_df = spark.createDataFrame(
+        [
+            (r["event_type"], r["ts"], _epoch_us(r["ts"]) // 1000,
+             _epoch_us(r["ts"]) // 1000, r["value"] - 0.005, r["value"] + 0.005)
+            for r in events
+        ],
+        "symbol string, timestamp timestamp, time_msc long, collected_msc long, "
+        "bid double, ask double",
+    )
+    scenarios = spark.createDataFrame(
+        [(i + 1, f"pyr-parity-{s}", s, None, None, i + 1, 0, 0, params)
+         for i, s in enumerate(symbols)],
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+        "latency_max_ms int, parameters map<string,string>",
+    )
+    sym_of = {i + 1: s for i, s in enumerate(symbols)}
+    batch = {}
+    for r in trades_table(run_backtest(ticks_df, scenarios)).collect():
+        if r["exit_reason"] == "END":
+            continue
+        batch.setdefault(sym_of[r["scenario_id"]], []).append(r)
+    n_expected = sum(len(v) for v in batch.values())
+    # the fixture must actually stack: some flips close >1 position at once
+    stacked = any(
+        sum(1 for r in v if r["exit_ts"] == x["exit_ts"]) > 1
+        for v in batch.values() for x in v
+    )
+    assert stacked and n_expected > 20
+
+    lines = [
+        tick_line(r["event_type"], _epoch_us(r["ts"]), r["value"], 1.0, r["event_id"])
+        for r in events
+    ]
+    name = f"live_pyr_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with TickFeedServer(lines, chunk_lines=250, chunk_pause_secs=0.3) as srv:
+            raw = read_socket_ticks(spark, "127.0.0.1", srv.port)
+            live_ticks = raw.select(
+                "symbol",
+                F.col("ts").alias("timestamp"),
+                F.col("seq").alias("time_msc"),
+                (F.col("mid") - 0.005).alias("bid"),
+                (F.col("mid") + 0.005).alias("ask"),
+            )
+            q = (
+                live_backtest(live_ticks, params)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                _drain(spark, name, n_expected, q)
+                got = {}
+                for r in sorted(
+                    spark.table(name).collect(), key=lambda r: (r["symbol"], r["trade_id"])
+                ):
+                    got.setdefault(r["symbol"], []).append(r)
+            finally:
+                q.stop()
+                q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    assert {s: len(v) for s, v in got.items()} == {s: len(v) for s, v in batch.items()}
+    for s, brs in batch.items():
+        for br, lr in zip(brs, got[s]):
+            for c in ("direction", "lots", "entry_ts", "entry_price", "exit_ts",
+                      "exit_price", "gross_pnl", "fees", "net_pnl", "mae_pnl",
+                      "mfe_pnl", "mae_price", "mfe_price", "exit_reason"):
+                assert lr[c] == br[c], (s, br["trade_id"], c, lr[c], br[c])
