@@ -248,23 +248,35 @@ def validate_scenario_parameters(rows: list[dict]) -> list[ValidationIssue]:
     from .replay import STRATEGIES, load_strategy_plugins
 
     issues = []
+    # Plugin loading is process-global: attempt it ONCE per validate call,
+    # and report a load failure as THE issue for each scenario that needed
+    # it — not alongside a second generic unknown-strategy issue for the
+    # same row (and not re-attempted per row, which would repeat the same
+    # load error N times).
+    plugins_attempted = False
+    plugin_load_error: str | None = None
     for r in rows:
         name = r.get("name") or f"scenario_{r.get('scenario_id')}"
         params = r.get("parameters") or {}
         strat = params.get("strategy", "sma_cross")
-        if strat not in STRATEGIES:
+        if strat not in STRATEGIES and not plugins_attempted:
+            plugins_attempted = True
             try:
                 load_strategy_plugins()
             except ValueError as exc:
-                issues.append(ValidationIssue(name, "parameters", str(exc)))
+                plugin_load_error = str(exc)
         if strat not in STRATEGIES:
             issues.append(
                 ValidationIssue(
                     name,
                     "parameters",
-                    f"unknown strategy {strat!r} (built-ins: "
-                    f"{sorted(STRATEGIES)}; plugins load via the "
-                    "finiextestingide_spark.strategies entry-point group)",
+                    plugin_load_error
+                    if plugin_load_error is not None
+                    else (
+                        f"unknown strategy {strat!r} (built-ins: "
+                        f"{sorted(STRATEGIES)}; plugins load via the "
+                        "finiextestingide_spark.strategies entry-point group)"
+                    ),
                 )
             )
         for key, typ in _NUMERIC_PARAMS.items():

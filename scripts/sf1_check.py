@@ -34,19 +34,26 @@ from scripts.scale_check import build_synth  # noqa: E402
 
 
 def run_oracle_with_timeout(con, sql: str, timeout_s: float):
-    """Execute oracle SQL; a timer thread interrupts the connection at the
-    deadline. Returns (df, elapsed, timed_out)."""
+    """Execute oracle SQL; a timer thread interrupts a per-query CURSOR at
+    the deadline. Returns (df, elapsed, timed_out).
+
+    The cursor (a child connection sharing the database and views) is
+    created fresh per call and closed afterwards, so a watchdog that fires
+    just as execute() completes interrupts only this query's connection —
+    a pending interrupt can never leak into the NEXT query's execution and
+    misreport it as a timeout."""
     timed_out = threading.Event()
+    cur = con.cursor()
 
     def watchdog():
         timed_out.set()
-        con.interrupt()
+        cur.interrupt()
 
     timer = threading.Timer(timeout_s, watchdog)
     timer.start()
     t0 = time.time()
     try:
-        df = con.execute(sql).df()
+        df = cur.execute(sql).df()
         return df, time.time() - t0, False
     except duckdb.InterruptException:
         return None, time.time() - t0, True
@@ -56,6 +63,7 @@ def run_oracle_with_timeout(con, sql: str, timeout_s: float):
         raise
     finally:
         timer.cancel()
+        cur.close()
 
 
 def main() -> int:
