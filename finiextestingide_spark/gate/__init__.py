@@ -55,7 +55,6 @@ CURATED_ORDER: tuple[str, ...] = (
     "asof_purchase_click",
     "extreme_moves_hourly",
     "volatility_regimes",
-    "volatility_profile",
     "robustness_daily",
     "interval_coverage",
     "macd_daily",
@@ -74,11 +73,15 @@ CURATED_ORDER: tuple[str, ...] = (
     # sweeps
     "sweep_buyhold_ledger",
     "sweep_sensitivity",
-    # streaming
+    # streaming (streaming_live_limit — the round-7 full-order-surface live
+    # gate — replaced volatility_profile in-window; A4 stays green via
+    # check_gate + its consuming gates, the live-loop gate carries more
+    # information per slot)
     "streaming_bars_1h",
     "streaming_incremental_bars_1h",
     "streaming_asof_signal",
     "streaming_session_windows",
+    "streaming_live_limit",
     # LLM-data dedup / ANN core
     "dedup_exact",
     "minhash_lsh_pairs",
@@ -102,6 +105,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "multimodal_resize",
     "multimodal_frames",
     "streaming_live_replay",
+    "volatility_profile",
     "ma_trend_daily",
 )
 

@@ -1294,6 +1294,31 @@ _RSO_CONFIGS = [(3, 8), (5, 13)]  # (fast, slow) SMA pairs
 _RSO_BAR_MS = 3_600_000
 
 
+def _live_gate_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared stream source for the live-loop gates: events replayed
+    through a file stream in the live wire contract (time_msc = epoch-ms
+    clock, event_id as tick_seq for stable intra-ms ties)."""
+    from ..streaming.bars_stream import read_tick_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    set_nanos_as_long(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        normalize_ts(read_tick_stream(spark, f"{sf_dir}/events.parque*", raw_schema))
+        .select(
+            F.col("event_type").alias("symbol"),
+            F.col("ts").alias("timestamp"),
+            # wire contract (live_replay module docstring): time_msc =
+            # epoch-ms event time — the engine clock, exactly as batch;
+            # event_id joins the sort key as tick_seq for stable ties
+            F.unix_millis(F.col("ts")).alias("time_msc"),
+            F.col("event_id").alias("tick_seq"),
+            (F.col("value") - 0.005).alias("bid"),
+            (F.col("value") + 0.005).alias("ask"),
+        )
+    )
+
+
 def streaming_live_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LIVE autotrader loop (streaming/live_replay.live_backtest) driven
     as a stream inside the gate: events replayed through a file stream into
@@ -1306,22 +1331,9 @@ def streaming_live_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade records are hash-identical to a third engine's model of the
     batch semantics: the reference's dual-pipeline parity contract
     (tests/parity/test_trade_records_parity.py), driver-checked."""
-    from ..streaming.bars_stream import read_tick_stream
     from ..streaming.live_replay import live_backtest
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    set_nanos_as_long(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    ticks = (
-        normalize_ts(read_tick_stream(spark, f"{sf_dir}/events.parque*", raw_schema))
-        .select(
-            F.col("event_type").alias("symbol"),
-            F.col("ts").alias("timestamp"),
-            F.col("event_id").alias("time_msc"),
-            (F.col("value") - 0.005).alias("bid"),
-            (F.col("value") + 0.005).alias("ask"),
-        )
-    )
+    ticks = _live_gate_ticks(spark, sf_dir)
     fast, slow = _RSO_CONFIGS[0]
     params = {
         "strategy": "sma_cross",
@@ -1359,6 +1371,147 @@ def streaming_live_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mfe_price", 6).alias("mfe_price"),
         "exit_reason",
     )
+
+
+# --- live loop, FULL ORDER SURFACE (round 7): a resting LIMIT entry
+#     registered by the latency queue, filled AT the limit on the price
+#     trigger, then exited by broker-side SL/TP filled AT the level — all
+#     inside the stateful streaming session. SQL-expressible because
+#     buy_hold makes exactly one decision: trigger = decision-tick ask -
+#     offset; fill at the first tick with ask <= trigger; exit at the first
+#     tick from the fill on whose close-side move crosses the SL/TP
+#     distance; excursions are running extrema of (bid - trigger) over
+#     [fill, exit] with the entry anchored when a side never leaves zero.
+#     The trade's exit_reason is SL or TP — NON-END, so a live session
+#     (which never force-closes) emits the identical record. ---
+
+_SLL_OFFSET = 0.01
+_SLL_SL = 25.0
+_SLL_TP = 40.0
+
+
+def streaming_live_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live stateful session driving the R3 resting-order surface
+    (streaming/live_replay.live_backtest with entry_type=limit +
+    sl_dist/tp_dist): the limit entry RESTS in the state tuple across
+    micro-batches, fills AT the limit when the ask touches it, and the
+    position exits at the SL/TP LEVEL on the close-side mark — the same
+    contract the batch replay_limit_oracle gate pins
+    (trade_simulator.py:610-686 fill-at-limit;
+    abstract_trade_executor._check_sl_tp_triggers:403-459 level fills).
+    Hash-checked against an independent DuckDB reconstruction."""
+    from ..streaming.live_replay import live_backtest
+
+    ticks = _live_gate_ticks(spark, sf_dir)
+    params = {
+        "strategy": "buy_hold",
+        "bar_ms": str(_RSO_BAR_MS),
+        "entry_type": "limit",
+        "entry_offset": str(_SLL_OFFSET),
+        "sl_dist": str(_SLL_SL),
+        "tp_dist": str(_SLL_TP),
+        "equity_sample_every": "0",
+    }
+    name = "gate_streaming_live_limit"
+    q = (
+        live_backtest(ticks, params)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sid = F.create_map(
+        *[x for i, s in enumerate(_RSO_SYMBOLS) for x in (F.lit(s), F.lit(i + 1))]
+    )[F.col("symbol")]
+    return spark.table(name).select(
+        sid.cast("int").alias("scenario_id"),
+        "direction",
+        "entry_ts",
+        F.round("entry_price", 6).alias("entry_price"),
+        "exit_ts",
+        F.round("exit_price", 6).alias("exit_price"),
+        F.round("net_pnl", 6).alias("net_pnl"),
+        F.round("mae_pnl", 6).alias("mae_pnl"),
+        F.round("mfe_pnl", 6).alias("mfe_pnl"),
+        "exit_reason",
+    )
+
+
+STREAMING_LIVE_LIMIT_SQL = f"""
+WITH base AS (
+  SELECT event_type AS symbol, ts, epoch_ms(ts) AS ms,
+         value - 0.005 AS bid, value + 0.005 AS ask
+  FROM events
+),
+ticks AS (
+  SELECT symbol, ts, ms, bid, ask, ms // {_RSO_BAR_MS} AS bucket,
+         row_number() OVER (PARTITION BY symbol ORDER BY ms, ts, bid, ask) AS rn
+  FROM base
+),
+b0 AS (SELECT symbol, min(bucket) AS first_bucket FROM ticks GROUP BY 1),
+entry AS (
+  SELECT t.symbol, min(t.rn) AS decision_rn
+  FROM ticks t JOIN b0 USING (symbol)
+  WHERE t.bucket > b0.first_bucket
+  GROUP BY 1
+),
+lim AS (
+  SELECT e.symbol, e.decision_rn, t.ask - {_SLL_OFFSET} AS trig
+  FROM entry e JOIN ticks t ON t.symbol = e.symbol AND t.rn = e.decision_rn
+),
+fill AS (
+  SELECT l.symbol, l.trig, min(t.rn) AS fill_rn
+  FROM lim l JOIN ticks t ON t.symbol = l.symbol AND t.rn >= l.decision_rn AND t.ask <= l.trig
+  GROUP BY 1, 2
+),
+fts AS (
+  SELECT f.symbol, f.trig, f.fill_rn, t.ms AS entry_ms
+  FROM fill f JOIN ticks t ON t.symbol = f.symbol AND t.rn = f.fill_rn
+),
+-- excursion marks from the fill tick on: the SL/TP check runs AFTER the
+-- excursion update each tick, so the exit tick's raw mark still lands in
+-- MAE/MFE even when it gapped through the level
+hit AS (
+  SELECT f.symbol, min(t.rn) AS exit_rn
+  FROM fts f JOIN ticks t ON t.symbol = f.symbol AND t.rn >= f.fill_rn
+  WHERE t.bid - f.trig <= -{_SLL_SL} OR t.bid - f.trig >= {_SLL_TP}
+  GROUP BY 1
+),
+xx AS (
+  SELECT h.symbol, t.ms AS exit_ms,
+         CASE WHEN t.bid - f.trig <= -{_SLL_SL} THEN 'SL' ELSE 'TP' END AS reason,
+         CASE WHEN t.bid - f.trig <= -{_SLL_SL}
+              THEN f.trig - {_SLL_SL} ELSE f.trig + {_SLL_TP} END AS exit_price
+  FROM hit h
+  JOIN fts f USING (symbol)
+  JOIN ticks t ON t.symbol = h.symbol AND t.rn = h.exit_rn
+),
+ex AS (
+  SELECT f.symbol, t.bid - f.trig AS move
+  FROM fts f
+  JOIN hit h USING (symbol)
+  JOIN ticks t ON t.symbol = f.symbol AND t.rn BETWEEN f.fill_rn AND h.exit_rn
+),
+exagg AS (SELECT symbol, min(move) AS minm, max(move) AS maxm FROM ex GROUP BY 1),
+sids AS (
+  SELECT symbol, sid FROM (VALUES {", ".join(f"('{s}', {i + 1})" for i, s in enumerate(_RSO_SYMBOLS))}) AS v(symbol, sid)
+)
+SELECT s.sid AS scenario_id, 'LONG' AS direction,
+       make_timestamp(f.entry_ms * 1000) AS entry_ts,
+       round(f.trig, 6) AS entry_price,
+       make_timestamp(x.exit_ms * 1000) AS exit_ts,
+       round(x.exit_price, 6) AS exit_price,
+       round(x.exit_price - f.trig, 6) AS net_pnl,
+       round(least(0, e.minm), 6) AS mae_pnl,
+       round(greatest(0, e.maxm), 6) AS mfe_pnl,
+       x.reason AS exit_reason
+FROM fts f
+JOIN xx x USING (symbol)
+JOIN exagg e USING (symbol)
+JOIN sids s USING (symbol)
+"""
 
 
 def replay_sma_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2624,6 +2777,11 @@ QUERIES: dict[str, Query] = {
         streaming_live_replay,
         STREAMING_LIVE_REPLAY_SQL,
         "LIVE autotrader loop (stateful stream) hash-checked vs the batch trade-sequence oracle",
+    ),
+    "streaming_live_limit": Query(
+        streaming_live_limit,
+        STREAMING_LIVE_LIMIT_SQL,
+        "LIVE loop, full order surface: resting limit entry + SL/TP level fills, hash-checked",
     ),
     "replay_sma_oracle": Query(
         replay_sma_oracle,

@@ -425,7 +425,11 @@ def test_live_trade_records_parity(spark, sf_dir):
             live_ticks = raw.select(
                 "symbol",
                 F.col("ts").alias("timestamp"),
-                F.col("seq").alias("time_msc"),
+                # wire contract: time_msc = epoch-ms event time (the engine
+                # clock, same as batch); the feed seq joins the sort key as
+                # tick_seq so intra-ms ties resolve identically live/batch
+                F.unix_millis(F.col("ts")).alias("time_msc"),
+                F.col("seq").alias("tick_seq"),
                 (F.col("mid") - 0.005).alias("bid"),
                 (F.col("mid") + 0.005).alias("ask"),
             )
@@ -519,7 +523,11 @@ def test_live_rsi_reversion_parity(spark, sf_dir):
             live_ticks = raw.select(
                 "symbol",
                 F.col("ts").alias("timestamp"),
-                F.col("seq").alias("time_msc"),
+                # wire contract: time_msc = epoch-ms event time (the engine
+                # clock, same as batch); the feed seq joins the sort key as
+                # tick_seq so intra-ms ties resolve identically live/batch
+                F.unix_millis(F.col("ts")).alias("time_msc"),
+                F.col("seq").alias("tick_seq"),
                 (F.col("mid") - 0.005).alias("bid"),
                 (F.col("mid") + 0.005).alias("ask"),
             )
@@ -617,7 +625,11 @@ def test_live_seeded_latency_parity(spark, sf_dir):
             live_ticks = raw.select(
                 "symbol",
                 F.col("ts").alias("timestamp"),
-                F.col("seq").alias("time_msc"),
+                # wire contract: time_msc = epoch-ms event time (the engine
+                # clock, same as batch); the feed seq joins the sort key as
+                # tick_seq so intra-ms ties resolve identically live/batch
+                F.unix_millis(F.col("ts")).alias("time_msc"),
+                F.col("seq").alias("tick_seq"),
                 (F.col("mid") - 0.005).alias("bid"),
                 (F.col("mid") + 0.005).alias("ask"),
             )
@@ -718,7 +730,11 @@ def test_live_sl_tp_parity(spark, sf_dir):
             live_ticks = raw.select(
                 "symbol",
                 F.col("ts").alias("timestamp"),
-                F.col("seq").alias("time_msc"),
+                # wire contract: time_msc = epoch-ms event time (the engine
+                # clock, same as batch); the feed seq joins the sort key as
+                # tick_seq so intra-ms ties resolve identically live/batch
+                F.unix_millis(F.col("ts")).alias("time_msc"),
+                F.col("seq").alias("tick_seq"),
                 (F.col("mid") - 0.005).alias("bid"),
                 (F.col("mid") + 0.005).alias("ask"),
             )
@@ -930,7 +946,11 @@ def test_live_pyramid_multiposition_parity(spark, sf_dir):
             live_ticks = raw.select(
                 "symbol",
                 F.col("ts").alias("timestamp"),
-                F.col("seq").alias("time_msc"),
+                # wire contract: time_msc = epoch-ms event time (the engine
+                # clock, same as batch); the feed seq joins the sort key as
+                # tick_seq so intra-ms ties resolve identically live/batch
+                F.unix_millis(F.col("ts")).alias("time_msc"),
+                F.col("seq").alias("tick_seq"),
                 (F.col("mid") - 0.005).alias("bid"),
                 (F.col("mid") + 0.005).alias("ask"),
             )
