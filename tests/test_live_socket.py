@@ -981,3 +981,352 @@ def test_live_pyramid_multiposition_parity(spark, sf_dir):
                       "exit_price", "gross_pnl", "fees", "net_pnl", "mae_pnl",
                       "mfe_pnl", "mae_price", "mfe_price", "exit_reason"):
                 assert lr[c] == br[c], (s, br["trade_id"], c, lr[c], br[c])
+
+
+# --- round 7: full order surface, rng state, account scope, signals -------
+
+
+def _batch_nonend_trades(spark, events, params, *, seed=None, lat_min=0, lat_max=0):
+    """Batch replay of the recorded feed, grouped by symbol, END closes
+    dropped (a live session has no end of data). Returns (trades_by_symbol,
+    results_df) so tests can also assert engine counters (orders_cancelled
+    etc.) prove the surface was actually exercised."""
+    from finiextestingide_spark.operators.replay import run_backtest, trades_table
+
+    symbols = sorted({r["event_type"] for r in events})
+    ticks_df = spark.createDataFrame(
+        [
+            (r["event_type"], r["ts"], _epoch_us(r["ts"]) // 1000,
+             _epoch_us(r["ts"]) // 1000, r["value"] - 0.005, r["value"] + 0.005)
+            for r in events
+        ],
+        "symbol string, timestamp timestamp, time_msc long, collected_msc long, "
+        "bid double, ask double",
+    )
+    scenarios = spark.createDataFrame(
+        [(i + 1, f"r7-{s}", s, None, None,
+          seed if seed is not None else i + 1, lat_min, lat_max, params)
+         for i, s in enumerate(symbols)],
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+        "latency_max_ms int, parameters map<string,string>",
+    )
+    sym_of = {i + 1: s for i, s in enumerate(symbols)}
+    res = run_backtest(ticks_df, scenarios)
+    batch = {}
+    for r in trades_table(res).collect():
+        if r["exit_reason"] == "END":
+            continue
+        batch.setdefault(sym_of[r["scenario_id"]], []).append(r)
+    return batch, res
+
+
+def _drive_live_socket(spark, events, params, *, seed=0, lat_min=0, lat_max=0,
+                       n_expected=0, chunk_lines=250, chunk_pause=0.3):
+    """Feed the recorded events over a socket through live_backtest and
+    collect trades grouped by symbol."""
+    from finiextestingide_spark.streaming.live_replay import live_backtest
+
+    lines = [
+        tick_line(r["event_type"], _epoch_us(r["ts"]), r["value"], 1.0, r["event_id"])
+        for r in events
+    ]
+    name = f"live_r7_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with TickFeedServer(lines, chunk_lines=chunk_lines,
+                            chunk_pause_secs=chunk_pause) as srv:
+            raw = read_socket_ticks(spark, "127.0.0.1", srv.port)
+            live_ticks = raw.select(
+                "symbol",
+                F.col("ts").alias("timestamp"),
+                F.unix_millis(F.col("ts")).alias("time_msc"),
+                F.col("seq").alias("tick_seq"),
+                (F.col("mid") - 0.005).alias("bid"),
+                (F.col("mid") + 0.005).alias("ask"),
+            )
+            q = (
+                live_backtest(live_ticks, params, latency_seed=seed,
+                              latency_min_ms=lat_min, latency_max_ms=lat_max)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                _drain(spark, name, n_expected, q)
+                got = {}
+                for r in sorted(
+                    spark.table(name).collect(), key=lambda r: (r["symbol"], r["trade_id"])
+                ):
+                    got.setdefault(r["symbol"], []).append(r)
+            finally:
+                q.stop()
+                q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return got
+
+
+_TRADE_FIELDS = ("direction", "lots", "entry_ts", "entry_price", "exit_ts",
+                 "exit_price", "gross_pnl", "fees", "net_pnl", "mae_pnl",
+                 "mfe_pnl", "mae_price", "mfe_price", "exit_reason")
+
+
+def _assert_trade_parity(batch, got):
+    assert {s: len(v) for s, v in got.items()} == {s: len(v) for s, v in batch.items()}
+    for s, brs in batch.items():
+        for br, lr in zip(brs, got[s]):
+            for c in _TRADE_FIELDS:
+                assert lr[c] == br[c], (s, br["trade_id"], c, lr[c], br[c])
+
+
+def test_live_limit_entry_parity(spark, sf_dir):
+    """Resting LIMIT entries in the live session (round-7 order surface):
+    every sma_cross flip queues a close plus a limit entry at
+    decision-tick ask/bid -/+ offset; the entry RESTS in the state tuple
+    across micro-batches, fills AT the limit on the price trigger, and the
+    next flip cancels any still-resting entry before queueing its own
+    (the batch target-model contract). Trade records from the socket feed
+    must equal the batch replay's field-for-field, and the batch's
+    orders_cancelled counter must prove flip-cancels actually happened."""
+    import pyspark.sql.functions as SF
+
+    params = {
+        "strategy": "sma_cross", "fast": "3", "slow": "7",
+        "bar_ms": "3600000", "fee_per_side": "0.05", "lots": "1.0",
+        "entry_type": "limit", "entry_offset": "0.5",
+        "equity_sample_every": "0",
+    }
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    batch, res = _batch_nonend_trades(spark, events, params)
+    n_expected = sum(len(v) for v in batch.values())
+    n_cancelled = res.agg(SF.sum("orders_cancelled")).collect()[0][0]
+    assert n_expected > 10 and n_cancelled > 0  # surface actually exercised
+
+    got = _drive_live_socket(spark, events, params, n_expected=n_expected)
+    _assert_trade_parity(batch, got)
+
+
+def test_live_stop_limit_modify_cancel_parity(spark, sf_dir):
+    """STOP_LIMIT entries plus the #318 modify/cancel lifecycle live: the
+    resting entry counts closed bars in state; after modify_after_bars its
+    trigger is re-priced by dir*modify_delta (scheduled at the decision
+    tick, APPLIED at the first tick past the wire delay — Phase 0), after
+    cancel_after_bars it is cancelled; a triggered stop converts to a
+    limit at its stored limit price. Drives the feed through several
+    micro-batches from a file stream so every lifecycle transition crosses
+    a batch boundary somewhere; trade records must equal the batch
+    replay's."""
+    import pyspark.sql.functions as SF
+
+    from finiextestingide_spark.streaming.live_replay import live_backtest
+
+    params = {
+        "strategy": "sma_cross", "fast": "3", "slow": "7",
+        "bar_ms": "3600000", "fee_per_side": "0.05", "lots": "1.0",
+        "entry_type": "stop_limit", "entry_offset": "20.0", "limit_offset": "5.0",
+        "modify_after_bars": "1", "modify_delta": "-8.0",
+        "cancel_after_bars": "3", "modify_cancel_delay_ms": "1",
+        "price_digits": "3",
+        "equity_sample_every": "0",
+    }
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    batch, res = _batch_nonend_trades(spark, events, params)
+    n_expected = sum(len(v) for v in batch.values())
+    n_cancelled = res.agg(SF.sum("orders_cancelled")).collect()[0][0]
+    assert n_expected > 0 and n_cancelled > 0
+
+    # file-stream drive (maxFilesPerTrigger=1 -> one micro-batch per chunk)
+    import tempfile
+
+    rows = [
+        (r["event_type"], r["ts"], _epoch_us(r["ts"]) // 1000,
+         r["event_id"], r["value"] - 0.005, r["value"] + 0.005)
+        for r in events
+    ]
+    ddl = ("symbol string, timestamp timestamp, time_msc long, tick_seq long, "
+           "bid double, ask double")
+    with tempfile.TemporaryDirectory() as tmp:
+        n_chunks = 6
+        per = (len(rows) + n_chunks - 1) // n_chunks
+        for i in range(n_chunks):
+            chunk = rows[i * per:(i + 1) * per]
+            if chunk:
+                spark.createDataFrame(chunk, ddl).coalesce(1).write.parquet(
+                    f"{tmp}/feed/p{i}"
+                )
+        schema = spark.createDataFrame([], ddl).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/feed/p*")
+        )
+        name = f"live_mc_{uuid.uuid4().hex[:8]}"
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                live_backtest(stream, params)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            got = {}
+            for r in sorted(
+                spark.table(name).collect(), key=lambda r: (r["symbol"], r["trade_id"])
+            ):
+                got.setdefault(r["symbol"], []).append(r)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    _assert_trade_parity(batch, got)
+
+
+def test_live_pyramid_default_cap_parity(spark, sf_dir):
+    """Pyramid with max_positions OMITTED and latency on (the ADVICE r6
+    parity gap): the batch strategy caps its slots at ITS default 3 while
+    the engine fill capacity defaults to 1, so the batch keeps queueing
+    capacity-dropped opens, each consuming a shared submission rng draw.
+    Live must mirror both defaults or the seeded delay sequence (and every
+    trade after the first drop) diverges."""
+    params = {
+        "strategy": "pyramid", "fast": "3", "slow": "7",
+        "bar_ms": "3600000", "fee_per_side": "0.05", "lots": "1.0",
+        "equity_sample_every": "0",
+    }
+    seed, lat_min, lat_max = 13, 300_000, 5_400_000
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    batch, _res = _batch_nonend_trades(
+        spark, events, params, seed=seed, lat_min=lat_min, lat_max=lat_max
+    )
+    n_expected = sum(len(v) for v in batch.values())
+    assert n_expected > 5
+
+    got = _drive_live_socket(
+        spark, events, params, seed=seed, lat_min=lat_min, lat_max=lat_max,
+        n_expected=n_expected,
+    )
+    _assert_trade_parity(batch, got)
+
+
+def test_rng_state_serialization_is_draw_count_independent():
+    """O(1) rng state (round-7 #3): the serialized Mersenne state is a
+    fixed-size vector — its pickle does not grow with the session's
+    lifetime draw count — and restoring it reproduces the exact sequence.
+    This is the state-size half of the contract; the restart test below
+    proves the round-trip through a real checkpoint."""
+    import pickle
+    import random
+
+    r = random.Random(7)
+    size0 = len(pickle.dumps(r.getstate()))
+    for _ in range(200_000):
+        r.randint(0, 1_000_000)
+    blob = pickle.dumps(r.getstate())
+    # the state is a fixed 625-word vector; pickle length jitters a few
+    # bytes with word values but is BOUNDED — it cannot grow with draws
+    assert abs(len(blob) - size0) < 256 and len(blob) < 8192
+
+    r2 = random.Random(0)
+    r2.setstate(pickle.loads(blob))
+    assert [r.randint(0, 9) for _ in range(16)] == [r2.randint(0, 9) for _ in range(16)]
+
+
+def test_live_restart_latency_rng_state(spark, sf_dir, tmp_path):
+    """Checkpoint-restart with seeded latency: the pickled Mersenne state
+    survives the state store round-trip, so a session killed mid-feed and
+    restarted continues the EXACT batch draw sequence — trade records
+    equal the batch replay's, including fills whose delay was drawn before
+    the crash and resolved after it."""
+    import pyspark.sql.functions as SF  # noqa: F401
+
+    from finiextestingide_spark.streaming.live_replay import live_backtest
+
+    params = {
+        "strategy": "sma_cross", "fast": "3", "slow": "7",
+        "bar_ms": "3600000", "fee_per_side": "0.05", "lots": "1.0",
+        "equity_sample_every": "0",
+    }
+    seed, lat_min, lat_max = 29, 300_000, 7_200_000
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    batch, _res = _batch_nonend_trades(
+        spark, events, params, seed=seed, lat_min=lat_min, lat_max=lat_max
+    )
+    n_expected = sum(len(v) for v in batch.values())
+    assert n_expected > 5
+
+    rows = [
+        (r["event_type"], r["ts"], _epoch_us(r["ts"]) // 1000,
+         r["event_id"], r["value"] - 0.005, r["value"] + 0.005)
+        for r in events
+    ]
+    ddl = ("symbol string, timestamp timestamp, time_msc long, tick_seq long, "
+           "bid double, ask double")
+    src = tmp_path / "feed"
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    src.mkdir()
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], ddl).coalesce(1).write.parquet(str(src / "p1"))
+    schema = spark.createDataFrame([], ddl).schema
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "p*"))
+        )
+        return (
+            live_backtest(stream, params, latency_seed=seed,
+                          latency_min_ms=lat_min, latency_max_ms=lat_max)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    try:
+        q1 = start_query()
+        q1.awaitTermination()
+        spark.createDataFrame(rows[half:], ddl).coalesce(1).write.parquet(
+            str(src / "p2")
+        )
+        q2 = start_query()
+        q2.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    got = {}
+    for r in sorted(
+        spark.read.parquet(out_dir).collect(), key=lambda r: (r["symbol"], r["trade_id"])
+    ):
+        got.setdefault(r["symbol"], []).append(r)
+    _assert_trade_parity(batch, got)
