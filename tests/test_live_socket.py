@@ -1330,3 +1330,224 @@ def test_live_restart_latency_rng_state(spark, sf_dir, tmp_path):
     ):
         got.setdefault(r["symbol"], []).append(r)
     _assert_trade_parity(batch, got)
+
+
+def test_live_account_global_margin_gate(spark, tmp_path):
+    """Account-global portfolio state (round-7 #2): one live session spans
+    both symbols, so symbol B's open is rejected because symbol A's
+    position consumed the ACCOUNT margin — something per-symbol sessions
+    cannot express. Fixture: margin covers exactly one lot; A goes long at
+    bar 3 and exits via TP at bar 5; B's long signal at bar 3 is
+    margin-rejected (A holds), B's short signal at bar 6 fills (margin
+    free again). Batch parity: A alone through the batch replay with the
+    same params produces the identical trade record; the no-margin control
+    run proves B's long WOULD have filled (so the rejection was the margin
+    gate, not capacity)."""
+    from datetime import datetime, timedelta
+
+    from finiextestingide_spark.operators.replay import run_backtest, trades_table
+    from finiextestingide_spark.streaming.live_replay import live_backtest_account
+
+    t0 = datetime(2026, 1, 5)
+    # two ticks per 1-minute bar, at :00 and :30; mid == value
+    a_bars = [(10, 10), (11, 11), (12, 12), (13, 14), (16, 16), (16, 16)]
+    b_bars = [(9, 9), (10, 10), (11, 11), (12, 12), (5, 5), (6, 6)]
+    rows = []
+    seq = 0
+    for k in range(6):
+        for j, (av, bv) in enumerate(zip(a_bars[k], b_bars[k])):
+            ts = t0 + timedelta(seconds=60 * k + 30 * j)
+            ms = int(ts.timestamp() * 1000)
+            rows.append(("A", ts, ms, seq, av - 0.005, av + 0.005)); seq += 1
+            rows.append(("B", ts, ms, seq, bv - 0.005, bv + 0.005)); seq += 1
+    ddl = ("symbol string, timestamp timestamp, time_msc long, tick_seq long, "
+           "bid double, ask double")
+
+    base_params = {
+        "strategy": "sma_cross", "fast": "1", "slow": "2",
+        "bar_ms": "60000", "lots": "1.0", "tp_dist": "3.0",
+        "start_balance": "10000", "equity_sample_every": "0",
+    }
+    margin_params = {**base_params, "margin_per_lot": "8000"}
+
+    def run_account(params, sub):
+        src = tmp_path / f"feed_{sub}"
+        src.mkdir()
+        half = len(rows) // 2
+        spark.createDataFrame(rows[:half], ddl).coalesce(1).write.parquet(
+            str(src / "p1")
+        )
+        spark.createDataFrame(rows[half:], ddl).coalesce(1).write.parquet(
+            str(src / "p2")
+        )
+        schema = spark.createDataFrame([], ddl).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "p*"))
+        )
+        name = f"acct_{sub}_{uuid.uuid4().hex[:8]}"
+        q = (
+            live_backtest_account(stream, params)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {}
+        for r in sorted(
+            spark.table(name).collect(), key=lambda r: (r["symbol"], r["trade_id"])
+        ):
+            got.setdefault(r["symbol"], []).append(r)
+        return got
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        gated = run_account(margin_params, "m")
+        control = run_account(base_params, "c")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    # margin run: ONLY A's TP trade closed; B's bar-3 long was rejected at
+    # account scope (its bar-6 short fills but never closes -> no record)
+    assert set(gated) == {"A"} and len(gated["A"]) == 1
+    assert gated["A"][0]["exit_reason"] == "TP"
+    # control: B's long filled (so the gated rejection WAS the margin) and
+    # closed on its bar-6 flip
+    assert "B" in control and len(control["B"]) == 1
+    assert control["B"][0]["direction"] == "LONG"
+    assert control["B"][0]["exit_reason"] == "SIGNAL"
+    assert len(control["A"]) == 1 and control["A"][0]["exit_reason"] == "TP"
+
+    # batch parity for A: the same params through the per-scenario batch
+    # replay (margin included; A alone fits it) — identical record
+    a_rows = [r for r in rows if r[0] == "A"]
+    ticks_df = spark.createDataFrame(
+        [(s, ts, ms, ms, b, a) for (s, ts, ms, _sq, b, a) in a_rows],
+        "symbol string, timestamp timestamp, time_msc long, collected_msc long, "
+        "bid double, ask double",
+    )
+    scenarios = spark.createDataFrame(
+        [(1, "acct-A", "A", None, None, 1, 0, 0, margin_params)],
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+        "latency_max_ms int, parameters map<string,string>",
+    )
+    batch_a = [
+        r for r in trades_table(run_backtest(ticks_df, scenarios)).collect()
+        if r["exit_reason"] != "END"
+    ]
+    assert len(batch_a) == 1
+    for c in ("direction", "lots", "entry_ts", "entry_price", "exit_ts",
+              "exit_price", "gross_pnl", "fees", "net_pnl", "mae_pnl",
+              "mfe_pnl", "mae_price", "mfe_price", "exit_reason"):
+        assert gated["A"][0][c] == batch_a[0][c], (c, gated["A"][0][c], batch_a[0][c])
+
+
+def test_live_signal_follow_asof_parity(spark):
+    """W7 live (round-7 #6): two live sockets — ticks + signals — feed ONE
+    stateful session; the signal_follow strategy decides from the latest
+    as-of signal with staleness gating, and every trade stamps the signal
+    that drove its entry. The stamped (entry_sig_ts, entry_sig_score) must
+    equal the batch as-of join (operators/asof.asof_join) evaluated at the
+    decision ticks, and the stale window must force the position flat."""
+    from datetime import datetime, timedelta
+
+    from finiextestingide_spark.operators.asof import asof_join
+    from finiextestingide_spark.streaming.live_replay import live_backtest
+
+    t0 = datetime(2026, 3, 2)
+    # ticks every 20s for 15 minutes, constant price 100
+    tick_rows = [
+        ("S", t0 + timedelta(seconds=20 * i), 100.0) for i in range(45)
+    ]
+    sig_rows = [
+        ("S", t0 + timedelta(seconds=90), 5.0),    # fresh long driver
+        ("S", t0 + timedelta(seconds=400), -4.0),  # flip short driver
+    ]
+    params = {
+        "strategy": "signal_follow", "bar_ms": "60000",
+        "signal_threshold": "1.0", "signal_max_age_ms": "300000",
+        "lots": "1.0", "equity_sample_every": "0",
+    }
+    # expected: LONG entry at the 120s decision (signal 90s/5.0), flipped
+    # SHORT at 420s (signal 400s/-4.0), closed flat at 720s (stale)
+    exp_entries = {
+        ("LONG", t0 + timedelta(seconds=120)): (t0 + timedelta(seconds=90), 5.0),
+        ("SHORT", t0 + timedelta(seconds=420)): (t0 + timedelta(seconds=400), -4.0),
+    }
+
+    # wire scripts: each signal goes on the wire BEFORE its dependent ticks
+    sig_lines = [
+        (0.0, signal_line("S", _epoch_us(sig_rows[0][1]), 5.0)),
+        (4.0, signal_line("S", _epoch_us(sig_rows[1][1]), -4.0)),
+    ]
+    tick_lines = []
+    for i, (s, ts, v) in enumerate(tick_rows):
+        # event-time lockstep with wide wall margins (this is scripted
+        # arrival order, and micro-batch polling is asynchronous): signal 1
+        # is on the wire 2s before ANY tick; the ticks from event-time 400s
+        # on wait until signal 2 (wire ~4s) has had 4s to be polled
+        delay = 2.0 if i == 0 else (6.0 if ts == t0 + timedelta(seconds=400) else 0.0)
+        tick_lines.append((delay, tick_line(s, _epoch_us(ts), v, 1.0, i)))
+
+    name = f"live_sig_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with TickFeedServer(sig_lines) as sig_srv, TickFeedServer(tick_lines) as tick_srv:
+            st = read_socket_ticks(spark, "127.0.0.1", tick_srv.port).select(
+                "symbol",
+                F.col("ts").alias("timestamp"),
+                F.unix_millis(F.col("ts")).alias("time_msc"),
+                F.col("seq").alias("tick_seq"),
+                (F.col("mid") - 0.005).alias("bid"),
+                (F.col("mid") + 0.005).alias("ask"),
+            )
+            ss = read_socket_signals(spark, "127.0.0.1", sig_srv.port).select(
+                "symbol", "sig_ts", F.col("score")
+            )
+            q = (
+                live_backtest(st, params, signals=ss)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                _drain(spark, name, 2, q)
+                got = sorted(spark.table(name).collect(), key=lambda r: r["trade_id"])
+            finally:
+                q.stop()
+                q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    assert len(got) == 2
+    # structural expectations: long then short, short closed by staleness
+    assert [r["direction"] for r in got] == ["LONG", "SHORT"]
+    assert got[1]["exit_ts"] == t0 + timedelta(seconds=720)  # stale -> flat
+    for r in got:
+        key = (r["direction"], r["entry_ts"])
+        assert key in exp_entries, key
+        exp_sig_ts, exp_score = exp_entries[key]
+        assert r["entry_sig_ts"] == exp_sig_ts, r
+        assert r["entry_sig_score"] == exp_score, r
+
+    # parity vs the batch as-of join at the decision ticks: the stamped
+    # signal must be exactly what asof_join resolves there
+    dec_df = spark.createDataFrame(
+        [("S", r["entry_ts"]) for r in got], "symbol string, ts timestamp"
+    )
+    sig_df = spark.createDataFrame(sig_rows, "symbol string, sig_ts timestamp, score double")
+    joined = {
+        r["ts"]: (r["sig_ts"], r["score"])
+        for r in asof_join(
+            dec_df, sig_df, on=["symbol"], left_ts="ts", right_ts="sig_ts", how="left"
+        ).collect()
+    }
+    for r in got:
+        assert joined[r["entry_ts"]] == (r["entry_sig_ts"], r["entry_sig_score"])
