@@ -170,7 +170,11 @@ def decode_media(payload: bytes) -> np.ndarray:
         return decode_ppm(payload)
     raise NotImplementedError(
         f"no built-in codec for magic {payload[:4]!r} — BMP/PPM decode "
-        "natively; pass a real decoder callable for compressed formats"
+        "natively; pass a real decoder callable for compressed formats. "
+        "The adapter contract (any callable bytes -> (H, W, 3) uint8 RGB "
+        "through extract_features(decoder=...)) is proven by "
+        "tests/test_multimodal_scenario_index.py: a zlib-deflated PPM "
+        "adapter always, and a PIL PNG adapter where PIL is installed."
     )
 
 

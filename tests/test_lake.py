@@ -33,3 +33,61 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {rt}")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_bucketed_tick_lake_backtest_single_exchange(spark, sf_dir):
+    """The 100 TB replay layout (SCALE.md): ticks persisted as a bucketed
+    lake table (write_bucketed on symbol) feed run_backtest with ZERO
+    Exchange before the explicit per-scenario repartition — the scenario
+    attach broadcasts the scenario slice onto the bucketed scan in place,
+    so the ONLY shuffle in the whole pre-replay plan is the one
+    deliberately placed repartition(n, scenario_id) that spreads the
+    Python-CPU-bound replay across cores. At 1000 executors that means the
+    100 TB tick scan is never moved; only the (already-sliced) per-scenario
+    rows travel once. The plan is pinned structurally: exactly one
+    Exchange node, and it is the scenario repartition; the scan is the
+    bucketed table."""
+    import pyspark.sql.functions as F
+
+    from finiextestingide_spark.operators.replay import run_backtest
+    from finiextestingide_spark.sources.lake import write_bucketed
+    from finiextestingide_spark.sources.tables import load_table
+
+    ticks = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts").alias("timestamp"),
+        F.unix_millis("ts").alias("time_msc"),
+        F.unix_millis("ts").alias("collected_msc"),
+        (F.col("value") - 0.005).alias("bid"),
+        (F.col("value") + 0.005).alias("ask"),
+    )
+    table = f"lake_ticks_{uuid.uuid4().hex[:8]}"
+    try:
+        write_bucketed(ticks, table, bucket_by="symbol", n_buckets=4)
+        lake_ticks = spark.table(table)
+        scenarios = spark.createDataFrame(
+            [(i + 1, f"lake-{s}", s, None, None, i + 1, 0, 0,
+              {"strategy": "buy_hold", "bar_ms": "3600000",
+               "equity_sample_every": "0"})
+             for i, s in enumerate(["click", "view", "purchase"])],
+            "scenario_id int, name string, symbol string, max_ticks int, "
+            "tick_processing_budget_ms double, latency_seed int, "
+            "latency_min_ms int, latency_max_ms int, parameters map<string,string>",
+        )
+        res = run_backtest(lake_ticks, scenarios)
+        plan = _plan(res)
+        # exactly ONE shuffle Exchange in the whole plan, and it is the
+        # explicit scenario repartition (hashpartitioning on scenario_id).
+        # A BroadcastExchange of the tiny scenario slice is allowed — that
+        # IS the design (the 100 TB side never moves; the config does).
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Exchange rangepartitioning" not in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
+        first_exchange_arg = plan.split("Exchange hashpartitioning(", 1)[1]
+        assert first_exchange_arg.startswith("scenario_id"), plan
+        # the scan really is the bucketed lake table
+        assert "Bucketed: true" in plan, plan
+        # and the composition actually runs: one result row per scenario
+        assert res.count() == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -193,3 +193,75 @@ def test_file_index_and_coverage(spark, tmp_path):
     assert rel.count() >= 1
     rq = range_query(lake, T0, T0 + timedelta(seconds=4), limit=3)
     assert rq.count() == 3  # cap applied
+
+
+def test_compressed_codec_adapter_through_seam(spark):
+    """Round-7 adapter proof: the decoder= seam of extract_features handles
+    a genuinely COMPRESSED format end-to-end. The format here is
+    zlib-deflated PPM ('ZPPM' magic + DEFLATE stream — real compression,
+    stdlib-only since PIL is not in this container); the adapter
+    decompresses then reuses the native PPM codec. Features must equal the
+    uncompressed-PPM run exactly: the seam contract is 'any callable
+    bytes -> (H, W, 3) uint8', and the Arrow batch plumbing is identical
+    either way."""
+    import zlib
+
+    from finiextestingide_spark.operators.multimodal import decode_ppm, extract_features
+
+    imgs = {i: _img(i, 6, 9) for i in range(1, 4)}
+    plain = spark.createDataFrame(
+        [(i, encode_ppm(im)) for i, im in imgs.items()], "media_id long, media binary"
+    )
+    packed = spark.createDataFrame(
+        [(i, b"ZPPM" + zlib.compress(encode_ppm(im), 9)) for i, im in imgs.items()],
+        "media_id long, media binary",
+    )
+    # the compressed payloads must actually be a different (smaller or at
+    # least transformed) byte stream, or this proves nothing
+    for (i, im) in imgs.items():
+        assert b"ZPPM" + zlib.compress(encode_ppm(im), 9) != encode_ppm(im)
+
+    def zppm_decoder(payload: bytes):
+        if payload[:4] != b"ZPPM":
+            raise ValueError("not a ZPPM payload")
+        return decode_ppm(zlib.decompress(payload[4:]))
+
+    base = {
+        r["media_id"]: r
+        for r in extract_features(plain, feature_dim=96).collect()
+    }
+    via_seam = {
+        r["media_id"]: r
+        for r in extract_features(packed, decoder=zppm_decoder, feature_dim=96).collect()
+    }
+    assert set(base) == set(via_seam) == set(imgs)
+    for i in imgs:
+        assert via_seam[i]["height"] == base[i]["height"] == 6
+        assert via_seam[i]["width"] == base[i]["width"] == 9
+        assert via_seam[i]["features"] == base[i]["features"]
+
+
+def test_pil_codec_adapter_if_available(spark):
+    """Conditional PIL proof (skips cleanly where PIL is absent): a real
+    PNG encoded by PIL decodes through the same decoder= seam and yields
+    pixel-identical features to the native-BMP run of the same image."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    img = _img(9, 8, 12)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(img).save(buf, format="PNG")
+    png_df = spark.createDataFrame(
+        [(1, buf.getvalue())], "media_id long, media binary"
+    )
+    bmp_df = spark.createDataFrame(
+        [(1, encode_bmp(img))], "media_id long, media binary"
+    )
+
+    def pil_decoder(payload: bytes):
+        return np.asarray(PIL_Image.open(io.BytesIO(payload)).convert("RGB"))
+
+    a = extract_features(png_df, decoder=pil_decoder, feature_dim=96).collect()[0]
+    b = extract_features(bmp_df, feature_dim=96).collect()[0]
+    assert a["features"] == b["features"]
+    assert (a["height"], a["width"]) == (b["height"], b["width"]) == (8, 12)
