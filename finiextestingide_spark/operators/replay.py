@@ -728,169 +728,1054 @@ def _replay_one(pdf: pd.DataFrame) -> pd.DataFrame:
     return _replay_core(pdf, scen)
 
 
-def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
-    sid = int(scen["scenario_id"])
-    raw_params = scen.get("parameters")
-    params: dict = dict(raw_params) if isinstance(raw_params, dict) else {}
+class ReplaySession:
+    """The per-tick trading state machine, shared by BATCH and LIVE.
 
-    strategy_name = params.get("strategy", "sma_cross")
-    if strategy_name not in STRATEGIES:
-        load_strategy_plugins()
-    strategy = STRATEGIES[strategy_name](params)
-    bar_ms = int(params.get("bar_ms", 60_000))
-    lots = float(params.get("lots", 1.0))
-    contract = float(params.get("contract_size", 1.0))
-    fee_per_side = float(params.get("fee_per_side", 0.0))
-    # Maker/taker value-based fees (reference trading_fee_factory.py:44-75,
-    # abstract_trade_executor.py:630: LIMIT/STOP_LIMIT entries add
-    # liquidity = maker rate; MARKET/STOP and synthetic closes = taker).
-    # Rates are PERCENT of order value (lots x contract x price), the
-    # Kraken convention (0.16/0.26). When configured they replace the flat
-    # per-lot fee; unset keeps the historical flat model bit-identical.
-    maker_fee_pct = float(params["maker_fee_pct"]) if "maker_fee_pct" in params else None
-    taker_fee_pct = float(params["taker_fee_pct"]) if "taker_fee_pct" in params else None
-    mt_fees = maker_fee_pct is not None or taker_fee_pct is not None
-    if mt_fees and (maker_fee_pct is None or taker_fee_pct is None):
-        # a one-sided config would silently make the other liquidity side
-        # free (it does NOT fall back to fee_per_side) — fail loud instead
-        raise ValueError(
-            "maker_fee_pct and taker_fee_pct must be configured together"
+    The reference runs the SAME pipeline core in its batch orchestrator and
+    its live autotrader loop (tick_pipeline_core.py:1-16 — "one tick in,
+    bars/decision/execution out"); this class is the engine's analogue.
+    ``_replay_core`` drives it in a loop over a scenario's tick arrays; the
+    generic live operator (streaming/live_replay.live_backtest_generic)
+    pickles ONE session per symbol into Structured Streaming state and
+    feeds it each micro-batch — so every strategy and every feature of the
+    batch surface (resting orders, modify/cancel, maker/taker + flat fees,
+    spot dual-balance, margin gate, swap accrual, stress rejection, stale
+    windows, budget clipping, heartbeats, partial closes, per-position
+    SL/TP, per-tick management) runs live with parity BY CONSTRUCTION, not
+    by reimplementation.
+
+    Every attribute is picklable plain data — including ``random.Random``
+    (its Mersenne state pickles O(1) in lifetime draws) and the strategy
+    instance (plain attrs; bound-method ``on_tick`` hooks pickle by
+    qualified name) — which is the live checkpoint contract.
+
+    All per-tick semantics and their reference citations live in the
+    method bodies below; the loop ordering (swap -> Phase 0 -> heartbeat ->
+    budget -> stale hook -> bar close/decision -> Phase 1 -> Phases 2/3 ->
+    excursions/SLTP -> per-tick hook -> account state) is _replay_core's
+    historical contract, hash-pinned by the replay gate oracles.
+    """
+
+    def __init__(self, scen: dict):
+        self.sid = int(scen["scenario_id"])
+        raw_params = scen.get("parameters")
+        params: dict = dict(raw_params) if isinstance(raw_params, dict) else {}
+        self.params = params
+
+        strategy_name = params.get("strategy", "sma_cross")
+        if strategy_name not in STRATEGIES:
+            load_strategy_plugins()
+        self.strategy = STRATEGIES[strategy_name](params)
+        self.bar_ms = int(params.get("bar_ms", 60_000))
+        self.lots = float(params.get("lots", 1.0))
+        self.contract = float(params.get("contract_size", 1.0))
+        self.fee_per_side = float(params.get("fee_per_side", 0.0))
+        # Maker/taker value-based fees (reference trading_fee_factory.py:44-75,
+        # abstract_trade_executor.py:630: LIMIT/STOP_LIMIT entries add
+        # liquidity = maker rate; MARKET/STOP and synthetic closes = taker).
+        # Rates are PERCENT of order value (lots x contract x price), the
+        # Kraken convention (0.16/0.26). When configured they replace the flat
+        # per-lot fee; unset keeps the historical flat model bit-identical.
+        self.maker_fee_pct = (
+            float(params["maker_fee_pct"]) if "maker_fee_pct" in params else None
+        )
+        self.taker_fee_pct = (
+            float(params["taker_fee_pct"]) if "taker_fee_pct" in params else None
+        )
+        self.mt_fees = self.maker_fee_pct is not None or self.taker_fee_pct is not None
+        if self.mt_fees and (self.maker_fee_pct is None or self.taker_fee_pct is None):
+            # a one-sided config would silently make the other liquidity side
+            # free (it does NOT fall back to fee_per_side) — fail loud instead
+            raise ValueError(
+                "maker_fee_pct and taker_fee_pct must be configured together"
+            )
+        self.sl_dist = float(params["sl_dist"]) if "sl_dist" in params else None
+        self.tp_dist = float(params["tp_dist"]) if "tp_dist" in params else None
+        self.start_balance = float(params.get("start_balance", 10_000.0))
+        self.sample_every = int(params.get("equity_sample_every", 1000))
+        # market | limit | stop | stop_limit (stop_limit: stop trigger converts
+        # to a limit order at trigger -/+ limit_offset, trade_simulator.py:161-193)
+        self.entry_type = params.get("entry_type", "market")
+        self.entry_offset = float(params.get("entry_offset", 0.0))
+        self.limit_offset = float(params.get("limit_offset", 0.0))
+        # Multi-position cap (reference: unlimited concurrent positions in
+        # open_positions; 1 reproduces the historical net-position model).
+        self.max_positions = int(params.get("max_positions", 1))
+        # Order-modify lifecycle (#318 async pattern, trade_simulator.py:724,919):
+        # after `modify_after_bars` closed bars resting un-triggered, the entry's
+        # trigger moves by dir*modify_delta (scheduled at the decision tick,
+        # APPLIED at the first tick >= schedule + modify_cancel_delay_ms — the
+        # reference's Phase 0 resolve); after `cancel_after_bars` it is cancelled.
+        self.modify_after_bars = (
+            int(params["modify_after_bars"]) if "modify_after_bars" in params else None
+        )
+        self.modify_delta = float(params.get("modify_delta", 0.0))
+        self.cancel_after_bars = (
+            int(params["cancel_after_bars"]) if "cancel_after_bars" in params else None
+        )
+        self.modify_cancel_delay_ms = int(params.get("modify_cancel_delay_ms", 1))
+        # Spot dual-balance accounting (abstract_adapter spot semantics,
+        # portfolio_manager.py:334-348,395-407,509-521): buys spend quote and
+        # receive base, sells the reverse; equity = quote + base*mid; no margin,
+        # no swap; insufficient funds rejects the order.
+        self.spot_mode = params.get("spot_mode") == "1"
+        if self.spot_mode and self.contract != 1.0:
+            # Spot balances move lots*price cash with NO contract multiplier
+            # (the balance walk below and _side_fee both assume it); the
+            # reference's maker/taker fee notional however always includes
+            # contract_size (create_maker_taker_fee: lots*contract*price), so a
+            # non-unit contract in spot mode would diverge silently. Reject it
+            # loudly instead of producing self-consistent-but-wrong numbers.
+            raise ValueError(
+                "spot_mode requires contract_size == 1 (spot cash accounting "
+                f"carries no contract multiplier; got contract_size={self.contract})"
+            )
+        self.base_start = float(params.get("base_start", 0.0))
+        # Order-price precision: limit/stop triggers and SL/TP levels are
+        # snapped to the symbol's digits at SUBMISSION (the reference's
+        # _round_price, abstract_trade_executor.py:570 + order_precision
+        # suite); market fills use the raw quote. None = no snapping.
+        self.price_digits = (
+            int(params["price_digits"]) if "price_digits" in params else None
+        )
+        # R6 — overnight rollover fee per UTC day boundary crossed while a
+        # position is open (portfolio_manager.py:860-917); multi-day gaps charge
+        # once per crossed boundary.
+        self.swap_long = float(params.get("swap_long_daily", 0.0))
+        self.swap_short = float(params.get("swap_short_daily", 0.0))
+        # Triple-swap weekday (ISO 1=Mon..7=Sun; brokers usually 3=Wednesday,
+        # charging the weekend's rollovers mid-week — portfolio_manager.py
+        # _accrue_swap's per-rollover multiplier / MarketCalendar
+        # iter_swap_rollovers). Opt-in to keep the flat accrual the gate
+        # oracles pin; operators/swap.py carries the same closed form batch-side.
+        self.swap_triple_weekday = (
+            int(params["swap_triple_weekday"]) if "swap_triple_weekday" in params else None
+        )
+        # R5 — margin gate (portfolio_manager margin checks / the reference's
+        # margin_validation suite): an open is REJECTED when current equity
+        # cannot cover the required margin. None = margin checks off.
+        self.margin_per_lot = (
+            float(params["margin_per_lot"]) if "margin_per_lot" in params else None
+        )
+        # R8 — simulated-time heartbeats (opt-in): resolve latency-queue fills
+        # whose deadline falls inside an inter-tick gap at the last known quote,
+        # at the deadline instant; suppressed across gaps larger than the
+        # suppress threshold (reference: process_tick_loop.py:52-107 — ghost
+        # passes every heartbeat interval, suppressed across large gaps).
+        self.heartbeat_ms = int(params["heartbeat_ms"]) if "heartbeat_ms" in params else None
+        self.suppress_gap_ms = int(
+            params.get(
+                "heartbeat_suppress_gap_ms",
+                0 if self.heartbeat_ms is None else 100 * self.heartbeat_ms,
+            )
+        )
+        # Stress-test order rejection (reference stress_test_rejection.py:22-83):
+        # each order evaluated at fill time draws once from a seeded probability
+        # filter; a trigger rejects the order (BROKER_ERROR in the reference).
+        # Same (seed, order sequence) => identical rejections on any engine.
+        reject_prob = float(params.get("reject_probability", 0.0))
+        self.stress_reject = (
+            SeededProbabilityFilter(int(params.get("reject_seed", 0)), reject_prob)
+            if reject_prob > 0.0
+            else None
+        )
+        # Stale-data stress (#436, tests/simulation/stale_stress): a PLANNED
+        # window [from, to) of epoch-ms during which the scenario's market data
+        # counts as stale — the guard blocks NEW entries deterministically
+        # (counted separately from broker rejections), an optional
+        # strategy.on_market_data_stale() hook fires once on window entry, and
+        # exits/stops still process (an outage must never trap a position).
+        self.stale_from = (
+            int(params["stale_window_from_ms"])
+            if "stale_window_from_ms" in params
+            else None
+        )
+        self.stale_to = (
+            int(params["stale_window_to_ms"])
+            if "stale_window_to_ms" in params
+            else (2**62 if self.stale_from is not None else None)
         )
 
-    def side_fee(olots: float, price: float, maker: bool) -> float:
-        if mt_fees:
-            rate = maker_fee_pct if maker else taker_fee_pct
+        budget_ms = scen.get("tick_processing_budget_ms")
+        self.budget_ms = (
+            float(budget_ms)
+            if budget_ms is not None and not pd.isna(budget_ms)
+            else None
+        )
+        seed = scen.get("latency_seed")
+        seed = int(seed) if seed is not None and not pd.isna(seed) else 42
+        lat_min = scen.get("latency_min_ms")
+        self.lat_min = int(lat_min) if lat_min is not None and not pd.isna(lat_min) else 0
+        lat_max = scen.get("latency_max_ms")
+        self.lat_max = int(lat_max) if lat_max is not None and not pd.isna(lat_max) else 0
+        self.rng = random.Random(seed)
+
+        # decision-surface dispatch (computed once; the reference's
+        # capability detection): action model / ctx model / per-tick hook
+        self.use_actions = hasattr(self.strategy, "on_bar_actions")
+        self.use_ctx = hasattr(self.strategy, "on_bar_ctx")
+        self.use_tick = hasattr(self.strategy, "on_tick")
+
+        # --- mutable account/session state ---
+        self.balance = self.start_balance  # margin-mode account currency
+        self.quote_bal = self.start_balance  # spot-mode quote balance
+        self.base_bal = self.base_start  # spot-mode base-asset balance
+        self.equity = self.start_balance
+        self.peak = self.start_balance
+        self.max_dd = 0.0
+        self.clock = -(2**62)
+        self.n_clipped = 0
+        self.n_rejected = 0
+        self.n_filled = 0
+        self.n_cancelled = 0
+        self.n_sltp = 0
+        self.n_stale_rejected = 0
+        self.stale_hook_fired = False
+        self.bars_closed = 0
+        self.cur_bucket = -(2**62)
+        self.cur_close = 0.0
+        self.have_bar = False
+        self.target = 0
+        # Concurrent open positions, oldest first (the reference's
+        # open_positions dict; insertion order == open order).
+        self.positions: list[_Position] = []
+        self.next_pos_id = 0
+        # latency queue, FIFO with head-blocking: (due_ms, action) where action is
+        #   ("open", dir, lots, trigger|None, limit|None, order_type, sl, tp, oid)
+        #   ("close_all",) | ("close_oldest", fraction) | ("close_newest", fraction)
+        self.pending: list[tuple[int, tuple]] = []
+        # limit/stop/stop_limit entries past their latency deadline, awaiting a
+        # price trigger (_active_limit_orders/_active_stop_orders); each may carry
+        # one scheduled in-flight op (#318): ("modify", apply_ms, ...) or
+        # ("cancel", apply_ms).
+        self.resting: list[dict] = []
+        self.trades: list[dict] = []
+        self.samples: list[dict] = []
+        self.next_trade_id = 0
+        # Event channel (reference event_channel / stale_stress suites read
+        # decision_statistics.backtesting_metadata.received_events): the engine
+        # records status-plane events; strategies append via the ctx "emit"
+        # callable. Order-preserving, capped — overflow is summarized, never
+        # silently dropped.
+        self.events_buf: list[str] = []
+        self.events_dropped = 0
+        # previous tick (swap day-boundary math, heartbeat gap fills, END close)
+        self.prev_t: int | None = None
+        self.prev_b = 0.0
+        self.prev_a = 0.0
+        self.n_ticks = 0
+
+    _EVENTS_CAP = 1000
+
+    def emit_event(self, name: str) -> None:
+        if len(self.events_buf) < self._EVENTS_CAP:
+            self.events_buf.append(name)
+        else:
+            self.events_dropped += 1
+
+    def vectorizable(self) -> bool:
+        """True when the scenario is the dominant sweep configuration the
+        numpy fast path reproduces bit-identically (market orders, no
+        stops/budget/heartbeat/margin/swap, no equity sampling)."""
+        return (
+            self.budget_ms is None
+            and self.sl_dist is None
+            and self.tp_dist is None
+            and self.heartbeat_ms is None
+            and self.margin_per_lot is None
+            and self.swap_long == 0.0
+            and self.swap_short == 0.0
+            and self.entry_type == "market"
+            and self.sample_every == 0
+            and self.max_positions == 1
+            and not self.spot_mode
+            and self.stress_reject is None
+            and self.stale_from is None
+            and not self.mt_fees
+            and not self.use_actions
+            and not self.use_ctx
+            and not self.use_tick
+            and self.params.get("force_slow") != "1"
+        )
+
+    # --- order/account mechanics ------------------------------------------
+
+    def _side_fee(self, olots: float, price: float, maker: bool) -> float:
+        if self.mt_fees:
+            rate = self.maker_fee_pct if maker else self.taker_fee_pct
             # spot balances move lots*price cash (no contract multiplier),
             # so the fee notional must match or affordability and the
             # balance walk disagree; margin-mode P&L scales with contract
-            notional = olots * price * (1.0 if spot_mode else contract)
+            notional = olots * price * (1.0 if self.spot_mode else self.contract)
             return notional * rate / 100.0
-        return fee_per_side * olots
-    sl_dist = float(params["sl_dist"]) if "sl_dist" in params else None
-    tp_dist = float(params["tp_dist"]) if "tp_dist" in params else None
-    start_balance = float(params.get("start_balance", 10_000.0))
-    sample_every = int(params.get("equity_sample_every", 1000))
-    # market | limit | stop | stop_limit (stop_limit: stop trigger converts
-    # to a limit order at trigger -/+ limit_offset, trade_simulator.py:161-193)
-    entry_type = params.get("entry_type", "market")
-    entry_offset = float(params.get("entry_offset", 0.0))
-    limit_offset = float(params.get("limit_offset", 0.0))
-    # Multi-position cap (reference: unlimited concurrent positions in
-    # open_positions; 1 reproduces the historical net-position model).
-    max_positions = int(params.get("max_positions", 1))
-    # Order-modify lifecycle (#318 async pattern, trade_simulator.py:724,919):
-    # after `modify_after_bars` closed bars resting un-triggered, the entry's
-    # trigger moves by dir*modify_delta (scheduled at the decision tick,
-    # APPLIED at the first tick >= schedule + modify_cancel_delay_ms — the
-    # reference's Phase 0 resolve); after `cancel_after_bars` it is cancelled.
-    modify_after_bars = (
-        int(params["modify_after_bars"]) if "modify_after_bars" in params else None
-    )
-    modify_delta = float(params.get("modify_delta", 0.0))
-    cancel_after_bars = (
-        int(params["cancel_after_bars"]) if "cancel_after_bars" in params else None
-    )
-    modify_cancel_delay_ms = int(params.get("modify_cancel_delay_ms", 1))
-    # Spot dual-balance accounting (abstract_adapter spot semantics,
-    # portfolio_manager.py:334-348,395-407,509-521): buys spend quote and
-    # receive base, sells the reverse; equity = quote + base*mid; no margin,
-    # no swap; insufficient funds rejects the order.
-    spot_mode = params.get("spot_mode") == "1"
-    if spot_mode and contract != 1.0:
-        # Spot balances move lots*price cash with NO contract multiplier
-        # (the balance walk below and side_fee both assume it); the
-        # reference's maker/taker fee notional however always includes
-        # contract_size (create_maker_taker_fee: lots*contract*price), so a
-        # non-unit contract in spot mode would diverge silently. Reject it
-        # loudly instead of producing self-consistent-but-wrong numbers.
-        raise ValueError(
-            "spot_mode requires contract_size == 1 (spot cash accounting "
-            f"carries no contract multiplier; got contract_size={contract})"
-        )
-    base_start = float(params.get("base_start", 0.0))
-    # Order-price precision: limit/stop triggers and SL/TP levels are
-    # snapped to the symbol's digits at SUBMISSION (the reference's
-    # _round_price, abstract_trade_executor.py:570 + order_precision
-    # suite); market fills use the raw quote. None = no snapping.
-    price_digits = int(params["price_digits"]) if "price_digits" in params else None
-    # R6 — overnight rollover fee per UTC day boundary crossed while a
-    # position is open (portfolio_manager.py:860-917); multi-day gaps charge
-    # once per crossed boundary.
-    swap_long = float(params.get("swap_long_daily", 0.0))
-    swap_short = float(params.get("swap_short_daily", 0.0))
-    # Triple-swap weekday (ISO 1=Mon..7=Sun; brokers usually 3=Wednesday,
-    # charging the weekend's rollovers mid-week — portfolio_manager.py
-    # _accrue_swap's per-rollover multiplier / MarketCalendar
-    # iter_swap_rollovers). Opt-in to keep the flat accrual the gate
-    # oracles pin; operators/swap.py carries the same closed form batch-side.
-    swap_triple_weekday = (
-        int(params["swap_triple_weekday"]) if "swap_triple_weekday" in params else None
-    )
-    # R5 — margin gate (portfolio_manager margin checks / the reference's
-    # margin_validation suite): an open is REJECTED when current equity
-    # cannot cover the required margin. None = margin checks off.
-    margin_per_lot = (
-        float(params["margin_per_lot"]) if "margin_per_lot" in params else None
-    )
-    # R8 — simulated-time heartbeats (opt-in): resolve latency-queue fills
-    # whose deadline falls inside an inter-tick gap at the last known quote,
-    # at the deadline instant; suppressed across gaps larger than the
-    # suppress threshold (reference: process_tick_loop.py:52-107 — ghost
-    # passes every heartbeat interval, suppressed across large gaps).
-    heartbeat_ms = int(params["heartbeat_ms"]) if "heartbeat_ms" in params else None
-    suppress_gap_ms = int(
-        params.get("heartbeat_suppress_gap_ms", 0 if heartbeat_ms is None else 100 * heartbeat_ms)
-    )
-    # Stress-test order rejection (reference stress_test_rejection.py:22-83):
-    # each order evaluated at fill time draws once from a seeded probability
-    # filter; a trigger rejects the order (BROKER_ERROR in the reference).
-    # Same (seed, order sequence) => identical rejections on any engine.
-    reject_prob = float(params.get("reject_probability", 0.0))
-    stress_reject = (
-        SeededProbabilityFilter(int(params.get("reject_seed", 0)), reject_prob)
-        if reject_prob > 0.0
-        else None
-    )
-    # Stale-data stress (#436, tests/simulation/stale_stress): a PLANNED
-    # window [from, to) of epoch-ms during which the scenario's market data
-    # counts as stale — the guard blocks NEW entries deterministically
-    # (counted separately from broker rejections), an optional
-    # strategy.on_market_data_stale() hook fires once on window entry, and
-    # exits/stops still process (an outage must never trap a position).
-    stale_from = (
-        int(params["stale_window_from_ms"]) if "stale_window_from_ms" in params else None
-    )
-    stale_to = (
-        int(params["stale_window_to_ms"])
-        if "stale_window_to_ms" in params
-        else (2**62 if stale_from is not None else None)
-    )
-    n_stale_rejected = 0
-    stale_hook_fired = False
-    # Event channel (reference event_channel / stale_stress suites read
-    # decision_statistics.backtesting_metadata.received_events): the engine
-    # records status-plane events; strategies append via the ctx "emit"
-    # callable. Order-preserving, capped — overflow is summarized, never
-    # silently dropped.
-    _EVENTS_CAP = 1000
-    events_buf: list[str] = []
-    events_dropped = 0
+        return self.fee_per_side * olots
 
-    def emit_event(name: str) -> None:
-        nonlocal events_dropped
-        if len(events_buf) < _EVENTS_CAP:
-            events_buf.append(name)
+    def _close_position(
+        self,
+        price: float,
+        reason: str,
+        p: _Position,
+        exit_ms: int,
+        fraction: float = 1.0,
+    ) -> None:
+        """Close `p` in full, or — fraction < 1 — partially
+        (portfolio_manager.partial_close_position:454-520): the closed lots
+        realize proportional P&L/fees/swap into a PARTIAL trade record; the
+        position keeps the remainder with fees/swap scaled down. MAE/MFE in
+        the partial record are the position's RUNNING extrema, unscaled —
+        exactly what the reference copies into the partial TradeRecord."""
+        close_lots = p.lots if fraction >= 1.0 else round(p.lots * fraction, 8)
+        ratio = close_lots / p.lots
+        full = close_lots >= p.lots
+        gross = p.direction * (price - p.entry_price) * self.contract * close_lots
+        exit_fee = self._side_fee(close_lots, price, maker=False)  # closes are taker
+        fees = p.fees * ratio + exit_fee
+        swap_part = p.swap * ratio
+        if self.spot_mode:
+            # balance walk: entry-side fees were paid at open; only the exit
+            # fee moves cash here (portfolio_manager.py:395-407,509-521)
+            if p.direction > 0:  # close LONG = SELL base for quote
+                self.base_bal -= close_lots
+                self.quote_bal += close_lots * price - exit_fee
+            else:  # close SHORT = BUY back base with quote
+                self.quote_bal -= close_lots * price + exit_fee
+                self.base_bal += close_lots
         else:
-            events_dropped += 1
+            # swap was already debited from balance at each day boundary; it
+            # joins the trade record (and net) here, not the balance again
+            self.balance += gross - fees
+        self.trades.append(
+            {
+                "trade_id": self.next_trade_id,
+                "direction": "LONG" if p.direction > 0 else "SHORT",
+                "lots": close_lots,
+                "entry_ts": pd.Timestamp(p.entry_ms, unit="ms"),
+                "entry_price": p.entry_price,
+                "exit_ts": pd.Timestamp(exit_ms, unit="ms"),
+                "exit_price": price,
+                "gross_pnl": gross,
+                "fees": fees,
+                "swap": swap_part,
+                "net_pnl": gross - fees - swap_part,
+                "mae_pnl": p.mae_pnl,
+                "mfe_pnl": p.mfe_pnl,
+                "mae_price": p.mae_price,
+                "mfe_price": p.mfe_price,
+                "exit_reason": reason,
+                "position_id": p.pos_id,
+                "close_type": "FULL" if full else "PARTIAL",
+            }
+        )
+        self.next_trade_id += 1
+        self.n_filled += 1  # every close is a broker fill (ExecutionStats parity)
+        if reason in ("SL", "TP"):
+            self.n_sltp += 1
+        if full:
+            self.positions.remove(p)
+        else:
+            p.lots = round(p.lots - close_lots, 8)
+            p.fees *= 1.0 - ratio
+            p.swap *= 1.0 - ratio
 
-    budget_ms = scen.get("tick_processing_budget_ms")
-    budget_ms = float(budget_ms) if budget_ms is not None and not pd.isna(budget_ms) else None
-    seed = scen.get("latency_seed")
-    seed = int(seed) if seed is not None and not pd.isna(seed) else 42
-    lat_min = scen.get("latency_min_ms")
-    lat_min = int(lat_min) if lat_min is not None and not pd.isna(lat_min) else 0
-    lat_max = scen.get("latency_max_ms")
-    lat_max = int(lat_max) if lat_max is not None and not pd.isna(lat_max) else 0
+    def _can_open(self, d: int, olots: float, price: float, maker: bool = False) -> bool:
+        """Fill-time gate. Margin mode: balance must cover the margin of ALL
+        open lots plus the new order (reduces to the flat-account check when
+        no position is open). Spot mode: the spending balance must cover the
+        trade (INSUFFICIENT_FUNDS rejection, reference spot_trading suite)."""
+        if self.spot_mode:
+            fee = self._side_fee(olots, price, maker)
+            ok = (
+                (self.quote_bal >= olots * price + fee)
+                if d > 0
+                else (self.base_bal >= olots)
+            )
+            if not ok:
+                self.n_rejected += 1
+                return False
+            return True
+        if self.margin_per_lot is not None:
+            open_lots = 0.0
+            for p in self.positions:
+                open_lots += p.lots
+            if self.balance < self.margin_per_lot * (open_lots + olots):
+                self.n_rejected += 1
+                return False
+        return True
+
+    def _open_position(
+        self,
+        entry_ms: int,
+        d: int,
+        olots: float,
+        price: float,
+        sl: float | None = None,
+        tp: float | None = None,
+        maker: bool = False,
+    ) -> None:
+        self.n_filled += 1
+        fee = self._side_fee(olots, price, maker)
+        if self.spot_mode:  # asset transfer on open (portfolio_manager.py:334-348)
+            if d > 0:  # BUY: spend quote, receive base
+                self.quote_bal -= olots * price + fee
+                self.base_bal += olots
+            else:  # SELL: spend base, receive quote
+                self.base_bal -= olots
+                self.quote_bal += olots * price - fee
+        self.positions.append(
+            _Position(
+                pos_id=self.next_pos_id,
+                direction=d,
+                lots=olots,
+                entry_i=0,
+                entry_ms=entry_ms,
+                entry_price=price,
+                fees=fee,
+                mae_price=price,
+                mfe_price=price,
+                sl_price=sl,
+                tp_price=tp,
+            )
+        )
+        self.next_pos_id += 1
+
+    def _rp(self, x: float | None) -> float | None:
+        """Snap an order price to the symbol's digits (no-op when unset)."""
+        if x is None or self.price_digits is None:
+            return x
+        return round(x, self.price_digits)
+
+    def _entry_trigger(self, d: int, b: float, a: float) -> tuple[float | None, float | None]:
+        """Trigger/limit prices for a non-market entry queued at decision
+        time, derived from the decision tick's quote."""
+        if self.entry_type == "limit":
+            return (
+                self._rp((a - self.entry_offset) if d > 0 else (b + self.entry_offset)),
+                None,
+            )
+        if self.entry_type == "stop":
+            return (
+                self._rp((a + self.entry_offset) if d > 0 else (b - self.entry_offset)),
+                None,
+            )
+        if self.entry_type == "stop_limit":
+            trig = (a + self.entry_offset) if d > 0 else (b - self.entry_offset)
+            lim = (trig - self.limit_offset) if d > 0 else (trig + self.limit_offset)
+            return self._rp(trig), self._rp(lim)
+        return None, None
+
+    def _handle_actions(self, acts: list[tuple], t: int, b: float, a: float) -> None:
+        """Dispatch decision actions. Queueable order actions share ONE rng
+        draw per decision (the reference's per-submission delay — close+open
+        of a flip share the submission moment). Position-modify actions
+        apply synchronously (the reference's capability-gated sync fallback,
+        trade_simulator.modify_position:1054); resting-order cancel/modify
+        go through the #318 scheduled-op machinery."""
+        due = None
+        for act in acts:
+            kind = act[0]
+            if kind in ("set_sl", "set_sltp"):
+                for p in self.positions:
+                    if p.pos_id == act[1]:
+                        p.sl_price = self._rp(act[2])
+                        if kind == "set_sltp":
+                            p.tp_price = self._rp(act[3])
+                        break
+                continue
+            if kind == "cancel_order":
+                for r in self.resting:
+                    if r.get("oid") == act[1] and r["op"] is None:
+                        r["op"] = ("cancel", t + self.modify_cancel_delay_ms)
+                        break
+                continue
+            if kind == "modify_order":
+                _, oid, ntrig, nlim, nsl, ntp = act
+                for r in self.resting:
+                    if r.get("oid") == oid and r["op"] is None:
+                        r["op"] = (
+                            "modify",
+                            t + self.modify_cancel_delay_ms,
+                            self._rp(ntrig),
+                            self._rp(nlim),
+                            self._rp(nsl),
+                            self._rp(ntp),
+                        )
+                        break
+                continue
+            # queueable order actions share one submission-delay draw
+            if due is None:
+                delay = (
+                    self.rng.randint(self.lat_min, self.lat_max)
+                    if self.lat_max > 0
+                    else 0
+                )
+                due = t + delay
+            if kind == "open":
+                d = act[1]
+                olots = self.lots * (act[2] if len(act) > 2 else 1.0)
+                trig, lim = self._entry_trigger(d, b, a)
+                self.pending.append(
+                    (due, ("open", d, olots, trig, lim, self.entry_type, None, None, None))
+                )
+            elif kind == "open_order":
+                # absolute-price order: (dir, lots_mult, otype, trigger,
+                # limit, sl, tp, oid)
+                _, d, mult, otype, trig, lim, sl, tp, oid = act
+                self.pending.append(
+                    (
+                        due,
+                        (
+                            "open",
+                            d,
+                            self.lots * mult,
+                            self._rp(trig),
+                            self._rp(lim),
+                            otype,
+                            self._rp(sl),
+                            self._rp(tp),
+                            oid,
+                        ),
+                    )
+                )
+            else:
+                self.pending.append((due, act))
+
+    def _execute(self, act: tuple, t: int, b: float, a: float, due: int | None) -> None:
+        """Phase-1 body for one latency-resolved action at quote (b, a).
+        `due` non-None stamps heartbeat fills at their deadline instant."""
+        kind = act[0]
+        if kind == "close_all":
+            for p in list(self.positions):  # oldest first
+                self._close_position(
+                    b if p.direction > 0 else a,
+                    "SIGNAL",
+                    p,
+                    exit_ms=due if due is not None else t,
+                )
+        elif kind in ("close_oldest", "close_newest"):
+            if self.positions:
+                p = self.positions[0] if kind == "close_oldest" else self.positions[-1]
+                self._close_position(
+                    b if p.direction > 0 else a,
+                    "SIGNAL",
+                    p,
+                    exit_ms=due if due is not None else t,
+                    fraction=act[1],
+                )
+        elif kind == "close_pos":
+            for p in self.positions:
+                if p.pos_id == act[1]:
+                    self._close_position(
+                        b if p.direction > 0 else a,
+                        "SIGNAL",
+                        p,
+                        exit_ms=due if due is not None else t,
+                        fraction=act[2],
+                    )
+                    break
+        else:  # open
+            _, d, olots, trig, lim, otype, sl, tp, oid = act
+            if self.stale_from is not None and self.stale_from <= t < self.stale_to:
+                # stale-window entry guard (#436): the order is consumed
+                # and counted; the strategy reclaims its slot. Applies to
+                # resting registration AND market opens — no NEW entry may
+                # originate inside the outage window.
+                self.n_stale_rejected += 1
+                self.emit_event("stale_entry_rejected")
+                notify = getattr(self.strategy, "on_open_dropped", None)
+                if notify is not None:
+                    notify()
+            elif trig is not None:
+                # limit/stop/stop_limit rest past their deadline; price
+                # triggers are evaluated in Phases 2/3 (same tick included)
+                self.resting.append(
+                    {
+                        "dir": d,
+                        "otype": otype,
+                        "trig": trig,
+                        "limit": lim,
+                        "lots": olots,
+                        "sl": sl,
+                        "tp": tp,
+                        "oid": oid,
+                        "bars_rested": 0,
+                        "modified": False,
+                        "op": None,
+                    }
+                )
+            elif len(self.positions) >= self.max_positions:
+                # capacity-dropped market open: counted as rejected (it was
+                # neither filled nor left resting) and surfaced to the
+                # strategy so self-tracked open counts don't drift — a
+                # latency-delayed open can arrive after the book filled up
+                self.n_rejected += 1
+                notify = getattr(self.strategy, "on_open_dropped", None)
+                if notify is not None:
+                    notify()
+            elif self.stress_reject is not None and self.stress_reject.should_trigger():
+                # stress-test seeded rejection (BROKER_ERROR in the
+                # reference): the order is consumed, counted rejected, and
+                # the strategy's reserved slot reclaimed. Drawn AFTER the
+                # capacity branch — only orders that would actually fill
+                # consume a Bernoulli draw, matching the resting-trigger
+                # path below so the shared seed sequence stays consistent
+                # between market and resting fills (the reference evaluates
+                # should_reject uniformly at pending-order fill time)
+                self.n_rejected += 1
+                notify = getattr(self.strategy, "on_open_dropped", None)
+                if notify is not None:
+                    notify()
+            elif self._can_open(d, olots, a if d > 0 else b):
+                self._open_position(
+                    due if due is not None else t, d, olots, a if d > 0 else b, sl, tp
+                )
+            else:
+                # margin/funds-rejected (_can_open already counted it)
+                notify = getattr(self.strategy, "on_open_dropped", None)
+                if notify is not None:
+                    notify()
+
+    # --- the per-tick body -------------------------------------------------
+
+    def process_tick(self, t: int, c: int, b: float, a: float) -> None:
+        """One tick through the full pipeline: `t` = event ms (the engine
+        clock), `c` = collection stamp ms (budget clipping; pass `t` when
+        the feed carries no collection stamps, e.g. live)."""
+        positions = self.positions
+
+        # R6 — overnight rollover: charge per UTC day boundary crossed
+        # since the previous tick while holding (position state is from
+        # before this tick's fills, so a position opened on this tick is
+        # not charged for this boundary). Spot accounts carry no swap
+        # (portfolio_manager.py:868).
+        if (
+            positions
+            and self.prev_t is not None
+            and not self.spot_mode
+            and (self.swap_long != 0.0 or self.swap_short != 0.0)
+        ):
+            days = t // 86_400_000 - self.prev_t // 86_400_000
+            if days > 0:
+                units = days
+                if self.swap_triple_weekday is not None:
+                    # crossed midnights start days prev+1 .. prev+days; ISO
+                    # dow of epoch-day d is ((d + 3) % 7) + 1 (day 0 = Thu).
+                    # Each rollover landing on the triple weekday charges 2
+                    # extra units — the closed form of the reference's
+                    # per-rollover multiplier.
+                    first = self.prev_t // 86_400_000 + 1
+                    first_dow = ((first + 3) % 7) + 1
+                    offset = (self.swap_triple_weekday - first_dow + 7) % 7
+                    triples = 0 if offset >= days else (days - 1 - offset) // 7 + 1
+                    units = days + 2 * triples
+                for p in positions:
+                    rate = self.swap_long if p.direction > 0 else self.swap_short
+                    charge = rate * units * p.lots
+                    self.balance -= charge
+                    p.swap += charge
+
+        # Phase 0 — resolve modify/cancel ops scheduled on earlier ticks
+        # (#318: applied BEFORE price triggers so the updated trigger is in
+        # effect for this tick, trade_simulator._resolve_pending_operations)
+        if self.resting:
+            kept_r = []
+            for r in self.resting:
+                op = r["op"]
+                if op is not None and t >= op[1]:
+                    if op[0] == "cancel":
+                        self.n_cancelled += 1
+                        continue  # order removed
+                    # ("modify", apply_ms, trig, lim, sl, tp) — None = keep
+                    for field, val in zip(("trig", "limit", "sl", "tp"), op[2:]):
+                        if val is not None:
+                            r[field] = val
+                    r["op"] = None
+                kept_r.append(r)
+            self.resting = kept_r
+
+        # R8 — heartbeat passes inside an inter-tick gap: fills whose
+        # latency deadline expired during the gap resolve at the LAST known
+        # quote, stamped at the deadline; suppressed for gaps beyond the
+        # threshold (weekend analogue — those fills wait for the next tick).
+        if (
+            self.heartbeat_ms is not None
+            and self.prev_t is not None
+            and self.heartbeat_ms < t - self.prev_t <= self.suppress_gap_ms
+        ):
+            pb, pa = self.prev_b, self.prev_a
+            while self.pending and self.pending[0][0] < t:
+                due, act = self.pending.pop(0)
+                self._execute(act, due, pb, pa, due)
+
+        # R1 — budget clipping (algo-invisible, broker-visible)
+        clipped = False
+        if self.budget_ms is not None:
+            if c < self.clock:
+                clipped = True
+                self.n_clipped += 1
+            else:
+                self.clock = c + self.budget_ms
+
+        # stale-window entry transition (#436): status-plane dispatch, once
+        if (
+            self.stale_from is not None
+            and not self.stale_hook_fired
+            and self.stale_from <= t < self.stale_to
+        ):
+            self.stale_hook_fired = True
+            self.emit_event("market_data_stale")
+            hook = getattr(self.strategy, "on_market_data_stale", None)
+            if hook is not None:
+                hook()
+
+        # R7 — bar close on first tick of a new bucket; R9 decision
+        if t // self.bar_ms != self.cur_bucket:
+            if self.have_bar:
+                self.bars_closed += 1
+                # modify/cancel lifecycle bookkeeping: count closed bars an
+                # entry has rested un-triggered; schedule ops at the decision
+                # tick (they apply at Phase 0 once the delay elapses)
+                if self.resting and (
+                    self.modify_after_bars is not None
+                    or self.cancel_after_bars is not None
+                ):
+                    for r in self.resting:
+                        r["bars_rested"] += 1
+                        if r["op"] is None:
+                            if (
+                                self.cancel_after_bars is not None
+                                and r["bars_rested"] >= self.cancel_after_bars
+                            ):
+                                r["op"] = ("cancel", t + self.modify_cancel_delay_ms)
+                            elif (
+                                self.modify_after_bars is not None
+                                and not r["modified"]
+                                and r["bars_rested"] >= self.modify_after_bars
+                            ):
+                                r["modified"] = True
+                                r["op"] = (
+                                    "modify",
+                                    t + self.modify_cancel_delay_ms,
+                                    self._rp(r["trig"] + r["dir"] * self.modify_delta),
+                                    None,
+                                    None,
+                                    None,
+                                )
+                if self.use_ctx:
+                    # context contract: the strategy sees its open positions
+                    # and resting orders (the reference's trading_api reads:
+                    # get_open_positions / get_active_orders) and may manage
+                    # them — trailing, partial close, cancel, re-price.
+                    ctx = {
+                        "close": self.cur_close,
+                        "bid": b,
+                        "ask": a,
+                        "positions": [
+                            (p.pos_id, p.direction, p.lots, p.entry_price,
+                             p.sl_price, p.tp_price)
+                            for p in positions
+                        ],
+                        "resting": [
+                            (r.get("oid"), r["dir"], r["otype"], r["trig"], r["limit"])
+                            for r in self.resting
+                        ],
+                        # latency-pending open orders not yet registered in
+                        # the resting book: strategies must treat these as
+                        # live submissions, not as filled/cancelled
+                        "pending_oids": [
+                            x[1][8]
+                            for x in self.pending
+                            if x[1][0] == "open" and x[1][8] is not None
+                        ],
+                        "emit": self.emit_event,
+                    }
+                    acts = self.strategy.on_bar_ctx(ctx)
+                    if not clipped and acts:
+                        self._handle_actions(acts, t, b, a)
+                elif self.use_actions:
+                    acts = self.strategy.on_bar_actions(self.cur_close)
+                    if not clipped and acts:
+                        self._handle_actions(acts, t, b, a)
+                else:
+                    new_target = self.strategy.on_bar(self.cur_close)
+                    if not clipped and new_target != self.target:
+                        self.target = new_target
+                        # one rng draw per flip regardless of what gets
+                        # queued — preserves the historical RNG sequence
+                        delay = (
+                            self.rng.randint(self.lat_min, self.lat_max)
+                            if self.lat_max > 0
+                            else 0
+                        )
+                        due = t + delay
+                        # resolve-modify/cancel phase: a newer signal cancels
+                        # any resting entry before queueing its own orders
+                        self.n_cancelled += len(self.resting)
+                        self.resting = []
+                        if positions:
+                            self.pending.append((due, ("close_all",)))
+                        if self.target != 0:
+                            trig, lim = self._entry_trigger(self.target, b, a)
+                            self.pending.append(
+                                (
+                                    due,
+                                    (
+                                        "open",
+                                        self.target,
+                                        self.lots,
+                                        trig,
+                                        lim,
+                                        self.entry_type,
+                                        None,
+                                        None,
+                                        None,
+                                    ),
+                                )
+                            )
+            self.cur_bucket = t // self.bar_ms
+            self.have_bar = True
+        self.cur_close = (b + a) / 2.0
+
+        # Phase 1 (R2/R3) — drain latency queue in submission order
+        while self.pending and t >= self.pending[0][0]:
+            _, act = self.pending.pop(0)
+            self._execute(act, t, b, a, None)
+        positions = self.positions
+
+        # Phases 2+3 (R3) — price triggers on resting entries
+        # (trade_simulator.py:610-686): LONG limit fills AT the limit once
+        # ask <= limit, SHORT once bid >= limit; stops break out and fill at
+        # market; a triggered STOP_LIMIT converts to a limit order at its
+        # stored limit price and may fill the same tick (:161-193). Orders
+        # triggering while the position book is at capacity wait (the
+        # historical single-position contract); margin/funds rejection
+        # consumes the order.
+        if self.resting:
+            kept_r = []
+            for r in self.resting:
+                d = r["dir"]
+                trig = r["trig"]
+                fill = None
+                if r["otype"] == "limit":
+                    if d > 0 and a <= trig:
+                        fill = trig
+                    elif d < 0 and b >= trig:
+                        fill = trig
+                elif r["otype"] == "stop":
+                    if d > 0 and a >= trig:
+                        fill = a
+                    elif d < 0 and b <= trig:
+                        fill = b
+                else:  # stop_limit: stop leg triggers -> convert to limit
+                    if (d > 0 and a >= trig) or (d < 0 and b <= trig):
+                        r["otype"] = "limit"
+                        r["trig"] = r["limit"]
+                        r["op"] = None  # conversion clears in-flight ops
+                        if d > 0 and a <= r["trig"]:
+                            fill = r["trig"]
+                        elif d < 0 and b >= r["trig"]:
+                            fill = r["trig"]
+                if fill is None:
+                    kept_r.append(r)
+                elif self.stale_from is not None and self.stale_from <= t < self.stale_to:
+                    kept_r.append(r)  # outage: triggered entries wait it out
+                elif len(self.positions) >= self.max_positions:
+                    kept_r.append(r)  # wait for capacity, keep resting
+                elif (
+                    self.stress_reject is not None
+                    and self.stress_reject.should_trigger()
+                ):
+                    # drawn at the order's actual fill moment — AFTER the
+                    # capacity wait, so a book-blocked order re-triggering
+                    # across ticks does not redraw (and compound) the
+                    # per-order Bernoulli or shift the shared seed sequence
+                    self.n_rejected += 1  # stress-test seeded rejection; consumed
+                else:
+                    is_maker = r["otype"] == "limit"  # stop fills take liquidity
+                    if self._can_open(d, r["lots"], fill, maker=is_maker):
+                        self._open_position(
+                            t, d, r["lots"], fill, r.get("sl"), r.get("tp"),
+                            maker=is_maker,
+                        )
+                    # margin/funds-rejected triggered orders are consumed
+            self.resting = kept_r
+        positions = self.positions
+
+        # R4 — excursion update as the price arrives (before stop evaluation,
+        # so the exit tick's adverse move is captured in MAE)
+        total_unreal = 0.0
+        for p in list(positions):
+            mark = b if p.direction > 0 else a
+            unreal = p.direction * (mark - p.entry_price) * self.contract * p.lots
+            if unreal < p.mae_pnl:
+                p.mae_pnl = unreal
+                p.mae_price = mark
+            if unreal > p.mfe_pnl:
+                p.mfe_pnl = unreal
+                p.mfe_price = mark
+
+            # R3 — broker-side SL/TP. Trigger on the close-side price
+            # (LONG->bid, SHORT->ask); FILL AT THE LEVEL, not the breaching
+            # mark — the reference closes via a synthetic order with
+            # "Fill price = SL/TP level (deterministic)"
+            # (abstract_trade_executor._check_sl_tp_triggers:403-459; its
+            # sltp_limit_validation suite pins exit_price == the level).
+            # The excursion update above still runs on the raw mark, so a
+            # gap through the level is captured in MAE/MFE.
+            if self.sl_dist is not None or self.tp_dist is not None:
+                move = p.direction * (mark - p.entry_price)
+                if self.sl_dist is not None and move <= -self.sl_dist:
+                    self._close_position(
+                        p.entry_price - p.direction * self.sl_dist, "SL", p, exit_ms=t
+                    )
+                    continue
+                if self.tp_dist is not None and move >= self.tp_dist:
+                    self._close_position(
+                        p.entry_price + p.direction * self.tp_dist, "TP", p, exit_ms=t
+                    )
+                    continue
+            # per-position absolute SL/TP levels (order-attached or modified
+            # via set_sl) — same level-fill contract
+            if p.sl_price is not None and p.direction * (mark - p.sl_price) <= 0:
+                self._close_position(p.sl_price, "SL", p, exit_ms=t)
+                continue
+            if p.tp_price is not None and p.direction * (mark - p.tp_price) >= 0:
+                self._close_position(p.tp_price, "TP", p, exit_ms=t)
+                continue
+            total_unreal += unreal
+
+        # Per-tick management pass (reference _execute_decision_impl runs
+        # every tick: partial close -> trail -> resting cancel/re-price ->
+        # armed entry). Runs AFTER this tick's broker-side stop evaluation,
+        # so a freshly-ratcheted SL takes effect on the next quote — the
+        # reference's modify lands broker-side after the tick that computed
+        # it, same ordering. Budget-clipped ticks are algo-invisible here
+        # exactly as they are for bar decisions.
+        if self.use_tick and not clipped:
+            acts = self.strategy.on_tick(
+                {
+                    "bid": b,
+                    "ask": a,
+                    "positions": [
+                        (p.pos_id, p.direction, p.lots, p.entry_price,
+                         p.sl_price, p.tp_price)
+                        for p in self.positions
+                    ],
+                    "resting": [
+                        (r.get("oid"), r["dir"], r["otype"], r["trig"], r["limit"])
+                        for r in self.resting
+                    ],
+                    "pending_oids": [
+                        x[1][8]
+                        for x in self.pending
+                        if x[1][0] == "open" and x[1][8] is not None
+                    ],
+                    "emit": self.emit_event,
+                }
+            )
+            if acts:
+                self._handle_actions(acts, t, b, a)
+                # zero-latency actions resolve on this tick, matching the
+                # bar-decision path (Phase 1 already ran this iteration)
+                while self.pending and t >= self.pending[0][0]:
+                    _, act = self.pending.pop(0)
+                    self._execute(act, t, b, a, None)
+
+        # R5 — account state (spot: equity = portfolio value at mid,
+        # portfolio_manager.get_spot_equity)
+        if self.spot_mode:
+            self.equity = self.quote_bal + self.base_bal * ((b + a) / 2.0)
+        else:
+            self.equity = self.balance + total_unreal
+        if self.equity > self.peak:
+            self.peak = self.equity
+        dd = self.peak - self.equity
+        if dd > self.max_dd:
+            self.max_dd = dd
+        if self.sample_every > 0 and self.n_ticks % self.sample_every == 0:
+            self.samples.append(
+                {"ts": pd.Timestamp(t, unit="ms"), "equity": self.equity, "drawdown": dd}
+            )
+
+        self.prev_t, self.prev_b, self.prev_a = t, b, a
+        self.n_ticks += 1
+
+    def finish(self) -> None:
+        """End of data (BATCH ONLY — a live session never ends): force-close
+        every open position at the last tick's close-side quote."""
+        if self.positions and self.n_ticks > 0:
+            for p in list(self.positions):
+                self._close_position(
+                    self.prev_b if p.direction > 0 else self.prev_a,
+                    "END",
+                    p,
+                    exit_ms=self.prev_t,
+                )
+            self.equity = (
+                self.quote_bal
+                + self.base_bal * ((self.prev_b + self.prev_a) / 2.0)
+                if self.spot_mode
+                else self.balance
+            )
+
+    def drain_trades(self) -> list[dict]:
+        """Emit-and-clear for the live operator: trade records closed since
+        the last drain (numbering continues via next_trade_id), with the
+        equity-sample buffer cleared too so state size stays bounded over a
+        session's lifetime."""
+        out = self.trades
+        self.trades = []
+        self.samples = []
+        return out
+
+    def summary_frame(self) -> pd.DataFrame:
+        trades = self.trades
+        wins = sum(1 for tr in trades if tr["net_pnl"] > 0)
+        losses = sum(1 for tr in trades if tr["net_pnl"] < 0)
+        return pd.DataFrame(
+            [
+                {
+                    "scenario_id": self.sid,
+                    "ticks_processed": self.n_ticks,
+                    "ticks_clipped": self.n_clipped,
+                    "bars_closed": self.bars_closed,
+                    "trades_count": len(trades),
+                    "orders_rejected": self.n_rejected,
+                    "orders_filled": self.n_filled,
+                    "orders_cancelled": self.n_cancelled,
+                    "sl_tp_exits": self.n_sltp,
+                    "stale_entries_rejected": self.n_stale_rejected,
+                    "stale_windows_hit": 1 if self.stale_hook_fired else 0,
+                    "events": self.events_buf
+                    + (
+                        [f"events_overflow:{self.events_dropped}"]
+                        if self.events_dropped
+                        else []
+                    ),
+                    "wins": wins,
+                    "losses": losses,
+                    "gross_profit": sum(
+                        tr["gross_pnl"] for tr in trades if tr["gross_pnl"] > 0
+                    ),
+                    "gross_loss": sum(
+                        tr["gross_pnl"] for tr in trades if tr["gross_pnl"] < 0
+                    ),
+                    "fees": sum(tr["fees"] for tr in trades),
+                    "swap": sum(tr["swap"] for tr in trades),
+                    "net_pnl": sum(tr["net_pnl"] for tr in trades),
+                    "final_equity": self.equity if self.n_ticks > 0 else self.start_balance,
+                    "max_drawdown": self.max_dd,
+                    "trades": trades,
+                    "equity_samples": self.samples,
+                }
+            ]
+        )
+
+
+def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
+    """One scenario through the session state machine (or the bit-identical
+    numpy fast path when the configuration allows it)."""
+    sess = ReplaySession(scen)
+
     max_ticks = scen.get("max_ticks")
     max_ticks = int(max_ticks) if max_ticks is not None and not pd.isna(max_ticks) else None
 
@@ -916,759 +1801,38 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     )
     bid = pdf["bid"].to_numpy(dtype="float64")
     ask = pdf["ask"].to_numpy(dtype="float64")
-    buckets = ts_ms // bar_ms
-    n = len(ts_ms)
-
-    rng = random.Random(seed)
-    balance = start_balance  # margin-mode account currency
-    quote_bal = start_balance  # spot-mode quote balance
-    base_bal = base_start  # spot-mode base-asset balance
-    equity = start_balance
-    peak = start_balance
-    max_dd = 0.0
-    clock = -(2**62)
-    n_clipped = 0
-    n_rejected = 0
-    n_filled = 0
-    n_cancelled = 0
-    n_sltp = 0
-    bars_closed = 0
-    cur_bucket = -(2**62)
-    cur_close = 0.0
-    have_bar = False
-    target = 0
-    # Concurrent open positions, oldest first (the reference's
-    # open_positions dict; insertion order == open order).
-    positions: list[_Position] = []
-    next_pos_id = 0
-    # latency queue, FIFO with head-blocking: (due_ms, action) where action is
-    #   ("open", dir, lots, trigger|None, limit|None, order_type)
-    #   ("close_all",) | ("close_oldest", fraction) | ("close_newest", fraction)
-    pending: list[tuple[int, tuple]] = []
-    # limit/stop/stop_limit entries past their latency deadline, awaiting a
-    # price trigger (_active_limit_orders/_active_stop_orders); each may carry
-    # one scheduled in-flight op (#318): ("modify", apply_ms, new_trig) or
-    # ("cancel", apply_ms).
-    resting: list[dict] = []
-    trades: list[dict] = []
-    samples: list[dict] = []
 
     tsl = ts_ms.tolist()
     cl = coll_ms.tolist()
     bl = bid.tolist()
     al = ask.tolist()
-    bk = buckets.tolist()
 
     # Vectorized fast path for the dominant sweep configuration (market
     # orders, no stops/budget/heartbeat/margin/swap, no equity sampling):
     # bit-identical results, ~10x per-core throughput. force_slow=1 pins
     # the reference loop (used by the equivalence tests).
-    if (
-        budget_ms is None
-        and sl_dist is None
-        and tp_dist is None
-        and heartbeat_ms is None
-        and margin_per_lot is None
-        and swap_long == 0.0
-        and swap_short == 0.0
-        and entry_type == "market"
-        and sample_every == 0
-        and max_positions == 1
-        and not spot_mode
-        and stress_reject is None
-        and stale_from is None
-        and not mt_fees
-        and not hasattr(strategy, "on_bar_actions")
-        and not hasattr(strategy, "on_bar_ctx")
-        and not hasattr(strategy, "on_tick")
-        and params.get("force_slow") != "1"
-    ):
+    if sess.vectorizable():
+        bk = (ts_ms // sess.bar_ms).tolist()
         return _replay_fast(
-            sid,
-            strategy,
+            sess.sid,
+            sess.strategy,
             tsl,
             bl,
             al,
             bk,
-            rng=rng,
-            lat_min=lat_min,
-            lat_max=lat_max,
-            lots=lots,
-            contract=contract,
-            fee_per_side=fee_per_side,
-            start_balance=start_balance,
+            rng=sess.rng,
+            lat_min=sess.lat_min,
+            lat_max=sess.lat_max,
+            lots=sess.lots,
+            contract=sess.contract,
+            fee_per_side=sess.fee_per_side,
+            start_balance=sess.start_balance,
         )
 
-    def close_position(
-        i: int,
-        price: float,
-        reason: str,
-        p: _Position,
-        exit_ms: int | None = None,
-        fraction: float = 1.0,
-    ) -> None:
-        """Close `p` in full, or — fraction < 1 — partially
-        (portfolio_manager.partial_close_position:454-520): the closed lots
-        realize proportional P&L/fees/swap into a PARTIAL trade record; the
-        position keeps the remainder with fees/swap scaled down. MAE/MFE in
-        the partial record are the position's RUNNING extrema, unscaled —
-        exactly what the reference copies into the partial TradeRecord."""
-        nonlocal balance, quote_bal, base_bal
-        close_lots = p.lots if fraction >= 1.0 else round(p.lots * fraction, 8)
-        ratio = close_lots / p.lots
-        full = close_lots >= p.lots
-        gross = p.direction * (price - p.entry_price) * contract * close_lots
-        exit_fee = side_fee(close_lots, price, maker=False)  # closes are taker
-        fees = p.fees * ratio + exit_fee
-        swap_part = p.swap * ratio
-        if spot_mode:
-            # balance walk: entry-side fees were paid at open; only the exit
-            # fee moves cash here (portfolio_manager.py:395-407,509-521)
-            if p.direction > 0:  # close LONG = SELL base for quote
-                base_bal -= close_lots
-                quote_bal += close_lots * price - exit_fee
-            else:  # close SHORT = BUY back base with quote
-                quote_bal -= close_lots * price + exit_fee
-                base_bal += close_lots
-        else:
-            # swap was already debited from balance at each day boundary; it
-            # joins the trade record (and net) here, not the balance again
-            balance += gross - fees
-        trades.append(
-            {
-                "trade_id": len(trades),
-                "direction": "LONG" if p.direction > 0 else "SHORT",
-                "lots": close_lots,
-                "entry_ts": pd.Timestamp(p.entry_ms, unit="ms"),
-                "entry_price": p.entry_price,
-                "exit_ts": pd.Timestamp(exit_ms if exit_ms is not None else tsl[i], unit="ms"),
-                "exit_price": price,
-                "gross_pnl": gross,
-                "fees": fees,
-                "swap": swap_part,
-                "net_pnl": gross - fees - swap_part,
-                "mae_pnl": p.mae_pnl,
-                "mfe_pnl": p.mfe_pnl,
-                "mae_price": p.mae_price,
-                "mfe_price": p.mfe_price,
-                "exit_reason": reason,
-                "position_id": p.pos_id,
-                "close_type": "FULL" if full else "PARTIAL",
-            }
-        )
-        nonlocal n_filled, n_sltp
-        n_filled += 1  # every close is a broker fill (ExecutionStats parity)
-        if reason in ("SL", "TP"):
-            n_sltp += 1
-        if full:
-            positions.remove(p)
-        else:
-            p.lots = round(p.lots - close_lots, 8)
-            p.fees *= 1.0 - ratio
-            p.swap *= 1.0 - ratio
-
-    def can_open(d: int, olots: float, price: float, maker: bool = False) -> bool:
-        """Fill-time gate. Margin mode: balance must cover the margin of ALL
-        open lots plus the new order (reduces to the flat-account check when
-        no position is open). Spot mode: the spending balance must cover the
-        trade (INSUFFICIENT_FUNDS rejection, reference spot_trading suite)."""
-        nonlocal n_rejected
-        if spot_mode:
-            fee = side_fee(olots, price, maker)
-            ok = (quote_bal >= olots * price + fee) if d > 0 else (base_bal >= olots)
-            if not ok:
-                n_rejected += 1
-                return False
-            return True
-        if margin_per_lot is not None:
-            open_lots = 0.0
-            for p in positions:
-                open_lots += p.lots
-            if balance < margin_per_lot * (open_lots + olots):
-                n_rejected += 1
-                return False
-        return True
-
-    def open_position(
-        i: int,
-        entry_ms: int,
-        d: int,
-        olots: float,
-        price: float,
-        sl: float | None = None,
-        tp: float | None = None,
-        maker: bool = False,
-    ) -> None:
-        nonlocal next_pos_id, quote_bal, base_bal, n_filled
-        n_filled += 1
-        fee = side_fee(olots, price, maker)
-        if spot_mode:  # asset transfer on open (portfolio_manager.py:334-348)
-            if d > 0:  # BUY: spend quote, receive base
-                quote_bal -= olots * price + fee
-                base_bal += olots
-            else:  # SELL: spend base, receive quote
-                base_bal -= olots
-                quote_bal += olots * price - fee
-        positions.append(
-            _Position(
-                pos_id=next_pos_id,
-                direction=d,
-                lots=olots,
-                entry_i=i,
-                entry_ms=entry_ms,
-                entry_price=price,
-                fees=fee,
-                mae_price=price,
-                mfe_price=price,
-                sl_price=sl,
-                tp_price=tp,
-            )
-        )
-        next_pos_id += 1
-
-    def rp(x: float | None) -> float | None:
-        """Snap an order price to the symbol's digits (no-op when unset)."""
-        if x is None or price_digits is None:
-            return x
-        return round(x, price_digits)
-
-    def entry_trigger(d: int, b: float, a: float) -> tuple[float | None, float | None]:
-        """Trigger/limit prices for a non-market entry queued at decision
-        time, derived from the decision tick's quote."""
-        if entry_type == "limit":
-            return rp((a - entry_offset) if d > 0 else (b + entry_offset)), None
-        if entry_type == "stop":
-            return rp((a + entry_offset) if d > 0 else (b - entry_offset)), None
-        if entry_type == "stop_limit":
-            trig = (a + entry_offset) if d > 0 else (b - entry_offset)
-            lim = (trig - limit_offset) if d > 0 else (trig + limit_offset)
-            return rp(trig), rp(lim)
-        return None, None
-
-    use_actions = hasattr(strategy, "on_bar_actions")
-    use_ctx = hasattr(strategy, "on_bar_ctx")
-    # per-tick management hook (reference _execute_decision_impl cadence):
-    # an instance exposing on_tick gets a management pass on EVERY tick
-    use_tick = hasattr(strategy, "on_tick")
-
-    def handle_actions(acts: list[tuple], t: int, b: float, a: float) -> None:
-        """Dispatch decision actions. Queueable order actions share ONE rng
-        draw per decision (the reference's per-submission delay — close+open
-        of a flip share the submission moment). Position-modify actions
-        apply synchronously (the reference's capability-gated sync fallback,
-        trade_simulator.modify_position:1054); resting-order cancel/modify
-        go through the #318 scheduled-op machinery."""
-        due = None
-        for act in acts:
-            kind = act[0]
-            if kind in ("set_sl", "set_sltp"):
-                for p in positions:
-                    if p.pos_id == act[1]:
-                        p.sl_price = rp(act[2])
-                        if kind == "set_sltp":
-                            p.tp_price = rp(act[3])
-                        break
-                continue
-            if kind == "cancel_order":
-                for r in resting:
-                    if r.get("oid") == act[1] and r["op"] is None:
-                        r["op"] = ("cancel", t + modify_cancel_delay_ms)
-                        break
-                continue
-            if kind == "modify_order":
-                _, oid, ntrig, nlim, nsl, ntp = act
-                for r in resting:
-                    if r.get("oid") == oid and r["op"] is None:
-                        r["op"] = (
-                            "modify",
-                            t + modify_cancel_delay_ms,
-                            rp(ntrig),
-                            rp(nlim),
-                            rp(nsl),
-                            rp(ntp),
-                        )
-                        break
-                continue
-            # queueable order actions share one submission-delay draw
-            if due is None:
-                delay = rng.randint(lat_min, lat_max) if lat_max > 0 else 0
-                due = t + delay
-            if kind == "open":
-                d = act[1]
-                olots = lots * (act[2] if len(act) > 2 else 1.0)
-                trig, lim = entry_trigger(d, b, a)
-                pending.append(
-                    (due, ("open", d, olots, trig, lim, entry_type, None, None, None))
-                )
-            elif kind == "open_order":
-                # absolute-price order: (dir, lots_mult, otype, trigger,
-                # limit, sl, tp, oid)
-                _, d, mult, otype, trig, lim, sl, tp, oid = act
-                pending.append(
-                    (
-                        due,
-                        ("open", d, lots * mult, rp(trig), rp(lim), otype, rp(sl), rp(tp), oid),
-                    )
-                )
-            else:
-                pending.append((due, act))
-
-    def execute(i: int, act: tuple, t: int, b: float, a: float, due: int | None) -> None:
-        """Phase-1 body for one latency-resolved action at quote (b, a).
-        `due` non-None stamps heartbeat fills at their deadline instant."""
-        nonlocal n_rejected, n_stale_rejected
-        kind = act[0]
-        if kind == "close_all":
-            for p in list(positions):  # oldest first
-                close_position(i, b if p.direction > 0 else a, "SIGNAL", p, exit_ms=due)
-        elif kind in ("close_oldest", "close_newest"):
-            if positions:
-                p = positions[0] if kind == "close_oldest" else positions[-1]
-                close_position(
-                    i, b if p.direction > 0 else a, "SIGNAL", p, exit_ms=due, fraction=act[1]
-                )
-        elif kind == "close_pos":
-            for p in positions:
-                if p.pos_id == act[1]:
-                    close_position(
-                        i,
-                        b if p.direction > 0 else a,
-                        "SIGNAL",
-                        p,
-                        exit_ms=due,
-                        fraction=act[2],
-                    )
-                    break
-        else:  # open
-            _, d, olots, trig, lim, otype, sl, tp, oid = act
-            if stale_from is not None and stale_from <= t < stale_to:
-                # stale-window entry guard (#436): the order is consumed
-                # and counted; the strategy reclaims its slot. Applies to
-                # resting registration AND market opens — no NEW entry may
-                # originate inside the outage window.
-                n_stale_rejected += 1
-                emit_event("stale_entry_rejected")
-                notify = getattr(strategy, "on_open_dropped", None)
-                if notify is not None:
-                    notify()
-            elif trig is not None:
-                # limit/stop/stop_limit rest past their deadline; price
-                # triggers are evaluated in Phases 2/3 (same tick included)
-                resting.append(
-                    {
-                        "dir": d,
-                        "otype": otype,
-                        "trig": trig,
-                        "limit": lim,
-                        "lots": olots,
-                        "sl": sl,
-                        "tp": tp,
-                        "oid": oid,
-                        "bars_rested": 0,
-                        "modified": False,
-                        "op": None,
-                    }
-                )
-            elif len(positions) >= max_positions:
-                # capacity-dropped market open: counted as rejected (it was
-                # neither filled nor left resting) and surfaced to the
-                # strategy so self-tracked open counts don't drift — a
-                # latency-delayed open can arrive after the book filled up
-                n_rejected += 1
-                notify = getattr(strategy, "on_open_dropped", None)
-                if notify is not None:
-                    notify()
-            elif stress_reject is not None and stress_reject.should_trigger():
-                # stress-test seeded rejection (BROKER_ERROR in the
-                # reference): the order is consumed, counted rejected, and
-                # the strategy's reserved slot reclaimed. Drawn AFTER the
-                # capacity branch — only orders that would actually fill
-                # consume a Bernoulli draw, matching the resting-trigger
-                # path below so the shared seed sequence stays consistent
-                # between market and resting fills (the reference evaluates
-                # should_reject uniformly at pending-order fill time)
-                n_rejected += 1
-                notify = getattr(strategy, "on_open_dropped", None)
-                if notify is not None:
-                    notify()
-            elif can_open(d, olots, a if d > 0 else b):
-                open_position(
-                    i, due if due is not None else t, d, olots, a if d > 0 else b, sl, tp
-                )
-            else:
-                # margin/funds-rejected (can_open already counted it)
-                notify = getattr(strategy, "on_open_dropped", None)
-                if notify is not None:
-                    notify()
-
-    for i in range(n):
-        t = tsl[i]
-        b = bl[i]
-        a = al[i]
-
-        # R6 — overnight rollover: charge per UTC day boundary crossed
-        # since the previous tick while holding (position state is from
-        # before this tick's fills, so a position opened on this tick is
-        # not charged for this boundary). Spot accounts carry no swap
-        # (portfolio_manager.py:868).
-        if positions and i > 0 and not spot_mode and (swap_long != 0.0 or swap_short != 0.0):
-            days = t // 86_400_000 - tsl[i - 1] // 86_400_000
-            if days > 0:
-                units = days
-                if swap_triple_weekday is not None:
-                    # crossed midnights start days prev+1 .. prev+days; ISO
-                    # dow of epoch-day d is ((d + 3) % 7) + 1 (day 0 = Thu).
-                    # Each rollover landing on the triple weekday charges 2
-                    # extra units — the closed form of the reference's
-                    # per-rollover multiplier.
-                    first = tsl[i - 1] // 86_400_000 + 1
-                    first_dow = ((first + 3) % 7) + 1
-                    offset = (swap_triple_weekday - first_dow + 7) % 7
-                    triples = 0 if offset >= days else (days - 1 - offset) // 7 + 1
-                    units = days + 2 * triples
-                for p in positions:
-                    rate = swap_long if p.direction > 0 else swap_short
-                    charge = rate * units * p.lots
-                    balance -= charge
-                    p.swap += charge
-
-        # Phase 0 — resolve modify/cancel ops scheduled on earlier ticks
-        # (#318: applied BEFORE price triggers so the updated trigger is in
-        # effect for this tick, trade_simulator._resolve_pending_operations)
-        if resting:
-            kept_r = []
-            for r in resting:
-                op = r["op"]
-                if op is not None and t >= op[1]:
-                    if op[0] == "cancel":
-                        n_cancelled += 1
-                        continue  # order removed
-                    # ("modify", apply_ms, trig, lim, sl, tp) — None = keep
-                    for field, val in zip(("trig", "limit", "sl", "tp"), op[2:]):
-                        if val is not None:
-                            r[field] = val
-                    r["op"] = None
-                kept_r.append(r)
-            resting = kept_r
-
-        # R8 — heartbeat passes inside an inter-tick gap: fills whose
-        # latency deadline expired during the gap resolve at the LAST known
-        # quote, stamped at the deadline; suppressed for gaps beyond the
-        # threshold (weekend analogue — those fills wait for the next tick).
-        if (
-            heartbeat_ms is not None
-            and i > 0
-            and heartbeat_ms < t - tsl[i - 1] <= suppress_gap_ms
-        ):
-            pb, pa = bl[i - 1], al[i - 1]
-            while pending and pending[0][0] < t:
-                due, act = pending.pop(0)
-                execute(i - 1, act, due, pb, pa, due)
-
-        # R1 — budget clipping (algo-invisible, broker-visible)
-        clipped = False
-        if budget_ms is not None:
-            c = cl[i]
-            if c < clock:
-                clipped = True
-                n_clipped += 1
-            else:
-                clock = c + budget_ms
-
-        # stale-window entry transition (#436): status-plane dispatch, once
-        if (
-            stale_from is not None
-            and not stale_hook_fired
-            and stale_from <= t < stale_to
-        ):
-            stale_hook_fired = True
-            emit_event("market_data_stale")
-            hook = getattr(strategy, "on_market_data_stale", None)
-            if hook is not None:
-                hook()
-
-        # R7 — bar close on first tick of a new bucket; R9 decision
-        if bk[i] != cur_bucket:
-            if have_bar:
-                bars_closed += 1
-                # modify/cancel lifecycle bookkeeping: count closed bars an
-                # entry has rested un-triggered; schedule ops at the decision
-                # tick (they apply at Phase 0 once the delay elapses)
-                if resting and (modify_after_bars is not None or cancel_after_bars is not None):
-                    for r in resting:
-                        r["bars_rested"] += 1
-                        if r["op"] is None:
-                            if (
-                                cancel_after_bars is not None
-                                and r["bars_rested"] >= cancel_after_bars
-                            ):
-                                r["op"] = ("cancel", t + modify_cancel_delay_ms)
-                            elif (
-                                modify_after_bars is not None
-                                and not r["modified"]
-                                and r["bars_rested"] >= modify_after_bars
-                            ):
-                                r["modified"] = True
-                                r["op"] = (
-                                    "modify",
-                                    t + modify_cancel_delay_ms,
-                                    rp(r["trig"] + r["dir"] * modify_delta),
-                                    None,
-                                    None,
-                                    None,
-                                )
-                if use_ctx:
-                    # context contract: the strategy sees its open positions
-                    # and resting orders (the reference's trading_api reads:
-                    # get_open_positions / get_active_orders) and may manage
-                    # them — trailing, partial close, cancel, re-price.
-                    ctx = {
-                        "close": cur_close,
-                        "bid": b,
-                        "ask": a,
-                        "positions": [
-                            (p.pos_id, p.direction, p.lots, p.entry_price, p.sl_price, p.tp_price)
-                            for p in positions
-                        ],
-                        "resting": [
-                            (r.get("oid"), r["dir"], r["otype"], r["trig"], r["limit"])
-                            for r in resting
-                        ],
-                        # latency-pending open orders not yet registered in
-                        # the resting book: strategies must treat these as
-                        # live submissions, not as filled/cancelled
-                        "pending_oids": [
-                            a[1][8]
-                            for a in pending
-                            if a[1][0] == "open" and a[1][8] is not None
-                        ],
-                        "emit": emit_event,
-                    }
-                    acts = strategy.on_bar_ctx(ctx)
-                    if not clipped and acts:
-                        handle_actions(acts, t, b, a)
-                elif use_actions:
-                    acts = strategy.on_bar_actions(cur_close)
-                    if not clipped and acts:
-                        handle_actions(acts, t, b, a)
-                else:
-                    new_target = strategy.on_bar(cur_close)
-                    if not clipped and new_target != target:
-                        target = new_target
-                        # one rng draw per flip regardless of what gets
-                        # queued — preserves the historical RNG sequence
-                        delay = rng.randint(lat_min, lat_max) if lat_max > 0 else 0
-                        due = t + delay
-                        # resolve-modify/cancel phase: a newer signal cancels
-                        # any resting entry before queueing its own orders
-                        n_cancelled += len(resting)
-                        resting = []
-                        if positions:
-                            pending.append((due, ("close_all",)))
-                        if target != 0:
-                            trig, lim = entry_trigger(target, b, a)
-                            pending.append(
-                                (
-                                    due,
-                                    ("open", target, lots, trig, lim, entry_type, None, None, None),
-                                )
-                            )
-            cur_bucket = bk[i]
-            have_bar = True
-        cur_close = (b + a) / 2.0
-
-        # Phase 1 (R2/R3) — drain latency queue in submission order
-        while pending and t >= pending[0][0]:
-            _, act = pending.pop(0)
-            execute(i, act, t, b, a, None)
-
-        # Phases 2+3 (R3) — price triggers on resting entries
-        # (trade_simulator.py:610-686): LONG limit fills AT the limit once
-        # ask <= limit, SHORT once bid >= limit; stops break out and fill at
-        # market; a triggered STOP_LIMIT converts to a limit order at its
-        # stored limit price and may fill the same tick (:161-193). Orders
-        # triggering while the position book is at capacity wait (the
-        # historical single-position contract); margin/funds rejection
-        # consumes the order.
-        if resting:
-            kept_r = []
-            for r in resting:
-                d = r["dir"]
-                trig = r["trig"]
-                fill = None
-                if r["otype"] == "limit":
-                    if d > 0 and a <= trig:
-                        fill = trig
-                    elif d < 0 and b >= trig:
-                        fill = trig
-                elif r["otype"] == "stop":
-                    if d > 0 and a >= trig:
-                        fill = a
-                    elif d < 0 and b <= trig:
-                        fill = b
-                else:  # stop_limit: stop leg triggers -> convert to limit
-                    if (d > 0 and a >= trig) or (d < 0 and b <= trig):
-                        r["otype"] = "limit"
-                        r["trig"] = r["limit"]
-                        r["op"] = None  # conversion clears in-flight ops
-                        if d > 0 and a <= r["trig"]:
-                            fill = r["trig"]
-                        elif d < 0 and b >= r["trig"]:
-                            fill = r["trig"]
-                if fill is None:
-                    kept_r.append(r)
-                elif stale_from is not None and stale_from <= t < stale_to:
-                    kept_r.append(r)  # outage: triggered entries wait it out
-                elif len(positions) >= max_positions:
-                    kept_r.append(r)  # wait for capacity, keep resting
-                elif stress_reject is not None and stress_reject.should_trigger():
-                    # drawn at the order's actual fill moment — AFTER the
-                    # capacity wait, so a book-blocked order re-triggering
-                    # across ticks does not redraw (and compound) the
-                    # per-order Bernoulli or shift the shared seed sequence
-                    n_rejected += 1  # stress-test seeded rejection; consumed
-                else:
-                    is_maker = r["otype"] == "limit"  # stop fills take liquidity
-                    if can_open(d, r["lots"], fill, maker=is_maker):
-                        open_position(
-                            i, t, d, r["lots"], fill, r.get("sl"), r.get("tp"),
-                            maker=is_maker,
-                        )
-                    # margin/funds-rejected triggered orders are consumed
-            resting = kept_r
-
-        # R4 — excursion update as the price arrives (before stop evaluation,
-        # so the exit tick's adverse move is captured in MAE)
-        total_unreal = 0.0
-        for p in list(positions):
-            mark = b if p.direction > 0 else a
-            unreal = p.direction * (mark - p.entry_price) * contract * p.lots
-            if unreal < p.mae_pnl:
-                p.mae_pnl = unreal
-                p.mae_price = mark
-            if unreal > p.mfe_pnl:
-                p.mfe_pnl = unreal
-                p.mfe_price = mark
-
-            # R3 — broker-side SL/TP. Trigger on the close-side price
-            # (LONG->bid, SHORT->ask); FILL AT THE LEVEL, not the breaching
-            # mark — the reference closes via a synthetic order with
-            # "Fill price = SL/TP level (deterministic)"
-            # (abstract_trade_executor._check_sl_tp_triggers:403-459; its
-            # sltp_limit_validation suite pins exit_price == the level).
-            # The excursion update above still runs on the raw mark, so a
-            # gap through the level is captured in MAE/MFE.
-            if sl_dist is not None or tp_dist is not None:
-                move = p.direction * (mark - p.entry_price)
-                if sl_dist is not None and move <= -sl_dist:
-                    close_position(i, p.entry_price - p.direction * sl_dist, "SL", p)
-                    continue
-                if tp_dist is not None and move >= tp_dist:
-                    close_position(i, p.entry_price + p.direction * tp_dist, "TP", p)
-                    continue
-            # per-position absolute SL/TP levels (order-attached or modified
-            # via set_sl) — same level-fill contract
-            if p.sl_price is not None and p.direction * (mark - p.sl_price) <= 0:
-                close_position(i, p.sl_price, "SL", p)
-                continue
-            if p.tp_price is not None and p.direction * (mark - p.tp_price) >= 0:
-                close_position(i, p.tp_price, "TP", p)
-                continue
-            total_unreal += unreal
-
-        # Per-tick management pass (reference _execute_decision_impl runs
-        # every tick: partial close -> trail -> resting cancel/re-price ->
-        # armed entry). Runs AFTER this tick's broker-side stop evaluation,
-        # so a freshly-ratcheted SL takes effect on the next quote — the
-        # reference's modify lands broker-side after the tick that computed
-        # it, same ordering. Budget-clipped ticks are algo-invisible here
-        # exactly as they are for bar decisions.
-        if use_tick and not clipped:
-            acts = strategy.on_tick(
-                {
-                    "bid": b,
-                    "ask": a,
-                    "positions": [
-                        (p.pos_id, p.direction, p.lots, p.entry_price, p.sl_price, p.tp_price)
-                        for p in positions
-                    ],
-                    "resting": [
-                        (r.get("oid"), r["dir"], r["otype"], r["trig"], r["limit"])
-                        for r in resting
-                    ],
-                    "pending_oids": [
-                        a[1][8]
-                        for a in pending
-                        if a[1][0] == "open" and a[1][8] is not None
-                    ],
-                    "emit": emit_event,
-                }
-            )
-            if acts:
-                handle_actions(acts, t, b, a)
-                # zero-latency actions resolve on this tick, matching the
-                # bar-decision path (Phase 1 already ran this iteration)
-                while pending and t >= pending[0][0]:
-                    _, act = pending.pop(0)
-                    execute(i, act, t, b, a, None)
-
-        # R5 — account state (spot: equity = portfolio value at mid,
-        # portfolio_manager.get_spot_equity)
-        if spot_mode:
-            equity = quote_bal + base_bal * ((b + a) / 2.0)
-        else:
-            equity = balance + total_unreal
-        if equity > peak:
-            peak = equity
-        dd = peak - equity
-        if dd > max_dd:
-            max_dd = dd
-        if sample_every > 0 and i % sample_every == 0:
-            samples.append(
-                {"ts": pd.Timestamp(t, unit="ms"), "equity": equity, "drawdown": dd}
-            )
-
-    if positions and n > 0:
-        for p in list(positions):
-            close_position(n - 1, bl[n - 1] if p.direction > 0 else al[n - 1], "END", p)
-        equity = (
-            quote_bal + base_bal * ((bl[n - 1] + al[n - 1]) / 2.0)
-            if spot_mode
-            else balance
-        )
-
-    wins = sum(1 for tr in trades if tr["net_pnl"] > 0)
-    losses = sum(1 for tr in trades if tr["net_pnl"] < 0)
-    return pd.DataFrame(
-        [
-            {
-                "scenario_id": sid,
-                "ticks_processed": n,
-                "ticks_clipped": n_clipped,
-                "bars_closed": bars_closed,
-                "trades_count": len(trades),
-                "orders_rejected": n_rejected,
-                "orders_filled": n_filled,
-                "orders_cancelled": n_cancelled,
-                "sl_tp_exits": n_sltp,
-                "stale_entries_rejected": n_stale_rejected,
-                "stale_windows_hit": 1 if stale_hook_fired else 0,
-                "events": events_buf
-                + ([f"events_overflow:{events_dropped}"] if events_dropped else []),
-                "wins": wins,
-                "losses": losses,
-                "gross_profit": sum(tr["gross_pnl"] for tr in trades if tr["gross_pnl"] > 0),
-                "gross_loss": sum(tr["gross_pnl"] for tr in trades if tr["gross_pnl"] < 0),
-                "fees": sum(tr["fees"] for tr in trades),
-                "swap": sum(tr["swap"] for tr in trades),
-                "net_pnl": sum(tr["net_pnl"] for tr in trades),
-                "final_equity": equity if n > 0 else start_balance,
-                "max_drawdown": max_dd,
-                "trades": trades,
-                "equity_samples": samples,
-            }
-        ]
-    )
+    for t, c, b, a in zip(tsl, cl, bl, al):
+        sess.process_tick(t, c, b, a)
+    sess.finish()
+    return sess.summary_frame()
 
 
 def _replay_fast(

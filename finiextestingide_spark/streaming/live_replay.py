@@ -729,6 +729,111 @@ def live_backtest(
     )
 
 
+# --- generic live sessions: ANY strategy, the WHOLE batch surface -----------
+
+_BLOB_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
+
+
+def live_backtest_generic(
+    ticks: DataFrame,
+    params: dict,
+    *,
+    latency_seed: int = 42,
+    latency_min_ms: int = 0,
+    latency_max_ms: int = 0,
+) -> DataFrame:
+    """The live loop for ANY decision logic with the ENTIRE batch feature
+    surface — per-symbol state is the pickled ``operators.replay.
+    ReplaySession``, the SAME state-machine object the batch loop drives
+    tick by tick. The reference's dual-pipeline design point
+    (tick_pipeline_core shared by batch orchestrator and autotrader loop)
+    lands here literally: there is no reimplementation to drift, so ctx
+    strategies with per-tick management (trend_channel: resting entries
+    with attached SL/TP, trailing-stop ratchets, R-rung partial closes,
+    cancel/re-price lifecycle), scale_out partial-close ladders, plugins,
+    maker/taker fees, spot accounting, margin gates, swap accrual, stress
+    rejection and stale windows all run live with parity BY CONSTRUCTION.
+
+    Trade-off vs ``live_backtest``: state is an opaque pickle (the
+    reference's live session is one in-memory object too; this is its
+    checkpoint form) instead of typed columns, and the rng state rides
+    inside the session (random.Random pickles its Mersenne state O(1)).
+    Ticks follow the same wire contract (time_msc = epoch-ms clock,
+    optional tick_seq/collected_msc); ``equity_sample_every`` is forced to
+    0 — a live session emits trades, and an unbounded sample buffer must
+    not grow in state. A live session never END-closes (finish() is batch
+    only); swap, if configured, joins net_pnl exactly as batch."""
+    from ..operators.replay import ReplaySession
+
+    p = dict(params)
+    p["equity_sample_every"] = "0"
+    scen = {
+        "scenario_id": 0,
+        "parameters": p,
+        "tick_processing_budget_ms": None,
+        "max_ticks": None,
+        "latency_seed": latency_seed,
+        "latency_min_ms": latency_min_ms,
+        "latency_max_ms": latency_max_ms,
+    }
+
+    def run(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (symbol,) = key
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        keys = [
+            c
+            for c in ("time_msc", "tick_seq", "timestamp", "collected_msc", "bid", "ask")
+            if c in pdf.columns
+        ]
+        pdf = pdf.sort_values(keys, kind="mergesort")
+
+        if state.exists:
+            (blob,) = state.get
+            sess = pickle.loads(bytes(blob))
+        else:
+            sess = ReplaySession(scen)
+
+        tsl = pdf["time_msc"].astype("int64").tolist()
+        cl = (
+            pdf["collected_msc"].astype("int64").tolist()
+            if "collected_msc" in pdf.columns
+            else tsl
+        )
+        bl = pdf["bid"].tolist()
+        al = pdf["ask"].tolist()
+        for t, c, b, a in zip(tsl, cl, bl, al):
+            sess.process_tick(t, c, b, a)
+
+        rows = sess.drain_trades()
+        state.update((pickle.dumps(sess),))
+        if rows:
+            yield pd.DataFrame(
+                [
+                    (
+                        symbol, tr["trade_id"], tr["direction"], tr["lots"],
+                        tr["entry_ts"], tr["entry_price"], tr["exit_ts"],
+                        tr["exit_price"], tr["gross_pnl"], tr["fees"],
+                        tr["net_pnl"], tr["mae_pnl"], tr["mfe_pnl"],
+                        tr["mae_price"], tr["mfe_price"], tr["exit_reason"],
+                        None, None,
+                    )
+                    for tr in rows
+                ],
+                columns=[f.name for f in TRADE_SCHEMA.fields],
+            )
+
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        run,
+        outputStructType=TRADE_SCHEMA,
+        stateStructType=_BLOB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- account-global live portfolio state ------------------------------------
 
 _ACCT_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])

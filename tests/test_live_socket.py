@@ -1551,3 +1551,171 @@ def test_live_signal_follow_asof_parity(spark):
     }
     for r in got:
         assert joined[r["entry_ts"]] == (r["entry_sig_ts"], r["entry_sig_score"])
+
+
+def _drive_generic_socket(spark, events, params, *, seed=42, lat_min=0, lat_max=0,
+                          n_expected=0, chunk_lines=250, chunk_pause=0.3):
+    """Feed recorded events over a socket through live_backtest_generic
+    (the pickled-ReplaySession live path) and collect trades by symbol."""
+    from finiextestingide_spark.streaming.live_replay import live_backtest_generic
+
+    lines = [
+        tick_line(r["event_type"], _epoch_us(r["ts"]), r["value"], 1.0, r["event_id"])
+        for r in events
+    ]
+    name = f"live_gen_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with TickFeedServer(lines, chunk_lines=chunk_lines,
+                            chunk_pause_secs=chunk_pause) as srv:
+            raw = read_socket_ticks(spark, "127.0.0.1", srv.port)
+            live_ticks = raw.select(
+                "symbol",
+                F.col("ts").alias("timestamp"),
+                F.unix_millis(F.col("ts")).alias("time_msc"),
+                F.col("seq").alias("tick_seq"),
+                (F.col("mid") - 0.005).alias("bid"),
+                (F.col("mid") + 0.005).alias("ask"),
+            )
+            q = (
+                live_backtest_generic(live_ticks, params, latency_seed=seed,
+                                      latency_min_ms=lat_min, latency_max_ms=lat_max)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                _drain(spark, name, n_expected, q)
+                got = {}
+                for r in sorted(
+                    spark.table(name).collect(), key=lambda r: (r["symbol"], r["trade_id"])
+                ):
+                    got.setdefault(r["symbol"], []).append(r)
+            finally:
+                q.stop()
+                q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return got
+
+
+def test_live_generic_trendchannel_parity(spark, sf_dir):
+    """The production-complexity decision logic LIVE (round-7 breadth
+    closure): trend_channel with per-tick management — resting entries
+    with order-attached SL/TP, always-on trailing-stop ratchet, R-rung
+    partial closes, cancel-on-gate-flip, re-price-on-band-drift — runs in
+    live_backtest_generic, whose per-symbol state is the pickled
+    ReplaySession the batch loop drives. Same seeded 50-2000ms latency,
+    same feed over a real socket: trade records (including PARTIAL rungs)
+    must equal the batch replay's field-for-field. There is no
+    reimplementation here to diverge — the parity is by construction, and
+    this test pins the construction (pickle round-trip + micro-batch
+    slicing + sort contract)."""
+    params = {
+        "strategy": "trend_channel",
+        "entry_mode": "limit_pullback",
+        "bar_ms": "3600000",
+        "boll_period": "12",
+        "gate_every_bars": "4",
+        "gate_ma_period": "8",
+        "max_positions": "2",
+        "equity_sample_every": "0",
+    }
+    seed, lat_min, lat_max = 7, 50, 2000
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    batch, _res = _batch_nonend_trades(
+        spark, events, params, seed=seed, lat_min=lat_min, lat_max=lat_max
+    )
+    n_expected = sum(len(v) for v in batch.values())
+    assert n_expected > 5
+    # the fixture must exercise the partial-close rung somewhere
+    assert any(r["lots"] < 1.0 for v in batch.values() for r in v)
+
+    got = _drive_generic_socket(
+        spark, events, params, seed=seed, lat_min=lat_min, lat_max=lat_max,
+        n_expected=n_expected,
+    )
+    _assert_trade_parity(batch, got)
+
+
+def test_live_generic_scaleout_and_breakout_parity(spark, sf_dir, tmp_path):
+    """Two more decision surfaces through the generic live session, driven
+    from a chunked file stream (one micro-batch per file): the scale_out
+    partial-close ladder (close_oldest with a fraction -> PARTIAL trade
+    records) and trend_channel's stop_breakout entry mode (resting STOP
+    entries, breakout fills at market). Both must equal the batch replay
+    field-for-field."""
+    from finiextestingide_spark.streaming.live_replay import live_backtest_generic
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    configs = [
+        {"strategy": "scale_out", "fast": "3", "slow": "7", "hold_bars": "2",
+         "fraction": "0.4", "bar_ms": "3600000", "fee_per_side": "0.05",
+         "equity_sample_every": "0"},
+        {"strategy": "trend_channel", "entry_mode": "stop_breakout",
+         "bar_ms": "3600000", "boll_period": "12", "gate_every_bars": "4",
+         "gate_ma_period": "8", "max_positions": "2", "equity_sample_every": "0"},
+    ]
+    rows = [
+        (r["event_type"], r["ts"], _epoch_us(r["ts"]) // 1000,
+         r["event_id"], r["value"] - 0.005, r["value"] + 0.005)
+        for r in events
+    ]
+    ddl = ("symbol string, timestamp timestamp, time_msc long, tick_seq long, "
+           "bid double, ask double")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for ci, params in enumerate(configs):
+            batch, _res = _batch_nonend_trades(spark, events, params)
+            n_expected = sum(len(v) for v in batch.values())
+            assert n_expected > 3, params["strategy"]
+            if params["strategy"] == "scale_out":
+                assert any(r["lots"] < 1.0 for v in batch.values() for r in v)
+
+            feed = tmp_path / f"feed{ci}"
+            feed.mkdir()
+            n_chunks = 5
+            per = (len(rows) + n_chunks - 1) // n_chunks
+            for i in range(n_chunks):
+                chunk = rows[i * per:(i + 1) * per]
+                if chunk:
+                    spark.createDataFrame(chunk, ddl).coalesce(1).write.parquet(
+                        str(feed / f"p{i}")
+                    )
+            schema = spark.createDataFrame([], ddl).schema
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(feed / "p*"))
+            )
+            name = f"live_gen2_{uuid.uuid4().hex[:8]}"
+            q = (
+                live_backtest_generic(stream, params)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            got = {}
+            for r in sorted(
+                spark.table(name).collect(), key=lambda r: (r["symbol"], r["trade_id"])
+            ):
+                got.setdefault(r["symbol"], []).append(r)
+            _assert_trade_parity(batch, got)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
