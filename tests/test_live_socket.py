@@ -1447,13 +1447,24 @@ def test_live_account_global_margin_gate(spark, tmp_path):
         assert gated["A"][0][c] == batch_a[0][c], (c, gated["A"][0][c], batch_a[0][c])
 
 
-def test_live_signal_follow_asof_parity(spark):
-    """W7 live (round-7 #6): two live sockets — ticks + signals — feed ONE
+def test_live_signal_follow_asof_parity(spark, tmp_path):
+    """W7 live (round-7 #6): a tick stream and a signal stream feed ONE
     stateful session; the signal_follow strategy decides from the latest
     as-of signal with staleness gating, and every trade stamps the signal
     that drove its entry. The stamped (entry_sig_ts, entry_sig_score) must
     equal the batch as-of join (operators/asof.asof_join) evaluated at the
-    decision ticks, and the stale window must force the position flat."""
+    decision ticks, and the stale window must force the position flat.
+
+    Drive: two REPLAYABLE file streams advanced era-by-era with a
+    checkpoint restart between eras — era 1 (signal 90s + ticks <400s)
+    runs to completion, then era 2's files land and a second availableNow
+    run continues from the checkpoint. This is deterministic (a
+    wall-clock-paced socket drive of the same fixture flaked under CPU
+    load: the decision is only correct if the signal is POLLED before its
+    dependent tick batch, which sleeps cannot guarantee) and proves the
+    harder property: the as-of signal state (sig_ms/sig_val) survives the
+    state-store round trip. The two-socket LIVE wiring itself is covered
+    by test_socket_asof_signal_stream."""
     from datetime import datetime, timedelta
 
     from finiextestingide_spark.operators.asof import asof_join
@@ -1480,49 +1491,57 @@ def test_live_signal_follow_asof_parity(spark):
         ("SHORT", t0 + timedelta(seconds=420)): (t0 + timedelta(seconds=400), -4.0),
     }
 
-    # wire scripts: each signal goes on the wire BEFORE its dependent ticks
-    sig_lines = [
-        (0.0, signal_line("S", _epoch_us(sig_rows[0][1]), 5.0)),
-        (4.0, signal_line("S", _epoch_us(sig_rows[1][1]), -4.0)),
+    tick_ddl = ("symbol string, timestamp timestamp, time_msc long, "
+                "tick_seq long, bid double, ask double")
+    sig_ddl = "symbol string, sig_ts timestamp, score double"
+    t_rows = [
+        (sym, ts, _epoch_us(ts) // 1000, i, v - 0.005, v + 0.005)
+        for i, (sym, ts, v) in enumerate(tick_rows)
     ]
-    tick_lines = []
-    for i, (s, ts, v) in enumerate(tick_rows):
-        # event-time lockstep with wide wall margins (this is scripted
-        # arrival order, and micro-batch polling is asynchronous): signal 1
-        # is on the wire 2s before ANY tick; the ticks from event-time 400s
-        # on wait until signal 2 (wire ~4s) has had 4s to be polled
-        delay = 2.0 if i == 0 else (6.0 if ts == t0 + timedelta(seconds=400) else 0.0)
-        tick_lines.append((delay, tick_line(s, _epoch_us(ts), v, 1.0, i)))
+    era_cut = t0 + timedelta(seconds=400)
+    src_t = tmp_path / "ticks"
+    src_s = tmp_path / "sigs"
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    src_t.mkdir(); src_s.mkdir()
 
-    name = f"live_sig_{uuid.uuid4().hex[:8]}"
+    def start_query():
+        st = (
+            spark.readStream.schema(tick_ddl).parquet(str(src_t / "p*"))
+        )
+        ss = spark.readStream.schema(sig_ddl).parquet(str(src_s / "p*"))
+        return (
+            live_backtest(st, params, signals=ss)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        with TickFeedServer(sig_lines) as sig_srv, TickFeedServer(tick_lines) as tick_srv:
-            st = read_socket_ticks(spark, "127.0.0.1", tick_srv.port).select(
-                "symbol",
-                F.col("ts").alias("timestamp"),
-                F.unix_millis(F.col("ts")).alias("time_msc"),
-                F.col("seq").alias("tick_seq"),
-                (F.col("mid") - 0.005).alias("bid"),
-                (F.col("mid") + 0.005).alias("ask"),
-            )
-            ss = read_socket_signals(spark, "127.0.0.1", sig_srv.port).select(
-                "symbol", "sig_ts", F.col("score")
-            )
-            q = (
-                live_backtest(st, params, signals=ss)
-                .writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .start()
-            )
-            try:
-                _drain(spark, name, 2, q)
-                got = sorted(spark.table(name).collect(), key=lambda r: r["trade_id"])
-            finally:
-                q.stop()
-                q.awaitTermination()
+        # era 1: the 90s signal + every tick before 400s
+        spark.createDataFrame(
+            [r for r in t_rows if r[1] < era_cut], tick_ddl
+        ).coalesce(1).write.parquet(str(src_t / "p1"))
+        spark.createDataFrame(sig_rows[:1], sig_ddl).coalesce(1).write.parquet(
+            str(src_s / "p1")
+        )
+        q1 = start_query()
+        q1.awaitTermination()
+        # era 2: the 400s signal + the remaining ticks, from the checkpoint
+        spark.createDataFrame(
+            [r for r in t_rows if r[1] >= era_cut], tick_ddl
+        ).coalesce(1).write.parquet(str(src_t / "p2"))
+        spark.createDataFrame(sig_rows[1:], sig_ddl).coalesce(1).write.parquet(
+            str(src_s / "p2")
+        )
+        q2 = start_query()
+        q2.awaitTermination()
+        got = sorted(spark.read.parquet(out_dir).collect(), key=lambda r: r["trade_id"])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
