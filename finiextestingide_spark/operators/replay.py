@@ -728,6 +728,22 @@ def _replay_one(pdf: pd.DataFrame) -> pd.DataFrame:
     return _replay_core(pdf, scen)
 
 
+class AccountState:
+    """Shared account-scope state for multi-symbol LIVE sessions: one
+    balance and one open-lots total spanning every symbol sub-book, so the
+    margin gate rejects an open on symbol B because symbol A's position
+    consumed the margin — the reference's live portfolio_manager holds
+    exactly this account-global view (portfolio_manager.py:1080-1139).
+    Plain picklable data; sub-sessions share ONE instance (pickle's memo
+    preserves the sharing inside a single state blob)."""
+
+    __slots__ = ("balance", "open_lots")
+
+    def __init__(self, balance: float):
+        self.balance = balance
+        self.open_lots = 0.0
+
+
 class ReplaySession:
     """The per-tick trading state machine, shared by BATCH and LIVE.
 
@@ -756,8 +772,13 @@ class ReplaySession:
     historical contract, hash-pinned by the replay gate oracles.
     """
 
-    def __init__(self, scen: dict):
+    def __init__(self, scen: dict, account: AccountState | None = None):
         self.sid = int(scen["scenario_id"])
+        # account-scope coupling (LIVE multi-symbol sessions): when set,
+        # balance reads/writes route to the shared AccountState and the
+        # margin gate checks ACCOUNT-wide open lots; None (the batch path
+        # and single-symbol live) keeps the historical per-scenario account
+        self.account = account
         raw_params = scen.get("parameters")
         params: dict = dict(raw_params) if isinstance(raw_params, dict) else {}
         self.params = params
@@ -917,7 +938,7 @@ class ReplaySession:
         self.use_tick = hasattr(self.strategy, "on_tick")
 
         # --- mutable account/session state ---
-        self.balance = self.start_balance  # margin-mode account currency
+        self._balance = self.start_balance  # margin-mode account currency
         self.quote_bal = self.start_balance  # spot-mode quote balance
         self.base_bal = self.base_start  # spot-mode base-asset balance
         self.equity = self.start_balance
@@ -964,6 +985,17 @@ class ReplaySession:
         self.prev_b = 0.0
         self.prev_a = 0.0
         self.n_ticks = 0
+
+    @property
+    def balance(self) -> float:
+        return self.account.balance if self.account is not None else self._balance
+
+    @balance.setter
+    def balance(self, v: float) -> None:
+        if self.account is not None:
+            self.account.balance = v
+        else:
+            self._balance = v
 
     _EVENTS_CAP = 1000
 
@@ -1025,6 +1057,8 @@ class ReplaySession:
         the partial record are the position's RUNNING extrema, unscaled —
         exactly what the reference copies into the partial TradeRecord."""
         close_lots = p.lots if fraction >= 1.0 else round(p.lots * fraction, 8)
+        if self.account is not None and not self.spot_mode:
+            self.account.open_lots -= close_lots
         ratio = close_lots / p.lots
         full = close_lots >= p.lots
         gross = p.direction * (price - p.entry_price) * self.contract * close_lots
@@ -1094,9 +1128,14 @@ class ReplaySession:
                 return False
             return True
         if self.margin_per_lot is not None:
-            open_lots = 0.0
-            for p in self.positions:
-                open_lots += p.lots
+            if self.account is not None:
+                # ACCOUNT scope: every symbol's open lots count against the
+                # one shared balance (portfolio_manager.py:1080-1139 live)
+                open_lots = self.account.open_lots
+            else:
+                open_lots = 0.0
+                for p in self.positions:
+                    open_lots += p.lots
             if self.balance < self.margin_per_lot * (open_lots + olots):
                 self.n_rejected += 1
                 return False
@@ -1113,6 +1152,8 @@ class ReplaySession:
         maker: bool = False,
     ) -> None:
         self.n_filled += 1
+        if self.account is not None and not self.spot_mode:
+            self.account.open_lots += olots
         fee = self._side_fee(olots, price, maker)
         if self.spot_mode:  # asset transfer on open (portfolio_manager.py:334-348)
             if d > 0:  # BUY: spend quote, receive base

@@ -844,7 +844,7 @@ def live_backtest_account(
     params: dict,
     *,
     account_col: str | None = None,
-    latency_seed: int = 0,
+    latency_seed: int = 42,
     latency_min_ms: int = 0,
     latency_max_ms: int = 0,
 ) -> DataFrame:
@@ -855,32 +855,35 @@ def live_backtest_account(
     across every open position regardless of symbol
     (portfolio_manager.py:1080-1139). Per-symbol sessions cannot express
     "symbol B's open is rejected because symbol A's position consumed the
-    margin"; this operator can, because state is one account session with
-    per-symbol sub-books inside it.
+    margin"; this operator can, because state is one shared
+    ``AccountState`` plus one ``ReplaySession`` sub-book PER SYMBOL — the
+    same state machine the batch loop drives, so every symbol's mechanics
+    (any strategy, resting orders, modify/cancel, SL/TP, partial closes,
+    seeded latency) carry full batch parity, with only the balance/margin
+    reads routed through the account.
 
     The tick stream is processed in GLOBAL event-time order across symbols
-    (the batch core's key precedence), exactly like the reference's single
-    queue-fed loop interleaving all subscribed feeds. Per-symbol sub-book
-    mechanics (bars, target decisions, latency FIFO, excursions, SL/TP at
-    the level) are the same contract as ``live_backtest``; the account
-    layer adds:
+    (the batch core's key precedence, symbol as the stable tiebreak after
+    it), exactly like the reference's single queue-fed loop interleaving
+    all subscribed feeds. Account layer semantics:
 
     - ``start_balance``: one shared account balance (default 10000);
-      closes realize gross - fees into it.
+      closes realize gross - fees into it, swap accrual debits it.
     - ``margin_per_lot``: an open is REJECTED when
       balance < margin_per_lot * (open lots across ALL symbols + new lots)
-      — the batch can_open arithmetic, lifted from per-scenario to
-      per-account scope. Rejections are consumed (the order never fills).
-    - one shared seeded rng for the whole account (the reference's live
-      process holds one), serialized in the session blob.
+      — the batch can_open arithmetic at account scope. Rejections are
+      consumed (the order never fills; the strategy's on_open_dropped
+      reclaims its slot).
+    - each sub-book seeds its own rng from ``latency_seed`` — identical to
+      a batch scenario with that seed, so per-symbol batch parity holds
+      even under latency.
 
-    State is the account session pickled into a single binary column — a
-    live account session is ONE in-memory object in the reference too, and
-    pickle is its checkpoint format here (the Mersenne state rides inside
-    it, O(1) per micro-batch). Scope (honest): market entries with
-    relative SL/TP and the target-model strategies; the resting-order
-    book and pyramid lift in through the same sub-book seam as
-    ``live_backtest``.
+    State is (AccountState, {symbol: ReplaySession}) pickled into one
+    binary column; pickle's memo preserves the shared-account reference,
+    and each session's Mersenne state rides inside it (O(1) per batch).
+    ``equity_sample_every`` is forced to 0 (live sessions emit trades, not
+    sample buffers); ``spot_mode`` is rejected (spot accounts are
+    per-asset-pair balances, not one margin account).
 
     Keying: pass ``account_col`` naming an account column, or leave None
     to treat the whole stream as one account. Scale posture: one state
@@ -888,22 +891,27 @@ def live_backtest_account(
     single account's feed is sequential by construction — the same bound
     as the reference's one-process live loop.
     """
-    bar_ms = int(params.get("bar_ms", 60_000))
-    lots = float(params.get("lots", 1.0))
-    contract = float(params.get("contract_size", 1.0))
-    fee_per_side = float(params.get("fee_per_side", 0.0))
-    max_positions = int(params.get("max_positions", 1))
-    slow = int(params.get("slow", 20))
-    win = max(slow, int(params.get("period", 14)) + 1)
-    sl_dist = float(params["sl_dist"]) if "sl_dist" in params else None
-    tp_dist = float(params["tp_dist"]) if "tp_dist" in params else None
-    start_balance = float(params.get("start_balance", 10_000.0))
-    margin_per_lot = (
-        float(params["margin_per_lot"]) if "margin_per_lot" in params else None
-    )
+    from ..operators.replay import AccountState, ReplaySession
+
+    p = dict(params)
+    p["equity_sample_every"] = "0"
+    if p.get("spot_mode") == "1":
+        raise ValueError(
+            "live_backtest_account is a margin-account surface; spot_mode "
+            "carries per-pair asset balances, not one shared margin account"
+        )
+    start_balance = float(p.get("start_balance", 10_000.0))
+    scen_base = {
+        "parameters": p,
+        "tick_processing_budget_ms": None,
+        "max_ticks": None,
+        "latency_seed": latency_seed,
+        "latency_min_ms": latency_min_ms,
+        "latency_max_ms": latency_max_ms,
+    }
 
     def run(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        chunks = [p for p in pdfs if len(p)]
+        chunks = [c for c in pdfs if len(c)]
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
@@ -917,124 +925,42 @@ def live_backtest_account(
 
         if state.exists:
             (blob,) = state.get
-            sess = pickle.loads(bytes(blob))
+            acct, books = pickle.loads(bytes(blob))
         else:
-            sess = {"balance": start_balance, "books": {}, "rng": None, "n_draws": 0}
-        rng = None
-        if latency_max_ms > 0:
-            import random
-
-            rng = random.Random(latency_seed)
-            if sess["rng"] is not None:
-                rng.setstate(sess["rng"])
-
-        out: list[tuple] = []
-
-        def book_for(sym: str) -> dict:
-            bk = sess["books"].get(sym)
-            if bk is None:
-                bk = sess["books"][sym] = {
-                    "bucket": -1, "cur_close": 0.0, "closes": [], "target": 0,
-                    "positions": [], "pending": [], "trade_count": 0,
-                }
-            return bk
-
-        def open_lots_total() -> float:
-            return sum(
-                p.lots for bk in sess["books"].values() for p in bk["positions"]
-            )
-
-        def emit_close(bk: dict, sym: str, p: _Pos, t: int, price: float,
-                       reason: str) -> None:
-            gross = p.dir * (price - p.entry_price) * contract * p.lots
-            fees = p.fees + fee_per_side * p.lots
-            sess["balance"] += gross - fees
-            out.append(
-                (
-                    sym, bk["trade_count"], "LONG" if p.dir > 0 else "SHORT", p.lots,
-                    pd.Timestamp(p.entry_ms, unit="ms"), p.entry_price,
-                    pd.Timestamp(t, unit="ms"), price,
-                    gross, fees, gross - fees,
-                    p.mae, p.mfe, p.maep, p.mfep, reason, None, None,
-                )
-            )
-            bk["trade_count"] += 1
+            acct, books = AccountState(start_balance), {}
 
         sym_l = pdf["symbol"].tolist()
         ts_l = pdf["time_msc"].astype("int64").tolist()
+        cl = (
+            pdf["collected_msc"].astype("int64").tolist()
+            if "collected_msc" in pdf.columns
+            else ts_l
+        )
         bid_l = pdf["bid"].tolist()
         ask_l = pdf["ask"].tolist()
 
-        for sym, t, b, a in zip(sym_l, ts_l, bid_l, ask_l):
-            bk = book_for(sym)
-            bucket = t // bar_ms * bar_ms
-            if bucket != bk["bucket"]:
-                if bk["bucket"] != -1:
-                    closes = bk["closes"]
-                    closes.append(bk["cur_close"])
-                    if len(closes) > win:
-                        del closes[0]
-                    new_target = _decide(closes, bk["target"], params)
-                    if new_target != bk["target"]:
-                        bk["target"] = new_target
-                        delay = (
-                            rng.randint(latency_min_ms, latency_max_ms) if rng else 0
-                        )
-                        if rng:
-                            sess["n_draws"] += 1
-                        due = t + delay
-                        if bk["positions"]:
-                            bk["pending"].append((due, 0, 0))
-                        if new_target != 0:
-                            bk["pending"].append((due, 1, new_target))
-                bk["bucket"] = bucket
-            bk["cur_close"] = (b + a) / 2.0
+        for sym, t, c, b, a in zip(sym_l, ts_l, cl, bid_l, ask_l):
+            sess = books.get(sym)
+            if sess is None:
+                sess = books[sym] = ReplaySession(
+                    {"scenario_id": len(books), **scen_base}, account=acct
+                )
+            sess.process_tick(t, c, b, a)
 
-            pending = bk["pending"]
-            while pending and t >= pending[0][0]:
-                _, kind, d = pending.pop(0)
-                if kind == 0:
-                    for p in list(bk["positions"]):
-                        emit_close(bk, sym, p, t, b if p.dir > 0 else a, "SIGNAL")
-                    bk["positions"] = []
-                elif len(bk["positions"]) >= max_positions:
-                    pass  # per-symbol capacity drop: consumed
-                elif (
-                    margin_per_lot is not None
-                    and sess["balance"] < margin_per_lot * (open_lots_total() + lots)
-                ):
-                    # ACCOUNT-level margin rejection: another symbol's open
-                    # position consumed the margin — consumed, never fills
-                    pass
-                else:
-                    entry = a if d > 0 else b
-                    bk["positions"].append(
-                        _Pos(d, lots, t, entry, fee_per_side * lots,
-                             0.0, 0.0, entry, entry)
+        out = []
+        for sym in sorted(books):
+            for tr in books[sym].drain_trades():
+                out.append(
+                    (
+                        sym, tr["trade_id"], tr["direction"], tr["lots"],
+                        tr["entry_ts"], tr["entry_price"], tr["exit_ts"],
+                        tr["exit_price"], tr["gross_pnl"], tr["fees"],
+                        tr["net_pnl"], tr["mae_pnl"], tr["mfe_pnl"],
+                        tr["mae_price"], tr["mfe_price"], tr["exit_reason"],
+                        None, None,
                     )
-
-            if bk["positions"]:
-                for p in list(bk["positions"]):
-                    mark = b if p.dir > 0 else a
-                    unreal = p.dir * (mark - p.entry_price) * contract * p.lots
-                    if unreal < p.mae:
-                        p.mae, p.maep = unreal, mark
-                    if unreal > p.mfe:
-                        p.mfe, p.mfep = unreal, mark
-                    if sl_dist is not None or tp_dist is not None:
-                        move = p.dir * (mark - p.entry_price)
-                        if sl_dist is not None and move <= -sl_dist:
-                            emit_close(bk, sym, p, t,
-                                       p.entry_price - p.dir * sl_dist, "SL")
-                            bk["positions"].remove(p)
-                            continue
-                        if tp_dist is not None and move >= tp_dist:
-                            emit_close(bk, sym, p, t,
-                                       p.entry_price + p.dir * tp_dist, "TP")
-                            bk["positions"].remove(p)
-
-        sess["rng"] = rng.getstate() if rng is not None else None
-        state.update((pickle.dumps(sess),))
+                )
+        state.update((pickle.dumps((acct, books)),))
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in TRADE_SCHEMA.fields])
 

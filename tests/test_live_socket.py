@@ -1738,3 +1738,75 @@ def test_live_generic_scaleout_and_breakout_parity(spark, sf_dir, tmp_path):
             _assert_trade_parity(batch, got)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def test_live_account_full_surface_parity(spark, sf_dir, tmp_path):
+    """The account session's sub-books are real ReplaySessions, so the
+    FULL order surface runs at account scope: all five recorded symbols
+    through ONE account session with resting LIMIT entries
+    (register/fill-at-limit/cancel-on-flip), margin unconstrained — every
+    symbol's trade records must equal its own batch scenario
+    field-for-field (the account layer only routes balance/margin, it
+    must not perturb book mechanics)."""
+    from finiextestingide_spark.streaming.live_replay import live_backtest_account
+
+    params = {
+        "strategy": "sma_cross", "fast": "3", "slow": "7",
+        "bar_ms": "3600000", "fee_per_side": "0.05", "lots": "1.0",
+        "entry_type": "limit", "entry_offset": "0.5",
+        "equity_sample_every": "0",
+    }
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    batch, _res = _batch_nonend_trades(spark, events, params)
+    n_expected = sum(len(v) for v in batch.values())
+    assert n_expected > 10
+
+    rows = [
+        (r["event_type"], r["ts"], _epoch_us(r["ts"]) // 1000,
+         r["event_id"], r["value"] - 0.005, r["value"] + 0.005)
+        for r in events
+    ]
+    ddl = ("symbol string, timestamp timestamp, time_msc long, tick_seq long, "
+           "bid double, ask double")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    n_chunks = 4
+    per = (len(rows) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        chunk = rows[i * per:(i + 1) * per]
+        if chunk:
+            spark.createDataFrame(chunk, ddl).coalesce(1).write.parquet(
+                str(feed / f"p{i}")
+            )
+    schema = spark.createDataFrame([], ddl).schema
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed / "p*"))
+        )
+        name = f"acct_full_{uuid.uuid4().hex[:8]}"
+        q = (
+            live_backtest_account(stream, params)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {}
+        for r in sorted(
+            spark.table(name).collect(), key=lambda r: (r["symbol"], r["trade_id"])
+        ):
+            got.setdefault(r["symbol"], []).append(r)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    _assert_trade_parity(batch, got)
