@@ -1452,3 +1452,83 @@ def test_strategy_plugin_hot_reload(tmp_path):
         R.STRATEGIES.pop("flip_flop", None)
         R._PLUGIN_NAMES.discard("flip_flop")
         R._plugins_loaded = False
+
+
+def test_session_chunk_pickle_invariance():
+    """The live contract in one property: feeding ReplaySession a tick
+    stream in ARBITRARY chunks with a full pickle round-trip (the state
+    store) and a trade drain between chunks must produce exactly the
+    trades of a single-shot run — for every feature surface at once
+    (latency queue, SL/TP, resting limit/stop_limit entries,
+    modify/cancel lifecycle, pyramid slots, trend_channel per-tick
+    management, stress rejection, stale windows, budget clipping,
+    heartbeats, swap accrual, maker/taker fees, margin gate). Micro-batch
+    boundaries are the ONLY thing live adds over batch; this pins them to
+    be invisible without needing Spark in the loop."""
+    import pickle
+    import random as rnd
+
+    from finiextestingide_spark.operators.replay import ReplaySession
+
+    gen = rnd.Random(20260814)
+    n = 2500
+    t = 1_767_225_600_000
+    ticks = []
+    px = 100.0
+    for i in range(n):
+        # irregular spacing incl. occasional gaps (heartbeat fodder) and a
+        # collection stamp that sometimes lags (budget-clip fodder)
+        t += gen.choice((120, 250, 400, 700, 2600 if i % 97 == 0 else 250))
+        px = max(1.0, px + gen.uniform(-0.4, 0.4))
+        c = t + gen.choice((0, 0, 0, 180))
+        ticks.append((t, c, px - 0.005, px + 0.005))
+
+    configs = [
+        {"strategy": "sma_cross", "fast": "3", "slow": "9", "bar_ms": "1000",
+         "sl_dist": "1.2", "tp_dist": "2.5", "fee_per_side": "0.01",
+         "equity_sample_every": "0"},
+        {"strategy": "buy_hold", "bar_ms": "1000", "entry_type": "limit",
+         "entry_offset": "0.4", "modify_after_bars": "2", "modify_delta": "0.2",
+         "cancel_after_bars": "6", "price_digits": "3",
+         "sl_dist": "1.0", "tp_dist": "2.0", "equity_sample_every": "0"},
+        {"strategy": "sma_cross", "fast": "2", "slow": "7", "bar_ms": "1000",
+         "entry_type": "stop_limit", "entry_offset": "0.5", "limit_offset": "0.2",
+         "equity_sample_every": "0"},
+        {"strategy": "pyramid", "fast": "3", "slow": "8", "bar_ms": "1000",
+         "equity_sample_every": "0"},
+        {"strategy": "trend_channel", "entry_mode": "limit_pullback",
+         "bar_ms": "1000", "boll_period": "10", "gate_every_bars": "3",
+         "gate_ma_period": "6", "max_positions": "2", "equity_sample_every": "0"},
+        {"strategy": "sma_cross", "fast": "3", "slow": "9", "bar_ms": "1000",
+         "reject_probability": "0.2", "reject_seed": "5",
+         "stale_window_from_ms": str(ticks[800][0]),
+         "stale_window_to_ms": str(ticks[900][0]),
+         "swap_long_daily": "0.7", "swap_short_daily": "-0.3",
+         "maker_fee_pct": "0.16", "taker_fee_pct": "0.26",
+         "margin_per_lot": "9000", "heartbeat_ms": "200",
+         "equity_sample_every": "0"},
+    ]
+    for ci, params in enumerate(configs):
+        scen = {
+            "scenario_id": ci, "parameters": params,
+            "tick_processing_budget_ms": 150.0 if ci == 5 else None,
+            "max_ticks": None,
+            "latency_seed": ci + 1, "latency_min_ms": 50, "latency_max_ms": 900,
+        }
+        one = ReplaySession(scen)
+        for row in ticks:
+            one.process_tick(*row)
+        # same stream, random chunks, pickle + drain between chunks
+        sess = ReplaySession(scen)
+        drained: list = []
+        i = 0
+        while i < len(ticks):
+            k = gen.randint(1, 41)
+            for row in ticks[i:i + k]:
+                sess.process_tick(*row)
+            drained.extend(sess.drain_trades())
+            sess = pickle.loads(pickle.dumps(sess))
+            i += k
+        drained.extend(sess.drain_trades())
+        assert len(one.trades) > 0, (ci, "fixture must actually trade")
+        assert drained == one.trades, (ci, params["strategy"])
