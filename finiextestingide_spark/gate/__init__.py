@@ -105,6 +105,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "multimodal_resize",
     "multimodal_frames",
     "streaming_live_replay",
+    "streaming_live_signal",
     "volatility_profile",
     "ma_trend_daily",
 )

@@ -1514,6 +1514,172 @@ JOIN sids s USING (symbol)
 """
 
 
+# --- live SIGNAL path (W7, round 7): signal_follow decides from the as-of
+#     signal with staleness gating. SQL-expressible without recursion: the
+#     target at each decision is a PURE function of (decision tick, latest
+#     signal at-or-before it) — stale/absent -> 0, else sign past the
+#     threshold — so flips are a lag() comparison, entries are flips to
+#     nonzero with a later flip (a live session never END-closes, so the
+#     final open entry is deliberately absent from BOTH sides), and each
+#     trade stamps the driving signal. ---
+
+_SLS_THR = 5.0
+_SLS_MAX_AGE_MS = 86_400_000  # 24h staleness bound over ~16h signal spacing
+
+
+def streaming_live_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The W7 live signal path under the correctness gate: a signal stream
+    (every 50th event, score = value - 50) unions into the per-symbol
+    stateful session (signal-first at equal event time); signal_follow
+    goes long/short/flat from the latest as-of signal with a 24h
+    staleness bound, and every emitted trade carries the signal that
+    drove its entry. Hash-checked against a DuckDB reconstruction of the
+    decision series + as-of resolution + flip/trade enumeration — the
+    reference's llm_sentiment worker runs inside the live loop the same
+    way (core/llm_sentiment_worker.py:73-107)."""
+    from ..streaming.bars_stream import read_tick_stream
+    from ..streaming.live_replay import live_backtest
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    set_nanos_as_long(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ticks = _live_gate_ticks(spark, sf_dir)
+    signals = (
+        normalize_ts(read_tick_stream(spark, f"{sf_dir}/events.parque*", raw_schema))
+        .where(F.col("event_id") % 50 == 0)
+        .select(
+            F.col("event_type").alias("symbol"),
+            F.col("ts").alias("sig_ts"),
+            (F.col("value") - 50.0).alias("score"),
+        )
+    )
+    params = {
+        "strategy": "signal_follow",
+        "bar_ms": str(_RSO_BAR_MS),
+        "signal_threshold": str(_SLS_THR),
+        "signal_max_age_ms": str(_SLS_MAX_AGE_MS),
+        "equity_sample_every": "0",
+    }
+    name = "gate_streaming_live_signal"
+    q = (
+        live_backtest(ticks, params, signals=signals)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sid = F.create_map(
+        *[x for i, s in enumerate(_RSO_SYMBOLS) for x in (F.lit(s), F.lit(i + 1))]
+    )[F.col("symbol")]
+    return spark.table(name).select(
+        sid.cast("int").alias("scenario_id"),
+        "trade_id",
+        "direction",
+        "entry_ts",
+        F.round("entry_price", 6).alias("entry_price"),
+        "exit_ts",
+        F.round("exit_price", 6).alias("exit_price"),
+        F.col("entry_sig_ts").alias("sig_ts"),
+        F.round("entry_sig_score", 6).alias("sig_score"),
+    )
+
+
+STREAMING_LIVE_SIGNAL_SQL = f"""
+WITH base AS (
+  SELECT event_type AS symbol, ts, epoch_ms(ts) AS ms, event_id,
+         value - 0.005 AS bid, value + 0.005 AS ask
+  FROM events
+),
+ticks AS (
+  SELECT symbol, ts, ms, bid, ask, ms // {_RSO_BAR_MS} AS bucket,
+         row_number() OVER (PARTITION BY symbol ORDER BY ms, ts, bid, ask) AS rn
+  FROM base
+),
+sigs AS (
+  SELECT event_type AS symbol, ts AS sig_ts, epoch_ms(ts) AS sig_ms,
+         value - 50.0 AS score
+  FROM events WHERE event_id % 50 = 0
+),
+-- a decision fires on the FIRST tick of every bucket except the stream's
+-- first (the forming bar must have closed once)
+b0 AS (SELECT symbol, min(bucket) AS first_bucket FROM ticks GROUP BY 1),
+dec AS (
+  SELECT t.symbol, t.bucket, min(t.rn) AS rn
+  FROM ticks t JOIN b0 USING (symbol)
+  WHERE t.bucket > b0.first_bucket
+  GROUP BY 1, 2
+),
+dquote AS (
+  SELECT d.symbol, d.rn, t.ms, t.bid, t.ask
+  FROM dec d JOIN ticks t ON t.symbol = d.symbol AND t.rn = d.rn
+),
+-- as-of resolution: latest signal at-or-before the decision tick
+-- (signal-first at equal event time in the live merge => <= here)
+resolved AS (
+  SELECT q.symbol, q.rn, q.ms, q.bid, q.ask, s.sig_ts, s.sig_ms, s.score
+  FROM dquote q
+  LEFT JOIN LATERAL (
+    SELECT sig_ts, sig_ms, score FROM sigs s
+    WHERE s.symbol = q.symbol AND s.sig_ms <= q.ms
+    ORDER BY s.sig_ms DESC LIMIT 1
+  ) s ON true
+),
+targets AS (
+  SELECT *,
+    CASE
+      WHEN sig_ms IS NULL OR ms - sig_ms > {_SLS_MAX_AGE_MS} THEN 0
+      WHEN score > {_SLS_THR} THEN 1
+      WHEN score < -{_SLS_THR} THEN -1
+      ELSE 0
+    END AS target
+  FROM resolved
+),
+flips AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY symbol ORDER BY rn) AS flip_no
+  FROM (
+    SELECT *,
+           coalesce(lag(target) OVER (PARTITION BY symbol ORDER BY rn), 0) AS prev_t
+    FROM targets
+  )
+  WHERE target != prev_t
+),
+-- an entry is a flip to nonzero; it EMITS only if a later flip closes it
+trades AS (
+  SELECT f.symbol, f.target, f.ms AS entry_ms,
+         CASE WHEN f.target > 0 THEN f.ask ELSE f.bid END AS entry_price,
+         f.sig_ms, f.score,
+         nx.ms AS exit_ms,
+         CASE WHEN f.target > 0 THEN nx.bid ELSE nx.ask END AS exit_price,
+         row_number() OVER (PARTITION BY f.symbol ORDER BY f.rn) - 1 AS trade_id
+  FROM flips f
+  JOIN LATERAL (
+    SELECT ms, bid, ask FROM flips n
+    WHERE n.symbol = f.symbol AND n.rn > f.rn
+    ORDER BY n.rn LIMIT 1
+  ) nx ON true
+  WHERE f.target != 0
+),
+sids AS (
+  SELECT symbol, sid FROM (VALUES {", ".join(f"('{s}', {i + 1})" for i, s in enumerate(_RSO_SYMBOLS))}) AS v(symbol, sid)
+)
+SELECT s.sid AS scenario_id,
+       CAST(t.trade_id AS INT) AS trade_id,
+       CASE WHEN t.target > 0 THEN 'LONG' ELSE 'SHORT' END AS direction,
+       make_timestamp(t.entry_ms * 1000) AS entry_ts,
+       round(t.entry_price, 6) AS entry_price,
+       make_timestamp(t.exit_ms * 1000) AS exit_ts,
+       round(t.exit_price, 6) AS exit_price,
+       -- the live side stamps the signal at MS precision (the engine
+       -- clock); truncate the raw event timestamp identically
+       make_timestamp(t.sig_ms * 1000) AS sig_ts,
+       round(t.score, 6) AS sig_score
+FROM trades t JOIN sids s USING (symbol)
+"""
+
+
 def replay_sma_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.replay import run_backtest, trades_table
 
@@ -2782,6 +2948,11 @@ QUERIES: dict[str, Query] = {
         streaming_live_limit,
         STREAMING_LIVE_LIMIT_SQL,
         "LIVE loop, full order surface: resting limit entry + SL/TP level fills, hash-checked",
+    ),
+    "streaming_live_signal": Query(
+        streaming_live_signal,
+        STREAMING_LIVE_SIGNAL_SQL,
+        "W7 LIVE signal path: as-of signal_follow decisions + stamped driving signals, hash-checked",
     ),
     "replay_sma_oracle": Query(
         replay_sma_oracle,
