@@ -1810,3 +1810,82 @@ def test_live_account_full_surface_parity(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     _assert_trade_parity(batch, got)
+
+
+def test_live_generic_restart_recovery(spark, sf_dir, tmp_path):
+    """Production decision logic survives a crash: live_backtest_generic's
+    pickled ReplaySession (trend_channel with per-tick management and
+    seeded latency) round-trips through a REAL checkpoint — a query killed
+    mid-feed and restarted must finish with exactly the batch trade
+    records, including rungs whose entry predates the crash."""
+    from finiextestingide_spark.streaming.live_replay import live_backtest_generic
+
+    params = {
+        "strategy": "trend_channel", "entry_mode": "limit_pullback",
+        "bar_ms": "3600000", "boll_period": "12", "gate_every_bars": "4",
+        "gate_ma_period": "8", "max_positions": "2", "equity_sample_every": "0",
+    }
+    seed, lat_min, lat_max = 7, 50, 2000
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    batch, _res = _batch_nonend_trades(
+        spark, events, params, seed=seed, lat_min=lat_min, lat_max=lat_max
+    )
+    n_expected = sum(len(v) for v in batch.values())
+    assert n_expected > 5
+
+    rows = [
+        (r["event_type"], r["ts"], _epoch_us(r["ts"]) // 1000,
+         r["event_id"], r["value"] - 0.005, r["value"] + 0.005)
+        for r in events
+    ]
+    ddl = ("symbol string, timestamp timestamp, time_msc long, tick_seq long, "
+           "bid double, ask double")
+    src = tmp_path / "feed"
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    src.mkdir()
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], ddl).coalesce(1).write.parquet(str(src / "p1"))
+    schema = spark.createDataFrame([], ddl).schema
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "p*"))
+        )
+        return (
+            live_backtest_generic(stream, params, latency_seed=seed,
+                                  latency_min_ms=lat_min, latency_max_ms=lat_max)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    try:
+        q1 = start_query()
+        q1.awaitTermination()
+        spark.createDataFrame(rows[half:], ddl).coalesce(1).write.parquet(
+            str(src / "p2")
+        )
+        q2 = start_query()
+        q2.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    got = {}
+    for r in sorted(
+        spark.read.parquet(out_dir).collect(), key=lambda r: (r["symbol"], r["trade_id"])
+    ):
+        got.setdefault(r["symbol"], []).append(r)
+    _assert_trade_parity(batch, got)
