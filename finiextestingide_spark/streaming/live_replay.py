@@ -73,11 +73,12 @@ defaults to 1, mirroring _replay_core), each with the FULL entry surface
 ``limit_offset``), the #318 modify/cancel lifecycle
 (``modify_after_bars``/``modify_delta``/``cancel_after_bars``/
 ``modify_cancel_delay_ms``), ``price_digits`` submission snapping, and
-relative broker-side SL/TP. Strategies beyond that (recursive EMA state,
-ctx strategies managing per-position absolute stops) lift their state
-into the state tuple through the same seam; ``_decide`` and the pyramid
-branch are the swap points. Account-global portfolio state (multi-symbol
-margin) is ``live_backtest_account`` in this module.
+relative broker-side SL/TP. Every OTHER strategy (recursive EMA state,
+ctx strategies, action ladders, plugins) auto-delegates to
+``live_backtest_generic`` — the pickled-ReplaySession path sharing the
+batch state machine literally — so ``live_backtest`` is one entry point
+for the engine's whole strategy surface. Account-global portfolio state
+(multi-symbol margin) is ``live_backtest_account`` in this module.
 """
 
 from __future__ import annotations
@@ -127,6 +128,13 @@ TRADE_SCHEMA = StructType(
 )
 
 _NO_SIG = -(2**62)
+
+# live_backtest's native transparent-state strategies; everything else
+# (recursive-EMA/ctx/action strategies, plugins) auto-delegates to the
+# pickled-ReplaySession generic path — one live entry point, full surface
+_NATIVE_LIVE_STRATEGIES = frozenset(
+    {"sma_cross", "buy_hold", "rsi_reversion", "pyramid", "signal_follow"}
+)
 
 # Order-type codes shared by the pending/resting parallel arrays
 _OT_MARKET, _OT_LIMIT, _OT_STOP, _OT_STOP_LIMIT = 0, 1, 2, 3
@@ -294,7 +302,34 @@ def live_backtest(
     bit-identical to the batch run's sequence.
 
     ``signals``: optional (symbol, sig_ts, score) stream unioned into the
-    keyed session (see module docstring for the merge/arrival contract)."""
+    keyed session (see module docstring for the merge/arrival contract).
+
+    Strategies outside this operator's native transparent-state set
+    (sma_cross/buy_hold/rsi_reversion/pyramid/signal_follow) delegate to
+    ``live_backtest_generic`` — the pickled-ReplaySession path — so ONE
+    entry point runs the engine's ENTIRE strategy surface live
+    (macd_cross's recursive EMA state, consensus, scale_out ladders,
+    trend_channel's per-tick management, entry-point plugins whose
+    modules are importable on executors)."""
+    strat_name = params.get("strategy", "sma_cross")
+    if strat_name not in _NATIVE_LIVE_STRATEGIES:
+        if signals is not None:
+            raise ValueError(
+                "a signals stream requires the native signal_follow strategy; "
+                f"strategy {strat_name!r} runs through the generic session path"
+            )
+        if timeout_ms > 0:
+            raise ValueError(
+                "processing-time timeouts are a native-path feature; "
+                f"strategy {strat_name!r} runs through the generic session path"
+            )
+        return live_backtest_generic(
+            ticks,
+            params,
+            latency_seed=latency_seed,
+            latency_min_ms=latency_min_ms,
+            latency_max_ms=latency_max_ms,
+        )
     bar_ms = int(params.get("bar_ms", 60_000))
     lots = float(params.get("lots", 1.0))
     contract = float(params.get("contract_size", 1.0))

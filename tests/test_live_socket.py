@@ -1889,3 +1889,74 @@ def test_live_generic_restart_recovery(spark, sf_dir, tmp_path):
     ):
         got.setdefault(r["symbol"], []).append(r)
     _assert_trade_parity(batch, got)
+
+
+def test_live_dispatch_runs_whole_strategy_surface(spark, sf_dir, tmp_path):
+    """ONE live entry point for every strategy: live_backtest delegates
+    non-native strategies to the generic session path, so macd_cross
+    (recursive EMA state — exactly the kind of cross-bar state the
+    explicit tuple does not carry) and consensus run live through the
+    same call the target-model strategies use, with full batch parity."""
+    from finiextestingide_spark.streaming.live_replay import live_backtest
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    configs = [
+        {"strategy": "macd_cross", "fast": "5", "slow": "13", "signal": "4",
+         "bar_ms": "3600000", "fee_per_side": "0.05", "equity_sample_every": "0"},
+        {"strategy": "consensus", "bar_ms": "3600000", "fee_per_side": "0.05",
+         "equity_sample_every": "0"},
+    ]
+    rows = [
+        (r["event_type"], r["ts"], _epoch_us(r["ts"]) // 1000,
+         r["event_id"], r["value"] - 0.005, r["value"] + 0.005)
+        for r in events
+    ]
+    ddl = ("symbol string, timestamp timestamp, time_msc long, tick_seq long, "
+           "bid double, ask double")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for ci, params in enumerate(configs):
+            batch, _res = _batch_nonend_trades(spark, events, params)
+            n_expected = sum(len(v) for v in batch.values())
+            assert n_expected > 3, params["strategy"]
+
+            feed = tmp_path / f"feed{ci}"
+            feed.mkdir()
+            n_chunks = 4
+            per = (len(rows) + n_chunks - 1) // n_chunks
+            for i in range(n_chunks):
+                chunk = rows[i * per:(i + 1) * per]
+                if chunk:
+                    spark.createDataFrame(chunk, ddl).coalesce(1).write.parquet(
+                        str(feed / f"p{i}")
+                    )
+            schema = spark.createDataFrame([], ddl).schema
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(feed / "p*"))
+            )
+            name = f"live_disp_{uuid.uuid4().hex[:8]}"
+            q = (
+                live_backtest(stream, params)  # note: NOT the generic entry
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            got = {}
+            for r in sorted(
+                spark.table(name).collect(), key=lambda r: (r["symbol"], r["trade_id"])
+            ):
+                got.setdefault(r["symbol"], []).append(r)
+            _assert_trade_parity(batch, got)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
