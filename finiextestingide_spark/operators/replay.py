@@ -602,6 +602,35 @@ class TrendChannel:
         return acts
 
 
+class SignalFollow:
+    """W7 signal-driven decision logic (the reference's llm_sentiment
+    worker feeding decisions — core/llm_sentiment_worker.py:73-107, run in
+    BATCH backtests through the scenario's signal-data slice and LIVE
+    through the same session): target = sign of the latest as-of signal
+    past ``signal_threshold``, FLAT when the signal is absent or older
+    than ``signal_max_age_ms`` at the decision tick (the stale-data guard
+    posture — entries are blocked on stale signals). Exposes the
+    ``on_bar_sig`` capability; the session feeds it the as-of signal state
+    maintained by ``process_signal``. Identical arithmetic to the live
+    explicit path's signal_follow branch (streaming/live_replay.py)."""
+
+    def __init__(self, params: dict):
+        self.thr = float(params.get("signal_threshold", 0.0))
+        self.max_age = (
+            int(params["signal_max_age_ms"]) if "signal_max_age_ms" in params else None
+        )
+        self.warmup = 0
+
+    def on_bar_sig(self, close: float, sig_age_ms: int | None, sig_val: float) -> int:
+        if sig_age_ms is None or (self.max_age is not None and sig_age_ms > self.max_age):
+            return 0
+        if sig_val > self.thr:
+            return 1
+        if sig_val < -self.thr:
+            return -1
+        return 0
+
+
 STRATEGIES = {
     "sma_cross": SmaCross,
     "rsi_reversion": RsiReversion,
@@ -611,6 +640,7 @@ STRATEGIES = {
     "pyramid": Pyramid,
     "scale_out": ScaleOut,
     "trend_channel": TrendChannel,
+    "signal_follow": SignalFollow,
 }
 
 _PLUGIN_GROUP = "finiextestingide_spark.strategies"
@@ -936,6 +966,7 @@ class ReplaySession:
         self.use_actions = hasattr(self.strategy, "on_bar_actions")
         self.use_ctx = hasattr(self.strategy, "on_bar_ctx")
         self.use_tick = hasattr(self.strategy, "on_tick")
+        self.use_sig = hasattr(self.strategy, "on_bar_sig")
 
         # --- mutable account/session state ---
         self._balance = self.start_balance  # margin-mode account currency
@@ -980,6 +1011,10 @@ class ReplaySession:
         # silently dropped.
         self.events_buf: list[str] = []
         self.events_dropped = 0
+        # W7 — latest as-of signal (None ms = none yet), fed by
+        # process_signal and consumed by on_bar_sig strategies
+        self.sig_ms: int | None = None
+        self.sig_val = 0.0
         # previous tick (swap day-boundary math, heartbeat gap fills, END close)
         self.prev_t: int | None = None
         self.prev_b = 0.0
@@ -1027,6 +1062,7 @@ class ReplaySession:
             and not self.use_actions
             and not self.use_ctx
             and not self.use_tick
+            and not self.use_sig
             and self.params.get("force_slow") != "1"
         )
 
@@ -1375,6 +1411,15 @@ class ReplaySession:
                 if notify is not None:
                     notify()
 
+    def process_signal(self, t: int, score: float) -> None:
+        """One signal event: advance the as-of signal state (W7). Signal
+        rows carry no quote and never touch bar/order state — they only
+        inform the next decision, exactly the reference's queue-fed signal
+        worker. Feed in event-time order, signal-first at equal time (the
+        as-of at-or-before contract)."""
+        self.sig_ms = int(t)
+        self.sig_val = float(score)
+
     # --- the per-tick body -------------------------------------------------
 
     def process_tick(self, t: int, c: int, b: float, a: float) -> None:
@@ -1537,7 +1582,13 @@ class ReplaySession:
                     if not clipped and acts:
                         self._handle_actions(acts, t, b, a)
                 else:
-                    new_target = self.strategy.on_bar(self.cur_close)
+                    if self.use_sig:
+                        age = None if self.sig_ms is None else t - self.sig_ms
+                        new_target = self.strategy.on_bar_sig(
+                            self.cur_close, age, self.sig_val
+                        )
+                    else:
+                        new_target = self.strategy.on_bar(self.cur_close)
                     if not clipped and new_target != self.target:
                         self.target = new_target
                         # one rng draw per flip regardless of what gets
@@ -1830,9 +1881,18 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
         for c in ("time_msc", "tick_seq", "timestamp", "collected_msc", "bid", "ask")
         if c in pdf.columns
     ]
+    has_sig = "__is_sig" in pdf.columns
+    if has_sig:
+        # signal rows sort FIRST at equal event time (as-of at-or-before)
+        pdf = pdf.assign(__tick_after_sig=1 - pdf["__is_sig"])
+        sort_keys.insert(1, "__tick_after_sig")
     pdf = pdf.sort_values(sort_keys, kind="mergesort")
     if max_ticks is not None:
-        pdf = pdf.iloc[:max_ticks]
+        if has_sig:
+            # R1 bounds TICKS; interleaved signal rows ride along for free
+            pdf = pdf[(pdf["__is_sig"] == 0).cumsum() <= max_ticks]
+        else:
+            pdf = pdf.iloc[:max_ticks]
 
     ts_ms = pdf["time_msc"].to_numpy(dtype="int64")
     coll_ms = (
@@ -1847,6 +1907,17 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     cl = coll_ms.tolist()
     bl = bid.tolist()
     al = ask.tolist()
+
+    if has_sig:
+        sig_l = pdf["__is_sig"].tolist()
+        score_l = pdf["__score"].tolist()
+        for t, c, b, a, is_sig, score in zip(tsl, cl, bl, al, sig_l, score_l):
+            if is_sig:
+                sess.process_signal(t, score)
+            else:
+                sess.process_tick(t, c, b, a)
+        sess.finish()
+        return sess.summary_frame()
 
     # Vectorized fast path for the dominant sweep configuration (market
     # orders, no stops/budget/heartbeat/margin/swap, no equity sampling):
@@ -2129,10 +2200,39 @@ def _bounded_collect(df: DataFrame, bound: int, what: str) -> list:
     return rows
 
 
+def merge_signal_rows(ticks: DataFrame, signals: DataFrame) -> DataFrame:
+    """Union a (symbol, sig_ts, score) signal table into a tick frame as
+    typed signal ROWS (__is_sig/__score, NaN quotes, time_msc from
+    sig_ts): the scenario attach then slices signals with the ticks, and
+    the replay session consumes them in event-time order — the reference
+    loads each scenario's signal-data slice alongside its ticks
+    (signal_jsonl_loader.py:24-80) and feeds the same worker batch and
+    live."""
+    sig = signals.select(
+        F.col("symbol"),
+        F.col("sig_ts").alias("timestamp"),
+        F.unix_millis("sig_ts").alias("time_msc"),
+        *(
+            [F.unix_millis("sig_ts").alias("collected_msc")]
+            if "collected_msc" in ticks.columns
+            else []
+        ),
+        F.lit(None).cast("double").alias("bid"),
+        F.lit(None).cast("double").alias("ask"),
+        F.lit(1).alias("__is_sig"),
+        F.col("score").cast("double").alias("__score"),
+    )
+    t = ticks.withColumn("__is_sig", F.lit(0)).withColumn(
+        "__score", F.lit(None).cast("double")
+    )
+    return t.unionByName(sig, allowMissingColumns=True)
+
+
 def run_backtest(
     ticks: DataFrame,
     scenarios: DataFrame,
     *,
+    signals: DataFrame | None = None,
     max_driver_scenarios: int = MAX_DRIVER_SCENARIOS,
 ) -> DataFrame:
     """ticks(symbol,timestamp,time_msc[,collected_msc],bid,ask) x scenarios
@@ -2154,13 +2254,16 @@ def run_backtest(
     cfg = {r["scenario_id"]: r.asDict(recursive=True) for r in scen_rows}
     n = max(len(scen_rows), 1)
 
+    if signals is not None:
+        ticks = merge_signal_rows(ticks, signals)
     slim_cols = ["scenario_id", "symbol"] + [
         c for c in ("start_ts", "end_ts") if c in scenarios.columns
     ]
     slim = scenarios.select(*slim_cols)
     tick_cols = [
         c
-        for c in ("timestamp", "time_msc", "collected_msc", "bid", "ask", "tick_seq")
+        for c in ("timestamp", "time_msc", "collected_msc", "bid", "ask", "tick_seq",
+                  "__is_sig", "__score")
         if c in ticks.columns
     ]
     joined = (

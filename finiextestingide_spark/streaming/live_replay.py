@@ -313,11 +313,6 @@ def live_backtest(
     modules are importable on executors)."""
     strat_name = params.get("strategy", "sma_cross")
     if strat_name not in _NATIVE_LIVE_STRATEGIES:
-        if signals is not None:
-            raise ValueError(
-                "a signals stream requires the native signal_follow strategy; "
-                f"strategy {strat_name!r} runs through the generic session path"
-            )
         if timeout_ms > 0:
             raise ValueError(
                 "processing-time timeouts are a native-path feature; "
@@ -329,6 +324,7 @@ def live_backtest(
             latency_seed=latency_seed,
             latency_min_ms=latency_min_ms,
             latency_max_ms=latency_max_ms,
+            signals=signals,
         )
     bar_ms = int(params.get("bar_ms", 60_000))
     lots = float(params.get("lots", 1.0))
@@ -776,6 +772,7 @@ def live_backtest_generic(
     latency_seed: int = 42,
     latency_min_ms: int = 0,
     latency_max_ms: int = 0,
+    signals: DataFrame | None = None,
 ) -> DataFrame:
     """The live loop for ANY decision logic with the ENTIRE batch feature
     surface — per-symbol state is the pickled ``operators.replay.
@@ -788,6 +785,11 @@ def live_backtest_generic(
     cancel/re-price lifecycle), scale_out partial-close ladders, plugins,
     maker/taker fees, spot accounting, margin gates, swap accrual, stress
     rejection and stale windows all run live with parity BY CONSTRUCTION.
+
+    ``signals``: optional (symbol, sig_ts, score) stream unioned into the
+    keyed session exactly as in ``live_backtest`` — signal rows advance
+    the session's as-of state (``ReplaySession.process_signal``) for any
+    ``on_bar_sig`` strategy (SignalFollow or a plugin), batch-identically.
 
     Trade-off vs ``live_backtest``: state is an opaque pickle (the
     reference's live session is one in-memory object too; this is its
@@ -823,6 +825,10 @@ def live_backtest_generic(
             for c in ("time_msc", "tick_seq", "timestamp", "collected_msc", "bid", "ask")
             if c in pdf.columns
         ]
+        has_sig_rows = "__is_sig" in pdf.columns
+        if has_sig_rows:
+            pdf = pdf.assign(__tick_after_sig=1 - pdf["__is_sig"])
+            keys.insert(1, "__tick_after_sig")
         pdf = pdf.sort_values(keys, kind="mergesort")
 
         if state.exists:
@@ -839,8 +845,17 @@ def live_backtest_generic(
         )
         bl = pdf["bid"].tolist()
         al = pdf["ask"].tolist()
-        for t, c, b, a in zip(tsl, cl, bl, al):
-            sess.process_tick(t, c, b, a)
+        if has_sig_rows:
+            sig_l = pdf["__is_sig"].tolist()
+            score_l = pdf["__score"].tolist()
+            for t, c, b, a, is_sig, score in zip(tsl, cl, bl, al, sig_l, score_l):
+                if is_sig:
+                    sess.process_signal(t, score)
+                else:
+                    sess.process_tick(t, c, b, a)
+        else:
+            for t, c, b, a in zip(tsl, cl, bl, al):
+                sess.process_tick(t, c, b, a)
 
         rows = sess.drain_trades()
         state.update((pickle.dumps(sess),))
@@ -860,7 +875,8 @@ def live_backtest_generic(
                 columns=[f.name for f in TRADE_SCHEMA.fields],
             )
 
-    return ticks.groupBy("symbol").applyInPandasWithState(
+    src = ticks if signals is None else _merge_signals(ticks, signals)
+    return src.groupBy("symbol").applyInPandasWithState(
         run,
         outputStructType=TRADE_SCHEMA,
         stateStructType=_BLOB_STATE_SCHEMA,

@@ -1960,3 +1960,114 @@ def test_live_dispatch_runs_whole_strategy_surface(spark, sf_dir, tmp_path):
             _assert_trade_parity(batch, got)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def test_signal_follow_batch_live_duality(spark, sf_dir, tmp_path):
+    """W7 full duality (the reference feeds its signal worker to BATCH
+    backtests through each scenario's signal-data slice AND to the live
+    loop from the same queue): run_backtest(signals=...) merges typed
+    signal rows into the replay and SignalFollow decides from the
+    session's as-of state — and BOTH live paths (the native
+    transparent-state operator and the pickled-ReplaySession generic one)
+    must produce the identical non-END trade records on the same feed."""
+    from finiextestingide_spark.operators.replay import run_backtest, trades_table
+    from finiextestingide_spark.streaming.live_replay import (
+        live_backtest,
+        live_backtest_generic,
+    )
+
+    params = {
+        "strategy": "signal_follow", "bar_ms": "3600000",
+        "signal_threshold": "5.0", "signal_max_age_ms": "86400000",
+        "fee_per_side": "0.05", "equity_sample_every": "0",
+    }
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    symbols = sorted({r["event_type"] for r in events})
+    ticks_df = spark.createDataFrame(
+        [
+            (r["event_type"], r["ts"], _epoch_us(r["ts"]) // 1000,
+             _epoch_us(r["ts"]) // 1000, r["value"] - 0.005, r["value"] + 0.005)
+            for r in events
+        ],
+        "symbol string, timestamp timestamp, time_msc long, collected_msc long, "
+        "bid double, ask double",
+    )
+    sig_rows = [
+        (r["event_type"], r["ts"], r["value"] - 50.0)
+        for r in events
+        if r["event_id"] % 20 == 0
+    ]
+    sig_df = spark.createDataFrame(sig_rows, "symbol string, sig_ts timestamp, score double")
+    scenarios = spark.createDataFrame(
+        [(i + 1, f"sig-{s}", s, None, None, i + 1, 0, 0, params)
+         for i, s in enumerate(symbols)],
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+        "latency_max_ms int, parameters map<string,string>",
+    )
+    sym_of = {i + 1: s for i, s in enumerate(symbols)}
+    batch = {}
+    for r in trades_table(run_backtest(ticks_df, scenarios, signals=sig_df)).collect():
+        if r["exit_reason"] == "END":
+            continue
+        batch.setdefault(sym_of[r["scenario_id"]], []).append(r)
+    n_expected = sum(len(v) for v in batch.values())
+    assert n_expected > 5
+
+    # file feeds: one availableNow batch (the in-batch event-time merge is
+    # the contract under test; cross-batch lockstep is pinned by
+    # test_live_signal_follow_asof_parity)
+    t_rows = [
+        (r["event_type"], r["ts"], _epoch_us(r["ts"]) // 1000,
+         r["event_id"], r["value"] - 0.005, r["value"] + 0.005)
+        for r in events
+    ]
+    tick_ddl = ("symbol string, timestamp timestamp, time_msc long, tick_seq long, "
+                "bid double, ask double")
+    sig_ddl = "symbol string, sig_ts timestamp, score double"
+    src_t = tmp_path / "ticks"; src_t.mkdir()
+    src_s = tmp_path / "sigs"; src_s.mkdir()
+    spark.createDataFrame(t_rows, tick_ddl).coalesce(1).write.parquet(str(src_t / "p1"))
+    spark.createDataFrame(sig_rows, sig_ddl).coalesce(1).write.parquet(str(src_s / "p1"))
+    tick_schema = spark.createDataFrame([], tick_ddl).schema
+    sig_schema = spark.createDataFrame([], sig_ddl).schema
+
+    def drive(op):
+        st = spark.readStream.schema(tick_schema).parquet(str(src_t / "p*"))
+        ss = spark.readStream.schema(sig_schema).parquet(str(src_s / "p*"))
+        name = f"sig_dual_{uuid.uuid4().hex[:8]}"
+        q = (
+            op(st, params, signals=ss)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {}
+        for r in sorted(
+            spark.table(name).collect(), key=lambda r: (r["symbol"], r["trade_id"])
+        ):
+            got.setdefault(r["symbol"], []).append(r)
+        return got
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        got_native = drive(live_backtest)
+        got_generic = drive(live_backtest_generic)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    _assert_trade_parity(batch, got_native)
+    _assert_trade_parity(batch, got_generic)
+    # the native path additionally stamps the driving signal
+    assert any(
+        r["entry_sig_ts"] is not None for v in got_native.values() for r in v
+    )
