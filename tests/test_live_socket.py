@@ -2071,3 +2071,96 @@ def test_signal_follow_batch_live_duality(spark, sf_dir, tmp_path):
     assert any(
         r["entry_sig_ts"] is not None for v in got_native.values() for r in v
     )
+
+
+def test_signal_follow_latency_parity(spark, sf_dir, tmp_path):
+    """signal_follow under seeded 5min-2h latency: the flip's close+open
+    rest in the FIFO across ticks while newer signals keep arriving — the
+    fill must still stamp the signal that DROVE the decision (it rides
+    through the pending queue in state), and trade records must equal the
+    batch replay's (same seed both sides)."""
+    from finiextestingide_spark.operators.replay import run_backtest, trades_table
+    from finiextestingide_spark.streaming.live_replay import live_backtest
+
+    seed, lat_min, lat_max = 17, 300_000, 7_200_000
+    params = {
+        "strategy": "signal_follow", "bar_ms": "3600000",
+        "signal_threshold": "5.0", "signal_max_age_ms": "86400000",
+        "fee_per_side": "0.05", "equity_sample_every": "0",
+    }
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    symbols = sorted({r["event_type"] for r in events})
+    ticks_df = spark.createDataFrame(
+        [
+            (r["event_type"], r["ts"], _epoch_us(r["ts"]) // 1000,
+             _epoch_us(r["ts"]) // 1000, r["value"] - 0.005, r["value"] + 0.005)
+            for r in events
+        ],
+        "symbol string, timestamp timestamp, time_msc long, collected_msc long, "
+        "bid double, ask double",
+    )
+    sig_rows = [
+        (r["event_type"], r["ts"], r["value"] - 50.0)
+        for r in events
+        if r["event_id"] % 20 == 0
+    ]
+    sig_df = spark.createDataFrame(sig_rows, "symbol string, sig_ts timestamp, score double")
+    scenarios = spark.createDataFrame(
+        [(i + 1, f"siglat-{s}", s, None, None, seed, lat_min, lat_max, params)
+         for i, s in enumerate(symbols)],
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+        "latency_max_ms int, parameters map<string,string>",
+    )
+    sym_of = {i + 1: s for i, s in enumerate(symbols)}
+    batch = {}
+    for r in trades_table(run_backtest(ticks_df, scenarios, signals=sig_df)).collect():
+        if r["exit_reason"] == "END":
+            continue
+        batch.setdefault(sym_of[r["scenario_id"]], []).append(r)
+    n_expected = sum(len(v) for v in batch.values())
+    assert n_expected > 5
+
+    t_rows = [
+        (r["event_type"], r["ts"], _epoch_us(r["ts"]) // 1000,
+         r["event_id"], r["value"] - 0.005, r["value"] + 0.005)
+        for r in events
+    ]
+    tick_ddl = ("symbol string, timestamp timestamp, time_msc long, tick_seq long, "
+                "bid double, ask double")
+    sig_ddl = "symbol string, sig_ts timestamp, score double"
+    src_t = tmp_path / "ticks"; src_t.mkdir()
+    src_s = tmp_path / "sigs"; src_s.mkdir()
+    spark.createDataFrame(t_rows, tick_ddl).coalesce(1).write.parquet(str(src_t / "p1"))
+    spark.createDataFrame(sig_rows, sig_ddl).coalesce(1).write.parquet(str(src_s / "p1"))
+    tick_schema = spark.createDataFrame([], tick_ddl).schema
+    sig_schema = spark.createDataFrame([], sig_ddl).schema
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        st = spark.readStream.schema(tick_schema).parquet(str(src_t / "p*"))
+        ss = spark.readStream.schema(sig_schema).parquet(str(src_s / "p*"))
+        name = f"siglat_{uuid.uuid4().hex[:8]}"
+        q = (
+            live_backtest(st, params, signals=ss, latency_seed=seed,
+                          latency_min_ms=lat_min, latency_max_ms=lat_max)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {}
+        for r in sorted(
+            spark.table(name).collect(), key=lambda r: (r["symbol"], r["trade_id"])
+        ):
+            got.setdefault(r["symbol"], []).append(r)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    _assert_trade_parity(batch, got)
