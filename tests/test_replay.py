@@ -6,8 +6,12 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
+import random
+
 import pyspark.sql.functions as F
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from finiextestingide_spark.operators.replay import (
     REPLAY_RESULT_SCHEMA,
@@ -1532,3 +1536,75 @@ def test_session_chunk_pickle_invariance():
         drained.extend(sess.drain_trades())
         assert len(one.trades) > 0, (ci, "fixture must actually trade")
         assert drained == one.trades, (ci, params["strategy"])
+
+
+@st.composite
+def _session_scenario(draw):
+    """Random (ticks, scen) pair spanning the feature surface: random walk
+    quotes, irregular spacing with gaps, and a sampled feature combo."""
+    seed = draw(st.integers(0, 2**16))
+    gen = random.Random(seed)
+    n = draw(st.integers(300, 900))
+    t = 1_767_225_600_000
+    px = 50.0
+    ticks = []
+    for i in range(n):
+        t += gen.choice((100, 300, 500, 2400))
+        px = max(0.5, px + gen.uniform(-0.5, 0.5))
+        ticks.append((t, t + gen.choice((0, 0, 200)), px - 0.005, px + 0.005))
+    strat = draw(st.sampled_from(
+        ["sma_cross", "buy_hold", "rsi_reversion", "pyramid", "scale_out",
+         "trend_channel", "macd_cross", "consensus"]
+    ))
+    params = {"strategy": strat, "bar_ms": "1000", "fast": "2", "slow": "5",
+              "boll_period": "6", "gate_every_bars": "2", "gate_ma_period": "4",
+              "equity_sample_every": "0"}
+    if draw(st.booleans()):
+        params["sl_dist"] = "0.8"
+        params["tp_dist"] = "1.5"
+    if strat not in ("trend_channel",) and draw(st.booleans()):
+        params["entry_type"] = draw(st.sampled_from(["limit", "stop", "stop_limit"]))
+        params["entry_offset"] = "0.3"
+        params["limit_offset"] = "0.1"
+        if draw(st.booleans()):
+            params["modify_after_bars"] = "2"
+            params["modify_delta"] = "-0.1"
+            params["cancel_after_bars"] = "5"
+    if draw(st.booleans()):
+        params["reject_probability"] = "0.15"
+    lat = draw(st.sampled_from([(0, 0), (50, 700)]))
+    scen = {"scenario_id": seed, "parameters": params,
+            "tick_processing_budget_ms": None, "max_ticks": None,
+            "latency_seed": seed, "latency_min_ms": lat[0], "latency_max_ms": lat[1]}
+    chunk_seed = draw(st.integers(0, 2**16))
+    return ticks, scen, chunk_seed
+
+
+@given(_session_scenario())
+@settings(max_examples=15, deadline=None)
+def test_session_chunk_invariance_property(case):
+    """Hypothesis sweep of the micro-batch invariance: for RANDOM price
+    paths, spacings, feature combos, and chunkings, chunked-with-pickle
+    processing equals single-shot processing exactly."""
+    import pickle
+
+    from finiextestingide_spark.operators.replay import ReplaySession
+
+    ticks, scen, chunk_seed = case
+    one = ReplaySession(scen)
+    for row in ticks:
+        one.process_tick(*row)
+
+    gen = random.Random(chunk_seed)
+    sess = ReplaySession(scen)
+    drained: list = []
+    i = 0
+    while i < len(ticks):
+        k = gen.randint(1, 29)
+        for row in ticks[i:i + k]:
+            sess.process_tick(*row)
+        drained.extend(sess.drain_trades())
+        sess = pickle.loads(pickle.dumps(sess))
+        i += k
+    drained.extend(sess.drain_trades())
+    assert drained == one.trades
