@@ -249,12 +249,11 @@ def validate_scenario_parameters(rows: list[dict]) -> list[ValidationIssue]:
 
     issues = []
     # Plugin loading is process-global: attempt it ONCE per validate call,
-    # and report a load failure as THE issue for each scenario that needed
-    # it — not alongside a second generic unknown-strategy issue for the
-    # same row (and not re-attempted per row, which would repeat the same
-    # load error N times).
+    # and report a load FAILURE once (on the row that triggered the
+    # attempt) — every unresolvable strategy still gets its own
+    # unknown-strategy issue listing the built-ins, so a plain typo is
+    # never misreported as a plugin load failure on later rows.
     plugins_attempted = False
-    plugin_load_error: str | None = None
     for r in rows:
         name = r.get("name") or f"scenario_{r.get('scenario_id')}"
         params = r.get("parameters") or {}
@@ -264,19 +263,17 @@ def validate_scenario_parameters(rows: list[dict]) -> list[ValidationIssue]:
             try:
                 load_strategy_plugins()
             except ValueError as exc:
-                plugin_load_error = str(exc)
+                issues.append(
+                    ValidationIssue(name, "parameters", str(exc))
+                )
         if strat not in STRATEGIES:
             issues.append(
                 ValidationIssue(
                     name,
                     "parameters",
-                    plugin_load_error
-                    if plugin_load_error is not None
-                    else (
-                        f"unknown strategy {strat!r} (built-ins: "
-                        f"{sorted(STRATEGIES)}; plugins load via the "
-                        "finiextestingide_spark.strategies entry-point group)"
-                    ),
+                    f"unknown strategy {strat!r} (built-ins: "
+                    f"{sorted(STRATEGIES)}; plugins load via the "
+                    "finiextestingide_spark.strategies entry-point group)",
                 )
             )
         for key, typ in _NUMERIC_PARAMS.items():

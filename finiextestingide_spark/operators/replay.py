@@ -723,7 +723,6 @@ class _Position:
     pos_id: int
     direction: int  # +1 long, -1 short
     lots: float
-    entry_i: int
     entry_ms: int
     entry_price: float
     fees: float
@@ -737,6 +736,11 @@ class _Position:
     # modify_position (trade_simulator.py:1054)
     sl_price: float | None = None
     tp_price: float | None = None
+    # decision-time as-of signal for signal-driven strategies (None for the
+    # rest) — rides to the trade record as entry_sig_ms/entry_sig_score so
+    # the live TRADE_SCHEMA stamping works on the generic path too
+    sig_ms: int | None = None
+    sig_val: float | None = None
 
 
 def _replay_one(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1020,6 +1024,9 @@ class ReplaySession:
         self.prev_b = 0.0
         self.prev_a = 0.0
         self.n_ticks = 0
+        # live ghost clock (R8): advanced by heartbeat() between real ticks,
+        # reset by the next real tick — see heartbeat() for the parity model
+        self.ghost_t: int | None = None
 
     @property
     def balance(self) -> float:
@@ -1134,6 +1141,8 @@ class ReplaySession:
                 "exit_reason": reason,
                 "position_id": p.pos_id,
                 "close_type": "FULL" if full else "PARTIAL",
+                "entry_sig_ms": p.sig_ms,
+                "entry_sig_score": p.sig_val,
             }
         )
         self.next_trade_id += 1
@@ -1177,6 +1186,14 @@ class ReplaySession:
                 return False
         return True
 
+    def _dec_sig(self) -> tuple:
+        """Decision-time as-of signal stamp, riding the open action to the
+        position and its trade records (entry_sig_ms/entry_sig_score).
+        Native-live parity: only signal-consuming strategies stamp."""
+        if self.use_sig and self.sig_ms is not None:
+            return (self.sig_ms, self.sig_val)
+        return (None, None)
+
     def _open_position(
         self,
         entry_ms: int,
@@ -1186,6 +1203,8 @@ class ReplaySession:
         sl: float | None = None,
         tp: float | None = None,
         maker: bool = False,
+        sig_ms: int | None = None,
+        sig_val: float | None = None,
     ) -> None:
         self.n_filled += 1
         if self.account is not None and not self.spot_mode:
@@ -1203,7 +1222,6 @@ class ReplaySession:
                 pos_id=self.next_pos_id,
                 direction=d,
                 lots=olots,
-                entry_i=0,
                 entry_ms=entry_ms,
                 entry_price=price,
                 fees=fee,
@@ -1211,6 +1229,8 @@ class ReplaySession:
                 mfe_price=price,
                 sl_price=sl,
                 tp_price=tp,
+                sig_ms=sig_ms,
+                sig_val=sig_val,
             )
         )
         self.next_pos_id += 1
@@ -1291,7 +1311,8 @@ class ReplaySession:
                 olots = self.lots * (act[2] if len(act) > 2 else 1.0)
                 trig, lim = self._entry_trigger(d, b, a)
                 self.pending.append(
-                    (due, ("open", d, olots, trig, lim, self.entry_type, None, None, None))
+                    (due, ("open", d, olots, trig, lim, self.entry_type,
+                           None, None, None, *self._dec_sig()))
                 )
             elif kind == "open_order":
                 # absolute-price order: (dir, lots_mult, otype, trigger,
@@ -1310,6 +1331,7 @@ class ReplaySession:
                             self._rp(sl),
                             self._rp(tp),
                             oid,
+                            *self._dec_sig(),
                         ),
                     )
                 )
@@ -1350,7 +1372,8 @@ class ReplaySession:
                     )
                     break
         else:  # open
-            _, d, olots, trig, lim, otype, sl, tp, oid = act
+            _, d, olots, trig, lim, otype, sl, tp, oid, *dsig = act
+            dsig_ms, dsig_val = dsig if dsig else (None, None)
             if self.stale_from is not None and self.stale_from <= t < self.stale_to:
                 # stale-window entry guard (#436): the order is consumed
                 # and counted; the strategy reclaims its slot. Applies to
@@ -1377,6 +1400,8 @@ class ReplaySession:
                         "bars_rested": 0,
                         "modified": False,
                         "op": None,
+                        "sig_ms": dsig_ms,
+                        "sig_val": dsig_val,
                     }
                 )
             elif len(self.positions) >= self.max_positions:
@@ -1403,7 +1428,8 @@ class ReplaySession:
                     notify()
             elif self._can_open(d, olots, a if d > 0 else b):
                 self._open_position(
-                    due if due is not None else t, d, olots, a if d > 0 else b, sl, tp
+                    due if due is not None else t, d, olots, a if d > 0 else b, sl, tp,
+                    sig_ms=dsig_ms, sig_val=dsig_val,
                 )
             else:
                 # margin/funds-rejected (_can_open already counted it)
@@ -1620,6 +1646,7 @@ class ReplaySession:
                                         None,
                                         None,
                                         None,
+                                        *self._dec_sig(),
                                     ),
                                 )
                             )
@@ -1687,6 +1714,8 @@ class ReplaySession:
                         self._open_position(
                             t, d, r["lots"], fill, r.get("sl"), r.get("tp"),
                             maker=is_maker,
+                            sig_ms=r.get("sig_ms"),
+                            sig_val=r.get("sig_val"),
                         )
                     # margin/funds-rejected triggered orders are consumed
             self.resting = kept_r
@@ -1790,6 +1819,41 @@ class ReplaySession:
 
         self.prev_t, self.prev_b, self.prev_a = t, b, a
         self.n_ticks += 1
+        self.ghost_t = None
+
+    def heartbeat(self, advance_ms: int) -> None:
+        """R8 live ghost pass — the real-time form of the inter-tick
+        heartbeat the batch loop runs retroactively at the next tick
+        (reference: process_tick_loop.py:52-107, ghost decision passes on
+        a timer while the feed is quiet). Each call advances a ghost
+        clock by ``advance_ms`` past the last real tick and resolves
+        latency-queue fills whose deadline the ghost clock has passed, at
+        the LAST known quote, stamped at the deadline — exactly the batch
+        R8 resolution, so a fill emitted here is bit-identical to the one
+        the batch pass would emit at the gap's end. Live merely emits it
+        while the gap is still open instead of hours later. Suppressed
+        (like batch) once the gap exceeds ``suppress_gap_ms``: weekend
+        gaps leave fills queued for the next real tick.
+
+        Parity bound, stated honestly: when a gap ultimately exceeds the
+        suppress threshold, batch resolves NO in-gap fills, while live
+        ghost passes already resolved those whose deadline fell before
+        the threshold was crossed — the unavoidable seam between a
+        real-time loop and a recorded replay (the reference's live loop
+        has the same property vs its batch simulation). Within the
+        threshold, parity is exact."""
+        if self.heartbeat_ms is None or self.prev_t is None:
+            return
+        base = self.ghost_t if self.ghost_t is not None else self.prev_t
+        ghost_t = base + int(advance_ms)
+        self.ghost_t = ghost_t
+        gap = ghost_t - self.prev_t
+        if not (self.heartbeat_ms < gap <= self.suppress_gap_ms):
+            return
+        pb, pa = self.prev_b, self.prev_a
+        while self.pending and self.pending[0][0] < ghost_t:
+            due, act = self.pending.pop(0)
+            self._execute(act, due, pb, pa, due)
 
     def finish(self) -> None:
         """End of data (BATCH ONLY — a live session never ends): force-close

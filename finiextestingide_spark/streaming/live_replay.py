@@ -257,11 +257,20 @@ def _decide(closes: list[float], target: int, params: dict) -> int:
 
 def _merge_signals(ticks: DataFrame, signals: DataFrame) -> DataFrame:
     """Union the signal stream into the tick stream: signal rows carry
-    NaN quotes, a discriminator, and time_msc derived from sig_ts."""
+    NaN quotes, a discriminator, and time_msc derived from sig_ts.
+    Mirrors the batch ``merge_signal_rows`` (operators/replay.py): when
+    the tick stream carries ``collected_msc``, signal rows get it stamped
+    from sig_ts too — a null there would break the generic session path's
+    int64 cast on the documented optional-column wire contract."""
     sig = signals.select(
         F.col("symbol"),
         F.col("sig_ts").alias("timestamp"),
         F.unix_millis("sig_ts").alias("time_msc"),
+        *(
+            [F.unix_millis("sig_ts").alias("collected_msc")]
+            if "collected_msc" in ticks.columns
+            else []
+        ),
         F.lit(None).cast("double").alias("bid"),
         F.lit(None).cast("double").alias("ask"),
         F.lit(1).alias("__is_sig"),
@@ -313,17 +322,13 @@ def live_backtest(
     modules are importable on executors)."""
     strat_name = params.get("strategy", "sma_cross")
     if strat_name not in _NATIVE_LIVE_STRATEGIES:
-        if timeout_ms > 0:
-            raise ValueError(
-                "processing-time timeouts are a native-path feature; "
-                f"strategy {strat_name!r} runs through the generic session path"
-            )
         return live_backtest_generic(
             ticks,
             params,
             latency_seed=latency_seed,
             latency_min_ms=latency_min_ms,
             latency_max_ms=latency_max_ms,
+            timeout_ms=timeout_ms,
             signals=signals,
         )
     bar_ms = int(params.get("bar_ms", 60_000))
@@ -765,6 +770,29 @@ def live_backtest(
 _BLOB_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
 
 
+def _trade_rows(symbol: str, trades: list) -> list[tuple]:
+    """Session trade dicts -> TRADE_SCHEMA tuples. Signal-driven
+    strategies carry the decision-time as-of signal on each position
+    (ReplaySession._dec_sig), so generic-path trades stamp
+    entry_sig_ts/entry_sig_score exactly like the native path."""
+    return [
+        (
+            symbol, tr["trade_id"], tr["direction"], tr["lots"],
+            tr["entry_ts"], tr["entry_price"], tr["exit_ts"],
+            tr["exit_price"], tr["gross_pnl"], tr["fees"],
+            tr["net_pnl"], tr["mae_pnl"], tr["mfe_pnl"],
+            tr["mae_price"], tr["mfe_price"], tr["exit_reason"],
+            (
+                pd.Timestamp(tr["entry_sig_ms"], unit="ms")
+                if tr.get("entry_sig_ms") is not None
+                else None
+            ),
+            tr.get("entry_sig_score"),
+        )
+        for tr in trades
+    ]
+
+
 def live_backtest_generic(
     ticks: DataFrame,
     params: dict,
@@ -772,6 +800,7 @@ def live_backtest_generic(
     latency_seed: int = 42,
     latency_min_ms: int = 0,
     latency_max_ms: int = 0,
+    timeout_ms: int = 0,
     signals: DataFrame | None = None,
 ) -> DataFrame:
     """The live loop for ANY decision logic with the ENTIRE batch feature
@@ -799,7 +828,15 @@ def live_backtest_generic(
     optional tick_seq/collected_msc); ``equity_sample_every`` is forced to
     0 — a live session emits trades, and an unbounded sample buffer must
     not grow in state. A live session never END-closes (finish() is batch
-    only); swap, if configured, joins net_pnl exactly as batch."""
+    only); swap, if configured, joins net_pnl exactly as batch.
+
+    ``timeout_ms > 0`` arms a ProcessingTimeTimeout ghost pass (R8): when
+    the feed goes quiet for ``timeout_ms``, the session heartbeats (see
+    ``ReplaySession.heartbeat`` — the batch-parity model lives there),
+    resolving latency fills whose deadline fell inside the gap at the
+    last known quote and emitting the resulting trades in REAL time —
+    the reference's inter-tick ghost pass (process_tick_loop.py:52-107).
+    Requires ``heartbeat_ms`` in params (the batch gap contract)."""
     from ..operators.replay import ReplaySession
 
     p = dict(params)
@@ -816,6 +853,24 @@ def live_backtest_generic(
 
     def run(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (symbol,) = key
+        if state.hasTimedOut:
+            # R8 ghost pass: the feed is quiet — advance the session's
+            # ghost clock and resolve any latency fills whose deadline
+            # the gap has passed (see ReplaySession.heartbeat for the
+            # batch-parity model), emitting trades NOW instead of at the
+            # next real tick.
+            if state.exists:
+                (blob,) = state.get
+                sess = pickle.loads(bytes(blob))
+                sess.heartbeat(timeout_ms)
+                rows = _trade_rows(symbol, sess.drain_trades())
+                state.update((pickle.dumps(sess),))
+                state.setTimeoutDuration(timeout_ms)
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=[f.name for f in TRADE_SCHEMA.fields]
+                    )
+            return
         chunks = [c for c in pdfs if len(c)]
         if not chunks:
             return
@@ -857,23 +912,12 @@ def live_backtest_generic(
             for t, c, b, a in zip(tsl, cl, bl, al):
                 sess.process_tick(t, c, b, a)
 
-        rows = sess.drain_trades()
+        rows = _trade_rows(symbol, sess.drain_trades())
         state.update((pickle.dumps(sess),))
+        if timeout_ms > 0:
+            state.setTimeoutDuration(timeout_ms)
         if rows:
-            yield pd.DataFrame(
-                [
-                    (
-                        symbol, tr["trade_id"], tr["direction"], tr["lots"],
-                        tr["entry_ts"], tr["entry_price"], tr["exit_ts"],
-                        tr["exit_price"], tr["gross_pnl"], tr["fees"],
-                        tr["net_pnl"], tr["mae_pnl"], tr["mfe_pnl"],
-                        tr["mae_price"], tr["mfe_price"], tr["exit_reason"],
-                        None, None,
-                    )
-                    for tr in rows
-                ],
-                columns=[f.name for f in TRADE_SCHEMA.fields],
-            )
+            yield pd.DataFrame(rows, columns=[f.name for f in TRADE_SCHEMA.fields])
 
     src = ticks if signals is None else _merge_signals(ticks, signals)
     return src.groupBy("symbol").applyInPandasWithState(
@@ -881,7 +925,11 @@ def live_backtest_generic(
         outputStructType=TRADE_SCHEMA,
         stateStructType=_BLOB_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms > 0
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -898,6 +946,8 @@ def live_backtest_account(
     latency_seed: int = 42,
     latency_min_ms: int = 0,
     latency_max_ms: int = 0,
+    timeout_ms: int = 0,
+    signals: DataFrame | None = None,
 ) -> DataFrame:
     """The live loop re-keyed by ACCOUNT: one stateful session spanning all
     of the account's symbols, so margin and balance gate opens at the
@@ -941,6 +991,18 @@ def live_backtest_account(
     row per ACCOUNT (thousands of accounts shard across executors); a
     single account's feed is sequential by construction — the same bound
     as the reference's one-process live loop.
+
+    ``signals``: optional (symbol, sig_ts, score) stream unioned into the
+    account loop exactly as in ``live_backtest`` — each signal row
+    advances ITS symbol's sub-book as-of state (single-account form only:
+    the signal wire carries no account column).
+
+    R8 at account scope, two mechanisms: (1) cross-symbol clock
+    propagation — the account's single event-time queue is the clock, so
+    each batch heartbeats every lagging sub-book toward the latest event
+    seen, resolving a quiet symbol's in-gap fills while its siblings
+    tick; (2) ``timeout_ms > 0`` arms a ProcessingTimeTimeout ghost pass
+    for the FULLY idle account (see ``ReplaySession.heartbeat``).
     """
     from ..operators.replay import AccountState, ReplaySession
 
@@ -950,6 +1012,12 @@ def live_backtest_account(
         raise ValueError(
             "live_backtest_account is a margin-account surface; spot_mode "
             "carries per-pair asset balances, not one shared margin account"
+        )
+    if signals is not None and account_col is not None:
+        raise ValueError(
+            "signals ride the single-account form: the (symbol, sig_ts, "
+            "score) wire carries no account column to key a multi-account "
+            "stream by"
         )
     start_balance = float(p.get("start_balance", 10_000.0))
     scen_base = {
@@ -962,6 +1030,26 @@ def live_backtest_account(
     }
 
     def run(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            # R8 ghost pass at ACCOUNT scope: every sub-book heartbeats
+            # against its own last tick (per-symbol gap anchors), so a
+            # quiet symbol's in-gap fills resolve while its siblings
+            # keep ticking — the reference's one queue-fed loop runs its
+            # timer pass over all subscribed feeds the same way.
+            if state.exists:
+                (blob,) = state.get
+                acct, books = pickle.loads(bytes(blob))
+                out = []
+                for sym in sorted(books):
+                    books[sym].heartbeat(timeout_ms)
+                    out.extend(_trade_rows(sym, books[sym].drain_trades()))
+                state.update((pickle.dumps((acct, books)),))
+                state.setTimeoutDuration(timeout_ms)
+                if out:
+                    yield pd.DataFrame(
+                        out, columns=[f.name for f in TRADE_SCHEMA.fields]
+                    )
+            return
         chunks = [c for c in pdfs if len(c)]
         if not chunks:
             return
@@ -972,6 +1060,10 @@ def live_backtest_account(
                       "symbol", "bid", "ask")
             if c in pdf.columns
         ]
+        has_sig_rows = "__is_sig" in pdf.columns
+        if has_sig_rows:
+            pdf = pdf.assign(__tick_after_sig=1 - pdf["__is_sig"])
+            keys.insert(1, "__tick_after_sig")
         pdf = pdf.sort_values(keys, kind="mergesort")
 
         if state.exists:
@@ -989,41 +1081,56 @@ def live_backtest_account(
         )
         bid_l = pdf["bid"].tolist()
         ask_l = pdf["ask"].tolist()
+        sig_l = pdf["__is_sig"].tolist() if has_sig_rows else None
+        score_l = pdf["__score"].tolist() if has_sig_rows else None
 
-        for sym, t, c, b, a in zip(sym_l, ts_l, cl, bid_l, ask_l):
+        for i, (sym, t, c, b, a) in enumerate(zip(sym_l, ts_l, cl, bid_l, ask_l)):
             sess = books.get(sym)
             if sess is None:
                 sess = books[sym] = ReplaySession(
                     {"scenario_id": len(books), **scen_base}, account=acct
                 )
-            sess.process_tick(t, c, b, a)
+            if sig_l is not None and sig_l[i]:
+                sess.process_signal(t, score_l[i])
+            else:
+                sess.process_tick(t, c, b, a)
+
+        # R8 cross-symbol clock propagation: the account's single
+        # event-time queue IS the clock, so a sub-book whose symbol went
+        # quiet heartbeats toward the latest event this batch — its
+        # in-gap latency fills resolve at (deadline, its last quote),
+        # exactly what its own next tick would resolve retroactively
+        # (ReplaySession.heartbeat gates on heartbeat_ms/suppress).
+        if ts_l:
+            batch_max_t = max(ts_l)
+            for sess in books.values():
+                base = sess.ghost_t if sess.ghost_t is not None else sess.prev_t
+                if base is not None and base < batch_max_t:
+                    sess.heartbeat(batch_max_t - base)
 
         out = []
         for sym in sorted(books):
-            for tr in books[sym].drain_trades():
-                out.append(
-                    (
-                        sym, tr["trade_id"], tr["direction"], tr["lots"],
-                        tr["entry_ts"], tr["entry_price"], tr["exit_ts"],
-                        tr["exit_price"], tr["gross_pnl"], tr["fees"],
-                        tr["net_pnl"], tr["mae_pnl"], tr["mfe_pnl"],
-                        tr["mae_price"], tr["mfe_price"], tr["exit_reason"],
-                        None, None,
-                    )
-                )
+            out.extend(_trade_rows(sym, books[sym].drain_trades()))
         state.update((pickle.dumps((acct, books)),))
+        if timeout_ms > 0:
+            state.setTimeoutDuration(timeout_ms)
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in TRADE_SCHEMA.fields])
 
+    src = ticks if signals is None else _merge_signals(ticks, signals)
     src = (
-        ticks.withColumn("__account", F.lit("ACCOUNT"))
+        src.withColumn("__account", F.lit("ACCOUNT"))
         if account_col is None
-        else ticks.withColumnRenamed(account_col, "__account")
+        else src.withColumnRenamed(account_col, "__account")
     )
     return src.groupBy("__account").applyInPandasWithState(
         run,
         outputStructType=TRADE_SCHEMA,
         stateStructType=_ACCT_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms > 0
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -2067,10 +2067,15 @@ def test_signal_follow_batch_live_duality(spark, sf_dir, tmp_path):
 
     _assert_trade_parity(batch, got_native)
     _assert_trade_parity(batch, got_generic)
-    # the native path additionally stamps the driving signal
+    # BOTH paths stamp the driving decision-time signal, identically
+    # (round-8 item 7 closed the generic-path observability asymmetry)
     assert any(
         r["entry_sig_ts"] is not None for v in got_native.values() for r in v
     )
+    for s in got_native:
+        for nr, gr in zip(got_native[s], got_generic[s]):
+            assert gr["entry_sig_ts"] == nr["entry_sig_ts"], (s, nr["trade_id"])
+            assert gr["entry_sig_score"] == nr["entry_sig_score"], (s, nr["trade_id"])
 
 
 def test_signal_follow_latency_parity(spark, sf_dir, tmp_path):
@@ -2164,3 +2169,375 @@ def test_signal_follow_latency_parity(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     _assert_trade_parity(batch, got)
+
+
+def test_generic_live_signals_with_collected_msc(spark, sf_dir, tmp_path):
+    """Regression (round-8 advice): ``_merge_signals`` left collected_msc
+    NULL on signal rows when the tick stream carried the column, so the
+    generic session path's int64 cast raised IntCastingNaNError on the
+    documented optional-collected_msc wire contract. Signal rows now
+    stamp collected_msc from sig_ts (mirroring batch merge_signal_rows)
+    and the generic live run must match the batch trades exactly."""
+    from finiextestingide_spark.operators.replay import run_backtest, trades_table
+    from finiextestingide_spark.streaming.live_replay import live_backtest_generic
+
+    params = {
+        "strategy": "signal_follow", "bar_ms": "3600000",
+        "signal_threshold": "5.0", "signal_max_age_ms": "86400000",
+        "fee_per_side": "0.05", "equity_sample_every": "0",
+    }
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value", "event_id")
+        .where(F.col("event_type") == "purchase")
+        .orderBy("ts", "event_id")
+        .limit(400)
+        .collect()
+    )
+    tick_ddl = ("symbol string, timestamp timestamp, time_msc long, "
+                "collected_msc long, bid double, ask double")
+    t_rows = [
+        ("purchase", r["ts"], _epoch_us(r["ts"]) // 1000,
+         _epoch_us(r["ts"]) // 1000 + 7, r["value"] - 0.005, r["value"] + 0.005)
+        for r in events
+    ]
+    sig_rows = [
+        ("purchase", r["ts"], r["value"] - 50.0)
+        for r in events if r["event_id"] % 15 == 0
+    ]
+    assert sig_rows
+    ticks_df = spark.createDataFrame(t_rows, tick_ddl)
+    sig_ddl = "symbol string, sig_ts timestamp, score double"
+    sig_df = spark.createDataFrame(sig_rows, sig_ddl)
+    scenarios = spark.createDataFrame(
+        [(1, "sig-cmsc", "purchase", None, None, 1, 0, 0, params)],
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+        "latency_max_ms int, parameters map<string,string>",
+    )
+    batch = {}
+    for r in trades_table(run_backtest(ticks_df, scenarios, signals=sig_df)).collect():
+        if r["exit_reason"] != "END":
+            batch.setdefault("purchase", []).append(r)
+    assert batch, "fixture must produce at least one closed trade"
+
+    src_t = tmp_path / "ticks"; src_t.mkdir()
+    src_s = tmp_path / "sigs"; src_s.mkdir()
+    spark.createDataFrame(t_rows, tick_ddl).coalesce(1).write.parquet(str(src_t / "p1"))
+    spark.createDataFrame(sig_rows, sig_ddl).coalesce(1).write.parquet(str(src_s / "p1"))
+    tick_schema = spark.createDataFrame([], tick_ddl).schema
+    sig_schema = spark.createDataFrame([], sig_ddl).schema
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        st = spark.readStream.schema(tick_schema).parquet(str(src_t / "p*"))
+        ss = spark.readStream.schema(sig_schema).parquet(str(src_s / "p*"))
+        name = f"sig_cmsc_{uuid.uuid4().hex[:8]}"
+        q = (
+            live_backtest_generic(st, params, signals=ss)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {}
+        for r in sorted(
+            spark.table(name).collect(), key=lambda r: (r["symbol"], r["trade_id"])
+        ):
+            got.setdefault(r["symbol"], []).append(r)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    _assert_trade_parity(batch, got)
+
+
+def test_live_generic_heartbeat_timeout_idle_feed(spark):
+    """R8 live closure (round-8 item 1): with ``timeout_ms`` armed, the
+    generic session path runs ghost passes via ProcessingTimeTimeout — an
+    IDLE feed (only keepalives on the wire, no Z ticks) still resolves
+    the latency fills whose deadline fell into the gap, emitting the
+    close trade in REAL time. The reference's inter-tick heartbeat
+    (process_tick_loop.py:52-107) for the path that runs the whole
+    strategy surface. The emitted trade must be field-identical to the
+    batch replay's in-gap resolution (heartbeat_ms) on the same ticks
+    plus a post-gap tick: ghost passes change WHEN the trade appears,
+    never its content."""
+    from finiextestingide_spark.operators.replay import ReplaySession
+    from finiextestingide_spark.streaming.live_replay import live_backtest_generic
+
+    t0_ms = 1_767_225_600_000
+    prices = [10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 14.0, 13.0, 1.0]
+    params = {"strategy": "sma_cross", "fast": "2", "slow": "3",
+              "bar_ms": "1000", "heartbeat_ms": "1000",
+              "equity_sample_every": "0"}
+    seed, lat_min, lat_max = 9, 500, 2000
+
+    # batch truth: same ticks + a post-gap tick — R8 resolves the close
+    # retroactively at (deadline, last quote)
+    scen = {"scenario_id": 0, "parameters": params,
+            "tick_processing_budget_ms": None, "max_ticks": None,
+            "latency_seed": seed, "latency_min_ms": lat_min,
+            "latency_max_ms": lat_max}
+    b = ReplaySession(scen)
+    for i, p in enumerate(prices):
+        t = t0_ms + i * 1000
+        b.process_tick(t, t, p - 0.005, p + 0.005)
+    t_post = t0_ms + (len(prices) - 1) * 1000 + 10_000
+    b.process_tick(t_post, t_post, 1.0 - 0.005, 1.0 + 0.005)
+    expected = [tr for tr in b.trades if tr["exit_reason"] != "END"]
+    assert len(expected) == 1 and expected[0]["exit_reason"] == "SIGNAL"
+
+    lines = [
+        tick_line("Z", (t0_ms + i * 1000) * 1000, p, 1.0, i)
+        for i, p in enumerate(prices)
+    ]
+    max_us = (t0_ms + len(prices) * 1000) * 1000
+
+    def keepalive(seq: int) -> str:
+        # the market stays OPEN but Z stays quiet: keepalives drive
+        # micro-batches (and thus timeout evaluation) without feeding Z
+        return tick_line(KEEPALIVE_SYMBOL, max_us + (seq + 1) * 1_000_000,
+                         1.0, 1.0, 10**9 + seq)
+
+    name = f"live_hb_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with TickFeedServer(lines, keepalive=keepalive,
+                            keepalive_secs=0.25) as srv:
+            raw = read_socket_ticks(spark, "127.0.0.1", srv.port)
+            live_ticks = raw.select(
+                "symbol",
+                F.col("ts").alias("timestamp"),
+                F.unix_millis(F.col("ts")).alias("time_msc"),
+                F.col("seq").alias("tick_seq"),
+                (F.col("mid") - 0.005).alias("bid"),
+                (F.col("mid") + 0.005).alias("ask"),
+            )
+            q = (
+                live_backtest_generic(live_ticks, params, latency_seed=seed,
+                                      latency_min_ms=lat_min,
+                                      latency_max_ms=lat_max,
+                                      timeout_ms=500)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                _drain(
+                    spark, name, 1, q,
+                    count_fn=lambda: spark.sql(
+                        f"select count(*) from {name} where symbol = 'Z'"
+                    ).collect()[0][0],
+                )
+                got = [r for r in spark.table(name).collect() if r["symbol"] == "Z"]
+            finally:
+                q.stop()
+                q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    assert len(got) == 1
+    for c in _TRADE_FIELDS:
+        want = expected[0][c]
+        have = got[0][c]
+        if c in ("entry_ts", "exit_ts"):
+            want = pd.Timestamp(want)
+            have = pd.Timestamp(have)
+        assert have == want, (c, have, want)
+
+
+def test_live_account_signals_parity(spark, sf_dir, tmp_path):
+    """Round-8 item 7: ``live_backtest_account(signals=...)`` unions the
+    signal stream into the account-keyed loop — each signal advances ITS
+    symbol's sub-book as-of state. With margin checks off, the account
+    layer is economics-neutral, so two symbols of signal_follow through
+    ONE account session must equal the per-symbol batch replays with the
+    same signals (and stamp the driving signal on each trade)."""
+    from finiextestingide_spark.operators.replay import run_backtest, trades_table
+    from finiextestingide_spark.streaming.live_replay import live_backtest_account
+
+    params = {
+        "strategy": "signal_follow", "bar_ms": "3600000",
+        "signal_threshold": "5.0", "signal_max_age_ms": "86400000",
+        "fee_per_side": "0.05", "equity_sample_every": "0",
+    }
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value", "event_id")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    symbols = sorted({r["event_type"] for r in events})
+    assert len(symbols) == 2
+    t_rows = [
+        (r["event_type"], r["ts"], _epoch_us(r["ts"]) // 1000,
+         r["event_id"], r["value"] - 0.005, r["value"] + 0.005)
+        for r in events
+    ]
+    sig_rows = [
+        (r["event_type"], r["ts"], r["value"] - 50.0)
+        for r in events if r["event_id"] % 20 == 0
+    ]
+    tick_ddl = ("symbol string, timestamp timestamp, time_msc long, tick_seq long, "
+                "bid double, ask double")
+    sig_ddl = "symbol string, sig_ts timestamp, score double"
+
+    # per-symbol batch truth (latency off => sub-book == batch scenario)
+    ticks_df = spark.createDataFrame(
+        [(s, ts, ms, ms, b, a) for (s, ts, ms, _sq, b, a) in t_rows],
+        "symbol string, timestamp timestamp, time_msc long, collected_msc long, "
+        "bid double, ask double",
+    )
+    sig_df = spark.createDataFrame(sig_rows, sig_ddl)
+    scenarios = spark.createDataFrame(
+        [(i + 1, f"acct-sig-{s}", s, None, None, 1, 0, 0, params)
+         for i, s in enumerate(symbols)],
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, latency_min_ms int, "
+        "latency_max_ms int, parameters map<string,string>",
+    )
+    sym_of = {i + 1: s for i, s in enumerate(symbols)}
+    batch = {}
+    for r in trades_table(run_backtest(ticks_df, scenarios, signals=sig_df)).collect():
+        if r["exit_reason"] != "END":
+            batch.setdefault(sym_of[r["scenario_id"]], []).append(r)
+    assert sum(len(v) for v in batch.values()) > 2
+    assert len(batch) == 2, "both symbols must trade"
+
+    src_t = tmp_path / "ticks"; src_t.mkdir()
+    src_s = tmp_path / "sigs"; src_s.mkdir()
+    spark.createDataFrame(t_rows, tick_ddl).coalesce(1).write.parquet(str(src_t / "p1"))
+    spark.createDataFrame(sig_rows, sig_ddl).coalesce(1).write.parquet(str(src_s / "p1"))
+    tick_schema = spark.createDataFrame([], tick_ddl).schema
+    sig_schema = spark.createDataFrame([], sig_ddl).schema
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        st = spark.readStream.schema(tick_schema).parquet(str(src_t / "p*"))
+        ss = spark.readStream.schema(sig_schema).parquet(str(src_s / "p*"))
+        name = f"acct_sig_{uuid.uuid4().hex[:8]}"
+        q = (
+            live_backtest_account(st, params, latency_seed=1, signals=ss)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {}
+        for r in sorted(
+            spark.table(name).collect(), key=lambda r: (r["symbol"], r["trade_id"])
+        ):
+            got.setdefault(r["symbol"], []).append(r)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    _assert_trade_parity(batch, got)
+    # the account path stamps the driving signal too
+    assert any(r["entry_sig_ts"] is not None for v in got.values() for r in v)
+
+    # signals + multi-account keying is rejected loudly (the signal wire
+    # carries no account column)
+    with pytest.raises(ValueError, match="single-account"):
+        live_backtest_account(
+            spark.createDataFrame([], tick_ddl).withColumn("acct", F.lit("x")),
+            params, account_col="acct",
+            signals=spark.createDataFrame([], sig_ddl),
+        )
+
+
+def test_live_account_heartbeat_timeout_idle_feed(spark):
+    """Round-8 item 1, ACCOUNT scope: a quiet symbol still gets its
+    in-gap latency fills resolved. Mechanisms, both exercised here: the
+    account's single event-time queue is the clock, so any event in the
+    account (the keepalive market feed) heartbeats lagging sub-books
+    toward the latest event time (cross-symbol clock propagation); and
+    with ``timeout_ms`` armed, a FULLY idle account runs the
+    ProcessingTimeTimeout ghost pass. Same fixture as the generic-path
+    test, driven through live_backtest_account."""
+    from finiextestingide_spark.operators.replay import ReplaySession
+    from finiextestingide_spark.streaming.live_replay import live_backtest_account
+
+    t0_ms = 1_767_225_600_000
+    prices = [10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 14.0, 13.0, 1.0]
+    params = {"strategy": "sma_cross", "fast": "2", "slow": "3",
+              "bar_ms": "1000", "heartbeat_ms": "1000",
+              "equity_sample_every": "0"}
+    seed, lat_min, lat_max = 9, 500, 2000
+    scen = {"scenario_id": 0, "parameters": params,
+            "tick_processing_budget_ms": None, "max_ticks": None,
+            "latency_seed": seed, "latency_min_ms": lat_min,
+            "latency_max_ms": lat_max}
+    b = ReplaySession(scen)
+    for i, p in enumerate(prices):
+        t = t0_ms + i * 1000
+        b.process_tick(t, t, p - 0.005, p + 0.005)
+    t_post = t0_ms + (len(prices) - 1) * 1000 + 10_000
+    b.process_tick(t_post, t_post, 1.0 - 0.005, 1.0 + 0.005)
+    expected = [tr for tr in b.trades if tr["exit_reason"] != "END"]
+    assert len(expected) == 1
+
+    lines = [
+        tick_line("Z", (t0_ms + i * 1000) * 1000, p, 1.0, i)
+        for i, p in enumerate(prices)
+    ]
+    max_us = (t0_ms + len(prices) * 1000) * 1000
+
+    def keepalive(seq: int) -> str:
+        return tick_line(KEEPALIVE_SYMBOL, max_us + (seq + 1) * 1_000_000,
+                         1.0, 1.0, 10**9 + seq)
+
+    name = f"acct_hb_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with TickFeedServer(lines, keepalive=keepalive,
+                            keepalive_secs=0.25) as srv:
+            raw = read_socket_ticks(spark, "127.0.0.1", srv.port)
+            live_ticks = raw.select(
+                "symbol",
+                F.col("ts").alias("timestamp"),
+                F.unix_millis(F.col("ts")).alias("time_msc"),
+                F.col("seq").alias("tick_seq"),
+                (F.col("mid") - 0.005).alias("bid"),
+                (F.col("mid") + 0.005).alias("ask"),
+            )
+            q = (
+                live_backtest_account(live_ticks, params, latency_seed=seed,
+                                      latency_min_ms=lat_min,
+                                      latency_max_ms=lat_max,
+                                      timeout_ms=500)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                _drain(
+                    spark, name, 1, q,
+                    count_fn=lambda: spark.sql(
+                        f"select count(*) from {name} where symbol = 'Z'"
+                    ).collect()[0][0],
+                )
+                got = [r for r in spark.table(name).collect() if r["symbol"] == "Z"]
+            finally:
+                q.stop()
+                q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    assert len(got) == 1
+    for c in _TRADE_FIELDS:
+        want = expected[0][c]
+        have = got[0][c]
+        if c in ("entry_ts", "exit_ts"):
+            want = pd.Timestamp(want)
+            have = pd.Timestamp(have)
+        assert have == want, (c, have, want)

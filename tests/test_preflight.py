@@ -208,3 +208,32 @@ def test_post_run_constant_params_no_drift_warning(spark):
     )
     warns = post_run_validate(results, scen)
     assert all(w.check != "parameter_constancy" for w in warns)
+
+
+def test_plugin_load_error_not_sticky(spark, monkeypatch):
+    """Regression (round-8 advice): a failed plugin entry-point load must be
+    reported ONCE (on the row that triggered the attempt) — later rows with
+    plain strategy-name typos keep the unknown-strategy message listing the
+    built-ins instead of inheriting the stale plugin load error."""
+    import finiextestingide_spark.operators.replay as replay_mod
+    from finiextestingide_spark.operators.preflight import (
+        validate_scenario_parameters,
+    )
+
+    def boom():
+        raise ValueError("entry-point 'bad_plugin' failed to import: boom")
+
+    monkeypatch.setattr(replay_mod, "load_strategy_plugins", boom)
+    rows = [
+        {"scenario_id": 1, "name": "first_typo",
+         "parameters": {"strategy": "no_such_a"}},
+        {"scenario_id": 2, "name": "second_typo",
+         "parameters": {"strategy": "no_such_b"}},
+    ]
+    issues = validate_scenario_parameters(rows)
+    plugin_issues = [i for i in issues if "failed to import" in i.message]
+    unknown = {i.scenario_name: i.message for i in issues
+               if "unknown strategy" in i.message}
+    assert len(plugin_issues) == 1 and plugin_issues[0].scenario_name == "first_typo"
+    assert set(unknown) == {"first_typo", "second_typo"}
+    assert "built-ins" in unknown["second_typo"]

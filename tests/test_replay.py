@@ -1608,3 +1608,113 @@ def test_session_chunk_invariance_property(case):
         i += k
     drained.extend(sess.drain_trades())
     assert drained == one.trades
+
+
+def test_heartbeat_ghost_pass_matches_batch():
+    """R8 live ghost parity (round-8 item 1): driving
+    ``ReplaySession.heartbeat()`` between ticks — the generic/account live
+    paths' ProcessingTimeTimeout firing — resolves EXACTLY the in-gap
+    latency fills the batch R8 block resolves retroactively at the next
+    tick, at the same (deadline, last-quote) stamps. Ghost passes only
+    change WHEN a trade is emitted, never its content: chunk-style
+    equality over random walks with real gaps, for the production
+    decision logic (trend_channel) and the flip-heavy sma_cross, with
+    pickle round-trips between firings (the live checkpoint form)."""
+    import pickle
+
+    from finiextestingide_spark.operators.replay import ReplaySession
+
+    gen = random.Random(80801)
+    t = 1_767_225_600_000
+    px = 50.0
+    ticks = []
+    for i in range(900):
+        # real gaps: mostly sub-heartbeat spacing with frequent 2.4s lulls
+        t += gen.choice((100, 300, 500, 2400, 2400))
+        px = max(0.5, px + gen.uniform(-0.5, 0.5))
+        ticks.append((t, t, px - 0.005, px + 0.005))
+
+    configs = [
+        {"strategy": "sma_cross", "fast": "2", "slow": "5", "bar_ms": "1000",
+         "heartbeat_ms": "300", "heartbeat_suppress_gap_ms": "100000000000",
+         "equity_sample_every": "0"},
+        {"strategy": "trend_channel", "entry_mode": "limit_pullback",
+         "bar_ms": "1000", "boll_period": "6", "gate_every_bars": "2",
+         "gate_ma_period": "4", "max_positions": "2",
+         "heartbeat_ms": "300", "heartbeat_suppress_gap_ms": "100000000000",
+         "equity_sample_every": "0"},
+    ]
+    for ci, params in enumerate(configs):
+        scen = {"scenario_id": ci, "parameters": params,
+                "tick_processing_budget_ms": None, "max_ticks": None,
+                "latency_seed": ci + 3, "latency_min_ms": 50,
+                "latency_max_ms": 900}
+        batch = ReplaySession(scen)
+        for row in ticks:
+            batch.process_tick(*row)
+
+        live = ReplaySession(scen)
+        drained: list = []
+        for row in ticks:
+            # timer firings while the feed is quiet: each advances the
+            # ghost clock 250ms; stop before the ghost would overtake the
+            # actual next tick (a live timer never sees the future)
+            while live.prev_t is not None:
+                base = live.ghost_t if live.ghost_t is not None else live.prev_t
+                if base + 250 >= row[0]:
+                    break
+                live.heartbeat(250)
+                drained.extend(live.drain_trades())
+                live = pickle.loads(pickle.dumps(live))
+            live.process_tick(*row)
+        drained.extend(live.drain_trades())
+        assert len(batch.trades) > 0, (ci, "fixture must actually trade")
+        assert drained == batch.trades, (ci, params["strategy"])
+
+
+def test_heartbeat_ghost_pass_respects_suppression():
+    """The ghost-pass gate mirrors the batch R8 window exactly: a firing
+    whose gap-so-far exceeds ``heartbeat_suppress_gap_ms`` resolves
+    NOTHING (weekend analogue — fills wait for the next real tick), one
+    inside (heartbeat_ms, suppress] resolves fills the ghost clock has
+    passed, and one at or under heartbeat_ms is a no-op."""
+    from finiextestingide_spark.operators.replay import ReplaySession
+
+    def warm_session():
+        params = {"strategy": "buy_hold", "bar_ms": "1000",
+                  "heartbeat_ms": "300", "heartbeat_suppress_gap_ms": "500",
+                  "equity_sample_every": "0"}
+        scen = {"scenario_id": 0, "parameters": params,
+                "tick_processing_budget_ms": None, "max_ticks": None,
+                "latency_seed": 1, "latency_min_ms": 0, "latency_max_ms": 0}
+        s = ReplaySession(scen)
+        t0 = 1_767_225_600_000
+        for i in range(3):
+            s.process_tick(t0 + i * 100, t0 + i * 100, 99.99, 100.01)
+        return s
+
+    # gap beyond suppress: queued action survives every firing
+    s = warm_session()
+    s.pending.append((s.prev_t + 400, ("close_all",)))
+    s.heartbeat(600)  # gap 600 > suppress 500
+    assert len(s.pending) == 1
+    s.heartbeat(600)  # gap only grows; still suppressed
+    assert len(s.pending) == 1
+
+    # gap at or under heartbeat_ms: no-op
+    s = warm_session()
+    s.pending.append((s.prev_t + 100, ("close_all",)))
+    s.heartbeat(300)  # gap 300, not > heartbeat_ms
+    assert len(s.pending) == 1
+
+    # gap inside (heartbeat_ms, suppress]: due fills resolve, later ones wait
+    s = warm_session()
+    s.pending.append((s.prev_t + 400, ("close_all",)))
+    s.pending.append((s.prev_t + 2000, ("close_all",)))
+    s.heartbeat(450)  # gap 450 in (300, 500]; resolves due < prev+450
+    assert [due for due, _ in s.pending] == [s.prev_t + 2000]
+
+    # a real tick resets the ghost clock: the next quiet spell gates on
+    # the NEW gap anchor
+    s.process_tick(s.prev_t + 460, s.prev_t + 460, 99.99, 100.01)
+    assert s.ghost_t is None
