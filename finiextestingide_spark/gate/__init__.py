@@ -30,13 +30,22 @@ from ._util import Query  # noqa: F401
 # flavors, batch vs streaming session windows) keep only one representative
 # in-window, and the highest-value surfaces — the four hash-matched replay
 # lifecycle oracles and the LLM dedup/ANN core — sit inside the window.
+#
+# ROTATION POLICY (round-8, VERDICT r7 #8): each round, ~5 stable in-window
+# veterans (hash-verified by the driver across several rounds, with
+# family-mates still in-window) rotate OUT for entries the driver has NEVER
+# verified, so every oracle-backed gate eventually earns a driver-green
+# CORRECTNESS row. Rotated-out veterans stay green via scripts/check_gate.py
+# (the full-registry mirror) and their consuming pytests. Round-8 rotation:
+# OUT region_nation_revenue, order_rollup, bollinger_20_daily, obv_daily,
+# robustness_daily, interval_coverage (families J5/A6, W1-W6, A9 all keep
+# in-window representatives); IN multimodal_decode_compressed (new: native
+# PNG inflate+defilter) + 5 never-verified LLM-data gates.
 CURATED_ORDER: tuple[str, ...] = (
     # relational core
     "pricing_summary",
     "top_unshipped_orders",
-    "region_nation_revenue",
     "topk_orders_per_priority",
-    "order_rollup",
     "customer_equity_curve",
     "priority_sensitivity",
     "nation_order_kpis",
@@ -49,14 +58,10 @@ CURATED_ORDER: tuple[str, ...] = (
     "session_profile",
     "gap_scan_calendar",
     "rsi_14_daily",
-    "bollinger_20_daily",
-    "obv_daily",
     "atr_sma_daily",
     "asof_purchase_click",
     "extreme_moves_hourly",
     "volatility_regimes",
-    "robustness_daily",
-    "interval_coverage",
     "macd_daily",
     "trade_analytics_by_scenario",
     "walkforward_embargo_wfe",
@@ -73,10 +78,7 @@ CURATED_ORDER: tuple[str, ...] = (
     # sweeps
     "sweep_buyhold_ledger",
     "sweep_sensitivity",
-    # streaming (streaming_live_limit — the round-7 full-order-surface live
-    # gate — replaced volatility_profile in-window; A4 stays green via
-    # check_gate + its consuming gates, the live-loop gate carries more
-    # information per slot)
+    # streaming
     "streaming_bars_1h",
     "streaming_incremental_bars_1h",
     "streaming_asof_signal",
@@ -89,15 +91,20 @@ CURATED_ORDER: tuple[str, ...] = (
     "cosine_topk_10",
     "ivf_train_centroids",
     "contamination_3gram",
-    # real-codec decode through the multimodal seam (round-6 de-stub;
-    # replaced ma_trend_daily in-window — W5 stays green via check_gate +
-    # golden pytest, the codec gate carries more information per slot)
+    # round-8 rotation: never-driver-verified LLM-data gates
+    "jaccard_pairs_dfcap",
+    "neardup_keep_best",
+    "pii_redaction",
+    "tfidf_topterms_3",
+    "quality_quantile_40",
+    # multimodal codec seam: BMP (round-6) + native PNG (round-8)
     "multimodal_decode",
+    "multimodal_decode_compressed",
     # --- driver window cutoff (first 50 above) ---
     # positions 51+: highest-information out-of-window entries first, so a
-    # widened driver window picks them up in this order (round-5 VERDICT #8)
+    # widened driver window picks them up in this order (round-5 VERDICT #8);
+    # round-8 rotated-out veterans go to the back of this queue
     "atr_ewm_daily",
-    "jaccard_pairs_dfcap",
     "token_budget_mix_greedy",
     "streaming_dedup_exact",
     "ivf_topk_5",
@@ -108,6 +115,12 @@ CURATED_ORDER: tuple[str, ...] = (
     "streaming_live_signal",
     "volatility_profile",
     "ma_trend_daily",
+    "region_nation_revenue",
+    "order_rollup",
+    "bollinger_20_daily",
+    "obv_daily",
+    "robustness_daily",
+    "interval_coverage",
 )
 
 

@@ -1447,6 +1447,106 @@ GROUP BY doc_id
 """
 
 
+def multimodal_decode_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode (round-8 item 3: a compressed codec
+    that always runs): one PNG per document is synthesized DISTRIBUTED by
+    a hand-rolled reference encoder — chunks packed by hand, per-scanline
+    filter type y % 5 computed straight from the spec's filter formulas,
+    deliberately independent of operators.multimodal.encode_png (which
+    emits only filter 0) so a symmetric codec bug cannot cancel out and
+    every defilter branch (None/Sub/Up/Average/Paeth) is exercised on
+    every row group. decode_png inflates + defilters via the default
+    decode_media seam; the reduce is exact-integer pixel stats. Oracle:
+    DuckDB recomputes the stats from the generator formula
+    p(r,c,ch) = (doc_id*11 + r*17 + c*5 + ch) % 256."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import _PNG_SIG, _png_chunk, extract_features
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    h, w = _IMG_H, _IMG_W
+    n_px = h * w * 3
+
+    def synth(batches):
+        stride = w * 3
+        r, c, ch = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+        base = r * 17 + c * 5 + ch
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                px = (((int(did) * 11 + base) % 256)
+                      .astype(np.int32).reshape(h, stride))
+                raw = b""
+                prev = np.zeros(stride, dtype=np.int32)
+                for y in range(h):
+                    ft = y % 5
+                    row = px[y]
+                    a = np.concatenate([np.zeros(3, np.int32), row[:-3]])
+                    b = prev
+                    cc = np.concatenate([np.zeros(3, np.int32), prev[:-3]])
+                    if ft == 0:
+                        pred = np.zeros_like(row)
+                    elif ft == 1:
+                        pred = a
+                    elif ft == 2:
+                        pred = b
+                    elif ft == 3:
+                        pred = (a + b) >> 1
+                    else:
+                        p = a + b - cc
+                        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - cc)
+                        pred = np.where(
+                            (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, cc)
+                        )
+                    raw += bytes([ft]) + ((row - pred) % 256).astype(np.uint8).tobytes()
+                    prev = row
+                payloads.append(
+                    _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", zlib.compress(raw))
+                    + _png_chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    blobs = docs.mapInPandas(synth, "doc_id long, media binary")
+    feats = extract_features(blobs, id_col="doc_id", feature_dim=n_px)
+    idx = F.sequence(F.lit(0), F.lit(n_px - 1))
+    weighted = F.zip_with(
+        F.col("features"), idx, lambda p, i: p * (1 + (i % 97).cast("double"))
+    )
+    total = F.aggregate("features", F.lit(0.0), lambda acc, x: acc + x)
+    wsum = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    return feats.select(
+        "doc_id",
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        total.cast("long").alias("px_sum"),
+        wsum.cast("long").alias("wsum"),
+    )
+
+
+MULTIMODAL_DECODE_COMPRESSED_SQL = f"""
+WITH px AS (
+  SELECT d.doc_id, t.i,
+         (d.doc_id * 11 + ((t.i // 3) // {_IMG_W}) * 17
+          + ((t.i // 3) % {_IMG_W}) * 5 + (t.i % 3)) % 256 AS p
+  FROM documents d,
+       (SELECT unnest(generate_series(0, {_IMG_H * _IMG_W * 3} - 1)) AS i) t
+)
+SELECT doc_id,
+       CAST({_IMG_H} AS BIGINT) AS height,
+       CAST({_IMG_W} AS BIGINT) AS width,
+       CAST(SUM(p) AS BIGINT) AS px_sum,
+       CAST(SUM(p * (1 + i % 97)) AS BIGINT) AS wsum
+FROM px
+GROUP BY doc_id
+"""
+
+
 _RSZ_H, _RSZ_W = 3, 5  # 6x10 -> 3x5: src index = dst * 2 on both axes
 
 
@@ -1682,6 +1782,11 @@ QUERIES: dict[str, Query] = {
         multimodal_decode,
         MULTIMODAL_DECODE_SQL,
         "REAL BMP decode through the codec seam, pixel-stat hash-matched",
+    ),
+    "multimodal_decode_compressed": Query(
+        multimodal_decode_compressed,
+        MULTIMODAL_DECODE_COMPRESSED_SQL,
+        "native PNG inflate+defilter (all 5 filters), pixel-stat hash-matched",
     ),
     "multimodal_resize": Query(
         multimodal_resize,

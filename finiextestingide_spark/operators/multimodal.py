@@ -160,21 +160,146 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> PNG (8-bit truecolor, filter 0 rows,
+    zlib-deflated IDAT). A real, spec-conformant compressed encoder in
+    pure stdlib+numpy: any PNG reader decodes it."""
+    import zlib
+
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError(f"expected (H, W, 3) uint8 RGB, got {img.shape} {img.dtype}")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = img.reshape(h, w * 3)  # filter byte 0 per scanline
+    idat = zlib.compress(raw.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (H, W, 3) uint8 RGB: a REAL compressed-image decoder in pure
+    stdlib+numpy — chunk walk, zlib inflate of the concatenated IDATs, and
+    full scanline defiltering (all five filter types: None/Sub/Up/Average/
+    Paeth, the w3.org PNG spec §9). Supports 8-bit greyscale (0), RGB (2),
+    greyscale+alpha (4) and RGBA (6), non-interlaced; alpha is dropped,
+    grey replicated to 3 channels. Palette/16-bit/Adam7 raise with a clear
+    message — pass a full-featured decoder through the ``decoder=`` seam
+    for those."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    w, h, depth, ctype_i, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_i)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit colour types 0/2/4/6 non-interlaced PNG decode "
+            f"natively (depth={depth}, colour={ctype_i}, "
+            f"interlace={interlace}) — pass a full decoder via decoder="
+        )
+    bpp = channels  # bytes per pixel at depth 8
+    stride = w * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) < h * (1 + stride):
+        raise ValueError(f"truncated PNG stream: {len(raw)} < {h * (1 + stride)}")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=h * (1 + stride)).reshape(
+        h, 1 + stride
+    )
+    filters = rows[:, 0]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = int(filters[y])
+        line = rows[y, 1:].astype(np.int32)
+        if ft == 0:
+            out = line
+        elif ft == 1:  # Sub: recon = raw + left — a per-lane running sum
+            out = np.cumsum(line.reshape(w, bpp), axis=0).reshape(stride)
+        elif ft == 2:  # Up
+            out = line + prev
+        elif ft == 3:  # Average: left is recursive — walk pixels, lanes vectorized
+            out = np.empty(stride, dtype=np.int32)
+            a = np.zeros(bpp, dtype=np.int32)
+            pv = prev.astype(np.int32)
+            for i in range(w):
+                s = slice(i * bpp, (i + 1) * bpp)
+                a = (line[s] + ((a + pv[s]) >> 1)) & 0xFF
+                out[s] = a
+        else:  # Paeth
+            out = np.empty(stride, dtype=np.int32)
+            a = np.zeros(bpp, dtype=np.int32)
+            c = np.zeros(bpp, dtype=np.int32)
+            pv = prev.astype(np.int32)
+            for i in range(w):
+                s = slice(i * bpp, (i + 1) * bpp)
+                b = pv[s]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                a = (line[s] + pred) & 0xFF
+                out[s] = a
+                c = b
+        prev = (out & 0xFF).astype(np.uint8)
+        recon[y] = prev
+    px = recon.reshape(h, w, bpp)
+    if ctype_i == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype_i == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])  # RGB / RGBA minus alpha
+
+
 def decode_media(payload: bytes) -> np.ndarray:
-    """Magic-sniffed decode -> (H, W, 3) uint8 RGB. Real for BMP/PPM;
-    compressed formats raise through the seam (pass PIL/av's decode as the
-    ``decoder=`` argument of extract_features for those)."""
+    """Magic-sniffed decode -> (H, W, 3) uint8 RGB. Real for BMP/PPM AND
+    PNG (full inflate + defilter, pure stdlib+numpy); JPEG/RIFF still
+    raise through the seam (pass PIL/av's decode as the ``decoder=``
+    argument of extract_features for those)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        f"no built-in codec for magic {payload[:4]!r} — BMP/PPM decode "
-        "natively; pass a real decoder callable for compressed formats. "
-        "The adapter contract (any callable bytes -> (H, W, 3) uint8 RGB "
-        "through extract_features(decoder=...)) is proven by "
+        f"no built-in codec for magic {payload[:4]!r} — BMP/PPM/PNG decode "
+        "natively; pass a real decoder callable for JPEG/RIFF. The adapter "
+        "contract (any callable bytes -> (H, W, 3) uint8 RGB through "
+        "extract_features(decoder=...)) is proven by "
         "tests/test_multimodal_scenario_index.py: a zlib-deflated PPM "
-        "adapter always, and a PIL PNG adapter where PIL is installed."
+        "adapter always, and a PIL cross-check where PIL is installed."
     )
 
 

@@ -241,27 +241,111 @@ def test_compressed_codec_adapter_through_seam(spark):
         assert via_seam[i]["features"] == base[i]["features"]
 
 
-def test_pil_codec_adapter_if_available(spark):
-    """Conditional PIL proof (skips cleanly where PIL is absent): a real
-    PNG encoded by PIL decodes through the same decoder= seam and yields
-    pixel-identical features to the native-BMP run of the same image."""
-    PIL_Image = pytest.importorskip("PIL.Image")
-    import io
+def _ref_png_encode(img, ctype=2):
+    """Independent PNG encoder for decoder verification: hand-packed
+    chunks, per-row filter type y % 5 computed from the spec's filter
+    definitions directly — deliberately NOT operators.multimodal.encode_png
+    (which always emits filter 0), so a symmetric encoder/decoder bug
+    cannot cancel out and every defilter branch is exercised."""
+    import struct
+    import zlib
 
+    from finiextestingide_spark.operators.multimodal import _PNG_SIG, _png_chunk
+
+    h, w = img.shape[:2]
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    px = img.reshape(h, w * ch).astype(np.int32)
+    out = b""
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        ft = y % 5
+        row = px[y]
+        a = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
+        b = prev
+        c = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        if ft == 0:
+            pred = np.zeros_like(row)
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) >> 1
+        else:
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        out += bytes([ft]) + ((row - pred) % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(out)) + _png_chunk(b"IEND", b""))
+
+
+def test_png_codec_roundtrip_and_all_filters():
+    """The native PNG codec (round-8 item 3: a compressed codec that
+    ALWAYS runs — inflate + full scanline defiltering, no PIL): encoder
+    round-trips, and the decoder inverts an INDEPENDENT all-filter-types
+    reference encoder for RGB, greyscale (replicated) and RGBA (alpha
+    dropped) across awkward widths."""
+    from finiextestingide_spark.operators.multimodal import (
+        decode_media,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+    assert np.array_equal(decode_media(encode_png(img)), img)  # magic sniff
+
+    for hh, ww in [(5, 4), (16, 16), (7, 31)]:
+        im = rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(_ref_png_encode(im)), im), (hh, ww)
+
+    g = rng.integers(0, 256, (6, 5, 1), dtype=np.uint8)
+    assert np.array_equal(decode_png(_ref_png_encode(g, 0)), np.repeat(g, 3, axis=2))
+    ra = rng.integers(0, 256, (6, 5, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(_ref_png_encode(ra, 6)), ra[:, :, :3])
+
+    # unsupported layouts fail loudly through the seam, never silently
+    import struct as _s
+    import zlib as _z
+
+    from finiextestingide_spark.operators.multimodal import _PNG_SIG, _png_chunk
+
+    pal = (_PNG_SIG + _png_chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+           + _png_chunk(b"IDAT", _z.compress(b"\x00" * 6)) + _png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="colour"):
+        decode_png(pal)
+
+
+def test_png_decodes_through_default_seam(spark):
+    """A PNG payload now decodes through extract_features' DEFAULT
+    decoder (decode_media sniffs the signature): pixel-identical features
+    to the BMP encoding of the same image. Where PIL happens to be
+    installed, its decode of our encoder's output is cross-checked too —
+    an optional extra assertion, not a skip."""
     img = _img(9, 8, 12)
-    buf = io.BytesIO()
-    PIL_Image.fromarray(img).save(buf, format="PNG")
+    from finiextestingide_spark.operators.multimodal import encode_png
+
     png_df = spark.createDataFrame(
-        [(1, buf.getvalue())], "media_id long, media binary"
+        [(1, encode_png(img))], "media_id long, media binary"
     )
     bmp_df = spark.createDataFrame(
         [(1, encode_bmp(img))], "media_id long, media binary"
     )
-
-    def pil_decoder(payload: bytes):
-        return np.asarray(PIL_Image.open(io.BytesIO(payload)).convert("RGB"))
-
-    a = extract_features(png_df, decoder=pil_decoder, feature_dim=96).collect()[0]
+    a = extract_features(png_df, feature_dim=96).collect()[0]
     b = extract_features(bmp_df, feature_dim=96).collect()[0]
     assert a["features"] == b["features"]
     assert (a["height"], a["width"]) == (b["height"], b["width"]) == (8, 12)
+
+    try:  # optional third-party cross-check; absence is NOT a skip
+        import io
+
+        from PIL import Image as PIL_Image
+    except ImportError:
+        return
+    assert np.array_equal(
+        np.asarray(PIL_Image.open(io.BytesIO(encode_png(img))).convert("RGB")), img
+    )
