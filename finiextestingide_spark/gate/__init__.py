@@ -37,22 +37,23 @@ from ._util import Query  # noqa: F401
 # verified, so every oracle-backed gate eventually earns a driver-green
 # CORRECTNESS row. Rotated-out veterans stay green via scripts/check_gate.py
 # (the full-registry mirror) and their consuming pytests. Round-8 rotation:
-# OUT region_nation_revenue, order_rollup, bollinger_20_daily, obv_daily,
-# robustness_daily, interval_coverage (families J5/A6, W1-W6, A9 all keep
-# in-window representatives); IN multimodal_decode_compressed (new: native
-# PNG inflate+defilter) + 5 never-verified LLM-data gates.
+# OUT region_nation_revenue, order_rollup, priority_sensitivity,
+# bollinger_20_daily, obv_daily, robustness_daily, interval_coverage
+# (families J5/A6/A11, W1-W6, A9 all keep in-window representatives); IN
+# multimodal_decode_compressed (native PNG inflate+defilter),
+# streaming_reconciliation (J6 live), + 5 never-verified LLM-data gates.
 CURATED_ORDER: tuple[str, ...] = (
     # relational core
     "pricing_summary",
     "top_unshipped_orders",
     "topk_orders_per_priority",
     "customer_equity_curve",
-    "priority_sensitivity",
     "nation_order_kpis",
     "weighted_avg_price",
     "swap_accrual",
     "profiling_percentiles",
     "order_reconciliation",
+    "streaming_reconciliation",
     # timeseries / indicators
     "bars_1h",
     "session_profile",
@@ -117,6 +118,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "ma_trend_daily",
     "region_nation_revenue",
     "order_rollup",
+    "priority_sensitivity",
     "bollinger_20_daily",
     "obv_daily",
     "robustness_daily",

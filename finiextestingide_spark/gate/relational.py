@@ -542,6 +542,57 @@ FROM o FULL OUTER JOIN e ON o.o_orderkey = e.o_orderkey
 """
 
 
+def streaming_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 LIVE (round-8 item 4): order<->execution pairing as a CONTINUOUS
+    stateful stream (streaming.reconcile_stream) — two unbounded feeds
+    (orders, lineitem fills) union into one keyed pairing state, every
+    state change emits a revision, and the latest revision per key is the
+    verdict. Once both feeds drain, that snapshot must hash-match the
+    batch reconcile_orders classification — same oracle SQL as the batch
+    gate. Exactness holds because the executed total accumulates as
+    decimal in state (arrival-order independent)."""
+    from ..streaming.bars_stream import run_to_memory
+    from ..streaming.reconcile_stream import latest_revisions, reconcile_stream
+
+    o_schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    l_schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    orders = (
+        spark.readStream.schema(o_schema)
+        .parquet(f"{sf_dir}/orders.parque*")
+        .where(F.col("o_orderkey") % 7 != 0)
+        .select("o_orderkey", F.col("o_totalprice").alias("expected_amount"))
+    )
+    execs = (
+        spark.readStream.schema(l_schema)
+        .parquet(f"{sf_dir}/lineitem.parque*")
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).cast("decimal(28,6)").alias("qty"),
+        )
+    )
+    rev = reconcile_stream(
+        orders, execs, order_key="o_orderkey",
+        expected="expected_amount", qty="qty", tolerance=0.01,
+    )
+    name = "gate_streaming_reconciliation"
+    run_to_memory(rev, name)
+    out = latest_revisions(spark.table(name), "o_orderkey")
+    return out.select(
+        "o_orderkey",
+        F.round("expected_amount", 6).alias("expected_amount"),
+        F.round("executed_amount", 6).alias("executed_amount"),
+        F.col("n_executions").cast("long").alias("n_executions"),
+        "status",
+    )
+
+
+STREAMING_RECONCILIATION_SQL = ORDER_RECONCILIATION_SQL
+
+
 QUERIES: dict[str, Query] = {
     "pricing_summary": Query(pricing_summary, PRICING_SUMMARY_SQL, "TPC-H Q1 shape; A5/A6 aggregations"),
     "top_unshipped_orders": Query(top_unshipped_orders, TOP_UNSHIPPED_ORDERS_SQL, "Q3 shape; deterministic top-k"),
@@ -555,6 +606,11 @@ QUERIES: dict[str, Query] = {
     "swap_accrual": Query(swap_accrual, SWAP_ACCRUAL_SQL, "R6 overnight swap rollovers"),
     "profiling_percentiles": Query(
         profiling_percentiles, PROFILING_PERCENTILES_SQL, "A8 percentiles + deterministic mode"
+    ),
+    "streaming_reconciliation": Query(
+        streaming_reconciliation,
+        STREAMING_RECONCILIATION_SQL,
+        "J6 live: continuous stateful order<->execution pairing, batch-oracle hash",
     ),
     "order_reconciliation": Query(
         order_reconciliation, ORDER_RECONCILIATION_SQL, "J6 order<->execution reconciliation audit"

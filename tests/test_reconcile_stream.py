@@ -1,0 +1,172 @@
+"""Streaming order<->execution reconciliation (J6 live, round-8 item 4).
+
+The reference's live executor pairs broker execution reports with orders
+continuously (live_trade_executor.py; abstract_adapter.py truth-pull);
+here the pairing is a keyed stateful stream fed by TWO real sockets —
+an order feed and a fills feed — with deliberate out-of-order arrival:
+fills for one order land seconds before the order itself, so the operator
+must hold them in state as ORPHAN and reclassify when the order shows up.
+The final snapshot must equal the batch reconcile_orders classification.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+import pytest
+import pyspark.sql.functions as F
+
+from finiextestingide_spark.streaming.live_source import (
+    TickFeedServer,
+    parse_tick_lines,
+    read_socket_lines,
+)
+from finiextestingide_spark.streaming.reconcile_stream import (
+    latest_revisions,
+    reconcile_stream,
+)
+
+ORDER_WIRE_DDL = "order_id long, ts_us long, expected double"
+FILL_WIRE_DDL = "order_id long, ts_us long, qty double"
+
+
+def _line(**kv) -> str:
+    return json.dumps(kv, separators=(",", ":"))
+
+
+# quarter-grid quantities: binary-exact, so decimal-exact streaming state
+# and the batch float sum agree bit-for-bit
+ORDERS = {1: 10.0, 2: 8.5, 3: 12.25, 4: 3.0, 5: 20.0, 6: 7.75, 7: 5.0, 8: 9.5}
+FILLS = {
+    1: [4.0, 6.0],          # MATCHED across two fills
+    2: [8.5],               # MATCHED single fill
+    3: [6.0, 6.0],          # UNDER_EXECUTED (11.75 short of 12.25... 12.0)
+    4: [3.25],              # OVER_EXECUTED
+    5: [10.0, 10.0],        # MATCHED — but the ORDER arrives after the fills
+    6: [7.75],              # MATCHED
+    # 7: no fills           # MISSING
+    8: [2.0, 3.0, 4.5],     # MATCHED across three fills
+    9: [1.5],               # ORPHAN — no order ever arrives
+}
+
+
+def test_two_socket_reconciliation_out_of_order(spark):
+    t0 = 1_767_225_600_000_000
+    # orders wire: order 5 is withheld for several seconds
+    early_orders = [
+        _line(order_id=k, ts_us=t0 + k, expected=v)
+        for k, v in ORDERS.items()
+        if k != 5
+    ]
+    late_order = [_line(order_id=5, ts_us=t0 + 500, expected=ORDERS[5])]
+    fills = [
+        _line(order_id=k, ts_us=t0 + 1000 + i, qty=q)
+        for k, qs in FILLS.items()
+        for i, q in enumerate(qs)
+    ]
+
+    name = f"recon_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with TickFeedServer(
+            early_orders + late_order, chunk_lines=len(early_orders),
+            chunk_pause_secs=4.0,
+        ) as o_srv, TickFeedServer(fills) as f_srv:
+            orders = parse_tick_lines(
+                read_socket_lines(spark, "127.0.0.1", o_srv.port),
+                wire_ddl=ORDER_WIRE_DDL,
+            ).select("order_id", F.col("expected").alias("expected_amount"))
+            execs = parse_tick_lines(
+                read_socket_lines(spark, "127.0.0.1", f_srv.port),
+                wire_ddl=FILL_WIRE_DDL,
+            ).select("order_id", "qty")
+            rev = reconcile_stream(
+                orders, execs, order_key="order_id",
+                expected="expected_amount", qty="qty", tolerance=0.01,
+            )
+            q = (
+                rev.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                deadline = time.time() + 120.0
+                while time.time() < deadline:
+                    rows = spark.table(name).collect()
+                    by_key = {}
+                    for r in sorted(rows, key=lambda r: r["revision"]):
+                        by_key.setdefault(r["order_id"], []).append(r)
+                    done = (
+                        set(by_key) == set(range(1, 10))
+                        and by_key[5][-1]["status"] == "MATCHED"
+                        and by_key[7]
+                        and by_key[9]
+                    )
+                    if done:
+                        break
+                    time.sleep(0.5)
+                else:
+                    raise AssertionError(
+                        f"reconciliation did not converge: "
+                        f"{ {k: [r['status'] for r in v] for k, v in by_key.items()} }"
+                    )
+            finally:
+                q.stop()
+                q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    # out-of-order contract: order 5's fills arrived first, so its history
+    # STARTS as ORPHAN (held in state) and reclassifies once the order lands
+    hist5 = [r["status"] for r in by_key[5]]
+    assert hist5[0] == "ORPHAN", hist5
+    assert hist5[-1] == "MATCHED"
+    assert len(hist5) >= 2
+
+    # final snapshot == batch reconcile_orders on the same data
+    from finiextestingide_spark.operators.reconcile import reconcile_orders
+
+    o_df = spark.createDataFrame(
+        [(k, v) for k, v in ORDERS.items()], "order_id long, expected double"
+    )
+    e_df = spark.createDataFrame(
+        [(k, q) for k, qs in FILLS.items() for q in qs], "order_id long, qty double"
+    )
+    batch = {
+        r["order_id"]: r
+        for r in reconcile_orders(
+            o_df, e_df, order_key="order_id",
+            expected=F.col("expected"), executed=F.sum("qty"), tolerance=0.01,
+        ).collect()
+    }
+    final = {k: v[-1] for k, v in by_key.items()}
+    assert set(final) == set(batch)
+    for k, br in batch.items():
+        lr = final[k]
+        for c in ("expected_amount", "executed_amount", "n_executions", "status"):
+            assert lr[c] == br[c], (k, c, lr[c], br[c])
+    # the fixture exercises every class
+    assert {r["status"] for r in batch.values()} == {
+        "MATCHED", "UNDER_EXECUTED", "OVER_EXECUTED", "MISSING", "ORPHAN"
+    }
+
+
+def test_latest_revisions_collapses_to_current_verdict(spark):
+    rows = [
+        (1, None, 4.0, 1, "ORPHAN", 1),
+        (1, 10.0, 4.0, 1, "UNDER_EXECUTED", 2),
+        (1, 10.0, 10.0, 2, "MATCHED", 3),
+        (2, 5.0, None, 0, "MISSING", 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "order_id long, expected_amount double, executed_amount double, "
+        "n_executions long, status string, revision long",
+    )
+    got = {r["order_id"]: r for r in latest_revisions(df, "order_id").collect()}
+    assert got[1]["status"] == "MATCHED" and got[1]["n_executions"] == 2
+    assert got[2]["status"] == "MISSING"
