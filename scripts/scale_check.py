@@ -49,15 +49,29 @@ TARGETS = [
 ]
 
 
-def build_synth(spark, dest: str) -> None:
+def build_synth(
+    spark, dest: str, *, src: str = SRC, replicas: int = REPLICAS,
+    doc_perturb: str = "token",
+) -> None:
+    """Synthesize ``replicas``x data from ``src`` into ``dest``.
+
+    ``doc_perturb``: how document replicas are made textually distinct —
+    "token" appends one per-replica token (the sf1 scheme: keeps replicas
+    of one base doc similar, which after TWO decades of stacking would
+    turn every base doc into a 100-way near-dup cluster and measure the
+    data artifact, not the engine); "caesar" rotates the lowercase
+    alphabet per replica via translate() — word boundaries, lengths and
+    within-replica dup structure are preserved exactly, but shingle sets
+    are DISJOINT across replicas, so relationship counts scale linearly
+    the way organically grown data would."""
     os.makedirs(dest, exist_ok=True)
 
     # lineitem: offset order keys per replica
-    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
     max_ok = li.agg(F.max("l_orderkey")).collect()[0][0]
     parts = [
         li.withColumn("l_orderkey", (F.col("l_orderkey") + F.lit(r * (max_ok + 1))))
-        for r in range(REPLICAS)
+        for r in range(replicas)
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -65,7 +79,7 @@ def build_synth(spark, dest: str) -> None:
     out.write.mode("overwrite").parquet(f"{dest}/lineitem.parquet")
 
     # events: shift each replica past the prior time span
-    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    ev = spark.read.parquet(f"{src}/events.parquet")
     ts_col = "ts"
     bounds = ev.agg(
         F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi"), F.max("event_id").alias("me")
@@ -74,7 +88,7 @@ def build_synth(spark, dest: str) -> None:
     # generation; handle both by working in whatever type the column has
     dtype = dict(ev.dtypes)[ts_col]
     parts = []
-    for r in range(REPLICAS):
+    for r in range(replicas):
         p = ev.withColumn("event_id", F.col("event_id") + F.lit(r * (bounds["me"] + 1)))
         if dtype.startswith("timestamp"):
             shift_s = int((bounds["hi"] - bounds["lo"]).total_seconds()) + 3600
@@ -88,14 +102,24 @@ def build_synth(spark, dest: str) -> None:
         out = out.unionByName(p)
     out.write.mode("overwrite").parquet(f"{dest}/events.parquet")
 
-    # documents: offset ids + per-replica token (no cross-replica dups)
-    dc = spark.read.parquet(f"{SRC}/documents.parquet")
+    # documents: offset ids + per-replica textual distinctness
+    dc = spark.read.parquet(f"{src}/documents.parquet")
     max_id = dc.agg(F.max("doc_id")).collect()[0][0]
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def perturb(col, r):
+        if doc_perturb == "caesar":
+            if r == 0:
+                return col
+            rot = alpha[r % 26 :] + alpha[: r % 26]
+            return F.translate(col, alpha, rot)
+        return F.concat(col, F.lit(f" replica{r}tok"))
+
     parts = [
         dc.withColumn("doc_id", F.col("doc_id") + F.lit(r * (max_id + 1))).withColumn(
-            "text", F.concat(F.col("text"), F.lit(f" replica{r}tok"))
+            "text", perturb(F.col("text"), r)
         )
-        for r in range(REPLICAS)
+        for r in range(replicas)
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -105,7 +129,7 @@ def build_synth(spark, dest: str) -> None:
     for t in TABLES:
         link = f"{dest}/{t}.parquet"
         if not os.path.exists(link):
-            os.symlink(f"{SRC}/{t}.parquet", link)
+            os.symlink(os.path.realpath(f"{src}/{t}.parquet"), link)
 
 
 

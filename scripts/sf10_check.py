@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""sf10 scaling sweep (round-8 item 2): one more decade over the sf1 sweep.
+
+SF1.md proves correctness + scaling at 10x bench scale; this measures the
+heaviest registry queries at 100x bench scale (sf10 ~ TPC-H sf10 shape,
+60M lineitem rows) and records the sf1 -> sf10 wall ratio per query. The
+sf10 directory is synthesized from the sf1 synth with the SAME machinery
+(scripts/scale_check.build_synth, replicas=10) — except documents use the
+"caesar" perturbation: a per-replica alphabet rotation via translate()
+keeps word boundaries, lengths and within-replica dup structure exactly,
+while making shingle sets DISJOINT across replicas. (Stacking the sf1
+append-one-token scheme twice would make every base document a 100-way
+near-dup cluster, and the dedup queries would measure that data artifact
+instead of the engine.)
+
+Linear-ish ratios (<= ~12x for 10x data on the fixed 32-core box) mean no
+quadratic stage or skew cliff hides below the sf1 horizon. Results land in
+SCALE.md §7.
+
+    python scripts/sf10_check.py             # build (if absent) + measure
+    python scripts/sf10_check.py --rebuild   # force rebuild of sf10 only
+    python scripts/sf10_check.py minhash_lsh_pairs extreme_moves_hourly
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from finiextestingide_spark.session import build_session  # noqa: E402
+from scripts.scale_check import build_synth  # noqa: E402
+
+SF1 = "/tmp/sf1_synth"
+SF10 = "/tmp/sf10_synth"
+
+# the heaviest registry queries by sf1 wall (SF1.md), one per engine
+# surface: replay fan-out, dedup/LSH, reconciliation join, ingest-quality
+# scan, stateful replay oracles, TF-IDF, clustering, window scans,
+# trade analytics, plus the two new round-8 surfaces
+TARGETS = [
+    "replay_loadtest_40",
+    "minhash_lsh_pairs",
+    "order_reconciliation",
+    "streaming_reconciliation",
+    "quality_check_ticks",
+    "replay_scaleout_oracle",
+    "replay_pyramid_oracle",
+    "tfidf_topterms_3",
+    "neardup_keep_best",
+    "extreme_moves_hourly",
+    "trade_analytics_by_scenario",
+    "multimodal_decode_compressed",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("targets", nargs="*", default=None)
+    args = ap.parse_args()
+
+    spark = build_session("sf10-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(f"{SF1}/documents.parquet"):
+        print("building sf1 synth first ...", file=sys.stderr)
+        build_synth(spark, SF1)
+    if args.rebuild or not os.path.exists(f"{SF10}/documents.parquet"):
+        print("building sf10 synth from sf1 ...", file=sys.stderr)
+        t0 = time.time()
+        build_synth(spark, SF10, src=SF1, replicas=10, doc_perturb="caesar")
+        print(f"built in {time.time() - t0:.0f}s", file=sys.stderr)
+
+    import bench
+
+    bench.warmup(spark, SF1)
+    results = {}
+    for name in args.targets or TARGETS:
+        base = bench.time_queries(spark, SF1, names=[name], runs=args.runs)[name]
+        big = bench.time_queries(spark, SF10, names=[name], runs=args.runs)[name]
+        results[name] = {
+            "sf1_sec": base,
+            "sf10_sec": big,
+            "ratio": round(big / base, 2) if base else None,
+        }
+        print(json.dumps({name: results[name]}), flush=True)
+    print(json.dumps({"sf10_check": results}))
+    # markdown table for SCALE.md §7
+    print("\n| query | sf1 (s) | sf10 (s) | ratio |", file=sys.stderr)
+    print("|---|---|---|---|", file=sys.stderr)
+    for n, r in results.items():
+        print(
+            f"| {n} | {r['sf1_sec']} | {r['sf10_sec']} | {r['ratio']}x |",
+            file=sys.stderr,
+        )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
