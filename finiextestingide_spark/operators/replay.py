@@ -1967,15 +1967,13 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     bid = pdf["bid"].to_numpy(dtype="float64")
     ask = pdf["ask"].to_numpy(dtype="float64")
 
-    tsl = ts_ms.tolist()
-    cl = coll_ms.tolist()
-    bl = bid.tolist()
-    al = ask.tolist()
-
     if has_sig:
         sig_l = pdf["__is_sig"].tolist()
         score_l = pdf["__score"].tolist()
-        for t, c, b, a, is_sig, score in zip(tsl, cl, bl, al, sig_l, score_l):
+        for t, c, b, a, is_sig, score in zip(
+            ts_ms.tolist(), coll_ms.tolist(), bid.tolist(), ask.tolist(),
+            sig_l, score_l,
+        ):
             if is_sig:
                 sess.process_signal(t, score)
             else:
@@ -1986,16 +1984,20 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
     # Vectorized fast path for the dominant sweep configuration (market
     # orders, no stops/budget/heartbeat/margin/swap, no equity sampling):
     # bit-identical results, ~10x per-core throughput. force_slow=1 pins
-    # the reference loop (used by the equivalence tests).
+    # the reference loop (used by the equivalence tests). The ndarrays go
+    # in directly — materializing 4 multi-million-element Python lists per
+    # group only to np.asarray them back was the dominant allocation/GC
+    # cost at sf10 group sizes (round-8 sweep finding); the slow paths
+    # below still take .tolist(), where zip over PyObjects beats numpy
+    # scalar indexing in the per-tick loop.
     if sess.vectorizable():
-        bk = (ts_ms // sess.bar_ms).tolist()
         return _replay_fast(
             sess.sid,
             sess.strategy,
-            tsl,
-            bl,
-            al,
-            bk,
+            ts_ms,
+            bid,
+            ask,
+            ts_ms // sess.bar_ms,
             rng=sess.rng,
             lat_min=sess.lat_min,
             lat_max=sess.lat_max,
@@ -2005,7 +2007,9 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
             start_balance=sess.start_balance,
         )
 
-    for t, c, b, a in zip(tsl, cl, bl, al):
+    for t, c, b, a in zip(
+        ts_ms.tolist(), coll_ms.tolist(), bid.tolist(), ask.tolist()
+    ):
         sess.process_tick(t, c, b, a)
     sess.finish()
     return sess.summary_frame()
@@ -2014,10 +2018,10 @@ def _replay_core(pdf: pd.DataFrame, scen: dict) -> pd.DataFrame:
 def _replay_fast(
     sid: int,
     strategy,
-    tsl: list,
-    bl: list,
-    al: list,
-    bk: list,
+    tsl,   # int64 array-like (epoch ms)
+    bl,    # float64 array-like
+    al,    # float64 array-like
+    bk,    # int64 array-like (bar bucket ids)
     *,
     rng: random.Random,
     lat_min: int,
@@ -2244,6 +2248,51 @@ def attach_scenarios(ticks: DataFrame, scenarios: DataFrame) -> DataFrame:
     )
 
 
+_M32 = 0xFFFFFFFF
+
+
+def _murmur3_hash_int(value: int, seed: int = 42) -> int:
+    """Spark's Murmur3Hash of one IntegerType value (catalyst hashInt,
+    default seed 42), as a SIGNED 32-bit int — lets the driver predict
+    exactly which partition ``repartition(n, int_col)`` sends a row to
+    (partition = pmod(hash, n)). Verified bit-for-bit against F.hash in
+    tests/test_replay.py."""
+    k1 = (value & _M32) * 0xCC9E2D51 & _M32
+    k1 = ((k1 << 15) | (k1 >> 17)) & _M32
+    k1 = (k1 * 0x1B873593) & _M32
+    h1 = (seed ^ k1) & _M32
+    h1 = ((h1 << 13) | (h1 >> 19)) & _M32
+    h1 = (h1 * 5 + 0xE6546B64) & _M32
+    h1 ^= 4  # length in bytes
+    h1 = (h1 ^ (h1 >> 16)) * 0x85EBCA6B & _M32
+    h1 = (h1 ^ (h1 >> 13)) * 0xC2B2AE35 & _M32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _part_salts(sids: list, n: int) -> dict[int, int]:
+    """scenario_id -> int salt whose murmur3 partition is UNIQUE.
+
+    ``repartition(n, col)`` places rows at pmod(murmur3(col), n); hashing n
+    distinct scenario ids into n partitions collides birthday-style — the
+    round-8 sf10 sweep measured a 4-scenario stack on one core with 17 of
+    40 partitions empty, turning the replay stage's critical path into 4x
+    one scenario's work. Salting driver-side makes placement exact: the
+    replay stage's wall is ONE scenario regardless of fleet size. Greedy
+    single-pass search (~n·H(n) hash evals, a couple of seconds at the
+    200k-scenario driver bound — planning cost, not per-tick cost)."""
+    salts: dict[int, int] = {}
+    used: set[int] = set()
+    v = 0
+    for sid in sids:
+        while (_murmur3_hash_int(v) % n) in used:
+            v += 1
+        used.add(_murmur3_hash_int(v) % n)
+        salts[sid] = v
+        v += 1
+    return salts
+
+
 # Driver-side planning bound: run_backtest materializes the scenario table on
 # the driver (config closure + partition count). A parameter sweep that
 # cross-joins itself to 10^7 combinations would silently OOM the driver, so
@@ -2317,6 +2366,12 @@ def run_backtest(
     scen_rows = _bounded_collect(scenarios, max_driver_scenarios, "run_backtest(scenarios)")
     cfg = {r["scenario_id"]: r.asDict(recursive=True) for r in scen_rows}
     n = max(len(scen_rows), 1)
+    # Exact 1:1 scenario->partition placement: shuffle AND group on a
+    # driver-computed salt whose murmur3 partition is collision-free (see
+    # _part_salts — hash placement alone stacked 4 scenarios on one core
+    # at the sf10 sweep while a third of the cluster sat idle).
+    salts = _part_salts(sorted(cfg), n)
+    by_salt = {v: cfg[sid] for sid, v in salts.items()}
 
     if signals is not None:
         ticks = merge_signal_rows(ticks, signals)
@@ -2324,6 +2379,14 @@ def run_backtest(
         c for c in ("start_ts", "end_ts") if c in scenarios.columns
     ]
     slim = scenarios.select(*slim_cols)
+    if salts:
+        part_df = scenarios.sparkSession.createDataFrame(
+            [(int(sid), int(v)) for sid, v in salts.items()],
+            "scenario_id int, __part int",
+        )
+        slim = slim.join(F.broadcast(part_df), "scenario_id")
+    else:
+        slim = slim.withColumn("__part", F.lit(0))
     tick_cols = [
         c
         for c in ("timestamp", "time_msc", "collected_msc", "bid", "ask", "tick_seq",
@@ -2332,14 +2395,14 @@ def run_backtest(
     ]
     joined = (
         attach_scenarios(ticks, slim)
-        .select("scenario_id", *tick_cols)
-        .repartition(n, "scenario_id")
+        .select("__part", *tick_cols)
+        .repartition(n, "__part")
     )
 
     def replay(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        return _replay_core(pdf, cfg[key[0]])
+        return _replay_core(pdf, by_salt[key[0]])
 
-    return joined.groupBy("scenario_id").applyInPandas(replay, REPLAY_RESULT_SCHEMA)
+    return joined.groupBy("__part").applyInPandas(replay, REPLAY_RESULT_SCHEMA)
 
 
 def trades_table(results: DataFrame) -> DataFrame:

@@ -1718,3 +1718,40 @@ def test_heartbeat_ghost_pass_respects_suppression():
     # the NEW gap anchor
     s.process_tick(s.prev_t + 460, s.prev_t + 460, 99.99, 100.01)
     assert s.ghost_t is None
+
+
+def test_murmur_salt_exact_partition_placement(spark):
+    """Round-8 sf10 finding: hashing N scenario ids into N partitions
+    collides birthday-style (a 4-scenario stack on one core at sf10 while
+    17/40 partitions sat empty). run_backtest now shuffles AND groups on a
+    driver-computed salt with collision-free murmur3 placement. Pins:
+    (a) _murmur3_hash_int is bit-identical to Spark's F.hash on ints,
+    (b) _part_salts yields one distinct partition per scenario,
+    (c) the physical plan still carries exactly ONE Exchange (the salt
+        grouping reuses the explicit repartition — no second shuffle)."""
+    import pyspark.sql.functions as F
+
+    from finiextestingide_spark.operators.replay import (
+        _murmur3_hash_int,
+        _part_salts,
+    )
+
+    vals = [0, 1, 7, 40, 12345, 2**31 - 1, -1, -40, 999_983]
+    got = spark.createDataFrame([(v,) for v in vals], "v int").select(
+        F.hash("v").alias("h")
+    ).collect()
+    for v, r in zip(vals, got):
+        assert _murmur3_hash_int(v) == r["h"], v
+
+    for n in (1, 3, 40, 257):
+        salts = _part_salts(list(range(n)), n)
+        assert len({_murmur3_hash_int(s) % n for s in salts.values()}) == n
+
+    ticks = make_ticks(spark, PRICES)
+    scenarios = make_scenarios(
+        spark,
+        [(i, f"s{i}", "X", None, None, 1, 0, 0, BASE) for i in range(1, 9)],
+    )
+    plan = run_backtest(ticks, scenarios)._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
