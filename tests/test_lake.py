@@ -41,7 +41,8 @@ def test_bucketed_tick_lake_backtest_single_exchange(spark, sf_dir):
     Exchange before the explicit per-scenario repartition — the scenario
     attach broadcasts the scenario slice onto the bucketed scan in place,
     so the ONLY shuffle in the whole pre-replay plan is the one
-    deliberately placed repartition(n, scenario_id) that spreads the
+    deliberately placed repartition(n, __part) — the collision-free
+    scenario-placement salt (round 8) — that spreads the
     Python-CPU-bound replay across cores. At 1000 executors that means the
     100 TB tick scan is never moved; only the (already-sliced) per-scenario
     rows travel once. The plan is pinned structurally: exactly one
@@ -77,14 +78,15 @@ def test_bucketed_tick_lake_backtest_single_exchange(spark, sf_dir):
         res = run_backtest(lake_ticks, scenarios)
         plan = _plan(res)
         # exactly ONE shuffle Exchange in the whole plan, and it is the
-        # explicit scenario repartition (hashpartitioning on scenario_id).
-        # A BroadcastExchange of the tiny scenario slice is allowed — that
-        # IS the design (the 100 TB side never moves; the config does).
+        # explicit scenario repartition (hashpartitioning on __part, the
+        # round-8 collision-free placement salt). A BroadcastExchange of
+        # the tiny scenario slice is allowed — that IS the design (the
+        # 100 TB side never moves; the config does).
         assert plan.count("Exchange hashpartitioning") == 1, plan
         assert "Exchange rangepartitioning" not in plan, plan
         assert "Exchange SinglePartition" not in plan, plan
         first_exchange_arg = plan.split("Exchange hashpartitioning(", 1)[1]
-        assert first_exchange_arg.startswith("scenario_id"), plan
+        assert first_exchange_arg.startswith("__part"), plan
         # the scan really is the bucketed lake table
         assert "Bucketed: true" in plan, plan
         # and the composition actually runs: one result row per scenario
