@@ -1755,3 +1755,41 @@ def test_murmur_salt_exact_partition_placement(spark):
     plan = run_backtest(ticks, scenarios)._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
+
+
+@given(_session_scenario(), st.integers(60, 450))
+@settings(max_examples=10, deadline=None)
+def test_ghost_heartbeat_invariance_property(case, step):
+    """Hypothesis sweep of the R8 ghost-pass parity: for RANDOM price
+    paths, spacings, strategy/feature combos and timer cadences, driving
+    heartbeat() between ticks (suppression off) never changes the trade
+    stream vs the plain batch loop — ghost passes may only change WHEN a
+    fill-resolved trade is emitted, never its content."""
+    import pickle
+
+    from finiextestingide_spark.operators.replay import ReplaySession
+
+    ticks, scen, _chunk_seed = case
+    params = dict(scen["parameters"])
+    params["heartbeat_ms"] = "300"
+    params["heartbeat_suppress_gap_ms"] = "100000000000"
+    scen = {**scen, "parameters": params,
+            "latency_min_ms": 50, "latency_max_ms": 700}
+
+    batch = ReplaySession(scen)
+    for row in ticks:
+        batch.process_tick(*row)
+
+    live = ReplaySession(scen)
+    drained: list = []
+    for row in ticks:
+        while live.prev_t is not None:
+            base = live.ghost_t if live.ghost_t is not None else live.prev_t
+            if base + step >= row[0]:
+                break
+            live.heartbeat(step)
+            drained.extend(live.drain_trades())
+            live = pickle.loads(pickle.dumps(live))
+        live.process_tick(*row)
+    drained.extend(live.drain_trades())
+    assert drained == batch.trades
