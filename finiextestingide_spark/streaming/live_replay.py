@@ -319,9 +319,18 @@ def live_backtest(
     entry point runs the engine's ENTIRE strategy surface live
     (macd_cross's recursive EMA state, consensus, scale_out ladders,
     trend_channel's per-tick management, entry-point plugins whose
-    modules are importable on executors)."""
+    modules are importable on executors).
+
+    ``timeout_ms > 0`` also routes through the generic path, for EVERY
+    strategy: processing-time firings there drive the R8 ghost pass
+    (``ReplaySession.heartbeat`` — in-gap latency fills resolve in real
+    time with batch parity; requires ``heartbeat_ms`` in params). The
+    native branch's own timeout handling is kept only as a defensive
+    no-op: its typed state carries no gap anchor (prev quotes), and the
+    historical remove-state-on-idle behavior would silently discard a
+    live session's open positions the moment the feed resumed."""
     strat_name = params.get("strategy", "sma_cross")
-    if strat_name not in _NATIVE_LIVE_STRATEGIES:
+    if strat_name not in _NATIVE_LIVE_STRATEGIES or timeout_ms > 0:
         return live_backtest_generic(
             ticks,
             params,
@@ -391,9 +400,8 @@ def live_backtest(
 
     def run(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (symbol,) = key
-        if state.hasTimedOut:  # pragma: no cover - timeouts off by default
-            state.remove()
-            return
+        if state.hasTimedOut:  # pragma: no cover - timeout_ms routes to the
+            return  # generic path; a stray firing must NOT drop live state
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
             return

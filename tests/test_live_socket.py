@@ -2253,7 +2253,8 @@ def test_generic_live_signals_with_collected_msc(spark, sf_dir, tmp_path):
     _assert_trade_parity(batch, got)
 
 
-def test_live_generic_heartbeat_timeout_idle_feed(spark):
+@pytest.mark.parametrize("entry_op", ["generic", "native_entry"])
+def test_live_generic_heartbeat_timeout_idle_feed(spark, entry_op):
     """R8 live closure (round-8 item 1): with ``timeout_ms`` armed, the
     generic session path runs ghost passes via ProcessingTimeTimeout — an
     IDLE feed (only keepalives on the wire, no Z ticks) still resolves
@@ -2263,9 +2264,18 @@ def test_live_generic_heartbeat_timeout_idle_feed(spark):
     strategy surface. The emitted trade must be field-identical to the
     batch replay's in-gap resolution (heartbeat_ms) on the same ticks
     plus a post-gap tick: ghost passes change WHEN the trade appears,
-    never its content."""
+    never its content. Parametrized over the direct generic call AND the
+    ``live_backtest`` entry point — timeout_ms>0 routes every strategy
+    (native set included) through the session path, because the native
+    branch's typed state carries no gap anchor and its historical
+    expire-on-idle behavior would have dropped open positions."""
     from finiextestingide_spark.operators.replay import ReplaySession
-    from finiextestingide_spark.streaming.live_replay import live_backtest_generic
+    from finiextestingide_spark.streaming.live_replay import (
+        live_backtest,
+        live_backtest_generic,
+    )
+
+    op = live_backtest_generic if entry_op == "generic" else live_backtest
 
     t0_ms = 1_767_225_600_000
     prices = [10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 14.0, 13.0, 1.0]
@@ -2317,10 +2327,10 @@ def test_live_generic_heartbeat_timeout_idle_feed(spark):
                 (F.col("mid") + 0.005).alias("ask"),
             )
             q = (
-                live_backtest_generic(live_ticks, params, latency_seed=seed,
-                                      latency_min_ms=lat_min,
-                                      latency_max_ms=lat_max,
-                                      timeout_ms=500)
+                op(live_ticks, params, latency_seed=seed,
+                   latency_min_ms=lat_min,
+                   latency_max_ms=lat_max,
+                   timeout_ms=500)
                 .writeStream.format("memory")
                 .queryName(name)
                 .outputMode("append")
