@@ -68,6 +68,7 @@ def reconcile_stream(
     expected: str = "expected_amount",
     qty: str = "qty",
     tolerance: float = 1e-6,
+    state_ttl_ms: int = 0,
 ) -> DataFrame:
     """orders(order_key, expected_amount) STREAM x executions(order_key,
     qty) STREAM -> revision stream (order_key, expected_amount,
@@ -80,7 +81,16 @@ def reconcile_stream(
     are held in per-key state and re-emit a higher revision; the latest
     revision per key converges to the batch full-outer-join row once both
     feeds drain. ``qty`` may be a decimal column — exactness of the
-    accumulated total is preserved end-to-end."""
+    accumulated total is preserved end-to-end.
+
+    ``state_ttl_ms > 0`` arms per-key state expiry (the 100 TB posture:
+    order flow is unbounded, so a months-lived stream must not hold every
+    key it ever saw): a key idle for the TTL drops its pairing state —
+    its latest revision already carries the verdict. A fill arriving
+    AFTER expiry re-creates the key as a fresh ORPHAN revision (visible,
+    never silently merged), which is exactly the honest signal for a fill
+    later than the retention horizon. Default 0 = keep state forever
+    (bounded audits, the gate's availableNow drives)."""
     key_type = orders.schema[order_key].dataType
     out_schema = StructType(
         [
@@ -109,6 +119,11 @@ def reconcile_stream(
 
     def run(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (k,) = key
+        if state.hasTimedOut:
+            # TTL expiry: the latest emitted revision stands as the final
+            # verdict; dropping state bounds a long-lived stream
+            state.remove()
+            return
         if state.exists:
             has_order, exp, executed_s, n_exec, revision = state.get
             executed = Decimal(executed_s)
@@ -132,6 +147,8 @@ def reconcile_stream(
             return
         revision += 1
         state.update((has_order, exp, str(executed), n_exec, revision))
+        if state_ttl_ms > 0:
+            state.setTimeoutDuration(state_ttl_ms)
         if not has_order:
             status, e_out, x_out = "ORPHAN", None, float(executed)
         elif n_exec == 0:
@@ -158,7 +175,11 @@ def reconcile_stream(
             outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if state_ttl_ms > 0
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 

@@ -170,3 +170,77 @@ def test_latest_revisions_collapses_to_current_verdict(spark):
     got = {r["order_id"]: r for r in latest_revisions(df, "order_id").collect()}
     assert got[1]["status"] == "MATCHED" and got[1]["n_executions"] == 2
     assert got[2]["status"] == "MISSING"
+
+
+def test_state_ttl_expires_and_late_fill_resurfaces_as_orphan(spark):
+    """``state_ttl_ms``: a key idle past the TTL drops its pairing state
+    (bounded state for an unbounded order flow); a fill arriving after
+    expiry re-creates the key as a FRESH ORPHAN revision with revision
+    counter restarted — the visible signal for beyond-horizon lateness,
+    never a silent merge."""
+    t0 = 1_767_225_600_000_000
+    order = [_line(order_id=1, ts_us=t0, expected=10.0)]
+    fill1 = [_line(order_id=1, ts_us=t0 + 1, qty=10.0)]
+    late_fill = [_line(order_id=1, ts_us=t0 + 2, qty=0.5)]
+
+    name = f"recon_ttl_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        # feed: order+fill immediately, then a long idle (keepalive-free
+        # sockets stay open), then the late fill after the TTL expired
+        with TickFeedServer(order) as o_srv, TickFeedServer(
+            fill1 + late_fill, chunk_lines=1, chunk_pause_secs=6.0
+        ) as f_srv:
+            orders = parse_tick_lines(
+                read_socket_lines(spark, "127.0.0.1", o_srv.port),
+                wire_ddl=ORDER_WIRE_DDL,
+            ).select("order_id", F.col("expected").alias("expected_amount"))
+            execs = parse_tick_lines(
+                read_socket_lines(spark, "127.0.0.1", f_srv.port),
+                wire_ddl=FILL_WIRE_DDL,
+            ).select("order_id", "qty")
+            rev = reconcile_stream(
+                orders, execs, order_key="order_id",
+                expected="expected_amount", qty="qty", tolerance=0.01,
+                state_ttl_ms=1_500,
+            )
+            q = (
+                rev.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                deadline = time.time() + 120.0
+                rows = []
+                while time.time() < deadline:
+                    rows = sorted(
+                        spark.table(name).collect(),
+                        key=lambda r: (r["revision"], r["n_executions"]),
+                    )
+                    if any(
+                        r["status"] == "ORPHAN" and r["n_executions"] == 1
+                        and r["executed_amount"] == 0.5
+                        for r in rows
+                    ):
+                        break
+                    time.sleep(0.5)
+                else:
+                    raise AssertionError(
+                        f"late fill never resurfaced: "
+                        f"{[(r['status'], r['n_executions'], r['revision']) for r in rows]}"
+                    )
+            finally:
+                q.stop()
+                q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    statuses = [(r["status"], r["n_executions"], r["revision"]) for r in rows]
+    # before expiry the key reached MATCHED with the full quantity
+    assert any(s == "MATCHED" and n == 1 for s, n, _rv in statuses), statuses
+    # after expiry the late fill shows as a fresh ORPHAN with a RESTARTED
+    # revision counter (proof the old state was dropped, not merged)
+    fresh = [rv for s, n, rv in statuses if s == "ORPHAN" and n == 1]
+    assert fresh and min(fresh) == 1, statuses
