@@ -109,3 +109,22 @@ def test_headline_queries_within_certificate_bands(spark, cert):
         f"total(min) {total_min:.2f}s > {total_allowed:.2f}s "
         f"(certificate total {cert['total_sec']:.2f}s x 2.0)"
     )
+
+
+def test_wait_for_idle_guard(monkeypatch):
+    """bench.wait_for_idle: records the initial reading, waits (bounded)
+    while the 1-min load is above threshold, and reports how long it
+    waited — the artifact fields the judge reads to adjudicate noise."""
+    import bench
+
+    readings = iter([12.0, 9.0, 3.0])
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (next(readings), 0, 0))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    out = bench.wait_for_idle(threshold=8.0, max_wait_secs=120.0)
+    assert out["load1_initial"] == 12.0
+    assert out["load1_at_start"] == 3.0
+    assert out["waited_secs"] == 30.0
+
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 0, 0))
+    out = bench.wait_for_idle()
+    assert out["waited_secs"] == 0.0 and out["load1_at_start"] == 0.5
