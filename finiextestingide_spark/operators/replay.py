@@ -2285,9 +2285,12 @@ def _part_salts(sids: list, n: int) -> dict[int, int]:
     used: set[int] = set()
     v = 0
     for sid in sids:
-        while (_murmur3_hash_int(v) % n) in used:
+        while True:
+            part = _murmur3_hash_int(v) % n
+            if part not in used:
+                break
             v += 1
-        used.add(_murmur3_hash_int(v) % n)
+        used.add(part)
         salts[sid] = v
         v += 1
     return salts
