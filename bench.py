@@ -162,41 +162,55 @@ def wait_for_idle(threshold: float = 8.0, max_wait_secs: float = 120.0) -> dict:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    idle_guard = wait_for_idle()
-    spark = build_session("bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    warmup(spark, sf_dir)
-    stats = time_queries_stats(spark, sf_dir, runs=5)
-    # Headline = MIN of N per query: the noise-robust statistic. Rounds 5
-    # and 6 both recorded phantom regressions (minhash 2.1x, equity curve
-    # +99%) that were co-located load inflating the median of UNTOUCHED
-    # queries; the idle-box min was flat both times. A real regression
-    # shifts the min too, so nothing is hidden by reporting it.
-    timings = {name: s["min"] for name, s in stats.items()}
-    total = round(sum(timings.values()), 4)
+    threshold = 8.0
+    spark = None
+    rejected = []
+    # Round-9 guard (VERDICT r8 What's-wrong #1): a co-tenant can return
+    # MID-run after the entry idle-wait passed. Re-check the load after the
+    # sample; if the box was loaded at the end, reject that sample and
+    # retry once after re-waiting for idle — only accepted samples feed the
+    # recorded numbers. Both attempts' readings stay in the artifact.
+    for attempt in range(2):
+        idle_guard = wait_for_idle(threshold)
+        if spark is None:
+            spark = build_session("bench")
+            spark.sparkContext.setLogLevel("ERROR")
+            warmup(spark, sf_dir)
+        stats = time_queries_stats(spark, sf_dir, runs=5)
+        load_end = round(os.getloadavg()[0], 2)
+        if load_end <= threshold or attempt == 1:
+            break
+        rejected.append({"idle_guard": idle_guard, "load1_at_end": load_end})
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall",
-                "value": total,
+                # Headline 'value' = sum of per-query MEDIANS of n=5 — the
+                # reference certificate's statistic ('3 runs, median
+                # reported', BASELINE.md), so the primary key compares
+                # like-for-like across engines and rounds (ADVICE r8
+                # medium: the round-8 artifact put min here, biased in this
+                # engine's favor; the min now lives in value_min).
+                "value": round(sum(s["median"] for s in stats.values()), 4),
                 "unit": "sec",
-                "queries": timings,
+                "queries": {name: s["median"] for name, s in stats.items()},
                 # full distribution per query (min/median/max/n) so a
                 # recorded artifact is variance-aware: compare mins across
                 # rounds to separate real regressions from machine load
                 "queries_stats": stats,
-                # protocol record (round-8): the headline stat is MIN of
-                # n=5 (noise-robust); value_median is the sum of medians,
-                # the reference certificate's statistic ('3 runs, median
-                # reported') — kept side-by-side so cross-round and
-                # cross-engine comparisons stay interpretable
-                "protocol": {"headline_stat": "min", "runs": 5},
-                "value_median": round(
-                    sum(s["median"] for s in stats.values()), 4
-                ),
+                "protocol": {"headline_stat": "median", "runs": 5},
+                # noise-robust secondary: a real regression shifts the MIN
+                # too, co-tenant load only inflates median/max (rounds 5/6
+                # both recorded phantom median regressions on untouched
+                # queries whose idle-box min was flat)
+                "value_min": round(sum(s["min"] for s in stats.values()), 4),
+                "queries_min": {name: s["min"] for name, s in stats.items()},
                 "idle_guard": idle_guard,
                 "load1_at_end": round(os.getloadavg()[0], 2),
+                # samples discarded because load returned mid-run (empty =
+                # the recorded sample ran on an idle box end-to-end)
+                "rejected_samples": rejected,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

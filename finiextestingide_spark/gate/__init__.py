@@ -31,17 +31,22 @@ from ._util import Query  # noqa: F401
 # in-window, and the highest-value surfaces — the four hash-matched replay
 # lifecycle oracles and the LLM dedup/ANN core — sit inside the window.
 #
-# ROTATION POLICY (round-8, VERDICT r7 #8): each round, ~5 stable in-window
-# veterans (hash-verified by the driver across several rounds, with
-# family-mates still in-window) rotate OUT for entries the driver has NEVER
-# verified, so every oracle-backed gate eventually earns a driver-green
-# CORRECTNESS row. Rotated-out veterans stay green via scripts/check_gate.py
-# (the full-registry mirror) and their consuming pytests. Round-8 rotation:
-# OUT region_nation_revenue, order_rollup, priority_sensitivity,
-# bollinger_20_daily, obv_daily, robustness_daily, interval_coverage
-# (families J5/A6/A11, W1-W6, A9 all keep in-window representatives); IN
-# multimodal_decode_compressed (native PNG inflate+defilter),
-# streaming_reconciliation (J6 live), + 5 never-verified LLM-data gates.
+# ROTATION POLICY (round-8, VERDICT r7 #8): each round, ~5-7 stable
+# in-window veterans (hash-verified by the driver across several rounds,
+# with family-mates still in-window) rotate OUT for entries the driver has
+# NEVER verified, so every oracle-backed gate eventually earns a
+# driver-green CORRECTNESS row. Rotated-out veterans stay green via
+# scripts/check_gate.py (the full-registry mirror) and consuming pytests.
+#
+# Round-9 rotation (VERDICT r8 #5): OUT weighted_avg_price,
+# profiling_percentiles, session_profile, atr_sma_daily, macd_daily,
+# replay_scaleout_oracle, streaming_bars_1h (families A6/A8, S4, W6, W3,
+# R4, §2.9 all keep in-window representatives — nation_order_kpis,
+# gap_scan_calendar, atr_ewm_daily, rsi_14_daily, replay_pyramid_oracle,
+# streaming_incremental_bars_1h); IN the head of the never-verified queue
+# (atr_ewm_daily, token_budget_mix_greedy, streaming_dedup_exact,
+# ivf_topk_5, ivf_recall_audit, multimodal_resize) + the NEW
+# multimodal_decode_jpeg (native baseline JPEG, round-9 item 1).
 CURATED_ORDER: tuple[str, ...] = (
     # relational core
     "pricing_summary",
@@ -49,21 +54,17 @@ CURATED_ORDER: tuple[str, ...] = (
     "topk_orders_per_priority",
     "customer_equity_curve",
     "nation_order_kpis",
-    "weighted_avg_price",
     "swap_accrual",
-    "profiling_percentiles",
     "order_reconciliation",
     "streaming_reconciliation",
     # timeseries / indicators
     "bars_1h",
-    "session_profile",
     "gap_scan_calendar",
     "rsi_14_daily",
-    "atr_sma_daily",
+    "atr_ewm_daily",
     "asof_purchase_click",
     "extreme_moves_hourly",
     "volatility_regimes",
-    "macd_daily",
     "trade_analytics_by_scenario",
     "walkforward_embargo_wfe",
     "quality_check_ticks",
@@ -73,44 +74,41 @@ CURATED_ORDER: tuple[str, ...] = (
     "replay_equity_oracle",
     "replay_limit_oracle",
     "replay_pyramid_oracle",
-    "replay_scaleout_oracle",
     "replay_modify_oracle",
     "replay_spot_oracle",
     # sweeps
     "sweep_buyhold_ledger",
     "sweep_sensitivity",
     # streaming
-    "streaming_bars_1h",
     "streaming_incremental_bars_1h",
     "streaming_asof_signal",
     "streaming_session_windows",
     "streaming_live_limit",
+    "streaming_dedup_exact",
     # LLM-data dedup / ANN core
     "dedup_exact",
     "minhash_lsh_pairs",
     "neardup_clusters",
     "cosine_topk_10",
     "ivf_train_centroids",
+    "ivf_topk_5",
+    "ivf_recall_audit",
     "contamination_3gram",
-    # round-8 rotation: never-driver-verified LLM-data gates
     "jaccard_pairs_dfcap",
     "neardup_keep_best",
     "pii_redaction",
     "tfidf_topterms_3",
     "quality_quantile_40",
-    # multimodal codec seam: BMP (round-6) + native PNG (round-8)
+    "token_budget_mix_greedy",
+    # multimodal codec seam: BMP + native PNG + native JPEG (round-9)
     "multimodal_decode",
     "multimodal_decode_compressed",
+    "multimodal_decode_jpeg",
+    "multimodal_resize",
     # --- driver window cutoff (first 50 above) ---
     # positions 51+: highest-information out-of-window entries first, so a
     # widened driver window picks them up in this order (round-5 VERDICT #8);
-    # round-8 rotated-out veterans go to the back of this queue
-    "atr_ewm_daily",
-    "token_budget_mix_greedy",
-    "streaming_dedup_exact",
-    "ivf_topk_5",
-    "ivf_recall_audit",
-    "multimodal_resize",
+    # round-9 rotated-out veterans go to the back of this queue
     "multimodal_frames",
     "streaming_live_replay",
     "streaming_live_signal",
@@ -123,6 +121,13 @@ CURATED_ORDER: tuple[str, ...] = (
     "obv_daily",
     "robustness_daily",
     "interval_coverage",
+    "weighted_avg_price",
+    "profiling_percentiles",
+    "session_profile",
+    "atr_sma_daily",
+    "macd_daily",
+    "replay_scaleout_oracle",
+    "streaming_bars_1h",
 )
 
 

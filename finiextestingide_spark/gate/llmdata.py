@@ -1547,6 +1547,270 @@ GROUP BY doc_id
 """
 
 
+# --- independent baseline JPEG encoder (gate-side reference; round-9) ------
+# Deliberately independent of operators.multimodal.decode_jpeg: the zigzag
+# table is the SPEC LITERAL (the decoder derives its own by the diagonal
+# rule), the Huffman tables are custom canonical tables no stock encoder
+# emits (proving the decoder parses DHT instead of assuming Annex K), and
+# the FDCT/bit-writer are written against T.81 directly — a symmetric codec
+# bug cannot cancel out.
+
+_JZZ = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+_JDC_BITS = (0, 0, 0, 0, 12) + (0,) * 11        # DC cats 0..11, 5-bit codes
+_JDC_VALS = bytes(range(12))
+_JAC_BITS = (0,) * 8 + (255, 1) + (0,) * 6      # AC syms 0..254 @9, 255 @10
+_JAC_VALS = bytes(range(256))
+
+
+def _jhuff_codes(bits, vals):
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+class _JBitWriter:
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def write(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte-stuff
+                    self.out.append(0)
+                self.acc = self.n = 0
+
+    def flush(self):  # pad final byte with 1-bits (T.81 F.1.2.3)
+        while self.n:
+            self.write(1, 1)
+
+
+def _jseg(marker, body):
+    import struct
+
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jenc_block(bw, zzc, pred, dc_codes, ac_codes):
+    """Huffman-encode one block's zigzag coefficients; returns new DC pred."""
+    diff = int(zzc[0]) - pred
+    s = abs(diff).bit_length()
+    bw.write(*dc_codes[s])
+    if s:
+        bw.write((diff if diff > 0 else diff + (1 << s) - 1) & ((1 << s) - 1), s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zzc[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        s = abs(v).bit_length()
+        bw.write(*ac_codes[(run << 4) | s])
+        bw.write((v if v > 0 else v + (1 << s) - 1) & ((1 << s) - 1), s)
+        run = 0
+    if run:
+        bw.write(*ac_codes[0x00])  # EOB
+    return int(zzc[0])
+
+
+def jpeg_encode_420(yp, cb, cr, *, qy=None, qc=None, dri=1):
+    """(H,W) luma + (H/2,W/2) chroma planes -> baseline JFIF bytes: 4:2:0
+    sampling, real float FDCT + quantize (default unit tables), custom
+    canonical Huffman tables written as DHT, DRI restart markers. A fully
+    spec-conformant encoder — any JPEG reader decodes its output."""
+    import struct
+
+    import numpy as np
+
+    H, W = yp.shape
+    if H % 16 or W % 16:
+        raise ValueError("gate encoder requires MCU-aligned (16x16) dims")
+    qy = np.ones(64, np.int64) if qy is None else np.asarray(qy, np.int64)
+    qc = np.ones(64, np.int64) if qc is None else np.asarray(qc, np.int64)
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    m[0] /= np.sqrt(2.0)
+
+    def fdct_q(block, q):
+        f = m @ (block.astype(np.float64) - 128.0) @ m.T
+        return np.round(f.reshape(64)[list(_JZZ)] / q).astype(np.int64)
+
+    dc_codes = _jhuff_codes(_JDC_BITS, _JDC_VALS)
+    ac_codes = _jhuff_codes(_JAC_BITS, _JAC_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += _jseg(0xDB, bytes([0]) + bytes(int(v) for v in qy))
+    out += _jseg(0xDB, bytes([1]) + bytes(int(v) for v in qc))
+    out += _jseg(
+        0xC0,
+        struct.pack(">BHHB", 8, H, W, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for tc, th in ((0, 0), (0, 1)):
+        out += _jseg(0xC4, bytes([tc << 4 | th]) + bytes(_JDC_BITS) + _JDC_VALS)
+    for tc, th in ((1, 0), (1, 1)):
+        out += _jseg(0xC4, bytes([tc << 4 | th]) + bytes(_JAC_BITS) + _JAC_VALS)
+    if dri:
+        out += _jseg(0xDD, struct.pack(">H", dri))
+    out += _jseg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    mcux, mcuy = W // 16, H // 16
+    bw = _JBitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+    rst = 0
+    for mi in range(mcux * mcuy):
+        if dri and mi and mi % dri == 0:
+            bw.flush()
+            out += bytes(bw.out)
+            bw = _JBitWriter()
+            out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            pred = {1: 0, 2: 0, 3: 0}
+        my, mx = divmod(mi, mcux)
+        for by in range(2):
+            for bx in range(2):
+                blk = yp[
+                    my * 16 + by * 8 : my * 16 + by * 8 + 8,
+                    mx * 16 + bx * 8 : mx * 16 + bx * 8 + 8,
+                ]
+                pred[1] = _jenc_block(bw, fdct_q(blk, qy), pred[1], dc_codes, ac_codes)
+        pred[2] = _jenc_block(
+            bw, fdct_q(cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8], qc),
+            pred[2], dc_codes, ac_codes,
+        )
+        pred[3] = _jenc_block(
+            bw, fdct_q(cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8], qc),
+            pred[3], dc_codes, ac_codes,
+        )
+    bw.flush()
+    out += bytes(bw.out) + b"\xff\xd9"
+    return bytes(out)
+
+
+_JPG_H, _JPG_W = 16, 32  # 2 MCUs wide, 1 high: DC-diff chaining + a restart
+
+
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode (round-9 item 1 — the format that dominates
+    real multimodal lakes): one 4:2:0 JPEG per document is synthesized
+    DISTRIBUTED by the independent gate encoder above, decoded by the native
+    decode_jpeg via the default decode_media seam, and reduced to
+    exact-integer pixel stats. The construction makes a LOSSY format
+    pixel-exact and therefore SQL-oracle-able: unit quant tables, and luma
+    blocks built in the exact span of DCT basis (0,0)+(4,4) — pixel
+    Y = dc + k*s(x)*s(y) with s = +1 at x%%8 in (0,3,4,7) else -1 has exact
+    integer coefficients F(0,0)=8(dc-128), F(4,4)=8k, so Huffman DC/AC
+    (run-33 -> two ZRLs before (4,4)), dequant, IDCT, 2x2 chroma upsample
+    and the JFIF color convert all round-trip exactly. Chroma is constant
+    per MCU. Oracle: DuckDB recomputes Y/Cb/Cr from the doc_id formulas and
+    applies the same floor(x+0.5)-rounded YCbCr->RGB conversion."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import extract_features
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    h, w = _JPG_H, _JPG_W
+    n_px = h * w * 3
+
+    def synth(batches):
+        s = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+        ss = np.outer(s, s)
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                yp = np.zeros((h, w))
+                for r in range(h // 8):
+                    for c in range(w // 8):
+                        dc = 64 + (did * 13 + r * 29 + c * 7) % 128
+                        k = (did * 5 + r * 3 + c) % 24
+                        yp[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = dc + k * ss
+                cb = np.zeros((h // 2, w // 2))
+                cr = np.zeros((h // 2, w // 2))
+                for mi in range(w // 16):
+                    cb[:, mi * 8 : mi * 8 + 8] = 64 + (did * 11 + mi * 37) % 128
+                    cr[:, mi * 8 : mi * 8 + 8] = 64 + (did * 7 + mi * 53) % 128
+                payloads.append(
+                    jpeg_encode_420(
+                        yp.astype(np.uint8), cb.astype(np.uint8),
+                        cr.astype(np.uint8), dri=1,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    blobs = docs.mapInPandas(synth, "doc_id long, media binary")
+    feats = extract_features(blobs, id_col="doc_id", feature_dim=n_px)
+    idx = F.sequence(F.lit(0), F.lit(n_px - 1))
+    weighted = F.zip_with(
+        F.col("features"), idx, lambda p, i: p * (1 + (i % 97).cast("double"))
+    )
+    return feats.select(
+        "doc_id",
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        F.aggregate("features", F.lit(0.0), lambda a, x: a + x)
+        .cast("long").alias("px_sum"),
+        F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)
+        .cast("long").alias("wsum"),
+    )
+
+
+MULTIMODAL_DECODE_JPEG_SQL = f"""
+WITH px AS (
+  SELECT d.doc_id, t.i,
+         (t.i // 3) % {_JPG_W} AS x,
+         (t.i // 3) // {_JPG_W} AS y,
+         t.i % 3 AS ch
+  FROM documents d,
+       (SELECT unnest(generate_series(0, {_JPG_H * _JPG_W * 3} - 1)) AS i) t
+),
+ycc AS (
+  SELECT doc_id, i, ch,
+         (64 + (doc_id * 13 + (y // 8) * 29 + (x // 8) * 7) % 128)
+         + ((doc_id * 5 + (y // 8) * 3 + (x // 8)) % 24)
+           * (CASE WHEN (x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+           * (CASE WHEN (y % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END) AS yv,
+         64 + (doc_id * 11 + (x // 16) * 37) % 128 AS cb,
+         64 + (doc_id * 7 + (x // 16) * 53) % 128 AS cr
+  FROM px
+),
+rgb AS (
+  SELECT doc_id, i,
+         CASE ch
+           WHEN 0 THEN LEAST(255, GREATEST(0,
+             FLOOR(yv + 1.402 * (cr - 128) + 0.5)))
+           WHEN 1 THEN LEAST(255, GREATEST(0,
+             FLOOR(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)))
+           ELSE LEAST(255, GREATEST(0,
+             FLOOR(yv + 1.772 * (cb - 128) + 0.5)))
+         END AS p
+  FROM ycc
+)
+SELECT doc_id,
+       CAST({_JPG_H} AS BIGINT) AS height,
+       CAST({_JPG_W} AS BIGINT) AS width,
+       CAST(SUM(p) AS BIGINT) AS px_sum,
+       CAST(SUM(p * (1 + i % 97)) AS BIGINT) AS wsum
+FROM rgb
+GROUP BY doc_id
+"""
+
+
 _RSZ_H, _RSZ_W = 3, 5  # 6x10 -> 3x5: src index = dst * 2 on both axes
 
 
@@ -1787,6 +2051,11 @@ QUERIES: dict[str, Query] = {
         multimodal_decode_compressed,
         MULTIMODAL_DECODE_COMPRESSED_SQL,
         "native PNG inflate+defilter (all 5 filters), pixel-stat hash-matched",
+    ),
+    "multimodal_decode_jpeg": Query(
+        multimodal_decode_jpeg,
+        MULTIMODAL_DECODE_JPEG_SQL,
+        "native baseline JPEG decode (huffman+IDCT+420), pixel-stat hash-matched",
     ),
     "multimodal_resize": Query(
         multimodal_resize,

@@ -282,21 +282,339 @@ def decode_png(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(px[:, :, :3])  # RGB / RGBA minus alpha
 
 
+# --- baseline JPEG decoder (pure stdlib + numpy; round-9 item 1) -----------
+
+
+def _jpeg_zigzag() -> list[tuple[int, int]]:
+    """The 8x8 zigzag scan order, derived from the diagonal-walk rule (ITU
+    T.81 Figure A.6): walk anti-diagonals r+c = d; odd diagonals run
+    up-right (row decreasing), even diagonals down-left. Derived by rule —
+    the gate's independent encoder embeds the spec's literal table, so a
+    derivation bug here cannot cancel against the encoder."""
+    order = []
+    for d in range(15):
+        idx = [(d - j, j) for j in range(max(0, d - 7), min(d, 7) + 1)]
+        if d % 2:
+            idx.reverse()
+        order.extend(idx)
+    return order
+
+
+def _jpeg_huff_lut(bits: list[int], values: bytes) -> dict[tuple[int, int], int]:
+    """DHT (BITS, HUFFVAL) -> {(code_length, code): symbol} per the canonical
+    code construction of T.81 Annex C (generate_size_table / generate_code_
+    table): codes of each length are consecutive, doubling at each length."""
+    lut: dict[tuple[int, int], int] = {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lut[(length, code)] = values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+class _JpegBits:
+    """MSB-first bit reader over an UNSTUFFED entropy-coded segment."""
+
+    __slots__ = ("d", "i", "acc", "n")
+
+    def __init__(self, d: bytes) -> None:
+        self.d, self.i, self.acc, self.n = d, 0, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.i >= len(self.d):
+                raise ValueError("JPEG entropy stream underrun")
+            self.acc = self.d[self.i]
+            self.i += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def extend(self, s: int) -> int:
+        """RECEIVE + EXTEND (T.81 F.2.2.1): s magnitude bits -> signed value."""
+        if s == 0:
+            return 0
+        v = self.bits(s)
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_decode_huff(br: _JpegBits, lut: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = lut.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code (no match within 16 bits)")
+
+
+def _jpeg_decode_block(
+    br: _JpegBits,
+    dc_lut: dict,
+    ac_lut: dict,
+    pred: int,
+) -> tuple[np.ndarray, int]:
+    """One 8x8 block -> (64 coefficients IN ZIGZAG ORDER, new DC predictor):
+    DC category + diff, then AC run/size pairs with EOB and ZRL (T.81 F.2.2)."""
+    coefs = np.zeros(64, dtype=np.int32)
+    t = _jpeg_decode_huff(br, dc_lut)
+    pred += br.extend(t)
+    coefs[0] = pred
+    k = 1
+    while k < 64:
+        rs = _jpeg_decode_huff(br, ac_lut)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: run of 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run overflows the block")
+        coefs[k] = br.extend(s)
+        k += 1
+    return coefs, pred
+
+
+# IDCT basis: M[u, x] = C(u)/2 * cos((2x+1)u*pi/16); f = M.T @ F @ M
+_IDCT_M = None
+
+
+def _idct_matrix() -> np.ndarray:
+    global _IDCT_M
+    if _IDCT_M is None:
+        u = np.arange(8).reshape(8, 1)
+        x = np.arange(8).reshape(1, 8)
+        m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        m[0] /= np.sqrt(2.0)
+        _IDCT_M = m
+    return _IDCT_M
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG/JFIF -> (H, W, 3) uint8 RGB: a REAL compressed-image
+    decoder in pure stdlib+numpy (round-9 item 1 — the format that dominates
+    real multimodal lakes). Full marker walk (DQT 8/16-bit, DHT, SOF0/SOF1,
+    DRI, APPn/COM skip), byte-unstuffing + restart-marker segmentation,
+    canonical Huffman DC/AC decode with EOB/ZRL, dequantize, de-zigzag,
+    matrix IDCT vectorized across ALL blocks of a component at once, integer
+    chroma upsampling (4:4:4 / 4:2:2 / 4:2:0), and JFIF YCbCr->RGB with
+    floor(x+0.5) rounding (the rounding the gate's DuckDB pixel oracle
+    mirrors bit-for-bit). Grayscale (1 component) replicates to 3 channels.
+    Progressive (SOF2), arithmetic coding, 12-bit precision, CMYK and
+    non-integer sampling ratios raise with a clear message — pass a full
+    decoder through the ``decoder=`` seam for those."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> lut
+    frame = None  # (H, W, [(cid, h, v, tq), ...])
+    restart_interval = 0
+    scan_comps = None
+    entropy_segments: list[bytes] = []
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker desync at byte {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG: marker segment length cut off")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        if pos + seglen > len(payload):
+            raise ValueError(
+                f"truncated JPEG: segment for marker 0x{marker:02x} declares "
+                f"{seglen} bytes past end of payload"
+            )
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT: one or more tables per segment
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 0x0F
+                o += 1
+                if pq:  # 16-bit precision
+                    qt[tq] = np.frombuffer(seg, ">u2", count=64, offset=o).astype(
+                        np.int32
+                    )
+                    o += 128
+                else:
+                    qt[tq] = np.frombuffer(seg, np.uint8, count=64, offset=o).astype(
+                        np.int32
+                    )
+                    o += 64
+        elif marker == 0xC4:  # DHT: one or more tables per segment
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 0x0F
+                bits = list(seg[o + 1 : o + 17])
+                nvals = sum(bits)
+                huff[(tc, th)] = _jpeg_huff_lut(
+                    bits, seg[o + 17 : o + 17 + nvals]
+                )
+                o += 17 + nvals
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            precision, h_img, w_img, n_comp = struct.unpack_from(">BHHB", seg, 0)
+            if precision != 8:
+                raise NotImplementedError(
+                    f"{precision}-bit JPEG not supported natively (8-bit only)"
+                )
+            comps = []
+            for ci in range(n_comp):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h_img, w_img, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError(
+                "progressive JPEG (SOF2) not supported natively — pass a "
+                "full decoder via the decoder= seam"
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{marker:02x} (lossless/arithmetic/"
+                f"hierarchical) not supported natively"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg)
+        elif marker == 0xDA:  # SOS: entropy-coded data follows the header
+            n_sc = seg[0]
+            scan_comps = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0x0F)
+                for i in range(n_sc)
+            ]
+            i = pos + seglen
+            cur = bytearray()
+            while i < len(payload):
+                b = payload[i]
+                if b == 0xFF and i + 1 < len(payload):
+                    nb = payload[i + 1]
+                    if nb == 0x00:  # stuffed 0xFF data byte
+                        cur.append(0xFF)
+                        i += 2
+                        continue
+                    if 0xD0 <= nb <= 0xD7:  # restart marker
+                        entropy_segments.append(bytes(cur))
+                        cur = bytearray()
+                        i += 2
+                        continue
+                    break  # a real marker ends the scan
+                cur.append(b)
+                i += 1
+            entropy_segments.append(bytes(cur))
+            pos = i
+            continue
+        pos += seglen
+    if frame is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h_img, w_img, comps = frame
+    comp_by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+
+    # decode every block's zigzag coefficients (the only per-bit Python
+    # loop; dequant/IDCT/upsample below are whole-component numpy ops)
+    coef_store = {
+        cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+        for cid, (hs, vs, _) in comp_by_id.items()
+    }
+    pred = {cid: 0 for cid in comp_by_id}
+    seg_i = 0
+    br = _JpegBits(entropy_segments[0])
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(entropy_segments):
+                raise ValueError("JPEG missing expected restart marker")
+            br = _JpegBits(entropy_segments[seg_i])
+            pred = {cid: 0 for cid in comp_by_id}
+        my, mx = divmod(m, mcux)
+        for cid, td, ta in scan_comps:
+            hs, vs, _ = comp_by_id[cid]
+            store = coef_store[cid]
+            for by in range(vs):
+                for bx in range(hs):
+                    coefs, pred[cid] = _jpeg_decode_block(
+                        br, huff[(0, td)], huff[(1, ta)], pred[cid]
+                    )
+                    store[my * vs + by, mx * hs + bx] = coefs
+
+    # natural-order index per zigzag position, for vectorized de-zigzag
+    zz = _jpeg_zigzag()
+    natural = np.empty(64, dtype=np.int64)
+    for k, (r, c) in enumerate(zz):
+        natural[r * 8 + c] = k
+    m_dct = _idct_matrix()
+
+    planes = []
+    for cid, hs, vs, tq in comps:
+        store = coef_store[cid]
+        rows_b, cols_b = store.shape[:2]
+        deq = (store * qt[tq]).reshape(-1, 64)[:, natural].reshape(-1, 8, 8)
+        px = np.einsum("ux,nuv,vy->nxy", m_dct, deq.astype(np.float64), m_dct)
+        px = np.clip(np.floor(px + 128.5), 0, 255)
+        plane = (
+            px.reshape(rows_b, cols_b, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows_b * 8, cols_b * 8)
+        )
+        fy, fx = vmax // vs, hmax // hs
+        if fy * vs != vmax or fx * hs != hmax:
+            raise NotImplementedError(
+                f"non-integer chroma sampling ratio {hs}x{vs} vs {hmax}x{vmax}"
+            )
+        if fy > 1:
+            plane = np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = np.repeat(plane, fx, axis=1)
+        planes.append(plane[:h_img, :w_img])
+
+    if len(planes) == 1:
+        g = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if len(planes) != 3:
+        raise NotImplementedError(
+            f"{len(planes)}-component JPEG (CMYK/unknown) not supported natively"
+        )
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
 def decode_media(payload: bytes) -> np.ndarray:
-    """Magic-sniffed decode -> (H, W, 3) uint8 RGB. Real for BMP/PPM AND
-    PNG (full inflate + defilter, pure stdlib+numpy); JPEG/RIFF still
-    raise through the seam (pass PIL/av's decode as the ``decoder=``
-    argument of extract_features for those)."""
+    """Magic-sniffed decode -> (H, W, 3) uint8 RGB. Real for BMP/PPM, PNG
+    (full inflate + defilter) AND baseline JPEG (huffman + IDCT) — all pure
+    stdlib+numpy; RIFF still raises through the seam (pass av's decode as
+    the ``decoder=`` argument of extract_features for video containers)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        f"no built-in codec for magic {payload[:4]!r} — BMP/PPM/PNG decode "
-        "natively; pass a real decoder callable for JPEG/RIFF. The adapter "
-        "contract (any callable bytes -> (H, W, 3) uint8 RGB through "
+        f"no built-in codec for magic {payload[:4]!r} — BMP/PPM/PNG/JPEG "
+        "decode natively; pass a real decoder callable for RIFF/video. The "
+        "adapter contract (any callable bytes -> (H, W, 3) uint8 RGB through "
         "extract_features(decoder=...)) is proven by "
         "tests/test_multimodal_scenario_index.py: a zlib-deflated PPM "
         "adapter always, and a PIL cross-check where PIL is installed."

@@ -1841,7 +1841,16 @@ class ReplaySession:
         the threshold was crossed — the unavoidable seam between a
         real-time loop and a recorded replay (the reference's live loop
         has the same property vs its batch simulation). Within the
-        threshold, parity is exact."""
+        threshold, parity is exact UNDER THE ASSUMPTION that processing
+        time tracks event time (heartbeats fire because the FEED is
+        quiet): the ghost clock advances by wall-clock ``advance_ms``
+        but the gap is measured against event-time ``prev_t``, so a feed
+        that is wall-delayed yet event-time dense (e.g. a backfill
+        draining hours of ticks slowly) can see in-gap fills resolved at
+        the last quote where batch would fill at the next tick's quote.
+        Callers replaying recorded history through the live path should
+        disable heartbeats (the default) or drive them from the stream's
+        event clock/watermark rather than a wall timer."""
         if self.heartbeat_ms is None or self.prev_t is None:
             return
         base = self.ghost_t if self.ghost_t is not None else self.prev_t

@@ -329,29 +329,38 @@ def stop_query_quietly(q, spark, idle_wait_secs: float = 5.0) -> None:
         "org.apache.spark.util.Utils",
         "org.apache.spark.TaskContextImpl",
     )
-    prev: dict | None = {}
+    # prev accumulates category->level as each is silenced; a failure
+    # mid-loop must NOT discard it — whatever was already set to OFF still
+    # gets restored in the finally block (ADVICE r8: nulling the whole map
+    # on a partial failure left categories dark for the rest of the session)
+    prev: dict = {}
+    configurator = None
     try:
         jvm = spark.sparkContext._jvm
         log_manager = jvm.org.apache.logging.log4j.LogManager
         configurator = jvm.org.apache.logging.log4j.core.config.Configurator
         off = jvm.org.apache.logging.log4j.Level.OFF
-        for name in noisy:
-            prev[name] = log_manager.getLogger(name).getLevel()
-            configurator.setLevel(name, off)
     except Exception:  # pragma: no cover - alternate log backends
-        prev = None
+        configurator = None
+    if configurator is not None:
+        for name in noisy:
+            try:
+                prev[name] = log_manager.getLogger(name).getLevel()
+                configurator.setLevel(name, off)
+            except Exception:  # pragma: no cover - per-category failure
+                prev.pop(name, None)  # this one wasn't silenced; skip it
     try:
         q.stop()
         q.awaitTermination()
     finally:
-        if prev is not None:
+        if prev:
             # killed tasks log their abort stacks ASYNCHRONOUSLY after
             # awaitTermination returns (executor threads unwind on their
             # own schedule) — hold the categories dark briefly so the
             # restore doesn't race the very noise being suppressed
             _time.sleep(3.0)
-            try:
-                for name, level in prev.items():
+            for name, level in prev.items():
+                try:
                     configurator.setLevel(name, level)
-            except Exception:  # pragma: no cover
-                pass
+                except Exception:  # pragma: no cover
+                    pass

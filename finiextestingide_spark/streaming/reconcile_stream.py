@@ -29,6 +29,25 @@ Scale posture: state is one tiny row per order key, sharded by the shuffle
 on the key; no per-batch scans of the whole book, no driver participation.
 A 100 TB lake's order flow shards across executors exactly like the batch
 join's shuffle would.
+
+Cold-start recovery (round-9 item 2; reference: Cold-Start Recovery #355,
+python/framework/persistence/algo_state_store.py:1-22 reconstructs broker/
+algo state at startup instead of replaying history): a restarted stream
+that lost its checkpoint no longer needs to replay months of order flow at
+the ~80 us/key per-key-invocation cost of ``applyInPandasWithState``
+(SCALE.md §7 measured 112.9 s at sf1 where the batch join covers sf10 in
+5.1 s). Instead, the BULK history goes through ``bootstrap_state`` — one
+JVM-side batch aggregation, decimal-exact, shaped like the batch
+reconcile join — and the stream is seeded from that snapshot via the
+``bootstrap=`` argument: the snapshot is persisted to ``bootstrap_dir``
+(the durable ledger, exactly the reference's state-store file) and folded
+into the pairing state through a one-shot file-source stream unioned with
+the live feeds. Seeding is a commutative decimal MERGE, so a live event
+racing ahead of its seed row is handled identically to any out-of-order
+arrival. (``transformWithStateInPandas`` + initialState is the native API
+for this, but its Python driver worker needs protobuf, absent in this
+environment; the union protocol is engine-equivalent and keeps the whole
+path on the proven operator.)
 """
 
 from __future__ import annotations
@@ -60,6 +79,53 @@ _STATE_SCHEMA = StructType(
 )
 
 
+def bootstrap_state(
+    orders: DataFrame,
+    executions: DataFrame,
+    *,
+    order_key: str,
+    expected: str = "expected_amount",
+    qty: str = "qty",
+) -> DataFrame:
+    """BATCH per-key pairing snapshot from history ledgers — the bulk half
+    of the batch-bootstrap/stream-tail protocol (one JVM decimal
+    aggregation + full-outer join; no Python state machinery, so backfill
+    runs at batch-join speed, not per-key-invocation speed).
+
+    Returns (order_key, has_order int, expected double, executed string,
+    n_exec long) — exactly the stream's per-key state, with the executed
+    total rendered as exact decimal text. For bit-exact parity with the
+    stream's Decimal accumulation, pass a decimal-typed ``qty`` (the same
+    guidance the stream itself carries); double inputs are widened to
+    DECIMAL(38,10), exact for values on any practical price/lot grid."""
+    qcol = F.col(qty)
+    qdec = qcol if _is_decimal(executions, qty) else qcol.cast("decimal(38,10)")
+    e = executions.groupBy(F.col(order_key).alias("__key")).agg(
+        F.sum(qdec).cast("string").alias("__exec"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    o = orders.groupBy(F.col(order_key).alias("__key")).agg(
+        F.max(F.col(expected).cast("double")).alias("__expected")
+    )
+    return (
+        o.withColumn("__has_order", F.lit(1))
+        .join(e, "__key", "full_outer")
+        .select(
+            F.col("__key").alias(order_key),
+            F.coalesce("__has_order", F.lit(0)).alias("has_order"),
+            F.col("__expected").alias("expected"),
+            F.coalesce("__exec", F.lit("0")).alias("executed"),
+            F.coalesce("__n", F.lit(0)).cast("long").alias("n_exec"),
+        )
+    )
+
+
+def _is_decimal(df: DataFrame, col: str) -> bool:
+    from pyspark.sql.types import DecimalType
+
+    return isinstance(df.schema[col].dataType, DecimalType)
+
+
 def reconcile_stream(
     orders: DataFrame,
     executions: DataFrame,
@@ -69,6 +135,8 @@ def reconcile_stream(
     qty: str = "qty",
     tolerance: float = 1e-6,
     state_ttl_ms: int = 0,
+    bootstrap: DataFrame | None = None,
+    bootstrap_dir: str | None = None,
 ) -> DataFrame:
     """orders(order_key, expected_amount) STREAM x executions(order_key,
     qty) STREAM -> revision stream (order_key, expected_amount,
@@ -89,8 +157,29 @@ def reconcile_stream(
     its latest revision already carries the verdict. A fill arriving
     AFTER expiry re-creates the key as a fresh ORPHAN revision (visible,
     never silently merged), which is exactly the honest signal for a fill
-    later than the retention horizon. Default 0 = keep state forever
-    (bounded audits, the gate's availableNow drives)."""
+    later than the retention horizon. Revisions stay MONOTONE across
+    expiry: with the TTL armed, a freshly-created key seeds its revision
+    counter from the batch's processing-time clock (globally increasing
+    across micro-batches), so the post-expiry ORPHAN outranks every
+    pre-expiry revision and ``latest_revisions`` surfaces it as the
+    current verdict (ADVICE r8: a counter restarted at 1 would lose to
+    the stale pre-expiry row in the max-revision view). Default 0 = keep
+    state forever (bounded audits, the gate's availableNow drives) with
+    plain deterministic 1,2,3... counters — state never expires there, so
+    plain counters are already monotone and the gate hash is unaffected.
+
+    ``bootstrap`` (with ``bootstrap_dir``) arms cold-start recovery: a
+    ``bootstrap_state`` snapshot (or any DataFrame with its schema) is
+    persisted to ``bootstrap_dir`` as parquet — the durable ledger — and
+    folded into the pairing state exactly once via a one-shot file-source
+    stream unioned with the feeds. Each seed row MERGES commutatively
+    (decimal add of the executed total, max of has_order, expected fills
+    only if unknown), so live tail events racing ahead of their seed row
+    are just another out-of-order arrival; once the seed lands the key
+    emits a revision carrying the snapshot verdict, so the latest-revision
+    view is complete immediately after restart without replaying history."""
+    if (bootstrap is None) != (bootstrap_dir is None):
+        raise ValueError("bootstrap and bootstrap_dir must be passed together")
     key_type = orders.schema[order_key].dataType
     out_schema = StructType(
         [
@@ -103,19 +192,42 @@ def reconcile_stream(
         ]
     )
 
+    # wire kinds: 0 = execution, 1 = order, 2 = snapshot seed
     o = orders.select(
         F.col(order_key).alias("__key"),
-        F.lit(1).alias("__is_order"),
+        F.lit(1).alias("__kind"),
         F.col(expected).cast("double").alias("__expected"),
         F.lit(None).cast("string").alias("__qty"),
+        F.lit(None).cast("long").alias("__seed_n"),
+        F.lit(None).cast("int").alias("__seed_has"),
     )
     e = executions.select(
         F.col(order_key).alias("__key"),
-        F.lit(0).alias("__is_order"),
+        F.lit(0).alias("__kind"),
         F.lit(None).cast("double").alias("__expected"),
         F.col(qty).cast("string").alias("__qty"),  # exact decimal transport
+        F.lit(None).cast("long").alias("__seed_n"),
+        F.lit(None).cast("int").alias("__seed_has"),
     )
     src = o.unionByName(e)
+    if bootstrap is not None:
+        seed_wire = bootstrap.select(
+            F.col(order_key).alias("__key"),
+            F.lit(2).alias("__kind"),
+            F.col("expected").cast("double").alias("__expected"),
+            F.col("executed").cast("string").alias("__qty"),
+            F.col("n_exec").cast("long").alias("__seed_n"),
+            F.col("has_order").cast("int").alias("__seed_has"),
+        )
+        # persist the snapshot (the durable ledger), then replay it as a
+        # one-shot stream so it can union with the live feeds — a batch
+        # DataFrame cannot union into a streaming plan directly
+        seed_wire.write.mode("overwrite").parquet(bootstrap_dir)
+        seed_src = (
+            orders.sparkSession.readStream.schema(seed_wire.schema)
+            .parquet(bootstrap_dir)
+        )
+        src = src.unionByName(seed_src)
 
     def run(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (k,) = key
@@ -129,20 +241,38 @@ def reconcile_stream(
             executed = Decimal(executed_s)
         else:
             has_order, exp, executed, n_exec, revision = 0, None, Decimal(0), 0, 0
+            if state_ttl_ms > 0:
+                # TTL armed: this key may be a post-expiry re-creation whose
+                # pre-expiry counter is unknowable (state was dropped). Seed
+                # the counter from the batch's processing-time clock —
+                # globally monotone across micro-batches — so revisions for
+                # one key never go backwards across an expiry and the
+                # max-revision view always surfaces the newest verdict.
+                # (TTL-armed runs are already wall-clock dependent via the
+                # processing-time timeout; the deterministic ttl=0 path is
+                # untouched.)
+                revision = state.getCurrentProcessingTimeMs()
         changed = False
         for pdf in pdfs:
             if not len(pdf):
                 continue
             changed = True
-            for is_order, e_amt, q in zip(
-                pdf["__is_order"], pdf["__expected"], pdf["__qty"]
+            for kind, e_amt, q, sn, sh in zip(
+                pdf["__kind"], pdf["__expected"], pdf["__qty"],
+                pdf["__seed_n"], pdf["__seed_has"],
             ):
-                if is_order:
+                if kind == 1:  # order
                     has_order = 1
                     exp = float(e_amt)
-                else:
+                elif kind == 0:  # execution
                     executed += Decimal(q)
                     n_exec += 1
+                else:  # snapshot seed: commutative merge (order-safe)
+                    has_order = max(has_order, int(sh))
+                    if exp is None and e_amt is not None and not pd.isna(e_amt):
+                        exp = float(e_amt)
+                    executed += Decimal(q)
+                    n_exec += int(sn)
         if not changed:
             return
         revision += 1

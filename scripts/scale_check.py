@@ -64,6 +64,15 @@ def build_synth(
     within-replica dup structure are preserved exactly, but shingle sets
     are DISJOINT across replicas, so relationship counts scale linearly
     the way organically grown data would."""
+    if doc_perturb == "caesar" and replicas > 26:
+        # rotation r and r+26 alias (r % 26), silently reintroducing the
+        # cross-replica near-dup artifact the scheme exists to avoid
+        # (ADVICE r8) — fail loud instead of degrading the guarantee
+        raise ValueError(
+            f"doc_perturb='caesar' supports at most 26 distinct replicas "
+            f"(alphabet rotations); got replicas={replicas}. Use "
+            f"doc_perturb='token' or compose a second distinctness scheme."
+        )
     os.makedirs(dest, exist_ok=True)
 
     # lineitem: offset order keys per replica

@@ -94,7 +94,12 @@ def test_codec_roundtrips():
     img = _img(2, 2, 3)
     raw = b"P6\n# a comment\n3 2\n# another\n255\n" + img.tobytes()
     assert np.array_equal(decode_ppm(raw), img)
-    with pytest.raises(NotImplementedError):
+    # no codec for RIFF/video: the seam still raises with guidance
+    with pytest.raises(NotImplementedError, match="RIFF"):
+        decode_media(b"RIFF" + b"x" * 64)
+    # a JPEG magic with garbage after it hits the REAL decoder now and
+    # fails loudly on the malformed marker stream, never returns junk
+    with pytest.raises(ValueError):
         decode_media(bytes.fromhex("ffd8ff") + b"x" * 64)
 
 
@@ -349,3 +354,174 @@ def test_png_decodes_through_default_seam(spark):
     assert np.array_equal(
         np.asarray(PIL_Image.open(io.BytesIO(encode_png(img))).convert("RGB")), img
     )
+
+
+# --- native baseline JPEG decoder (round-9 item 1) --------------------------
+
+
+def _jpeg_gray_encode(yp: np.ndarray, dri: int = 0) -> bytes:
+    """Independent single-component baseline encoder for decoder tests:
+    unit quant, the gate's custom canonical Huffman tables, edge-replication
+    padding to 8x8 blocks (so odd dims exercise the decoder's crop)."""
+    import struct
+
+    from finiextestingide_spark.gate.llmdata import (
+        _JAC_BITS,
+        _JAC_VALS,
+        _JBitWriter,
+        _JDC_BITS,
+        _JDC_VALS,
+        _jenc_block,
+        _jhuff_codes,
+        _jseg,
+        _JZZ,
+    )
+
+    h, w = yp.shape
+    bh, bw_ = -(-h // 8) * 8, -(-w // 8) * 8
+    pad = np.pad(yp, ((0, bh - h), (0, bw_ - w)), mode="edge")
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    m[0] /= np.sqrt(2.0)
+    dc_codes = _jhuff_codes(_JDC_BITS, _JDC_VALS)
+    ac_codes = _jhuff_codes(_JAC_BITS, _JAC_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += _jseg(0xDB, bytes([0]) + b"\x01" * 64)
+    out += _jseg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _jseg(0xC4, bytes([0x00]) + bytes(_JDC_BITS) + _JDC_VALS)
+    out += _jseg(0xC4, bytes([0x10]) + bytes(_JAC_BITS) + _JAC_VALS)
+    if dri:
+        out += _jseg(0xDD, struct.pack(">H", dri))
+    out += _jseg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = _JBitWriter()
+    pred, rst, mi = 0, 0, 0
+    for r in range(bh // 8):
+        for c in range(bw_ // 8):
+            if dri and mi and mi % dri == 0:
+                bw.flush()
+                out += bytes(bw.out)
+                bw = _JBitWriter()
+                out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                pred = 0
+            blk = pad[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8]
+            f = m @ (blk.astype(np.float64) - 128.0) @ m.T
+            zzc = np.round(f.reshape(64)[list(_JZZ)]).astype(np.int64)
+            pred = _jenc_block(bw, zzc, pred, dc_codes, ac_codes)
+            mi += 1
+    bw.flush()
+    return bytes(out) + bytes(bw.out) + b"\xff\xd9"
+
+
+def test_jpeg_exact_pattern_roundtrip():
+    """The gate construction is pixel-EXACT through the full pipeline
+    (huffman DC/AC with ZRL runs, restart marker, dequant, IDCT, 2x2 chroma
+    upsample, JFIF color convert): luma blocks in the exact span of DCT
+    basis (0,0)+(4,4) with unit quant round-trip losslessly, so the decoder
+    must reproduce the closed-form pixel formula bit-for-bit."""
+    from finiextestingide_spark.gate.llmdata import jpeg_encode_420
+    from finiextestingide_spark.operators.multimodal import decode_jpeg, decode_media
+
+    h, w, did = 16, 32, 12345
+    s = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    ss = np.outer(s, s)
+    yp = np.zeros((h, w))
+    for r in range(2):
+        for c in range(4):
+            dc = 64 + (did * 13 + r * 29 + c * 7) % 128
+            k = (did * 5 + r * 3 + c) % 24
+            yp[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = dc + k * ss
+    cb = np.zeros((8, 16))
+    cr = np.zeros((8, 16))
+    for mi in range(2):
+        cb[:, mi * 8 : mi * 8 + 8] = 64 + (did * 11 + mi * 37) % 128
+        cr[:, mi * 8 : mi * 8 + 8] = 64 + (did * 7 + mi * 53) % 128
+    payload = jpeg_encode_420(
+        yp.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8), dri=1
+    )
+    img = decode_jpeg(payload)
+    cbf = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+    crf = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+    exp = np.stack(
+        [
+            np.clip(np.floor(yp + 1.402 * (crf - 128) + 0.5), 0, 255),
+            np.clip(
+                np.floor(
+                    yp - 0.344136 * (cbf - 128) - 0.714136 * (crf - 128) + 0.5
+                ),
+                0,
+                255,
+            ),
+            np.clip(np.floor(yp + 1.772 * (cbf - 128) + 0.5), 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    assert np.array_equal(img, exp)
+    assert np.array_equal(decode_media(payload), exp)  # magic sniff routes here
+
+
+def test_jpeg_gray_random_and_odd_dims():
+    """Grayscale path: dense random blocks push every Huffman size category
+    and AC run shape through the decoder; unit quant keeps total error to
+    FDCT-round-trip rounding (max +-1/px). Odd dims exercise the MCU crop;
+    a constant image at odd dims is exact. DRI chunking must not change
+    pixels."""
+    from finiextestingide_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+    out = decode_jpeg(_jpeg_gray_encode(g))
+    assert out.shape == (24, 40, 3)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])  # gray replicated
+    err = np.abs(out[:, :, 0].astype(int) - g.astype(int))
+    assert err.max() <= 1 and (err == 0).mean() > 0.9, err.max()
+
+    const = np.full((13, 9), 77, np.uint8)  # odd dims -> pad + crop
+    out2 = decode_jpeg(_jpeg_gray_encode(const))
+    assert out2.shape == (13, 9, 3)
+    assert np.array_equal(out2, np.full((13, 9, 3), 77, np.uint8))
+
+    with_rst = decode_jpeg(_jpeg_gray_encode(g, dri=3))
+    assert np.array_equal(with_rst, out)
+
+
+def test_jpeg_rejects_unsupported_variants():
+    """Progressive/12-bit/truncated payloads fail loudly through the seam
+    with actionable messages, never silently return junk pixels."""
+    import struct
+
+    from finiextestingide_spark.gate.llmdata import _jseg
+    from finiextestingide_spark.operators.multimodal import decode_jpeg
+
+    sof2 = (b"\xff\xd8"
+            + _jseg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+            + b"\xff\xd9")
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(sof2)
+
+    deep = (b"\xff\xd8"
+            + _jseg(0xC0, struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0]))
+            + b"\xff\xd9")
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(deep)
+
+    good = _jpeg_gray_encode(np.full((8, 8), 50, np.uint8))
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])  # truncated entropy stream
+
+
+def test_jpeg_through_default_seam(spark):
+    """A JPEG payload decodes through extract_features' DEFAULT decoder
+    (decode_media sniffs ffd8ff): features equal the closed-form pixels."""
+    from finiextestingide_spark.gate.llmdata import jpeg_encode_420
+    from finiextestingide_spark.operators.multimodal import decode_jpeg
+
+    yp = np.full((16, 16), 90, np.uint8)
+    cb = np.full((8, 8), 100, np.uint8)
+    cr = np.full((8, 8), 140, np.uint8)
+    payload = jpeg_encode_420(yp, cb, cr, dri=0)
+    df = spark.createDataFrame([(1, payload)], "media_id long, media binary")
+    row = extract_features(df, feature_dim=768).collect()[0]
+    assert (row["height"], row["width"]) == (16, 16)
+    assert row["features"] == decode_jpeg(payload).reshape(-1).astype(float).tolist()

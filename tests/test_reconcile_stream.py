@@ -175,9 +175,11 @@ def test_latest_revisions_collapses_to_current_verdict(spark):
 def test_state_ttl_expires_and_late_fill_resurfaces_as_orphan(spark):
     """``state_ttl_ms``: a key idle past the TTL drops its pairing state
     (bounded state for an unbounded order flow); a fill arriving after
-    expiry re-creates the key as a FRESH ORPHAN revision with revision
-    counter restarted — the visible signal for beyond-horizon lateness,
-    never a silent merge."""
+    expiry re-creates the key as a FRESH ORPHAN revision — the visible
+    signal for beyond-horizon lateness, never a silent merge. The fresh
+    revision must OUTRANK every pre-expiry revision (monotone across
+    expiry, ADVICE r8) so latest_revisions surfaces the ORPHAN, not the
+    stale pre-expiry MATCHED verdict."""
     t0 = 1_767_225_600_000_000
     order = [_line(order_id=1, ts_us=t0, expected=10.0)]
     fill1 = [_line(order_id=1, ts_us=t0 + 1, qty=10.0)]
@@ -240,7 +242,159 @@ def test_state_ttl_expires_and_late_fill_resurfaces_as_orphan(spark):
     statuses = [(r["status"], r["n_executions"], r["revision"]) for r in rows]
     # before expiry the key reached MATCHED with the full quantity
     assert any(s == "MATCHED" and n == 1 for s, n, _rv in statuses), statuses
-    # after expiry the late fill shows as a fresh ORPHAN with a RESTARTED
-    # revision counter (proof the old state was dropped, not merged)
-    fresh = [rv for s, n, rv in statuses if s == "ORPHAN" and n == 1]
-    assert fresh and min(fresh) == 1, statuses
+    # after expiry the late fill shows as a fresh ORPHAN with executed=0.5
+    # and n_executions=1 (proof the old state was dropped, not merged) ...
+    orphan_revs = [rv for s, n, rv in statuses if s == "ORPHAN" and n == 1]
+    matched_revs = [rv for s, n, rv in statuses if s == "MATCHED"]
+    assert orphan_revs, statuses
+    # ... and its revision OUTRANKS every pre-expiry revision, so the
+    # max-revision view returns the post-expiry verdict, never the stale
+    # pre-expiry MATCHED (ADVICE r8 monotonicity contract)
+    assert min(orphan_revs) > max(matched_revs), statuses
+    rev_df = spark.createDataFrame(
+        rows,
+        "order_id long, expected_amount double, executed_amount double, "
+        "n_executions long, status string, revision long",
+    )
+    current = latest_revisions(rev_df, "order_id").collect()
+    assert len(current) == 1 and current[0]["status"] == "ORPHAN", current
+
+
+def test_bootstrap_state_snapshot_exactness(spark):
+    """bootstrap_state: a JVM-side batch snapshot with the stream's exact
+    state shape — decimal-exact executed text, has_order/n_exec per key."""
+    from finiextestingide_spark.streaming.reconcile_stream import bootstrap_state
+
+    o_df = spark.createDataFrame(
+        [(1, 10.0), (7, 5.0)], "order_id long, expected double"
+    )
+    e_df = spark.createDataFrame(
+        [(1, 4.25), (1, 5.75), (9, 1.5)], "order_id long, qty double"
+    )
+    snap = {r["order_id"]: r for r in bootstrap_state(
+        o_df, e_df, order_key="order_id", expected="expected", qty="qty"
+    ).collect()}
+    assert snap[1]["has_order"] == 1 and snap[1]["n_exec"] == 2
+    from decimal import Decimal
+
+    assert Decimal(snap[1]["executed"]) == Decimal("10")
+    assert snap[7]["has_order"] == 1 and snap[7]["n_exec"] == 0
+    assert Decimal(snap[7]["executed"]) == 0
+    assert snap[9]["has_order"] == 0 and snap[9]["n_exec"] == 1
+    assert Decimal(snap[9]["executed"]) == Decimal("1.5")
+
+
+def test_bootstrap_restart_parity(spark, tmp_path):
+    """Cold-start recovery (round-9 item 2; reference Cold-Start Recovery
+    #355 / algo_state_store.py): a stream seeded from a batch snapshot of
+    the HISTORY plus a live TAIL must converge to the same verdicts as the
+    batch reconciliation of the FULL ledger — keys completed in history
+    surface their verdict immediately from the seed, keys spanning the cut
+    merge seed+tail decimal-exactly, and history-only fills whose order
+    arrives in the tail reclassify from the seeded ORPHAN."""
+    from finiextestingide_spark.operators.reconcile import reconcile_orders
+    from finiextestingide_spark.streaming.reconcile_stream import bootstrap_state
+
+    # history: everything except — order 1's second fill, order 3's ORDER,
+    # order 4's fill, and orphan 9's fill arrive in the live tail
+    hist_orders = [(k, v) for k, v in ORDERS.items() if k != 3]
+    hist_fills = (
+        [(1, FILLS[1][0])]
+        + [(2, q) for q in FILLS[2]]
+        + [(3, q) for q in FILLS[3]]
+        + [(5, q) for q in FILLS[5]]
+        + [(6, q) for q in FILLS[6]]
+        + [(8, q) for q in FILLS[8]]
+    )
+    tail_orders = [_line(order_id=3, ts_us=1, expected=ORDERS[3])]
+    tail_fills = [
+        _line(order_id=1, ts_us=2, qty=FILLS[1][1]),
+        _line(order_id=4, ts_us=3, qty=FILLS[4][0]),
+        _line(order_id=9, ts_us=4, qty=FILLS[9][0]),
+    ]
+    snap = bootstrap_state(
+        spark.createDataFrame(hist_orders, "order_id long, expected_amount double"),
+        spark.createDataFrame(hist_fills, "order_id long, qty double"),
+        order_key="order_id",
+    )
+
+    name = f"recon_boot_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with TickFeedServer(tail_orders) as o_srv, TickFeedServer(tail_fills) as f_srv:
+            orders = parse_tick_lines(
+                read_socket_lines(spark, "127.0.0.1", o_srv.port),
+                wire_ddl=ORDER_WIRE_DDL,
+            ).select("order_id", F.col("expected").alias("expected_amount"))
+            execs = parse_tick_lines(
+                read_socket_lines(spark, "127.0.0.1", f_srv.port),
+                wire_ddl=FILL_WIRE_DDL,
+            ).select("order_id", "qty")
+            rev = reconcile_stream(
+                orders, execs, order_key="order_id",
+                expected="expected_amount", qty="qty", tolerance=0.01,
+                bootstrap=snap, bootstrap_dir=str(tmp_path / "ledger"),
+            )
+            q = (
+                rev.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                deadline = time.time() + 120.0
+                while time.time() < deadline:
+                    rows = spark.table(name).collect()
+                    by_key = {}
+                    for r in sorted(rows, key=lambda r: r["revision"]):
+                        by_key.setdefault(r["order_id"], []).append(r)
+                    # done when all 9 keys present and the cross-cut keys
+                    # reached their tail-inclusive state
+                    if (
+                        set(by_key) == set(range(1, 10))
+                        and by_key[1][-1]["n_executions"] == 2
+                        and by_key[3][-1]["status"] != "ORPHAN"
+                        and by_key[4][-1]["n_executions"] == 1
+                        and by_key[9][-1]["n_executions"] == 1
+                    ):
+                        break
+                    time.sleep(0.5)
+                else:
+                    raise AssertionError(
+                        f"bootstrap run did not converge: "
+                        f"{ {k: [r['status'] for r in v] for k, v in by_key.items()} }"
+                    )
+            finally:
+                q.stop()
+                q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    # keys complete in history carry their verdict from the SEED alone
+    assert by_key[2][0]["status"] == "MATCHED"
+    assert by_key[7][0]["status"] == "MISSING"
+    # history fills + tail order: seeded ORPHAN reclassifies
+    assert by_key[3][0]["status"] == "ORPHAN"
+    assert by_key[3][-1]["status"] == "UNDER_EXECUTED"
+
+    # final snapshot == batch reconcile_orders over the FULL ledger
+    o_df = spark.createDataFrame(
+        [(k, v) for k, v in ORDERS.items()], "order_id long, expected double"
+    )
+    e_df = spark.createDataFrame(
+        [(k, q) for k, qs in FILLS.items() for q in qs], "order_id long, qty double"
+    )
+    batch = {
+        r["order_id"]: r
+        for r in reconcile_orders(
+            o_df, e_df, order_key="order_id",
+            expected=F.col("expected"), executed=F.sum("qty"), tolerance=0.01,
+        ).collect()
+    }
+    final = {k: v[-1] for k, v in by_key.items()}
+    assert set(final) == set(batch)
+    for k, br in batch.items():
+        lr = final[k]
+        for c in ("expected_amount", "executed_amount", "n_executions", "status"):
+            assert lr[c] == br[c], (k, c, lr[c], br[c])
