@@ -46,17 +46,20 @@ from ._util import Query  # noqa: F401
 # streaming_incremental_bars_1h); IN the head of the never-verified queue
 # (atr_ewm_daily, token_budget_mix_greedy, streaming_dedup_exact,
 # ivf_topk_5, ivf_recall_audit, multimodal_resize) + the NEW
-# multimodal_decode_jpeg (native baseline JPEG, round-9 item 1).
+# multimodal_decode_jpeg (native baseline JPEG, round-9 item 1) and the
+# NEW drift_audit (J6 economics, round-9 item 4; topk_orders_per_priority
+# rotates out to make room — top_unshipped_orders keeps the O2/W14
+# deterministic-ranking family in-window).
 CURATED_ORDER: tuple[str, ...] = (
     # relational core
     "pricing_summary",
     "top_unshipped_orders",
-    "topk_orders_per_priority",
     "customer_equity_curve",
     "nation_order_kpis",
     "swap_accrual",
     "order_reconciliation",
     "streaming_reconciliation",
+    "drift_audit",
     # timeseries / indicators
     "bars_1h",
     "gap_scan_calendar",
@@ -128,6 +131,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "macd_daily",
     "replay_scaleout_oracle",
     "streaming_bars_1h",
+    "topk_orders_per_priority",
 )
 
 

@@ -593,6 +593,131 @@ def streaming_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAMING_RECONCILIATION_SQL = ORDER_RECONCILIATION_SQL
 
 
+def drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 economics (round-9 item 4; reference DriftAuditor #327): for
+    PAIRED fills, compare locally-computed fee/volume/price against
+    broker-reported truth and emit drift events above relative thresholds.
+    Broker truth is derived from lineitem; the 'local' ledger recomputes
+    the same economics with deterministic drift injected into keyed row
+    slices (fee +0.02 on l_orderkey%%37, volume +0.5 on %%41, price *1.01 on
+    %%43), so every drift class appears and threshold crossing is
+    data-dependent (a +0.02 fee drift only exceeds 1%% on small fees).
+    Oracle: DuckDB mirrors the ledgers, the unpivot, and the
+    relative-delta threshold logic. All rounding is floor(x*10^n + 0.5)
+    form — Spark's round() (HALF_UP on the decimal repr) and DuckDB's
+    disagree on ~1e-3 of doubles at grid boundaries; floor on identical
+    IEEE doubles cannot."""
+    from ..operators.drift import drift_events
+
+    def _r(col, n):  # deterministic cross-engine half-up rounding
+        return F.floor(col * F.lit(float(10**n)) + 0.5) / F.lit(float(10**n))
+
+    # one execution per (orderkey, linenumber): the synthetic lineitem is
+    # NOT unique on that pair, and drift pairing needs a unique fill key —
+    # aggregate with DECIMAL sums (order-independent, exact) per the
+    # registry's determinism policy
+    base = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_orderkey", F.col("l_linenumber").cast("long").alias("l_linenumber")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+            .cast("double").alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+            .cast("double").alias("ext"),
+        )
+    )
+    broker = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("qty").alias("volume"),
+        _r(F.col("ext") / F.col("qty"), 4).alias("price"),
+        _r(F.col("ext") * 0.00025, 2).alias("fee"),
+    )
+    local = broker.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("volume")
+            + F.when(F.col("l_orderkey") % 41 == 0, 0.5).otherwise(0.0)
+        ).alias("volume"),
+        (
+            F.col("price")
+            * F.when(F.col("l_orderkey") % 43 == 0, 1.01).otherwise(1.0)
+        ).alias("price"),
+        (
+            F.col("fee")
+            + F.when(F.col("l_orderkey") % 37 == 0, 0.02).otherwise(0.0)
+        ).alias("fee"),
+    )
+    ev = drift_events(
+        local,
+        broker,
+        keys=["l_orderkey", "l_linenumber"],
+        metrics=[
+            ("fee", "fee", "fee", 1.0),
+            ("volume", "volume", "volume", 0.5),
+            ("price", "price", "price", 0.5),
+        ],
+    )
+    return ev.select(
+        "l_orderkey",
+        "l_linenumber",
+        "drift_type",
+        _r(F.col("local_value"), 6).alias("local_value"),
+        _r(F.col("broker_value"), 6).alias("broker_value"),
+        _r(F.col("relative_delta_pct"), 6).alias("relative_delta_pct"),
+        "threshold_pct",
+    )
+
+
+DRIFT_AUDIT_SQL = """
+WITH base AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS ext
+  FROM lineitem
+  GROUP BY 1, 2
+),
+b AS (
+  SELECT l_orderkey, l_linenumber,
+         qty AS volume,
+         floor(ext / qty * 10000.0 + 0.5) / 10000.0 AS price,
+         floor(ext * 0.00025 * 100.0 + 0.5) / 100.0 AS fee
+  FROM base
+),
+l AS (
+  SELECT l_orderkey, l_linenumber,
+         volume + CASE WHEN l_orderkey % 41 = 0 THEN 0.5 ELSE 0.0 END AS volume,
+         price * CASE WHEN l_orderkey % 43 = 0 THEN 1.01 ELSE 1.0 END AS price,
+         fee + CASE WHEN l_orderkey % 37 = 0 THEN 0.02 ELSE 0.0 END AS fee
+  FROM b
+),
+ev AS (
+  SELECT l.l_orderkey, l.l_linenumber, m.drift_type,
+         CASE m.drift_type WHEN 'fee' THEN l.fee
+              WHEN 'volume' THEN l.volume ELSE l.price END AS lv,
+         CASE m.drift_type WHEN 'fee' THEN b.fee
+              WHEN 'volume' THEN b.volume ELSE b.price END AS bv,
+         CASE m.drift_type WHEN 'fee' THEN 1.0
+              WHEN 'volume' THEN 0.5 ELSE 0.5 END AS thr
+  FROM l
+  JOIN b USING (l_orderkey, l_linenumber),
+       (SELECT unnest(['fee', 'volume', 'price']) AS drift_type) m
+)
+SELECT l_orderkey, l_linenumber, drift_type,
+       floor(lv * 1000000.0 + 0.5) / 1000000.0 AS local_value,
+       floor(bv * 1000000.0 + 0.5) / 1000000.0 AS broker_value,
+       floor(100 * abs(lv - bv) / abs(bv) * 1000000.0 + 0.5) / 1000000.0
+         AS relative_delta_pct,
+       thr AS threshold_pct
+FROM ev
+WHERE CASE WHEN bv <> 0 THEN 100 * abs(lv - bv) / abs(bv) > thr
+           ELSE lv <> 0 END
+"""
+
+
 QUERIES: dict[str, Query] = {
     "pricing_summary": Query(pricing_summary, PRICING_SUMMARY_SQL, "TPC-H Q1 shape; A5/A6 aggregations"),
     "top_unshipped_orders": Query(top_unshipped_orders, TOP_UNSHIPPED_ORDERS_SQL, "Q3 shape; deterministic top-k"),
@@ -614,5 +739,10 @@ QUERIES: dict[str, Query] = {
     ),
     "order_reconciliation": Query(
         order_reconciliation, ORDER_RECONCILIATION_SQL, "J6 order<->execution reconciliation audit"
+    ),
+    "drift_audit": Query(
+        drift_audit,
+        DRIFT_AUDIT_SQL,
+        "J6 economics: local vs broker-truth fee/volume/price drift events",
     ),
 }

@@ -1,0 +1,106 @@
+"""Drift auditor (J6 economics): local vs broker-truth comparison per fill.
+
+The reference's live DriftAuditor (#327,
+python/framework/trading_env/live/drift_auditor.py:1-26) is read-only
+telemetry: after every fully-filled order it pulls the broker's own trade
+records and compares the locally-computed fee/volume/price against that
+truth, logging drift events above configured relative thresholds
+(python/framework/types/live_types/drift_audit_types.py:19-58 —
+DriftType FEE/VOLUME/PRICE/SLIPPAGE, DriftRecord.relative_delta_pct /
+threshold_exceeded, DriftAuditSummary per-type counts + max drift).
+
+Spark-first form: the pairing the reference does order-by-order over an
+async query pipeline is ONE equi-join of the local execution ledger with
+the broker trade feed, and the per-metric comparison is a column-expression
+unpivot — no UDF, no state. Compose it over `operators.reconcile` /
+`streaming.reconcile_stream` output: reconciliation answers "did every
+order fill, exactly once, for the right quantity"; the drift auditor
+answers "for the fills that DID pair, do our economics match the broker's
+books". At 100 TB the join shuffles on the fill key exactly like the
+reconciliation join; the unpivot is a per-row map.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def drift_events(
+    local: DataFrame,
+    broker: DataFrame,
+    *,
+    keys: Sequence[str],
+    metrics: Sequence[tuple[str, str, str, float]],
+    emit_all: bool = False,
+) -> DataFrame:
+    """Pair local and broker records on ``keys`` and emit per-metric drift.
+
+    ``metrics``: (drift_type, local_col, broker_col, threshold_pct) — the
+    reference's DriftAuditConfig thresholds are relative percentages.
+    Output (long format, one row per paired fill per metric):
+    ``*keys, drift_type, local_value, broker_value, delta,
+    relative_delta_pct, threshold_pct, threshold_exceeded`` — filtered to
+    exceeded rows unless ``emit_all`` (the reference logs only events above
+    threshold; emit_all is the audit-table form).
+
+    Semantics (drift_audit_types.py:38-43): delta = local - broker;
+    relative_delta_pct = 100*|delta|/|broker|. A zero broker value with a
+    zero local value is 0% drift; a zero broker value with a NONZERO local
+    value has no defined relative delta (NULL) but is always an exceeded
+    event — money appearing from nowhere must surface regardless of
+    threshold. Only inner-paired rows are audited: unpaired fills are the
+    reconciliation layer's finding (#151), not drift."""
+    lcl = local.select(
+        *keys, *[F.col(lc).cast("double").alias(f"__l_{name}") for name, lc, _, _ in metrics]
+    )
+    brk = broker.select(
+        *keys, *[F.col(bc).cast("double").alias(f"__b_{name}") for name, _, bc, _ in metrics]
+    )
+    paired = lcl.join(brk, on=list(keys), how="inner")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("drift_type"),
+                F.col(f"__l_{name}").alias("local_value"),
+                F.col(f"__b_{name}").alias("broker_value"),
+                F.lit(float(thr)).alias("threshold_pct"),
+            )
+            for name, _, _, thr in metrics
+        ]
+    )
+    out = paired.select(*keys, F.explode(rows).alias("__m")).select(*keys, "__m.*")
+    delta = F.col("local_value") - F.col("broker_value")
+    rel = F.when(
+        F.col("broker_value") != 0.0,
+        100.0 * F.abs(delta) / F.abs(F.col("broker_value")),
+    ).when(F.col("local_value") == 0.0, F.lit(0.0))
+    exceeded = F.when(rel.isNull(), F.lit(True)).otherwise(
+        rel > F.col("threshold_pct")
+    )
+    out = out.select(
+        *keys,
+        "drift_type",
+        "local_value",
+        "broker_value",
+        delta.alias("delta"),
+        rel.alias("relative_delta_pct"),
+        "threshold_pct",
+        exceeded.alias("threshold_exceeded"),
+    )
+    return out if emit_all else out.where(F.col("threshold_exceeded"))
+
+
+def drift_summary(events: DataFrame, *, by: Sequence[str] = ()) -> DataFrame:
+    """DriftAuditSummary shape (drift_audit_types.py:105-122): per
+    drift_type (optionally per extra grouping, e.g. scenario/session) the
+    count of threshold-exceeded events and the worst observed relative
+    drift. Runs over ``drift_events(..., emit_all=True)`` output so the max
+    covers ALL paired fills, not only the ones above threshold."""
+    return events.groupBy(*by, "drift_type").agg(
+        F.sum(F.col("threshold_exceeded").cast("long")).alias("n_events"),
+        F.max("relative_delta_pct").alias("max_drift_pct"),
+        F.count(F.lit(1)).alias("n_audited"),
+    )

@@ -68,6 +68,49 @@ from pyspark.sql.types import (
     StructType,
 )
 
+def _fold_events(has_order, exp, executed, n_exec, events):
+    """The per-key pairing fold — the exact code every micro-batch runs,
+    module-level so the Hypothesis sweep in tests/test_reconcile_stream.py
+    can fuzz arrival orders and batch slicings against the batch oracle
+    without a live stream. Events are (kind, expected, qty_text, seed_n,
+    seed_has) wire tuples: kind 0 = execution, 1 = order, 2 = snapshot
+    seed (commutative merge — see reconcile_stream's bootstrap contract).
+    The executed total accumulates as decimal.Decimal: exact and
+    associative, so ANY arrival order produces the same final total."""
+    for kind, e_amt, q, sn, sh in events:
+        if kind == 1:  # order
+            has_order = 1
+            exp = float(e_amt)
+        elif kind == 0:  # execution
+            executed += Decimal(q)
+            n_exec += 1
+        else:  # snapshot seed: commutative merge (order-safe)
+            has_order = max(has_order, int(sh))
+            if exp is None and e_amt is not None and not pd.isna(e_amt):
+                exp = float(e_amt)
+            executed += Decimal(q)
+            n_exec += int(sn)
+    return has_order, exp, executed, n_exec
+
+
+def _classify(has_order, exp, executed, n_exec, tolerance):
+    """State -> (status, expected_out, executed_out): the batch
+    ``reconcile_orders`` classification contract evaluated on state."""
+    if not has_order:
+        return "ORPHAN", None, float(executed)
+    if n_exec == 0:
+        return "MISSING", exp, None
+    x = float(executed)
+    diff = x - exp
+    if abs(diff) <= tolerance:
+        status = "MATCHED"
+    elif diff < 0:
+        status = "UNDER_EXECUTED"
+    else:
+        status = "OVER_EXECUTED"
+    return status, exp, x
+
+
 _STATE_SCHEMA = StructType(
     [
         StructField("has_order", IntegerType()),
@@ -257,42 +300,20 @@ def reconcile_stream(
             if not len(pdf):
                 continue
             changed = True
-            for kind, e_amt, q, sn, sh in zip(
-                pdf["__kind"], pdf["__expected"], pdf["__qty"],
-                pdf["__seed_n"], pdf["__seed_has"],
-            ):
-                if kind == 1:  # order
-                    has_order = 1
-                    exp = float(e_amt)
-                elif kind == 0:  # execution
-                    executed += Decimal(q)
-                    n_exec += 1
-                else:  # snapshot seed: commutative merge (order-safe)
-                    has_order = max(has_order, int(sh))
-                    if exp is None and e_amt is not None and not pd.isna(e_amt):
-                        exp = float(e_amt)
-                    executed += Decimal(q)
-                    n_exec += int(sn)
+            has_order, exp, executed, n_exec = _fold_events(
+                has_order, exp, executed, n_exec,
+                zip(
+                    pdf["__kind"], pdf["__expected"], pdf["__qty"],
+                    pdf["__seed_n"], pdf["__seed_has"],
+                ),
+            )
         if not changed:
             return
         revision += 1
         state.update((has_order, exp, str(executed), n_exec, revision))
         if state_ttl_ms > 0:
             state.setTimeoutDuration(state_ttl_ms)
-        if not has_order:
-            status, e_out, x_out = "ORPHAN", None, float(executed)
-        elif n_exec == 0:
-            status, e_out, x_out = "MISSING", exp, None
-        else:
-            x = float(executed)
-            diff = x - exp
-            if abs(diff) <= tolerance:
-                status = "MATCHED"
-            elif diff < 0:
-                status = "UNDER_EXECUTED"
-            else:
-                status = "OVER_EXECUTED"
-            e_out, x_out = exp, x
+        status, e_out, x_out = _classify(has_order, exp, executed, n_exec, tolerance)
         yield pd.DataFrame(
             [(k, e_out, x_out, n_exec, status, revision)],
             columns=[f.name for f in out_schema.fields],

@@ -135,6 +135,40 @@ def build_synth(
         out = out.unionByName(p)
     out.write.mode("overwrite").parquet(f"{dest}/documents.parquet")
 
+    # embeddings: offset ids + a per-replica ORTHOGONAL transform (cyclic
+    # coordinate shift by r composed with deterministic +-1 sign flips).
+    # Orthogonality preserves every norm and pairwise dot WITHIN a replica
+    # (so per-replica neighborhood structure is exactly the organic one),
+    # while a transformed copy of a base vector is generically near-
+    # orthogonal to the original — no artificial cross-replica near-dup
+    # clusters, the embedding analogue of the caesar/token document
+    # perturbation (round-9 item 3: the ANN surface gets measured 10x/100x
+    # rows instead of constant-input ones). r = 0 is the identity.
+    em = spark.read.parquet(f"{src}/embeddings.parquet")
+    max_vid = em.agg(F.max("vec_id")).collect()[0][0]
+    parts = []
+    for r in range(replicas):
+        p = em.withColumn("vec_id", F.col("vec_id") + F.lit(r * (max_vid + 1)))
+        if r > 0:
+            n = F.size("embedding")
+            idx = F.sequence(F.lit(0), n - 1)
+            rot = F.transform(
+                idx,
+                lambda i: F.element_at(F.col("embedding"), ((i + F.lit(r)) % n) + 1)
+                * (1 - 2 * ((i * F.lit(r) + F.lit(r)) % 2)),
+            ).cast("array<float>")
+            p = p.withColumn("embedding", rot)
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    emb_dest = f"{dest}/embeddings.parquet"
+    if os.path.islink(emb_dest):
+        # older synths symlinked embeddings to the READ-ONLY testdata; an
+        # overwrite through the link would try to write there — unlink first
+        os.unlink(emb_dest)
+    out.write.mode("overwrite").parquet(emb_dest)
+
     for t in TABLES:
         link = f"{dest}/{t}.parquet"
         if not os.path.exists(link):

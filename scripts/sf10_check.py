@@ -55,6 +55,14 @@ TARGETS = [
     "extreme_moves_hourly",
     "trade_analytics_by_scenario",
     "multimodal_decode_compressed",
+    "multimodal_decode_jpeg",
+    # round-9 item 3: the ANN/similarity surface now has real 10x/100x
+    # rows (build_synth replicates embeddings with per-replica orthogonal
+    # perturbation) instead of constant-input ratios
+    "cosine_topk_10",
+    "ivf_topk_5",
+    "embedding_neardup",
+    "lsh_ann_multiprobe_8",
 ]
 
 

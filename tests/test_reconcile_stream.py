@@ -398,3 +398,120 @@ def test_bootstrap_restart_parity(spark, tmp_path):
         lr = final[k]
         for c in ("expected_amount", "executed_amount", "n_executions", "status"):
             assert lr[c] == br[c], (k, c, lr[c], br[c])
+
+
+# --- Hypothesis sweep: arrival-order / slicing invariance (round-9 item 8) --
+
+from decimal import Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from finiextestingide_spark.streaming.reconcile_stream import (
+    _classify,
+    _fold_events,
+)
+
+# quantities on a 0.01 grid as decimal TEXT (the wire transport): decimal
+# addition is exact, so any grouping/order must produce the same total
+_qty = st.integers(min_value=-500, max_value=10_000).map(
+    lambda c: str(Decimal(c) / 100)
+)
+
+
+@st.composite
+def _key_history(draw):
+    """One key's full event multiset + a random interleaving + a random
+    slicing into micro-batches + an optional history cut for the seed."""
+    has_order = draw(st.booleans())
+    fills = draw(st.lists(_qty, min_size=0, max_size=12))
+    expected = str(Decimal(draw(st.integers(0, 10_000))) / 100)
+    events = [(0, None, q, None, None) for q in fills]
+    if has_order:
+        events.append((1, float(expected), None, None, None))
+    events = draw(st.permutations(events))
+    # slice into micro-batches: cut points over the interleaved sequence
+    cuts = sorted(draw(st.sets(st.integers(0, max(len(events), 1)), max_size=4)))
+    return events, cuts
+
+
+def _drive(events, cuts):
+    """Fold the interleaving batch-by-batch (exactly what the stream's run()
+    does per micro-batch), returning every emitted classification."""
+    state = (0, None, Decimal(0), 0)
+    out = []
+    lo = 0
+    for hi in [*cuts, len(events)]:
+        batch = events[lo:hi]
+        lo = hi
+        if not batch:
+            continue
+        state = _fold_events(*state, batch)
+        out.append(_classify(*state, tolerance=1e-9))
+    return state, out
+
+
+@settings(max_examples=200, deadline=None)
+@given(_key_history())
+def test_arrival_order_and_slicing_invariance(history):
+    """The decimal-exactness claim, fuzzed: ANY interleaving and ANY
+    micro-batch slicing of one key's order/fill multiset converges to the
+    batch classification — same status, bit-identical executed total."""
+    events, cuts = history
+    state, emitted = _drive(events, cuts)
+    has_order, exp, executed, n_exec = state
+
+    # batch oracle: classify the multiset directly
+    fills = [Decimal(q) for k, _, q, _, _ in events if k == 0]
+    order = [e for k, e, _, _, _ in events if k == 1]
+    total = sum(fills, Decimal(0))
+    assert executed == total  # decimal-exact regardless of order/slicing
+    assert n_exec == len(fills)
+    status, e_out, x_out = _classify(*state, tolerance=1e-9)
+    if not order:
+        assert status == "ORPHAN"
+    elif not fills:
+        assert status == "MISSING"
+    else:
+        diff = float(total) - order[0]
+        if abs(diff) <= 1e-9:
+            assert status == "MATCHED"
+        elif diff < 0:
+            assert status == "UNDER_EXECUTED"
+        else:
+            assert status == "OVER_EXECUTED"
+    # the final emitted revision IS the converged verdict
+    if emitted:
+        assert emitted[-1] == (status, e_out, x_out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_key_history(), st.integers(0, 20))
+def test_bootstrap_cut_invariance(history, cut_seed):
+    """Cold-start equivalence, fuzzed: splitting one key's history at ANY
+    point into (batch-aggregated seed) + (streamed tail) reaches the same
+    final state as streaming everything — the seed merge is exactly the
+    fold of the history prefix."""
+    events, _ = history
+    cut = cut_seed % (len(events) + 1)
+    hist, tail = events[:cut], events[cut:]
+
+    # all-stream run
+    full_state = _fold_events(0, None, Decimal(0), 0, events)
+
+    # seed = batch aggregate of the history (what bootstrap_state computes)
+    h_has, h_exp, h_exec, h_n = _fold_events(0, None, Decimal(0), 0, hist)
+    seed = (2, h_exp, str(h_exec), h_n, h_has)
+    # the seed may land anywhere relative to the tail (a live event racing
+    # ahead of its seed row) — put it in the middle of the tail
+    mid = len(tail) // 2
+    seeded_state = _fold_events(
+        0, None, Decimal(0), 0, [*tail[:mid], seed, *tail[mid:]]
+    )
+    assert seeded_state[0] == full_state[0]  # has_order
+    assert seeded_state[1] == full_state[1]  # expected
+    assert seeded_state[2] == full_state[2]  # executed, bit-exact decimal
+    assert seeded_state[3] == full_state[3]  # n_executions
+    assert _classify(*seeded_state, tolerance=1e-9) == _classify(
+        *full_state, tolerance=1e-9
+    )
