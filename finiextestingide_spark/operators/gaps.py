@@ -229,3 +229,30 @@ def session_stats(
         (F.unix_millis(F.max(ts)) - F.unix_millis(F.min(ts))).alias("duration_ms"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def trading_days_between(saved_at, now, *, weekend_aware: bool = True) -> int:
+    """Trading days elapsed between two instants — the weekend-aware
+    staleness measure of the reference's state store
+    (algo_state_store.py:234-250 + market_calendar.get_trading_days:
+    119-141): count Mon-Fri calendar dates in [saved_at.date, now.date]
+    INCLUSIVE, minus one (same-day = 0 days old), so a Friday-night
+    snapshot restored Monday morning is 1 trading day old, not 3 calendar
+    days. ``weekend_aware=False`` (24/7 markets, e.g. crypto) counts plain
+    calendar days — there a Friday snapshot genuinely IS 3 days of missed
+    market on Monday. Driver-side scalar helper (restore-time planning
+    check), not a DataFrame op."""
+    from datetime import timedelta
+
+    if saved_at > now:
+        raise ValueError(f"saved_at {saved_at} is after now {now}")
+    d0, d1 = saved_at.date(), now.date()
+    if not weekend_aware:
+        return (d1 - d0).days
+    days = 0
+    cur = d0
+    while cur <= d1:
+        if cur.weekday() <= 4:  # Monday-Friday
+            days += 1
+        cur += timedelta(days=1)
+    return max(0, days - 1)

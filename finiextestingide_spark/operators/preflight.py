@@ -64,6 +64,41 @@ class PreflightResult:
         return {i.scenario_name for i in self.errors}
 
 
+def validate_snapshot_staleness(
+    saved_at,
+    now,
+    *,
+    max_age_trading_days: int,
+    weekend_aware: bool = True,
+    name: str = "session",
+) -> ValidationIssue | None:
+    """Trading-day-aware restore staleness (round-9 item 6; reference
+    algo_state_store.py:19-22,196-211): a restored snapshot older than
+    ``max_age_trading_days`` TRADING days yields an advisory
+    ValidationIssue (is_error=False — the restore channel decides the
+    policy), measured weekend-aware so a Friday-night snapshot restored
+    Monday is 1 trading day old, not 3. ``max_age_trading_days <= 0``
+    disables the check (the reference's policy-off value). Returns None
+    when fresh."""
+    from .gaps import trading_days_between
+
+    if max_age_trading_days <= 0:
+        return None
+    td = trading_days_between(saved_at, now, weekend_aware=weekend_aware)
+    if td <= max_age_trading_days:
+        return None
+    return ValidationIssue(
+        name,
+        "stale_snapshot",
+        f"restored snapshot saved {saved_at.isoformat()} is {td} trading "
+        f"day(s) old at restore time {now.isoformat()} (weekend_aware="
+        f"{weekend_aware}) — exceeds max_age_trading_days="
+        f"{max_age_trading_days}; the restored state may no longer "
+        f"represent the market",
+        is_error=False,
+    )
+
+
 def detect_quote_currency(symbol: str) -> str:
     s = symbol.upper()
     for quote in KNOWN_QUOTES:

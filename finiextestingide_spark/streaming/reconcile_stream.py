@@ -129,6 +129,7 @@ def bootstrap_state(
     order_key: str,
     expected: str = "expected_amount",
     qty: str = "qty",
+    event_ts: str | None = None,
 ) -> DataFrame:
     """BATCH per-key pairing snapshot from history ledgers — the bulk half
     of the batch-bootstrap/stream-tail protocol (one JVM decimal
@@ -140,7 +141,14 @@ def bootstrap_state(
     total rendered as exact decimal text. For bit-exact parity with the
     stream's Decimal accumulation, pass a decimal-typed ``qty`` (the same
     guidance the stream itself carries); double inputs are widened to
-    DECIMAL(38,10), exact for values on any practical price/lot grid."""
+    DECIMAL(38,10), exact for values on any practical price/lot grid.
+
+    ``event_ts`` (a timestamp column present on BOTH ledgers) stamps the
+    snapshot with its EVENT time — max(event_ts) over orders+executions, a
+    constant ``saved_at`` column — so a later restore can measure staleness
+    in trading days (the reference stamps its state files the same way,
+    algo_state_store.py saved_at; see ``reconcile_stream``'s
+    max_age_trading_days)."""
     qcol = F.col(qty)
     qdec = qcol if _is_decimal(executions, qty) else qcol.cast("decimal(38,10)")
     e = executions.groupBy(F.col(order_key).alias("__key")).agg(
@@ -150,7 +158,7 @@ def bootstrap_state(
     o = orders.groupBy(F.col(order_key).alias("__key")).agg(
         F.max(F.col(expected).cast("double")).alias("__expected")
     )
-    return (
+    snap = (
         o.withColumn("__has_order", F.lit(1))
         .join(e, "__key", "full_outer")
         .select(
@@ -161,6 +169,15 @@ def bootstrap_state(
             F.coalesce("__n", F.lit(0)).cast("long").alias("n_exec"),
         )
     )
+    if event_ts is not None:
+        stamp = (
+            orders.select(F.col(event_ts).alias("__t"))
+            .unionByName(executions.select(F.col(event_ts).alias("__t")))
+            .agg(F.max("__t"))
+            .collect()[0][0]  # planning scalar: one timestamp
+        )
+        snap = snap.withColumn("saved_at", F.lit(stamp).cast("timestamp"))
+    return snap
 
 
 def _is_decimal(df: DataFrame, col: str) -> bool:
@@ -180,6 +197,10 @@ def reconcile_stream(
     state_ttl_ms: int = 0,
     bootstrap: DataFrame | None = None,
     bootstrap_dir: str | None = None,
+    max_age_trading_days: int = 0,
+    weekend_aware: bool = True,
+    restore_now=None,
+    on_stale: str = "warn",
 ) -> DataFrame:
     """orders(order_key, expected_amount) STREAM x executions(order_key,
     qty) STREAM -> revision stream (order_key, expected_amount,
@@ -220,9 +241,49 @@ def reconcile_stream(
     only if unknown), so live tail events racing ahead of their seed row
     are just another out-of-order arrival; once the seed lands the key
     emits a revision carrying the snapshot verdict, so the latest-revision
-    view is complete immediately after restart without replaying history."""
+    view is complete immediately after restart without replaying history.
+
+    ``max_age_trading_days > 0`` arms the trading-day staleness check
+    (round-9 item 6; reference algo_state_store.py:19-22 — a Friday-night
+    snapshot is NOT 3 days old on Monday) on a ``bootstrap`` that carries a
+    ``saved_at`` stamp (see ``bootstrap_state(event_ts=...)``): staleness
+    is measured from ``saved_at`` to ``restore_now`` (default: wall clock
+    UTC — pass the tail's first event time for a deterministic event-time
+    check) via the preflight advisory channel. ``on_stale="warn"`` logs the
+    advisory and proceeds (the reference's warn policy); ``"error"`` raises
+    before any state is seeded (the discard policy — the caller decides
+    whether to re-derive a fresh snapshot)."""
     if (bootstrap is None) != (bootstrap_dir is None):
         raise ValueError("bootstrap and bootstrap_dir must be passed together")
+    if on_stale not in ("warn", "error"):
+        raise ValueError(f"on_stale must be 'warn' or 'error', got {on_stale!r}")
+    if (
+        bootstrap is not None
+        and max_age_trading_days > 0
+        and "saved_at" in bootstrap.columns
+    ):
+        from datetime import datetime, timezone
+
+        from ..operators.preflight import validate_snapshot_staleness
+
+        saved_at = bootstrap.agg(F.max("saved_at")).collect()[0][0]
+        if saved_at is not None:
+            now = restore_now or datetime.now(timezone.utc)
+            if saved_at.tzinfo is None and now.tzinfo is not None:
+                now = now.replace(tzinfo=None)
+            issue = validate_snapshot_staleness(
+                saved_at,
+                now,
+                max_age_trading_days=max_age_trading_days,
+                weekend_aware=weekend_aware,
+                name="reconcile_stream.bootstrap",
+            )
+            if issue is not None:
+                if on_stale == "error":
+                    raise ValueError(issue.message)
+                import warnings as _warnings
+
+                _warnings.warn(issue.message, stacklevel=2)
     key_type = orders.schema[order_key].dataType
     out_schema = StructType(
         [

@@ -237,3 +237,65 @@ def test_plugin_load_error_not_sticky(spark, monkeypatch):
     assert len(plugin_issues) == 1 and plugin_issues[0].scenario_name == "first_typo"
     assert set(unknown) == {"first_typo", "second_typo"}
     assert "built-ins" in unknown["second_typo"]
+
+
+# --- trading-day-aware snapshot staleness (round-9 item 6) ------------------
+
+
+def test_trading_days_between_weekend_aware():
+    """algo_state_store.py:234-250 semantics: Mon-Fri dates inclusive minus
+    one — a Friday-night snapshot restored Monday is 1 trading day old, not
+    3 calendar days; 24/7 markets count calendar days."""
+    from datetime import datetime
+
+    from finiextestingide_spark.operators.gaps import trading_days_between
+
+    fri = datetime(2026, 8, 14, 22, 0)   # Friday night
+    mon = datetime(2026, 8, 17, 8, 0)    # Monday morning
+    assert trading_days_between(fri, mon) == 1
+    assert trading_days_between(fri, mon, weekend_aware=False) == 3
+    assert trading_days_between(fri, fri) == 0                      # same instant
+    sat = datetime(2026, 8, 15, 12, 0)
+    sun = datetime(2026, 8, 16, 12, 0)
+    assert trading_days_between(sat, sun) == 0                      # all-weekend
+    tue, friday = datetime(2026, 8, 11, 9, 0), datetime(2026, 8, 14, 9, 0)
+    assert trading_days_between(tue, friday) == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        trading_days_between(mon, fri)
+
+
+def test_snapshot_staleness_advisory():
+    """Friday-night snapshot restored Monday with max_age=1 trading day is
+    NOT stale; a Tuesday snapshot restored Friday IS — the advisory (never
+    an error: the restore channel owns the policy) names ages and policy."""
+    from datetime import datetime
+
+    from finiextestingide_spark.operators.preflight import (
+        validate_snapshot_staleness,
+    )
+
+    fri = datetime(2026, 8, 14, 22, 0)
+    mon = datetime(2026, 8, 17, 8, 0)
+    assert (
+        validate_snapshot_staleness(fri, mon, max_age_trading_days=1) is None
+    )
+    # the same span on a 24/7 market IS stale (3 calendar days)
+    issue = validate_snapshot_staleness(
+        fri, mon, max_age_trading_days=1, weekend_aware=False
+    )
+    assert issue is not None and not issue.is_error
+    assert "3 trading day(s)" in issue.message
+
+    tue = datetime(2026, 8, 11, 9, 0)
+    friday = datetime(2026, 8, 14, 9, 0)
+    issue = validate_snapshot_staleness(
+        tue, friday, max_age_trading_days=1, name="sess"
+    )
+    assert issue is not None
+    assert issue.check == "stale_snapshot" and issue.scenario_name == "sess"
+    # policy-off value disables the check entirely
+    assert (
+        validate_snapshot_staleness(tue, friday, max_age_trading_days=0) is None
+    )

@@ -515,3 +515,76 @@ def test_bootstrap_cut_invariance(history, cut_seed):
     assert _classify(*seeded_state, tolerance=1e-9) == _classify(
         *full_state, tolerance=1e-9
     )
+
+
+def test_bootstrap_staleness_policy(spark, tmp_path):
+    """Trading-day staleness on restore (round-9 item 6): a snapshot
+    stamped with its event time via bootstrap_state(event_ts=...) is
+    checked at reconcile_stream construction — Friday-night state restored
+    Monday passes max_age=1; a week-old snapshot raises under the 'error'
+    policy and warns (then proceeds) under 'warn'."""
+    from datetime import datetime
+
+    from finiextestingide_spark.streaming.reconcile_stream import bootstrap_state
+
+    o_hist = spark.createDataFrame(
+        [(1, 10.0, datetime(2026, 8, 14, 21, 0))],
+        "order_id long, expected_amount double, ts timestamp",
+    )
+    e_hist = spark.createDataFrame(
+        [(1, 10.0, datetime(2026, 8, 14, 22, 0))],  # Friday night last fill
+        "order_id long, qty double, ts timestamp",
+    )
+    snap = bootstrap_state(
+        o_hist, e_hist, order_key="order_id", event_ts="ts"
+    )
+    assert snap.columns[-1] == "saved_at"
+    assert snap.collect()[0]["saved_at"] == datetime(2026, 8, 14, 22, 0)
+
+    # bounded dummy streams (rate source, never started) — construction is
+    # where the staleness gate runs
+    import pyspark.sql.functions as F
+
+    def _streams():
+        src = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        orders = src.select(
+            F.col("value").alias("order_id"),
+            F.lit(1.0).alias("expected_amount"),
+        )
+        execs = src.select(
+            F.col("value").alias("order_id"), F.lit(1.0).alias("qty")
+        )
+        return orders, execs
+
+    # Friday -> Monday, max_age 1 trading day: NOT stale, constructs fine
+    orders, execs = _streams()
+    reconcile_stream(
+        orders, execs, order_key="order_id",
+        bootstrap=snap, bootstrap_dir=str(tmp_path / "fresh"),
+        max_age_trading_days=1,
+        restore_now=datetime(2026, 8, 17, 8, 0), on_stale="error",
+    )
+
+    # a week later: stale -> 'error' policy raises BEFORE seeding state
+    orders, execs = _streams()
+    with pytest.raises(ValueError, match="trading day"):
+        reconcile_stream(
+            orders, execs, order_key="order_id",
+            bootstrap=snap, bootstrap_dir=str(tmp_path / "stale"),
+            max_age_trading_days=1,
+            restore_now=datetime(2026, 8, 24, 8, 0), on_stale="error",
+        )
+
+    # 'warn' policy surfaces the advisory and proceeds
+    import warnings as _warnings
+
+    orders, execs = _streams()
+    with _warnings.catch_warnings(record=True) as got:
+        _warnings.simplefilter("always")
+        reconcile_stream(
+            orders, execs, order_key="order_id",
+            bootstrap=snap, bootstrap_dir=str(tmp_path / "warned"),
+            max_age_trading_days=1,
+            restore_now=datetime(2026, 8, 24, 8, 0), on_stale="warn",
+        )
+    assert any("trading day" in str(w.message) for w in got)
