@@ -113,6 +113,7 @@ CURATED_ORDER: tuple[str, ...] = (
     # widened driver window picks them up in this order (round-5 VERDICT #8);
     # round-9 rotated-out veterans go to the back of this queue
     "multimodal_frames",
+    "multimodal_audio_frames",
     "streaming_live_replay",
     "streaming_live_signal",
     "volatility_profile",

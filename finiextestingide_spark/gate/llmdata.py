@@ -1962,6 +1962,88 @@ GROUP BY doc_id, f
 """
 
 
+_AUD_RATE, _AUD_FRAME = 8000, 256
+
+
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the codec seam (round-9: the RIFF branch
+    becomes a native WAV/PCM decoder): one mono 16-bit WAV per document is
+    synthesized DISTRIBUTED by a hand-packed RIFF writer — deliberately
+    independent of operators.multimodal.encode_wav, and with a junk LIST
+    chunk of ODD size before data so the decoder's chunk walk and
+    word-alignment padding are exercised on every payload. audio_frame_stats
+    decodes via the native decode_wav and reduces each 256-sample frame to
+    EXACT-INTEGER stats. Oracle: DuckDB recomputes them from the sample
+    formula s(i) = ((doc_id*31 + i*17) %% 4001) - 2000, n = 600 +
+    (doc_id%%5)*100 — a wrong chunk walk, sample width, interleave or frame
+    boundary shifts sum_sq/zero_crossings."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import audio_frame_stats
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 600 + (did % 5) * 100
+                i = np.arange(n, dtype=np.int64)
+                s = (((did * 31 + i * 17) % 4001) - 2000).astype("<i2")
+                data = s.tobytes()
+                fmt = struct.pack(
+                    "<HHIIHH", 1, 1, _AUD_RATE, _AUD_RATE * 2, 2, 16
+                )
+                junk = b"\x07" * 5  # odd-size chunk: exercises the pad byte
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00"
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    blobs = docs.mapInPandas(synth, "doc_id long, media binary")
+    out = audio_frame_stats(blobs, id_col="doc_id", frame_samples=_AUD_FRAME)
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        "sum_sq",
+        "zero_crossings",
+        F.col("peak").cast("long").alias("peak"),
+    )
+
+
+MULTIMODAL_AUDIO_FRAMES_SQL = f"""
+WITH base AS (
+  SELECT d.doc_id, t.i,
+         ((d.doc_id * 31 + t.i * 17) % 4001) - 2000 AS s,
+         600 + (d.doc_id % 5) * 100 AS n
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 999)) AS i) t
+  WHERE t.i < 600 + (d.doc_id % 5) * 100
+)
+SELECT doc_id,
+       CAST(i // {_AUD_FRAME} AS BIGINT) AS frame_idx,
+       CAST({_AUD_RATE} AS BIGINT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(s * s) AS BIGINT) AS sum_sq,
+       CAST(sum(CASE WHEN (i % {_AUD_FRAME}) < {_AUD_FRAME - 1} AND i + 1 < n
+                      AND s * (((doc_id * 31 + (i + 1) * 17) % 4001) - 2000) < 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(max(abs(s)) AS BIGINT) AS peak
+FROM base
+GROUP BY doc_id, i // {_AUD_FRAME}
+"""
+
+
 QUERIES: dict[str, Query] = {
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via content hash"),
     "dedup_keep_best": Query(
@@ -2069,6 +2151,11 @@ QUERIES: dict[str, Query] = {
     ),
     "multimodal_chunks": Query(
         multimodal_chunks, MULTIMODAL_CHUNKS_SQL, "fixed-size binary chunk fingerprints"
+    ),
+    "multimodal_audio_frames": Query(
+        multimodal_audio_frames,
+        MULTIMODAL_AUDIO_FRAMES_SQL,
+        "native WAV/PCM decode + per-frame integer audio stats, formula oracle",
     ),
     "sample_deterministic_30": Query(
         sample_deterministic_30, SAMPLE_DETERMINISTIC_30_SQL, "hash-bucket deterministic sample"

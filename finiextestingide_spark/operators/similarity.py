@@ -324,34 +324,48 @@ def neardup_pairs_blocked(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_block_size: int | None = 50_000,
+    max_block_pairs: int | None = 25_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within blocking-key groups (the exact
     analogue of LSH bucketing for embeddings: all-pairs only inside blocks).
 
     The join is quadratic WITHIN a block, so a skewed caller-chosen key is a
-    silent O(n^2) bomb at scale. ``max_block_size`` guards it: a cheap
+    silent O(n^2) bomb at scale. ``max_block_pairs`` guards the ACTUAL cost
+    — the per-block candidate pair count n*(n-1)/2 — via a cheap
     planning-time count over just the block column (column-pruned scan,
-    map-side combine) raises before the quadratic join is launched if any
-    block exceeds the cap — the same fail-loud posture as
-    dedup.connected_components' non-convergence raise. Pass ``None`` to
-    skip the guard when the key is known-bounded (e.g. a write-once bucket
-    id with enforced fanout)."""
-    if max_block_size is not None:
+    map-side combine), raising before the quadratic join is launched.
+
+    A PAIRS budget, not a row cap, deliberately: the round-9 sf10 sweep
+    caught the previous 50k ROW cap passing a 21.8k-row block (10 fixed
+    labels over 200k vectors) whose 2.4e8 pairs/block x 10 blocks ground
+    for 40+ minutes — a fixed-cardinality block key makes block size grow
+    linearly with the lake, pair cost quadratically, and a row cap scales
+    the wrong way. Exact threshold search within a block is O(n^2) by
+    nature (at practical cosine thresholds the ball radius dwarfs any 1-D
+    projection spread of high-dim unit vectors, so geometric pruning
+    cannot help); when the budget trips, the scalable paths are the ANN
+    surface (``lsh_ann_topk``/``ivf_topk``, recall-audited) or a
+    finer/higher-cardinality block key. Pass ``None`` to skip the guard
+    when the key is known-bounded (e.g. a write-once bucket id with
+    enforced fanout)."""
+    if max_block_pairs is not None:
         oversized = (
             vectors.groupBy(block_col)
             .count()
-            .where(F.col("count") > max_block_size)
+            .where(F.col("count") * (F.col("count") - 1) / 2 > max_block_pairs)
             .limit(1)
             .collect()
         )
         if oversized:
             row = oversized[0]
+            n = row["count"]
             raise ValueError(
                 f"neardup_pairs_blocked: block {row[block_col]!r} has "
-                f"{row['count']} rows > max_block_size={max_block_size}; "
-                "the within-block join is quadratic — choose a finer block "
-                "key or raise max_block_size explicitly"
+                f"{n} rows = {n * (n - 1) // 2} candidate pairs > "
+                f"max_block_pairs={max_block_pairs}; the within-block join "
+                "is quadratic — choose a finer block key, use the ANN "
+                "surface (lsh_ann_topk/ivf_topk), or raise max_block_pairs "
+                "explicitly"
             )
     a, b = vectors.alias("a"), vectors.alias("b")
     return (

@@ -135,15 +135,27 @@ def build_synth(
         out = out.unionByName(p)
     out.write.mode("overwrite").parquet(f"{dest}/documents.parquet")
 
-    # embeddings: offset ids + a per-replica ORTHOGONAL transform (cyclic
-    # coordinate shift by r composed with deterministic +-1 sign flips).
-    # Orthogonality preserves every norm and pairwise dot WITHIN a replica
-    # (so per-replica neighborhood structure is exactly the organic one),
-    # while a transformed copy of a base vector is generically near-
-    # orthogonal to the original — no artificial cross-replica near-dup
-    # clusters, the embedding analogue of the caesar/token document
-    # perturbation (round-9 item 3: the ANN surface gets measured 10x/100x
-    # rows instead of constant-input ones). r = 0 is the identity.
+    replicate_embeddings(spark, src, dest, replicas=replicas)
+
+    for t in TABLES:
+        link = f"{dest}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(os.path.realpath(f"{src}/{t}.parquet"), link)
+
+
+
+
+def replicate_embeddings(spark, src: str, dest: str, *, replicas: int) -> None:
+    """embeddings: offset ids + a per-replica ORTHOGONAL transform (cyclic
+    coordinate shift by r composed with deterministic +-1 sign flips).
+    Orthogonality preserves every norm and pairwise dot WITHIN a replica
+    (so per-replica neighborhood structure is exactly the organic one),
+    while a transformed copy of a base vector is generically near-
+    orthogonal to the original — no artificial cross-replica near-dup
+    clusters, the embedding analogue of the caesar/token document
+    perturbation (round-9 item 3: the ANN surface gets measured 10x/100x
+    rows instead of constant-input ones). r = 0 is the identity. Callable
+    standalone to refresh an existing synth dir in place."""
     em = spark.read.parquet(f"{src}/embeddings.parquet")
     max_vid = em.agg(F.max("vec_id")).collect()[0][0]
     parts = []
@@ -168,13 +180,6 @@ def build_synth(
         # overwrite through the link would try to write there — unlink first
         os.unlink(emb_dest)
     out.write.mode("overwrite").parquet(emb_dest)
-
-    for t in TABLES:
-        link = f"{dest}/{t}.parquet"
-        if not os.path.exists(link):
-            os.symlink(os.path.realpath(f"{src}/{t}.parquet"), link)
-
-
 
 
 def main() -> int:

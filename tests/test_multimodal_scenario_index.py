@@ -525,3 +525,99 @@ def test_jpeg_through_default_seam(spark):
     row = extract_features(df, feature_dim=768).collect()[0]
     assert (row["height"], row["width"]) == (16, 16)
     assert row["features"] == decode_jpeg(payload).reshape(-1).astype(float).tolist()
+
+
+# --- native WAV/PCM audio codec (round-9: the RIFF seam becomes real) -------
+
+
+def test_wav_roundtrip_and_widths():
+    """encode_wav/decode_wav round-trip (mono + stereo 16-bit), plus the
+    8-bit / 24-bit / 32-bit / float32 decode paths against hand-packed
+    buffers — each width's scaling and sign-extension is pinned."""
+    import struct
+
+    from finiextestingide_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    mono = rng.integers(-32768, 32768, (500, 1)).astype(np.int16)
+    s, rate = decode_wav(encode_wav(mono, 44100))
+    assert rate == 44100 and np.array_equal(s, mono.astype(np.int32))
+    stereo = rng.integers(-32768, 32768, (300, 2)).astype(np.int16)
+    s, rate = decode_wav(encode_wav(stereo, 8000))
+    assert s.shape == (300, 2) and np.array_equal(s, stereo.astype(np.int32))
+
+    def wav(fmt_code, ch, rate, bits, data):
+        f = struct.pack("<HHIIHH", fmt_code, ch, rate,
+                        rate * ch * bits // 8, ch * bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(f)) + f
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # 8-bit unsigned recentres to signed
+    s, _ = decode_wav(wav(1, 1, 8000, 8, bytes([0, 128, 255])))
+    assert s[:, 0].tolist() == [-128, 0, 127]
+    # 24-bit sign-extends
+    s, _ = decode_wav(wav(1, 1, 8000, 24, b"\xff\xff\xff" + b"\x01\x00\x00"))
+    assert s[:, 0].tolist() == [-1, 1]
+    # 32-bit PCM passthrough
+    s, _ = decode_wav(wav(1, 1, 8000, 32, struct.pack("<ii", -70000, 70000)))
+    assert s[:, 0].tolist() == [-70000, 70000]
+    # float32 scales to the 16-bit grid with floor(x+0.5)
+    s, _ = decode_wav(wav(3, 1, 8000, 32, struct.pack("<fff", -1.0, 0.5, 2.0)))
+    assert s[:, 0].tolist() == [-32767, 16384, 32767]  # clipped at +2.0
+
+    # compressed formats fail loudly through the seam
+    with pytest.raises(NotImplementedError, match="ADPCM|format 2"):
+        decode_wav(wav(2, 1, 8000, 4, b"\x00\x00"))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOTW" + b"\x00" * 10)
+
+
+def test_wav_chunk_walk_skips_unknown_chunks():
+    """RIFF chunk walk: unknown chunks (odd-size, word-aligned pad) before
+    data are skipped per the spec — the layout every DAW-exported WAV has."""
+    import struct
+
+    from finiextestingide_spark.operators.multimodal import decode_wav
+
+    samples = np.array([100, -200, 300], dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    junk = b"junk!"  # 5 bytes: odd, needs a pad byte
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00"
+            + b"data" + struct.pack("<I", len(samples)) + samples)
+    s, rate = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert rate == 16000 and s[:, 0].tolist() == [100, -200, 300]
+
+
+def test_audio_frame_stats_exact(spark):
+    """audio_frame_stats over the Spark seam: per-frame integer stats equal
+    the hand-computed truth; NULL media rows are skipped; a stereo payload
+    uses channel 0."""
+    from finiextestingide_spark.operators.multimodal import (
+        audio_frame_stats,
+        encode_wav,
+    )
+
+    x = np.array([3, -4, 0, 5, -6, 7, 2, -2, 9, -9], dtype=np.int16)
+    stereo = np.stack([x, np.zeros_like(x)], axis=1)
+    df = spark.createDataFrame(
+        [(1, encode_wav(stereo, 8000)), (2, None)],
+        "media_id long, media binary",
+    )
+    rows = sorted(
+        audio_frame_stats(df, frame_samples=4).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["media_id"] for r in rows] == [1, 1, 1]
+    f0, f1, f2 = rows
+    assert (f0["n_samples"], f1["n_samples"], f2["n_samples"]) == (4, 4, 2)
+    assert f0["sum_sq"] == 9 + 16 + 0 + 25
+    # crossings in [3,-4,0,5]: 3*-4<0 yes; -4*0 no; 0*5 no -> 1
+    assert f0["zero_crossings"] == 1
+    assert f0["peak"] == 5
+    # frame 1 = [-6,7,2,-2]: -6*7<0, 7*2 no, 2*-2<0 -> 2 crossings
+    assert f1["sum_sq"] == 36 + 49 + 4 + 4 and f1["zero_crossings"] == 2
+    assert f2["n_samples"] == 2 and f2["sum_sq"] == 81 + 81
+    assert f2["zero_crossings"] == 1 and f2["peak"] == 9
+    assert all(r["sample_rate"] == 8000 for r in rows)

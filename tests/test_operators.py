@@ -615,17 +615,24 @@ def test_lloyd_centroids_sparse_and_string_ids(spark):
 
 
 def test_neardup_pairs_blocked_skew_guard(spark):
-    """A block larger than max_block_size raises before launching the
-    quadratic join; None disables the guard."""
+    """A block whose candidate pair count n*(n-1)/2 exceeds the
+    max_block_pairs budget raises before launching the quadratic join
+    (round-9: a PAIRS budget, not a row cap — the sf10 sweep caught a
+    fixed-cardinality block key slipping 2.4e8-pair blocks under the old
+    50k ROW cap); None disables the guard."""
     import pytest as _pytest
 
     from finiextestingide_spark.operators.similarity import neardup_pairs_blocked
 
     rows = [(i, "hot", [1.0, 0.0]) for i in range(8)] + [(99, "cold", [0.0, 1.0])]
     vecs = spark.createDataFrame(rows, "vec_id int, block string, embedding array<float>")
-    with _pytest.raises(ValueError, match="max_block_size"):
-        neardup_pairs_blocked(vecs, "block", max_block_size=5)
-    out = neardup_pairs_blocked(vecs, "block", max_block_size=None).collect()
+    # hot block: 8 rows = 28 pairs > 20 -> budget trips, message names both
+    with _pytest.raises(ValueError, match="28 candidate pairs.*max_block_pairs"):
+        neardup_pairs_blocked(vecs, "block", max_block_pairs=20)
+    # 28 pairs <= 28: the exact boundary passes
+    out = neardup_pairs_blocked(vecs, "block", max_block_pairs=28).collect()
+    assert len(out) == 8 * 7 // 2
+    out = neardup_pairs_blocked(vecs, "block", max_block_pairs=None).collect()
     assert len(out) == 8 * 7 // 2  # all-pairs inside the hot block only
 
 
