@@ -621,3 +621,81 @@ def test_audio_frame_stats_exact(spark):
     assert f2["n_samples"] == 2 and f2["sum_sq"] == 81 + 81
     assert f2["zero_crossings"] == 1 and f2["peak"] == 9
     assert all(r["sample_rate"] == 8000 for r in rows)
+
+
+def test_jpeg_422_sampling_exact():
+    """4:2:2 chroma sampling (Y 2x1, chroma upsampled horizontally only):
+    the decoder's per-axis integer upsample factors are independent — a
+    422 stream with block-constant planes round-trips exactly, pinning the
+    fy/fx split that a 420-only decoder would get wrong."""
+    import struct
+
+    from finiextestingide_spark.gate.llmdata import (
+        _JAC_BITS,
+        _JAC_VALS,
+        _JBitWriter,
+        _JDC_BITS,
+        _JDC_VALS,
+        _jenc_block,
+        _jhuff_codes,
+        _jseg,
+        _JZZ,
+    )
+    from finiextestingide_spark.operators.multimodal import decode_jpeg
+
+    h, w = 8, 32  # 2 MCUs of 16x8
+    yp = np.zeros((h, w))
+    for c in range(4):
+        yp[:, c * 8 : c * 8 + 8] = 70 + c * 20
+    cb = np.zeros((h, w // 2))
+    cr = np.zeros((h, w // 2))
+    for m in range(2):
+        cb[:, m * 8 : m * 8 + 8] = 90 + m * 30
+        cr[:, m * 8 : m * 8 + 8] = 150 - m * 40
+
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    mm = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    mm[0] /= np.sqrt(2.0)
+
+    def fdct_q(block):
+        f = mm @ (block.astype(np.float64) - 128.0) @ mm.T
+        return np.round(f.reshape(64)[list(_JZZ)]).astype(np.int64)
+
+    dc = _jhuff_codes(_JDC_BITS, _JDC_VALS)
+    ac = _jhuff_codes(_JAC_BITS, _JAC_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += _jseg(0xDB, bytes([0]) + b"\x01" * 64)
+    out += _jseg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0]),  # Y 2x1: 4:2:2
+    )
+    out += _jseg(0xC4, bytes([0x00]) + bytes(_JDC_BITS) + _JDC_VALS)
+    out += _jseg(0xC4, bytes([0x10]) + bytes(_JAC_BITS) + _JAC_VALS)
+    out += _jseg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    bw = _JBitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+    for mi in range(2):  # 2 MCUs across, Y blocks interleaved 2-wide
+        for bx in range(2):
+            blk = yp[:, mi * 16 + bx * 8 : mi * 16 + bx * 8 + 8]
+            pred[1] = _jenc_block(bw, fdct_q(blk), pred[1], dc, ac)
+        pred[2] = _jenc_block(bw, fdct_q(cb[:, mi * 8 : mi * 8 + 8]), pred[2], dc, ac)
+        pred[3] = _jenc_block(bw, fdct_q(cr[:, mi * 8 : mi * 8 + 8]), pred[3], dc, ac)
+    bw.flush()
+    payload = bytes(out) + bytes(bw.out) + b"\xff\xd9"
+
+    img = decode_jpeg(payload)
+    assert img.shape == (8, 32, 3)
+    cbf = np.repeat(cb, 2, axis=1)  # horizontal-only upsample
+    crf = np.repeat(cr, 2, axis=1)
+    exp = np.stack(
+        [
+            np.clip(np.floor(yp + 1.402 * (crf - 128) + 0.5), 0, 255),
+            np.clip(np.floor(yp - 0.344136 * (cbf - 128)
+                             - 0.714136 * (crf - 128) + 0.5), 0, 255),
+            np.clip(np.floor(yp + 1.772 * (cbf - 128) + 0.5), 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    assert np.array_equal(img, exp)
