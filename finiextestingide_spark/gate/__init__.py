@@ -114,6 +114,7 @@ CURATED_ORDER: tuple[str, ...] = (
     # round-9 rotated-out veterans go to the back of this queue
     "multimodal_frames",
     "multimodal_audio_frames",
+    "reconcile_state_diff",
     "streaming_live_replay",
     "streaming_live_signal",
     "volatility_profile",

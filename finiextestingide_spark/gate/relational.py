@@ -718,6 +718,90 @@ WHERE CASE WHEN bv <> 0 THEN 100 * abs(lv - bv) / abs(bv) > thr
 """
 
 
+def reconcile_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#151 Reconciler shape (reconciler.py:19-21): local shadow state vs
+    broker truth as a keyed full-outer diff with the ghost/orphan/stale
+    vocabulary. Both state tables derive from orders deterministically;
+    divergences are injected by keyed slices — local lacks %%11 keys
+    (ghost), broker lacks %%13 keys (orphan), broker price perturbed *1.005
+    on %%17 and lots +0.05 on %%19 (stale, per-field rows, 0.1%% relative
+    tolerance with the broker value as denominator). Floor-form rounding
+    on outputs; the threshold compares UNROUNDED values on both sides."""
+    from ..operators.drift import state_diff
+
+    def _r(col, n):
+        return F.floor(col * F.lit(float(10**n)) + 0.5) / F.lit(float(10**n))
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        (((F.col("o_orderkey") % 97) + 1) / 10.0).alias("lots"),
+    )
+    local = base.where(F.col("o_orderkey") % 11 != 0)
+    broker = base.where(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        (
+            F.col("price")
+            * F.when(F.col("o_orderkey") % 17 == 0, 1.005).otherwise(1.0)
+        ).alias("price"),
+        (
+            F.col("lots")
+            + F.when(F.col("o_orderkey") % 19 == 0, 0.05).otherwise(0.0)
+        ).alias("lots"),
+    )
+    out = state_diff(
+        local,
+        broker,
+        key="o_orderkey",
+        fields=[("price", "price", "price"), ("lots", "lots", "lots")],
+        stale_tolerance_pct=0.1,
+    )
+    return out.select(
+        "o_orderkey",
+        "divergence",
+        "field",
+        _r(F.col("local_value"), 6).alias("local_value"),
+        _r(F.col("broker_value"), 6).alias("broker_value"),
+        _r(F.col("relative_delta_pct"), 6).alias("relative_delta_pct"),
+    )
+
+
+RECONCILE_STATE_DIFF_SQL = """
+WITH base AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+         ((o_orderkey % 97) + 1) / 10.0 AS lots
+  FROM orders
+),
+l AS (SELECT * FROM base WHERE o_orderkey % 11 <> 0),
+b AS (
+  SELECT o_orderkey,
+         price * CASE WHEN o_orderkey % 17 = 0 THEN 1.005 ELSE 1.0 END AS price,
+         lots + CASE WHEN o_orderkey % 19 = 0 THEN 0.05 ELSE 0.0 END AS lots
+  FROM base WHERE o_orderkey % 13 <> 0
+),
+matched AS (
+  SELECT l.o_orderkey, m.field,
+         CASE m.field WHEN 'price' THEN l.price ELSE l.lots END AS lv,
+         CASE m.field WHEN 'price' THEN b.price ELSE b.lots END AS bv
+  FROM l JOIN b USING (o_orderkey),
+       (SELECT unnest(['price', 'lots']) AS field) m
+)
+SELECT o_orderkey, 'stale' AS divergence, field,
+       floor(lv * 1000000.0 + 0.5) / 1000000.0 AS local_value,
+       floor(bv * 1000000.0 + 0.5) / 1000000.0 AS broker_value,
+       floor(100 * abs(lv - bv) / GREATEST(abs(bv), 1e-12) * 1000000.0 + 0.5)
+         / 1000000.0 AS relative_delta_pct
+FROM matched
+WHERE 100 * abs(lv - bv) / GREATEST(abs(bv), 1e-12) > 0.1
+UNION ALL
+SELECT b.o_orderkey, 'ghost', NULL, NULL, NULL, NULL
+FROM b WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.o_orderkey = b.o_orderkey)
+UNION ALL
+SELECT l.o_orderkey, 'orphan', NULL, NULL, NULL, NULL
+FROM l WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.o_orderkey = l.o_orderkey)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "pricing_summary": Query(pricing_summary, PRICING_SUMMARY_SQL, "TPC-H Q1 shape; A5/A6 aggregations"),
     "top_unshipped_orders": Query(top_unshipped_orders, TOP_UNSHIPPED_ORDERS_SQL, "Q3 shape; deterministic top-k"),
@@ -744,5 +828,10 @@ QUERIES: dict[str, Query] = {
         drift_audit,
         DRIFT_AUDIT_SQL,
         "J6 economics: local vs broker-truth fee/volume/price drift events",
+    ),
+    "reconcile_state_diff": Query(
+        reconcile_state_diff,
+        RECONCILE_STATE_DIFF_SQL,
+        "#151 shadow-state vs broker-truth diff: ghost/orphan/stale events",
     ),
 }

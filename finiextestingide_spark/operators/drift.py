@@ -93,6 +93,108 @@ def drift_events(
     return out if emit_all else out.where(F.col("threshold_exceeded"))
 
 
+def state_diff(
+    local: DataFrame,
+    broker: DataFrame,
+    *,
+    key: str,
+    fields: Sequence[tuple[str, str, str]],
+    stale_tolerance_pct: float = 0.1,
+) -> DataFrame:
+    """Shadow-state vs broker-truth divergence (the reference Reconciler
+    #151, python/framework/trading_env/live/reconciler.py:19-21,254-300,
+    ALERT_ONLY): full-outer diff of two keyed state tables with the
+    reference's divergence vocabulary —
+
+    - ``ghost``  — broker has the key, local lacks it;
+    - ``orphan`` — local has the key, broker lacks it;
+    - ``stale``  — both have it but a field diverges beyond the relative
+      tolerance (reconciler._within_tol: |a-b| / max(|broker|, 1e-12) *
+      100 > stale_tolerance_pct, broker as the reference denominator).
+
+    ``fields``: (field_name, local_col, broker_col) pairs compared per
+    matched key; one output row PER diverged field (field/values NULL on
+    ghost/orphan rows — there is nothing to compare). Matched keys with
+    every field in tolerance emit nothing, so the result IS the divergence
+    log the reference's [RECONCILE] channel prints. The poll loop the
+    reference runs order-by-order is one full-outer join here; at 100 TB
+    both state tables shard on the key like any reconciliation join."""
+    lcl = local.select(
+        F.col(key).alias("__k"),
+        F.lit(1).alias("__l_present"),
+        *[F.col(lc).cast("double").alias(f"__l_{n}") for n, lc, _ in fields],
+    )
+    brk = broker.select(
+        F.col(key).alias("__k"),
+        F.lit(1).alias("__b_present"),
+        *[F.col(bc).cast("double").alias(f"__b_{n}") for n, _, bc in fields],
+    )
+    j = lcl.alias("l").join(brk.alias("b"), on="__k", how="full_outer")
+    has_l = F.col("__l_present").isNotNull()
+    has_b = F.col("__b_present").isNotNull()
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("field"),
+                F.col(f"__l_{n}").alias("local_value"),
+                F.col(f"__b_{n}").alias("broker_value"),
+            )
+            for n, _, _ in fields
+        ]
+    )
+    matched = (
+        j.where(has_l & has_b)
+        .select("__k", F.explode(rows).alias("__m"))
+        .select("__k", "__m.*")
+    )
+    rel = (
+        100.0
+        * F.abs(F.col("local_value") - F.col("broker_value"))
+        / F.greatest(F.abs(F.col("broker_value")), F.lit(1e-12))
+    )
+    stale = matched.where(rel > stale_tolerance_pct).select(
+        F.col("__k").alias(key),
+        F.lit("stale").alias("divergence"),
+        "field",
+        "local_value",
+        "broker_value",
+        rel.alias("relative_delta_pct"),
+    )
+    nulls = [
+        F.lit(None).cast("string").alias("field"),
+        F.lit(None).cast("double").alias("local_value"),
+        F.lit(None).cast("double").alias("broker_value"),
+        F.lit(None).cast("double").alias("relative_delta_pct"),
+    ]
+    ghost = j.where(has_b & ~has_l).select(
+        F.col("__k").alias(key), F.lit("ghost").alias("divergence"), *nulls
+    )
+    orphan = j.where(has_l & ~has_b).select(
+        F.col("__k").alias(key), F.lit("orphan").alias("divergence"), *nulls
+    )
+    return stale.unionByName(ghost).unionByName(orphan)
+
+
+def flat_check(
+    balances: DataFrame,
+    *,
+    asset_col: str = "asset",
+    amount_col: str = "amount",
+    quote_assets: Sequence[str] = (),
+    dust_threshold: float = 1e-8,
+) -> DataFrame:
+    """SPOT flat-preflight (reconciler.py FlatCheckResult): non-quote asset
+    balances above the dust threshold mean the account is NOT flat —
+    returns the offending rows (empty = flat). Dust magnitudes (|amount|
+    <= 1e-8, the reference's _DUST_THRESHOLD) are ignored: exchanges leave
+    sub-satoshi residue on most balances."""
+    return balances.where(
+        (~F.col(asset_col).isin(list(quote_assets)))
+        & (F.abs(F.col(amount_col)) > dust_threshold)
+    )
+
+
 def drift_summary(events: DataFrame, *, by: Sequence[str] = ()) -> DataFrame:
     """DriftAuditSummary shape (drift_audit_types.py:105-122): per
     drift_type (optionally per extra grouping, e.g. scenario/session) the

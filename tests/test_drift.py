@@ -93,3 +93,61 @@ def test_emit_all_and_summary(spark):
     assert summ["volume"]["max_drift_pct"] == pytest.approx(0.0)
     assert summ["price"]["n_events"] == 1        # 3% > 0.5% on fill 2
     assert summ["price"]["max_drift_pct"] == pytest.approx(3.0)
+
+
+def test_state_diff_vocabulary(spark):
+    """#151 Reconciler contract: ghost (broker-only), orphan (local-only),
+    stale (matched, field beyond 0.1% relative tolerance with broker as
+    denominator) — one row per diverged field; in-tolerance matches emit
+    nothing."""
+    from finiextestingide_spark.operators.drift import state_diff
+
+    local = spark.createDataFrame(
+        [
+            (1, 100.0, 2.0),   # matched, in tolerance
+            (2, 100.0, 2.0),   # stale on price (+1%)
+            (3, 100.0, 2.0),   # stale on BOTH fields
+            (4, 100.0, 2.0),   # orphan: broker lacks it
+        ],
+        "ref long, price double, lots double",
+    )
+    broker = spark.createDataFrame(
+        [
+            (1, 100.05, 2.0),  # 0.05% < 0.1%: silent
+            (2, 101.0, 2.0),
+            (3, 102.0, 2.5),
+            (5, 50.0, 1.0),    # ghost: local lacks it
+        ],
+        "ref long, price double, lots double",
+    )
+    rows = state_diff(
+        local, broker, key="ref",
+        fields=[("price", "price", "price"), ("lots", "lots", "lots")],
+    ).collect()
+    got = {(r["ref"], r["divergence"], r["field"]) for r in rows}
+    assert got == {
+        (2, "stale", "price"),
+        (3, "stale", "price"),
+        (3, "stale", "lots"),
+        (4, "orphan", None),
+        (5, "ghost", None),
+    }
+    by = {(r["ref"], r["field"]): r for r in rows if r["divergence"] == "stale"}
+    # denominators are the BROKER values (reconciler._within_tol)
+    assert by[(2, "price")]["relative_delta_pct"] == pytest.approx(100 * 1.0 / 101.0)
+    assert by[(3, "lots")]["relative_delta_pct"] == pytest.approx(100 * 0.5 / 2.5)
+
+
+def test_flat_check_dust(spark):
+    """SPOT flat-preflight: quote assets and dust-magnitude balances are
+    ignored; any other balance above the dust threshold breaks flatness."""
+    from finiextestingide_spark.operators.drift import flat_check
+
+    bal = spark.createDataFrame(
+        [("USDT", 1523.0), ("BTC", 5e-9), ("ETH", 0.25), ("DOGE", -2e-9)],
+        "asset string, amount double",
+    )
+    rows = flat_check(bal, quote_assets=["USDT"]).collect()
+    assert [r["asset"] for r in rows] == ["ETH"]  # the only real holding
+    flat = flat_check(bal.where("asset <> 'ETH'"), quote_assets=["USDT"])
+    assert flat.count() == 0  # dust-only = flat
