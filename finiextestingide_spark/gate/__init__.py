@@ -115,6 +115,8 @@ CURATED_ORDER: tuple[str, ...] = (
     "multimodal_frames",
     "multimodal_audio_frames",
     "reconcile_state_diff",
+    "embedding_neardup_lsh",
+    "embedding_neardup_lsh_recall",
     "streaming_live_replay",
     "streaming_live_signal",
     "volatility_profile",

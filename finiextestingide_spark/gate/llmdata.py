@@ -796,6 +796,128 @@ WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {_ND_MIN_COS}
 """
 
 
+# --- banded-LSH threshold near-dup: the scalable path the exact operator's
+#     pairs-budget guard points to (round-9 sf10 finding) ---
+
+_NDL_NBITS, _NDL_BANDS = 16, 4
+_NDL_PLANES = sim.random_hyperplanes(_NDL_NBITS, _LSH_DIM, seed=1)
+
+
+def _ndl_sig_sql(v: str) -> str:
+    bits = [
+        f"CASE WHEN {_lsh_plane_dot(v, row)} >= 0 THEN '1' ELSE '0' END"
+        for row in _NDL_PLANES
+    ]
+    return "(" + " || ".join(bits) + ")"
+
+
+def _ndl_band_match_sql(a: str, b: str) -> str:
+    r = _NDL_NBITS // _NDL_BANDS
+    return " OR ".join(
+        f"substr({a}, {bnd * r + 1}, {r}) = substr({b}, {bnd * r + 1}, {r})"
+        for bnd in range(_NDL_BANDS)
+    )
+
+
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane LSH near-dup pairs (candidates via band-bucket
+    equi-join only, exact-cosine verified): the scalable alternative
+    neardup_pairs_blocked's pairs-budget guard names. Emitted pairs are a
+    SUBSET of embedding_neardup's exact output by construction; the
+    companion recall gate measures how much of it. Oracle: DuckDB
+    recomputes the 16-bit sign signature from the same md5-derived planes
+    and applies the any-band-agrees candidate rule."""
+    out = sim.lsh_neardup_pairs(
+        _emb(spark, sf_dir), _NDL_PLANES, _ND_MIN_COS,
+        bands=_NDL_BANDS, extra_key="label",
+    )
+    return out.select(
+        "id_a", "id_b", F.col("label").cast("int").alias("label"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+EMBEDDING_NEARDUP_LSH_SQL = f"""
+WITH sig AS (
+  SELECT vec_id, label, embedding, {_ndl_sig_sql('embedding')} AS s
+  FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+         a.embedding AS va, b.embedding AS vb
+  FROM sig a
+  JOIN sig b ON a.label = b.label AND a.vec_id < b.vec_id
+   AND ({_ndl_band_match_sql('a.s', 'b.s')})
+)
+SELECT id_a, id_b, CAST(label AS INTEGER) AS label,
+       round({_cos_sql('va', 'vb')}, 6) AS cosine
+FROM cand
+WHERE {_cos_sql('va', 'vb')} >= {_ND_MIN_COS}
+"""
+
+
+def embedding_neardup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the LSH near-dup path vs the exact blocked
+    operator, per label — the audit that turns 'use the ANN surface' from
+    advice into a number (the IVF surface has the same shape via
+    ivf_recall_audit). recall = |LSH pairs| / |exact pairs| is exact
+    because the LSH output is verified and therefore a subset."""
+    emb = _emb(spark, sf_dir)
+    exact = sim.neardup_pairs_blocked(emb, "label", _ND_MIN_COS)
+    lsh = sim.lsh_neardup_pairs(
+        emb, _NDL_PLANES, _ND_MIN_COS, bands=_NDL_BANDS, extra_key="label"
+    )
+    labels = emb.select("label").distinct()
+    ne = exact.groupBy("label").agg(F.count(F.lit(1)).alias("n_exact"))
+    nl = lsh.groupBy("label").agg(F.count(F.lit(1)).alias("n_lsh"))
+    out = (
+        labels.join(ne, "label", "left")
+        .join(nl, "label", "left")
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_lsh", F.lit(0)).alias("n_lsh"),
+        )
+    )
+    return out.select(
+        "label", "n_exact", "n_lsh",
+        F.round(
+            F.col("n_lsh") / F.greatest(F.col("n_exact"), F.lit(1)), 6
+        ).alias("recall"),
+    )
+
+
+EMBEDDING_NEARDUP_LSH_RECALL_SQL = f"""
+WITH sig AS (
+  SELECT vec_id, label, embedding, {_ndl_sig_sql('embedding')} AS s
+  FROM embeddings
+),
+exact AS (
+  SELECT a.label, CAST(count(*) AS BIGINT) AS n_exact
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {_ND_MIN_COS}
+  GROUP BY a.label
+),
+lsh AS (
+  SELECT a.label, CAST(count(*) AS BIGINT) AS n_lsh
+  FROM sig a
+  JOIN sig b ON a.label = b.label AND a.vec_id < b.vec_id
+   AND ({_ndl_band_match_sql('a.s', 'b.s')})
+  WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {_ND_MIN_COS}
+  GROUP BY a.label
+)
+SELECT CAST(l.label AS INTEGER) AS label,
+       CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact,
+       CAST(COALESCE(h.n_lsh, 0) AS BIGINT) AS n_lsh,
+       round(COALESCE(h.n_lsh, 0) / GREATEST(COALESCE(e.n_exact, 0), 1), 6)
+         AS recall
+FROM (SELECT DISTINCT label FROM embeddings) l
+LEFT JOIN exact e ON e.label = l.label
+LEFT JOIN lsh h ON h.label = l.label
+"""
+
+
 _DECON_MAX = 0.2
 
 
@@ -2096,6 +2218,16 @@ QUERIES: dict[str, Query] = {
         lsh_ann_multiprobe_8, LSH_ANN_MULTIPROBE_8_SQL, "multiprobe LSH ANN (Hamming-1 ring)"
     ),
     "embedding_neardup": Query(embedding_neardup, EMBEDDING_NEARDUP_SQL, "embedding near-dup pairs"),
+    "embedding_neardup_lsh": Query(
+        embedding_neardup_lsh,
+        EMBEDDING_NEARDUP_LSH_SQL,
+        "banded-LSH threshold near-dup (candidates via band-bucket join, verified)",
+    ),
+    "embedding_neardup_lsh_recall": Query(
+        embedding_neardup_lsh_recall,
+        EMBEDDING_NEARDUP_LSH_RECALL_SQL,
+        "measured per-label recall of the LSH near-dup path vs the exact operator",
+    ),
     "decontaminated_train": Query(
         decontaminated_train,
         DECONTAMINATED_TRAIN_SQL,

@@ -317,6 +317,109 @@ def lsh_ann_multiprobe(
     return _ranked_topk(scored, k, id_col=id_col)
 
 
+def lsh_neardup_pairs(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    min_cosine: float,
+    *,
+    bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_key: str | None = None,
+    max_bucket_pairs: int | None = 25_000_000,
+) -> DataFrame:
+    """Threshold near-dup pairs via banded hyperplane LSH + exact verify —
+    the SCALABLE path ``neardup_pairs_blocked``'s pairs-budget guard points
+    to when a block would go quadratic (round-9 sf10 finding). The MinHash
+    band-bucket pattern applied to embeddings: the nbits sign signature
+    splits into ``bands`` contiguous bands; vectors sharing ANY full band
+    (within ``extra_key`` if given) become candidates via an equi-join on
+    (band, band_key[, extra_key]) — never an all-pairs stage — then every
+    candidate is verified with the exact cosine, so emitted pairs are a
+    SUBSET of the exact operator's output (recall < 1 near the threshold,
+    by design; measure it with the recall-audit gate, don't assume it).
+    Candidate probability for a pair at angle theta: 1-(1-(1-theta/pi)^r)^b
+    with r = nbits/bands — tune bands/nbits to the threshold. Bucket skew
+    is guarded by the same pairs budget as the exact operator (a
+    degenerate bucket, e.g. all-zeros from centered data, is the LSH
+    analogue of a hot block).
+
+    Regime, stated honestly: banded LSH beats all-pairs only at HIGH
+    thresholds. Candidate mass scales like b * n^2 / 2^r per key group
+    (uniform buckets), so r buys selectivity and b buys recall; at e.g.
+    cos >= 0.8 (theta 37deg, per-band p = 0.795^r), r=4/b=8 gives ~0.98
+    recall with ~16x pruning. At a loose threshold like 0.35 (theta
+    69deg, p_band = 0.14 at r=4) the b needed for high recall pushes the
+    candidate mass back to ~n^2/2 — no sub-quadratic exact-recall method
+    exists there, which is exactly what the companion recall-audit gate
+    MEASURES per label instead of hiding. For loose-threshold neighbor
+    needs at scale, use per-item top-k ANN (``lsh_ann_topk``/``ivf_topk``,
+    both recall-audited) or a finer block key."""
+    nbits = len(planes)
+    if nbits % bands:
+        raise ValueError(f"nbits={nbits} not divisible by bands={bands}")
+    r = nbits // bands
+    extra = [extra_key] if extra_key else []
+    sig = hyperplane_signature(F.col(vec_col), planes)
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring(sig, b * r + 1, r).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    tagged = vectors.select(
+        F.col(id_col), F.col(vec_col), *extra, F.explode(band_keys).alias("__bk")
+    ).select(id_col, vec_col, *extra, "__bk.band", "__bk.key")
+    if max_bucket_pairs is not None:
+        oversized = (
+            tagged.groupBy("band", "key", *extra)
+            .count()
+            .where(F.col("count") * (F.col("count") - 1) / 2 > max_bucket_pairs)
+            .limit(1)
+            .collect()
+        )
+        if oversized:
+            row = oversized[0]
+            n = row["count"]
+            raise ValueError(
+                f"lsh_neardup_pairs: bucket (band={row['band']}, "
+                f"key={row['key']!r}) has {n} rows = {n * (n - 1) // 2} "
+                f"candidate pairs > max_bucket_pairs={max_bucket_pairs}; "
+                "add hyperplanes (longer bands) or a finer extra_key"
+            )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    for e in extra:
+        cond = cond & (F.col(f"a.{e}") == F.col(f"b.{e}"))
+    cand = (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.{e}").alias(e) for e in extra],
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{vec_col}").alias("__vb"),
+        )
+        # a pair found by several bands must verify (and emit) once
+        .groupBy("id_a", "id_b")
+        .agg(
+            *[F.first(e).alias(e) for e in extra],
+            F.first("__va").alias("__va"),
+            F.first("__vb").alias("__vb"),
+        )
+    )
+    return cand.select(
+        "id_a", "id_b", *extra, cosine(F.col("__va"), F.col("__vb")).alias("cosine")
+    ).where(F.col("cosine") >= min_cosine)
+
+
 def neardup_pairs_blocked(
     vectors: DataFrame,
     block_col: str,

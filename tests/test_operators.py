@@ -972,3 +972,70 @@ def test_ivf_recall_floor_and_monotone(spark, sf_dir):
     assert means[2] >= 0.5, means
     assert means[1] <= means[2] <= means[8], means
     assert means[8] == 1.0, means
+
+
+def test_lsh_neardup_pairs_subset_and_band_recall(spark):
+    """lsh_neardup_pairs (round-9: the scalable path the pairs-budget guard
+    names): (1) verified output is a SUBSET of the exact blocked operator's
+    pairs at the same threshold; (2) in the high-threshold regime LSH is
+    built for, recall rises with the band count (the b knob of
+    1-(1-p^r)^b); (3) a degenerate bucket trips the pairs budget."""
+    import numpy as np
+    import pytest as _pytest
+
+    from finiextestingide_spark.operators.similarity import (
+        lsh_neardup_pairs,
+        neardup_pairs_blocked,
+        random_hyperplanes,
+    )
+
+    # clustered corpus: 12 tight clusters of 4 (cos >= ~0.95 within),
+    # random elsewhere — the semantic-near-dup shape LSH is built for
+    rng = np.random.default_rng(5)
+    rows = []
+    vid = 0
+    for c in range(12):
+        center = rng.normal(size=32)
+        center /= np.linalg.norm(center)
+        for _ in range(4):
+            v = center + rng.normal(size=32) * 0.03
+            v /= np.linalg.norm(v)
+            rows.append((vid, "g", [float(x) for x in v]))
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id int, label string, embedding array<float>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in neardup_pairs_blocked(vecs, "label", 0.9).collect()
+    }
+    assert len(exact) >= 40  # the planted clusters
+
+    planes16 = random_hyperplanes(16, 32, seed=3)
+    got4 = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(
+            vecs, planes16, 0.9, bands=4, extra_key="label"
+        ).collect()
+    }
+    assert got4 <= exact  # verified candidates: never a false positive
+
+    planes32 = random_hyperplanes(32, 32, seed=3)
+    got8 = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(
+            vecs, planes32, 0.9, bands=8, extra_key="label"
+        ).collect()
+    }
+    assert got8 <= exact
+    assert len(got8) >= len(got4)  # more bands -> recall monotone up
+    assert len(got8) / len(exact) >= 0.9  # ~1-(1-0.537)^8 = 0.998 at r=4
+
+    # pairs budget: 48 rows in one band-bucket-degenerate setup
+    same = spark.createDataFrame(
+        [(i, "g", [1.0] * 32) for i in range(48)],
+        "vec_id int, label string, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="max_bucket_pairs"):
+        lsh_neardup_pairs(
+            same, planes16, 0.9, bands=4, extra_key="label", max_bucket_pairs=100
+        )
