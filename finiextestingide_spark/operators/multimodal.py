@@ -232,7 +232,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         )
     bpp = channels  # bytes per pixel at depth 8
     stride = w * bpp
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # truncated/corrupt deflate stream
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     if len(raw) < h * (1 + stride):
         raise ValueError(f"truncated PNG stream: {len(raw)} < {h * (1 + stride)}")
     rows = np.frombuffer(raw, dtype=np.uint8, count=h * (1 + stride)).reshape(
@@ -803,6 +806,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > len(payload):
+            # a half-written object: silently returning the partial chunk
+            # would hide data loss (fuzz-caught in round 9) — fail loud
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes, "
+                f"{len(payload) - pos - 8} remain"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             if len(body) < 16:

