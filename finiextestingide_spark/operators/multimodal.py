@@ -213,6 +213,16 @@ def decode_png(payload: bytes) -> np.ndarray:
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
+        if ctype in (b"IHDR", b"IDAT", b"IEND"):
+            # validate the chunk CRC for the chunks we consume: at lake
+            # scale, bitrot in a length-valid chunk must fail loud, not
+            # decode to silently-wrong pixels (ancillary chunks are
+            # skipped unread, so their integrity is not our concern)
+            if pos + 12 + length > len(payload):
+                raise ValueError(f"truncated PNG {ctype!r} chunk")
+            (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"PNG {ctype!r} chunk CRC mismatch")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":

@@ -747,3 +747,18 @@ def test_codec_truncation_fuzz():
             # if it decodes, it must be byte-identical to the full decode
             # (possible when the cut only removes trailing padding/EOI)
             assert np.array_equal(out, full), (name, cut)
+
+
+def test_png_crc_validation_catches_bitrot():
+    """A single flipped bit in a length-valid IDAT chunk fails loud with a
+    CRC mismatch instead of decoding to silently-wrong pixels — bitrot is
+    routine at lake scale."""
+    from finiextestingide_spark.operators.multimodal import decode_png, encode_png
+
+    img = _img(4, 5, 6)
+    payload = bytearray(encode_png(img))
+    assert np.array_equal(decode_png(bytes(payload)), img)
+    idat_at = bytes(payload).index(b"IDAT")
+    payload[idat_at + 7] ^= 0x01  # flip one data bit, length untouched
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(payload))
