@@ -138,7 +138,11 @@ def bootstrap_state(
 
     Returns (order_key, has_order int, expected double, executed string,
     n_exec long) — exactly the stream's per-key state, with the executed
-    total rendered as exact decimal text. For bit-exact parity with the
+    total rendered as exact decimal text. Duplicate order rows per key:
+    the snapshot takes MAX(expected) deterministically, while the stream
+    keeps the LAST arrival — order ids are unique in every real feed (the
+    reference's broker_ref contract), so keep order feeds deduplicated
+    upstream if yours are not. For bit-exact parity with the
     stream's Decimal accumulation, pass a decimal-typed ``qty`` (the same
     guidance the stream itself carries); double inputs are widened to
     DECIMAL(38,10), exact for values on any practical price/lot grid.
