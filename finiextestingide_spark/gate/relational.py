@@ -725,8 +725,10 @@ def reconcile_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergences are injected by keyed slices — local lacks %%11 keys
     (ghost), broker lacks %%13 keys (orphan), broker price perturbed *1.005
     on %%17 and lots +0.05 on %%19 (stale, per-field rows, 0.1%% relative
-    tolerance with the broker value as denominator). Floor-form rounding
-    on outputs; the threshold compares UNROUNDED values on both sides."""
+    tolerance with the broker value as denominator), local price NULLed on
+    %%23 and broker lots NULLed on %%29 (missing_field — ADVICE r9: a
+    one-sided NULL must surface as divergence, not silently pass). Floor-
+    form rounding on outputs; the threshold compares UNROUNDED values."""
     from ..operators.drift import state_diff
 
     def _r(col, n):
@@ -737,17 +739,25 @@ def reconcile_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("price"),
         (((F.col("o_orderkey") % 97) + 1) / 10.0).alias("lots"),
     )
-    local = base.where(F.col("o_orderkey") % 11 != 0)
+    local = base.where(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 23 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("price"))
+        .alias("price"),
+        "lots",
+    )
     broker = base.where(F.col("o_orderkey") % 13 != 0).select(
         "o_orderkey",
         (
             F.col("price")
             * F.when(F.col("o_orderkey") % 17 == 0, 1.005).otherwise(1.0)
         ).alias("price"),
-        (
+        F.when(F.col("o_orderkey") % 29 == 0, F.lit(None).cast("double"))
+        .otherwise(
             F.col("lots")
             + F.when(F.col("o_orderkey") % 19 == 0, 0.05).otherwise(0.0)
-        ).alias("lots"),
+        )
+        .alias("lots"),
     )
     out = state_diff(
         local,
@@ -772,11 +782,18 @@ WITH base AS (
          ((o_orderkey % 97) + 1) / 10.0 AS lots
   FROM orders
 ),
-l AS (SELECT * FROM base WHERE o_orderkey % 11 <> 0),
+l AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 23 = 0 THEN NULL ELSE price END AS price,
+         lots
+  FROM base WHERE o_orderkey % 11 <> 0
+),
 b AS (
   SELECT o_orderkey,
          price * CASE WHEN o_orderkey % 17 = 0 THEN 1.005 ELSE 1.0 END AS price,
-         lots + CASE WHEN o_orderkey % 19 = 0 THEN 0.05 ELSE 0.0 END AS lots
+         CASE WHEN o_orderkey % 29 = 0 THEN NULL
+              ELSE lots + CASE WHEN o_orderkey % 19 = 0 THEN 0.05 ELSE 0.0 END
+         END AS lots
   FROM base WHERE o_orderkey % 13 <> 0
 ),
 matched AS (
@@ -793,6 +810,13 @@ SELECT o_orderkey, 'stale' AS divergence, field,
          / 1000000.0 AS relative_delta_pct
 FROM matched
 WHERE 100 * abs(lv - bv) / GREATEST(abs(bv), 1e-12) > 0.1
+UNION ALL
+SELECT o_orderkey, 'missing_field', field,
+       floor(lv * 1000000.0 + 0.5) / 1000000.0,
+       floor(bv * 1000000.0 + 0.5) / 1000000.0,
+       NULL
+FROM matched
+WHERE (lv IS NULL) <> (bv IS NULL)
 UNION ALL
 SELECT b.o_orderkey, 'ghost', NULL, NULL, NULL, NULL
 FROM b WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.o_orderkey = b.o_orderkey)

@@ -110,7 +110,13 @@ def state_diff(
     - ``orphan`` — local has the key, broker lacks it;
     - ``stale``  — both have it but a field diverges beyond the relative
       tolerance (reconciler._within_tol: |a-b| / max(|broker|, 1e-12) *
-      100 > stale_tolerance_pct, broker as the reference denominator).
+      100 > stale_tolerance_pct, broker as the reference denominator);
+    - ``missing_field`` — both have the key but the compared field is NULL
+      on exactly ONE side (ADVICE r9: a broker row with a NULL price vs a
+      populated local price is a divergence, not agreement — the relative
+      delta is undefined, so it gets its own class instead of silently
+      passing). A field NULL on BOTH sides is agreement (both books say
+      "no value") and emits nothing.
 
     ``fields``: (field_name, local_col, broker_col) pairs compared per
     matched key; one output row PER diverged field (field/values NULL on
@@ -155,14 +161,21 @@ def state_diff(
             for n, _, _ in fields
         ]
     )
+    def _one_null(m):
+        return m.local_value.isNull() != m.broker_value.isNull()
+
     stale_rows = F.transform(
-        F.filter(pairs, lambda m: _rel(m) > stale_tolerance_pct),
+        # _one_null FIRST: _rel is NULL on one-sided-NULL pairs, and a bare
+        # NULL predicate would DROP the pair — the ADVICE r9 silent pass
+        F.filter(pairs, lambda m: _one_null(m) | (_rel(m) > stale_tolerance_pct)),
         lambda m: F.struct(
-            F.lit("stale").alias("divergence"),
+            F.when(_one_null(m), F.lit("missing_field"))
+            .otherwise(F.lit("stale"))
+            .alias("divergence"),
             m.field.alias("field"),
             m.local_value.alias("local_value"),
             m.broker_value.alias("broker_value"),
-            _rel(m).alias("relative_delta_pct"),
+            F.when(~_one_null(m), _rel(m)).alias("relative_delta_pct"),
         ),
     )
     absent = lambda div: F.array(  # noqa: E731

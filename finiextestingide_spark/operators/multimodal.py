@@ -439,6 +439,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG marker desync at byte {pos}")
+        # T.81 B.1.1.2: any marker may be preceded by any number of 0xFF
+        # fill bytes — skip them so spec-legal output from other encoders
+        # decodes instead of parsing 0xFF as a marker id (ADVICE r9)
+        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
@@ -517,6 +522,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     if nb == 0x00:  # stuffed 0xFF data byte
                         cur.append(0xFF)
                         i += 2
+                        continue
+                    if nb == 0xFF:  # T.81 fill byte before a marker
+                        i += 1
                         continue
                     if 0xD0 <= nb <= 0xD7:  # restart marker
                         entropy_segments.append(bytes(cur))

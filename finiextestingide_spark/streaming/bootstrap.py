@@ -1,0 +1,100 @@
+"""Shared cold-start bootstrap protocol pieces (reference: Cold-Start
+Recovery #355, python/framework/persistence/algo_state_store.py:1-22 —
+reconstruct state at startup from a durable snapshot instead of replaying
+history).
+
+Used by ``streaming.reconcile_stream`` (per-key pairing seeds) and
+``streaming.live_replay`` (pickled ReplaySession seeds). The protocol:
+
+1. The caller computes a BATCH snapshot of history (at batch speed — one
+   JVM aggregation or one applyInPandas pass, never the stream's per-key
+   invocation cost).
+2. ``persist_ledger`` writes it to the durable ledger directory —
+   CREATE-ONLY: if the ledger is already there it is reused verbatim, so
+   restarting the same query from its checkpoint re-reads byte-identical
+   files the file source's checkpoint dedupes, and seeds fold exactly once
+   across restarts (ADVICE r9: an overwrite would mint new part paths the
+   source treats as new data). A DIFFERENT snapshot needs a fresh
+   ledger dir + a fresh checkpoint.
+3. The ledger replays as a one-shot file-source stream unioned with the
+   live feeds (a batch DataFrame cannot union into a streaming plan).
+4. ``check_staleness`` optionally gates the restore on the snapshot's
+   trading-day age (algo_state_store.py:19-22 — a Friday-night snapshot is
+   NOT 3 days old on Monday).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def ledger_exists(spark, path: str) -> bool:
+    """True if ``path`` already holds a committed parquet ledger (a
+    _SUCCESS marker or at least one part file). Hadoop FS API so object
+    stores behave the same as local dirs."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name == "_SUCCESS" or name.startswith("part-"):
+            return True
+    return False
+
+
+def persist_ledger(df: DataFrame, path: str) -> None:
+    """Create-only parquet write of the snapshot wire (see module doc)."""
+    if not ledger_exists(df.sparkSession, path):
+        df.write.mode("overwrite").parquet(path)
+
+
+def check_staleness(
+    bootstrap: DataFrame,
+    *,
+    max_age_trading_days: int,
+    weekend_aware: bool,
+    restore_now,
+    on_stale: str,
+    name: str,
+) -> None:
+    """Trading-day staleness advisory on a ``saved_at``-stamped snapshot.
+
+    ``restore_now`` must be supplied by the CALLER (the tail's first event
+    time, or their scheduler's clock) — the engine bans ambient wall-clock
+    reads in operator surfaces, and an explicit instant keeps the check
+    reproducible. ``on_stale="warn"`` logs and proceeds (the reference's
+    warn policy); ``"error"`` raises before any state is seeded."""
+    if on_stale not in ("warn", "error"):
+        raise ValueError(f"on_stale must be 'warn' or 'error', got {on_stale!r}")
+    if max_age_trading_days <= 0 or "saved_at" not in bootstrap.columns:
+        return
+    from ..operators.preflight import validate_snapshot_staleness
+
+    if restore_now is None:
+        raise ValueError(
+            "max_age_trading_days is armed: pass restore_now explicitly "
+            "(the tail's first event time or your scheduler's clock) — "
+            "the engine bans ambient wall-clock reads in operators"
+        )
+    saved_at = bootstrap.agg(F.max("saved_at")).collect()[0][0]
+    if saved_at is None:
+        return
+    now = restore_now
+    if saved_at.tzinfo is None and now.tzinfo is not None:
+        now = now.replace(tzinfo=None)
+    issue = validate_snapshot_staleness(
+        saved_at,
+        now,
+        max_age_trading_days=max_age_trading_days,
+        weekend_aware=weekend_aware,
+        name=name,
+    )
+    if issue is not None:
+        if on_stale == "error":
+            raise ValueError(issue.message)
+        import warnings as _warnings
+
+        _warnings.warn(issue.message, stacklevel=3)

@@ -246,6 +246,13 @@ def reconcile_stream(
     are just another out-of-order arrival; once the seed lands the key
     emits a revision carrying the snapshot verdict, so the latest-revision
     view is complete immediately after restart without replaying history.
+    The ledger write is CREATE-ONLY: if ``bootstrap_dir`` already holds a
+    committed ledger, it is reused verbatim, so restarting the SAME query
+    from its checkpoint re-reads byte-identical files the file source's
+    checkpoint dedupes — seeds fold exactly once across restarts (ADVICE
+    r9: an overwrite would mint new part paths the source treats as new
+    data, doubling every executed total). A DIFFERENT snapshot needs a
+    fresh bootstrap_dir and a fresh checkpoint.
 
     ``max_age_trading_days > 0`` arms the trading-day staleness check
     (round-9 item 6; reference algo_state_store.py:19-22 — a Friday-night
@@ -263,37 +270,17 @@ def reconcile_stream(
         raise ValueError("bootstrap and bootstrap_dir must be passed together")
     if on_stale not in ("warn", "error"):
         raise ValueError(f"on_stale must be 'warn' or 'error', got {on_stale!r}")
-    if (
-        bootstrap is not None
-        and max_age_trading_days > 0
-        and "saved_at" in bootstrap.columns
-    ):
-        from ..operators.preflight import validate_snapshot_staleness
+    if bootstrap is not None:
+        from .bootstrap import check_staleness
 
-        if restore_now is None:
-            raise ValueError(
-                "max_age_trading_days is armed: pass restore_now explicitly "
-                "(the tail's first event time or your scheduler's clock) — "
-                "the engine bans ambient wall-clock reads in operators"
-            )
-        saved_at = bootstrap.agg(F.max("saved_at")).collect()[0][0]
-        if saved_at is not None:
-            now = restore_now
-            if saved_at.tzinfo is None and now.tzinfo is not None:
-                now = now.replace(tzinfo=None)
-            issue = validate_snapshot_staleness(
-                saved_at,
-                now,
-                max_age_trading_days=max_age_trading_days,
-                weekend_aware=weekend_aware,
-                name="reconcile_stream.bootstrap",
-            )
-            if issue is not None:
-                if on_stale == "error":
-                    raise ValueError(issue.message)
-                import warnings as _warnings
-
-                _warnings.warn(issue.message, stacklevel=2)
+        check_staleness(
+            bootstrap,
+            max_age_trading_days=max_age_trading_days,
+            weekend_aware=weekend_aware,
+            restore_now=restore_now,
+            on_stale=on_stale,
+            name="reconcile_stream.bootstrap",
+        )
     key_type = orders.schema[order_key].dataType
     out_schema = StructType(
         [
@@ -335,8 +322,13 @@ def reconcile_stream(
         )
         # persist the snapshot (the durable ledger), then replay it as a
         # one-shot stream so it can union with the live feeds — a batch
-        # DataFrame cannot union into a streaming plan directly
-        seed_wire.write.mode("overwrite").parquet(bootstrap_dir)
+        # DataFrame cannot union into a streaming plan directly. The write
+        # is CREATE-ONLY (ADVICE r9): see streaming/bootstrap.py — on a
+        # restart-from-checkpoint an overwrite would mint fresh part paths
+        # the file source ingests as new data, folding every seed twice.
+        from .bootstrap import persist_ledger
+
+        persist_ledger(seed_wire, bootstrap_dir)
         seed_src = (
             orders.sparkSession.readStream.schema(seed_wire.schema)
             .parquet(bootstrap_dir)

@@ -147,29 +147,45 @@ def build_synth(
 
 def replicate_embeddings(spark, src: str, dest: str, *, replicas: int) -> None:
     """embeddings: offset ids + a per-replica ORTHOGONAL transform (cyclic
-    coordinate shift by r composed with deterministic +-1 sign flips).
+    coordinate shift by r composed with hash-derived +-1 sign flips).
     Orthogonality preserves every norm and pairwise dot WITHIN a replica
     (so per-replica neighborhood structure is exactly the organic one),
     while a transformed copy of a base vector is generically near-
     orthogonal to the original — no artificial cross-replica near-dup
     clusters, the embedding analogue of the caesar/token document
     perturbation (round-9 item 3: the ANN surface gets measured 10x/100x
-    rows instead of constant-input ones). r = 0 is the identity. Callable
-    standalone to refresh an existing synth dir in place."""
+    rows instead of constant-input ones).
+
+    Signs come from xxhash64(i, r), NOT an algebraic pattern, and EVERY
+    replica (r = 0 included) gets a nontrivial sign pattern: sf10 is built
+    from the sf1 synth, so replicas carry COMPOSED transforms T_r2∘T_r1,
+    and the old parity pattern parity(r*(i+1)) collided under composition
+    (T2∘T2 == T4∘T0, T1∘T3 == T3∘T1 — ADVICE r9), planting exact duplicate
+    copies across replicas; an identity r=0 would likewise make
+    T_a∘T_0 == T_0∘T_a collide for every a. With hash signs on all
+    replicas, composed patterns differ except with probability ~2^-dim per
+    pair (pinned by tests/test_scale_synth.py), for ANY replica count — no
+    caesar-style replica bound is needed. r=0 keeps vec_ids but applies
+    its sign reflection: a global orthogonal map, so all within-replica
+    structure (norms, dots, neighborhoods) is still exactly the organic
+    one. Callable standalone to refresh an existing synth dir in place."""
     em = spark.read.parquet(f"{src}/embeddings.parquet")
     max_vid = em.agg(F.max("vec_id")).collect()[0][0]
     parts = []
     for r in range(replicas):
         p = em.withColumn("vec_id", F.col("vec_id") + F.lit(r * (max_vid + 1)))
-        if r > 0:
-            n = F.size("embedding")
-            idx = F.sequence(F.lit(0), n - 1)
-            rot = F.transform(
-                idx,
-                lambda i: F.element_at(F.col("embedding"), ((i + F.lit(r)) % n) + 1)
-                * (1 - 2 * ((i * F.lit(r) + F.lit(r)) % 2)),
-            ).cast("array<float>")
-            p = p.withColumn("embedding", rot)
+        n = F.size("embedding")
+        idx = F.sequence(F.lit(0), n - 1)
+        # NOTE: single-arg lambda only — F.transform dispatches on lambda
+        # arity, so adding a default-bound second arg would make it the
+        # (element, index) form. The expression is built eagerly this loop
+        # iteration, so the plain closure over r is safe.
+        rot = F.transform(
+            idx,
+            lambda i: F.element_at(F.col("embedding"), ((i + F.lit(r)) % n) + 1)
+            * (1 - 2 * F.pmod(F.xxhash64(i, F.lit(r)), F.lit(2))),
+        ).cast("array<float>")
+        p = p.withColumn("embedding", rot)
         parts.append(p)
     out = parts[0]
     for p in parts[1:]:

@@ -511,6 +511,38 @@ def test_jpeg_rejects_unsupported_variants():
         decode_jpeg(good[: len(good) // 2])  # truncated entropy stream
 
 
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad the stream before
+    a marker — in the header walk AND inside the entropy-coded scan (before
+    restart markers and EOI). Other encoders emit these legally; pixels must
+    be identical to the unpadded stream (ADVICE r9)."""
+    from finiextestingide_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(23)
+    g = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    plain = _jpeg_gray_encode(g, dri=2)
+    want = decode_jpeg(plain)
+
+    # fill bytes after SOI (before the first header marker)
+    padded = plain[:2] + b"\xff\xff\xff" + plain[2:]
+    assert np.array_equal(decode_jpeg(padded), want)
+
+    # fill bytes before EOI (terminates the entropy-coded scan)
+    assert plain[-2:] == b"\xff\xd9"
+    padded = plain[:-2] + b"\xff\xff" + plain[-2:]
+    assert np.array_equal(decode_jpeg(padded), want)
+
+    # fill byte before every restart marker inside the scan
+    out = bytearray()
+    i = 0
+    while i < len(plain):
+        if plain[i] == 0xFF and i + 1 < len(plain) and 0xD0 <= plain[i + 1] <= 0xD7:
+            out.append(0xFF)
+        out.append(plain[i])
+        i += 1
+    assert np.array_equal(decode_jpeg(bytes(out)), want)
+
+
 def test_jpeg_through_default_seam(spark):
     """A JPEG payload decodes through extract_features' DEFAULT decoder
     (decode_media sniffs ffd8ff): features equal the closed-form pixels."""

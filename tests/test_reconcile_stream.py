@@ -400,6 +400,78 @@ def test_bootstrap_restart_parity(spark, tmp_path):
             assert lr[c] == br[c], (k, c, lr[c], br[c])
 
 
+def test_bootstrap_restart_from_checkpoint_folds_seed_once(spark, tmp_path):
+    """ADVICE r9 (medium): restarting the SAME bootstrapped query from its
+    checkpoint must NOT fold the seed a second time. The ledger write is
+    create-only, so the restart re-reads byte-identical files the file
+    source's checkpoint dedupes — order 1's executed total stays
+    seed(10.0) + tail(5.0) = 15.0, not 25.0 (a rewritten ledger would mint
+    new part paths the source ingests as fresh data)."""
+    from finiextestingide_spark.streaming.reconcile_stream import bootstrap_state
+
+    orders_dir = str(tmp_path / "orders")
+    fills_dir = str(tmp_path / "fills")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ledger = str(tmp_path / "ledger")
+
+    # initial live feed contents: order 2 and its exact fill
+    spark.createDataFrame(
+        [(2, 3.0)], "order_id long, expected_amount double"
+    ).write.mode("append").parquet(orders_dir)
+    spark.createDataFrame([(2, 3.0)], "order_id long, qty double").write.mode(
+        "append"
+    ).parquet(fills_dir)
+
+    # history: order 1 fully matched (2 fills, 10.0 total)
+    snap = bootstrap_state(
+        spark.createDataFrame([(1, 10.0)], "order_id long, expected_amount double"),
+        spark.createDataFrame(
+            [(1, 4.0), (1, 6.0)], "order_id long, qty double"
+        ),
+        order_key="order_id",
+    )
+
+    def run_once():
+        orders = spark.readStream.schema(
+            "order_id long, expected_amount double"
+        ).parquet(orders_dir)
+        fills = spark.readStream.schema("order_id long, qty double").parquet(
+            fills_dir
+        )
+        rev = reconcile_stream(
+            orders, fills, order_key="order_id", tolerance=0.01,
+            bootstrap=snap, bootstrap_dir=ledger,
+        )
+        q = (
+            rev.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # a tail fill for order 1 lands while the query is down
+    spark.createDataFrame([(1, 5.0)], "order_id long, qty double").write.mode(
+        "append"
+    ).parquet(fills_dir)
+    run_once()  # restart: same bootstrap args, same checkpoint
+
+    final = {
+        r["order_id"]: r
+        for r in latest_revisions(
+            spark.read.parquet(out_dir), "order_id"
+        ).collect()
+    }
+    assert final[1]["executed_amount"] == 15.0, final[1]  # NOT 25.0
+    assert final[1]["n_executions"] == 3
+    assert final[1]["status"] == "OVER_EXECUTED"
+    assert final[2]["status"] == "MATCHED"
+
+
 # --- Hypothesis sweep: arrival-order / slicing invariance (round-9 item 8) --
 
 from decimal import Decimal
