@@ -291,6 +291,12 @@ def live_backtest(
     latency_max_ms: int = 0,
     timeout_ms: int = 0,
     signals: DataFrame | None = None,
+    bootstrap: DataFrame | None = None,
+    bootstrap_dir: str | None = None,
+    max_age_trading_days: int = 0,
+    weekend_aware: bool = True,
+    restore_now=None,
+    on_stale: str = "warn",
 ) -> DataFrame:
     """ticks(symbol, timestamp, time_msc, bid, ask[, tick_seq]) STREAM ->
     trade-record stream, one row per closed trade, per-symbol state = the
@@ -328,9 +334,18 @@ def live_backtest(
     native branch's own timeout handling is kept only as a defensive
     no-op: its typed state carries no gap anchor (prev quotes), and the
     historical remove-state-on-idle behavior would silently discard a
-    live session's open positions the moment the feed resumed."""
+    live session's open positions the moment the feed resumed.
+
+    ``bootstrap``/``bootstrap_dir`` (cold-start recovery from a
+    ``bootstrap_live_sessions`` snapshot — see ``live_backtest_generic``)
+    also route through the generic path: the snapshot is a pickled
+    ``ReplaySession``, the generic path's exact state form."""
     strat_name = params.get("strategy", "sma_cross")
-    if strat_name not in _NATIVE_LIVE_STRATEGIES or timeout_ms > 0:
+    if (
+        strat_name not in _NATIVE_LIVE_STRATEGIES
+        or timeout_ms > 0
+        or bootstrap is not None
+    ):
         return live_backtest_generic(
             ticks,
             params,
@@ -339,6 +354,12 @@ def live_backtest(
             latency_max_ms=latency_max_ms,
             timeout_ms=timeout_ms,
             signals=signals,
+            bootstrap=bootstrap,
+            bootstrap_dir=bootstrap_dir,
+            max_age_trading_days=max_age_trading_days,
+            weekend_aware=weekend_aware,
+            restore_now=restore_now,
+            on_stale=on_stale,
         )
     bar_ms = int(params.get("bar_ms", 60_000))
     lots = float(params.get("lots", 1.0))
@@ -778,6 +799,249 @@ def live_backtest(
 _BLOB_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
 
 
+def _bootstrap_schema(key_name: str) -> StructType:
+    return StructType(
+        [
+            StructField(key_name, StringType()),
+            StructField("blob", BinaryType()),
+            StructField("n_trades", LongType()),
+            StructField("saved_at", TimestampType()),
+        ]
+    )
+
+
+def _sorted_wire(pdf: pd.DataFrame, *, extra_key: str | None = None) -> pd.DataFrame:
+    """The batch core's total event order (#385 key precedence), with
+    signal rows first at equal event time — the one sort every session
+    drive shares."""
+    keys = [
+        c
+        for c in ("time_msc", "tick_seq", "timestamp", "collected_msc",
+                  *((extra_key,) if extra_key else ()), "bid", "ask")
+        if c in pdf.columns
+    ]
+    if "__is_sig" in pdf.columns:
+        # seed rows enter the union without __is_sig (null) — normalize
+        pdf = pdf.assign(__is_sig=pdf["__is_sig"].fillna(0).astype("int64"))
+        pdf = pdf.assign(__tick_after_sig=1 - pdf["__is_sig"])
+        keys.insert(1, "__tick_after_sig")
+    if "__is_seed" in pdf.columns:
+        # snapshot seeds sort FIRST, before any tail event of the batch
+        pdf = pdf.assign(
+            __seed_after=1 - pdf["__is_seed"].fillna(0).astype("int64")
+        )
+        keys.insert(0, "__seed_after")
+    return pdf.sort_values(keys, kind="mergesort")
+
+
+def bootstrap_live_sessions(
+    ticks: DataFrame,
+    params: dict,
+    *,
+    latency_seed: int = 42,
+    latency_min_ms: int = 0,
+    latency_max_ms: int = 0,
+    signals: DataFrame | None = None,
+) -> DataFrame:
+    """BATCH per-symbol ``ReplaySession`` snapshot from a history ledger —
+    the bulk half of the live loop's cold-start protocol (reference:
+    Cold-Start Recovery #355 + algo_state_store.py Category B, and the
+    warmup path autotrader_warmup_preparator.py: reconstruct the session
+    at startup instead of replaying the feed).
+
+    ticks(symbol, timestamp, time_msc, bid, ask[, tick_seq,
+    collected_msc]) BATCH (+ optional signals BATCH) -> one row per
+    symbol: ``(symbol, blob, n_trades, saved_at)`` where ``blob`` is the
+    pickled end-of-history session — positions, balance, forming bar,
+    close window, resting book, latency FIFO, rng state, trade counter —
+    EXACTLY the state an uninterrupted live run would hold after the same
+    events (no ``finish()``: a live session never END-closes), ``n_trades``
+    is how many trades history closed (the tail's trade_ids continue from
+    it), and ``saved_at`` stamps the snapshot's EVENT time (max time_msc)
+    for the trading-day staleness check at restore.
+
+    Runs as ONE ``applyInPandas`` pass per symbol — history replays at
+    batch-scan speed with no streaming state machinery, no checkpoint and
+    no per-micro-batch overhead; the history's trade records themselves
+    are the batch path's output (``run_backtest`` / this same drive), so
+    they are drained and only counted here. Pass the result to
+    ``live_backtest_generic(bootstrap=..., bootstrap_dir=...)``."""
+    from ..operators.replay import ReplaySession
+
+    p = dict(params)
+    p["equity_sample_every"] = "0"
+    scen = {
+        "scenario_id": 0,
+        "parameters": p,
+        "tick_processing_budget_ms": None,
+        "max_ticks": None,
+        "latency_seed": latency_seed,
+        "latency_min_ms": latency_min_ms,
+        "latency_max_ms": latency_max_ms,
+    }
+
+    def snap(pdf: pd.DataFrame) -> pd.DataFrame:
+        symbol = pdf["symbol"].iloc[0]
+        pdf = _sorted_wire(pdf)
+        sess = ReplaySession(scen)
+        _drive_session_rows(pdf, lambda _sym: sess)
+        n = len(sess.drain_trades())
+        saved_at = pd.Timestamp(int(pdf["time_msc"].max()), unit="ms")
+        return pd.DataFrame(
+            [(symbol, pickle.dumps(sess), n, saved_at)],
+            columns=["symbol", "blob", "n_trades", "saved_at"],
+        )
+
+    src = ticks if signals is None else _merge_signals(ticks, signals)
+    return src.groupBy("symbol").applyInPandas(snap, _bootstrap_schema("symbol"))
+
+
+def _drive_session_rows(pdf: pd.DataFrame, session_for, on_seed=None) -> None:
+    """Feed sorted wire rows into sessions (``session_for(symbol)`` maps a
+    row to its session — constant for per-symbol drives, a book lookup for
+    account drives; ``on_seed(blob)`` receives snapshot seed rows). Shared
+    by the batch snapshot producers and the streaming run() loops, so the
+    event fold is ONE piece of code in both pipelines."""
+    tsl = pdf["time_msc"].astype("int64").tolist()
+    cl = (
+        pdf["collected_msc"].astype("int64").tolist()
+        if "collected_msc" in pdf.columns
+        else tsl
+    )
+    bl = pdf["bid"].tolist()
+    al = pdf["ask"].tolist()
+    sym_l = pdf["symbol"].tolist() if "symbol" in pdf.columns else None
+    sig_l = pdf["__is_sig"].tolist() if "__is_sig" in pdf.columns else None
+    score_l = pdf["__score"].tolist() if "__score" in pdf.columns else None
+    seed_l = pdf["__is_seed"].tolist() if "__is_seed" in pdf.columns else None
+    blob_l = pdf["__blob"].tolist() if seed_l is not None else None
+    for i in range(len(tsl)):
+        if seed_l is not None and seed_l[i]:
+            if on_seed is not None:
+                on_seed(blob_l[i])
+            continue
+        sess = session_for(sym_l[i] if sym_l is not None else None)
+        if sig_l is not None and sig_l[i]:
+            sess.process_signal(tsl[i], score_l[i])
+        else:
+            sess.process_tick(tsl[i], cl[i], bl[i], al[i])
+
+
+def bootstrap_account_sessions(
+    ticks: DataFrame,
+    params: dict,
+    *,
+    account_col: str | None = None,
+    latency_seed: int = 42,
+    latency_min_ms: int = 0,
+    latency_max_ms: int = 0,
+    signals: DataFrame | None = None,
+) -> DataFrame:
+    """``bootstrap_live_sessions`` at ACCOUNT scope: one row per account,
+    ``blob`` = pickled ``(AccountState, {symbol: ReplaySession})`` — the
+    exact state tuple ``live_backtest_account`` holds, driven over history
+    in the same global event-time order (symbol as the stable tiebreak).
+    ``account_col=None`` treats the whole ledger as one account (key
+    "ACCOUNT", matching the live operator)."""
+    from ..operators.replay import AccountState, ReplaySession
+
+    p = dict(params)
+    p["equity_sample_every"] = "0"
+    if p.get("spot_mode") == "1":
+        raise ValueError(
+            "live_backtest_account is a margin-account surface; spot_mode "
+            "carries per-pair asset balances, not one shared margin account"
+        )
+    start_balance = float(p.get("start_balance", 10_000.0))
+    scen_base = {
+        "parameters": p,
+        "tick_processing_budget_ms": None,
+        "max_ticks": None,
+        "latency_seed": latency_seed,
+        "latency_min_ms": latency_min_ms,
+        "latency_max_ms": latency_max_ms,
+    }
+
+    def snap(pdf: pd.DataFrame) -> pd.DataFrame:
+        account = pdf["__account"].iloc[0]
+        pdf = _sorted_wire(pdf, extra_key="symbol")
+        acct, books = AccountState(start_balance), {}
+
+        def session_for(sym):
+            sess = books.get(sym)
+            if sess is None:
+                sess = books[sym] = ReplaySession(
+                    {"scenario_id": len(books), **scen_base}, account=acct
+                )
+            return sess
+
+        _drive_session_rows(pdf, session_for)
+        # cross-symbol clock propagation, exactly as the live operator's
+        # per-batch pass: quiet sub-books heartbeat toward the ledger's
+        # latest event so the snapshot equals the uninterrupted session
+        tsl = pdf["time_msc"].astype("int64")
+        if len(tsl):
+            batch_max_t = int(tsl.max())
+            for sess in books.values():
+                base = sess.ghost_t if sess.ghost_t is not None else sess.prev_t
+                if base is not None and base < batch_max_t:
+                    sess.heartbeat(batch_max_t - base)
+        n = sum(len(s.drain_trades()) for s in books.values())
+        saved_at = pd.Timestamp(int(tsl.max()), unit="ms")
+        return pd.DataFrame(
+            [(account, pickle.dumps((acct, books)), n, saved_at)],
+            columns=["account", "blob", "n_trades", "saved_at"],
+        )
+
+    src = ticks if signals is None else _merge_signals(ticks, signals)
+    src = (
+        src.withColumn("__account", F.lit("ACCOUNT"))
+        if account_col is None
+        else src.withColumnRenamed(account_col, "__account")
+    )
+    return src.groupBy("__account").applyInPandas(snap, _bootstrap_schema("account"))
+
+
+def _seed_union(
+    src: DataFrame,
+    bootstrap: DataFrame,
+    bootstrap_dir: str,
+    *,
+    key_src: str,
+    key_dst: str,
+) -> DataFrame:
+    """Union a session-snapshot ledger into a live wire stream as seed
+    rows (``__is_seed=1`` carrying ``__blob``), persisted create-only to
+    ``bootstrap_dir`` and replayed as a one-shot file-source stream — the
+    reconcile bootstrap protocol (streaming/bootstrap.py) with a session
+    pickle instead of a commutative merge row. Seed rows sort FIRST within
+    a key's micro-batch (before any tail event), and a key whose state
+    already exists ignores its seed — checkpoint state outranks the
+    ledger, so a restart-from-checkpoint is unaffected."""
+    from .bootstrap import persist_ledger
+
+    seed_cols = [
+        F.col(key_src).alias(key_dst),
+        F.col("saved_at").alias("timestamp"),
+        F.unix_millis("saved_at").alias("time_msc"),
+        F.lit(None).cast("double").alias("bid"),
+        F.lit(None).cast("double").alias("ask"),
+        F.lit(1).alias("__is_seed"),
+        F.col("blob").alias("__blob"),
+    ]
+    if "collected_msc" in src.columns:
+        seed_cols.append(F.unix_millis("saved_at").alias("collected_msc"))
+    seed_wire = bootstrap.select(*seed_cols)
+    persist_ledger(seed_wire, bootstrap_dir)
+    seed_src = (
+        src.sparkSession.readStream.schema(seed_wire.schema).parquet(bootstrap_dir)
+    )
+    src = src.withColumn("__is_seed", F.lit(0)).withColumn(
+        "__blob", F.lit(None).cast("binary")
+    )
+    return src.unionByName(seed_src, allowMissingColumns=True)
+
+
 def _trade_rows(symbol: str, trades: list) -> list[tuple]:
     """Session trade dicts -> TRADE_SCHEMA tuples. Signal-driven
     strategies carry the decision-time as-of signal on each position
@@ -810,6 +1074,12 @@ def live_backtest_generic(
     latency_max_ms: int = 0,
     timeout_ms: int = 0,
     signals: DataFrame | None = None,
+    bootstrap: DataFrame | None = None,
+    bootstrap_dir: str | None = None,
+    max_age_trading_days: int = 0,
+    weekend_aware: bool = True,
+    restore_now=None,
+    on_stale: str = "warn",
 ) -> DataFrame:
     """The live loop for ANY decision logic with the ENTIRE batch feature
     surface — per-symbol state is the pickled ``operators.replay.
@@ -844,8 +1114,28 @@ def live_backtest_generic(
     resolving latency fills whose deadline fell inside the gap at the
     last known quote and emitting the resulting trades in REAL time —
     the reference's inter-tick ghost pass (process_tick_loop.py:52-107).
-    Requires ``heartbeat_ms`` in params (the batch gap contract)."""
+    Requires ``heartbeat_ms`` in params (the batch gap contract).
+
+    ``bootstrap`` (+ ``bootstrap_dir``) arms COLD-START RECOVERY
+    (reference #355 + algo_state_store.py Category B): a
+    ``bootstrap_live_sessions`` snapshot of history is persisted
+    create-only to ``bootstrap_dir`` (the durable ledger) and unioned in
+    as one-shot seed rows; a key's seed installs the pickled session
+    BEFORE any tail event of its first micro-batch, so a live bot that
+    lost its Spark checkpoint resumes from the snapshot — open positions,
+    balance, forming bar, resting orders, rng state, trade counter —
+    without replaying its feed (tail trades match the uninterrupted run
+    trade-for-trade; pinned by the restart-without-checkpoint parity
+    pytest). A key whose state ALREADY exists ignores its seed: checkpoint
+    state outranks the ledger, so restarting WITH the checkpoint intact is
+    unaffected and seeds never double-apply.
+    ``max_age_trading_days``/``weekend_aware``/``restore_now``/
+    ``on_stale`` gate the restore on snapshot staleness exactly as in
+    ``reconcile_stream`` (trading-day aware; explicit clock)."""
     from ..operators.replay import ReplaySession
+
+    if (bootstrap is None) != (bootstrap_dir is None):
+        raise ValueError("bootstrap and bootstrap_dir must be passed together")
 
     p = dict(params)
     p["equity_sample_every"] = "0"
@@ -883,42 +1173,29 @@ def live_backtest_generic(
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        keys = [
-            c
-            for c in ("time_msc", "tick_seq", "timestamp", "collected_msc", "bid", "ask")
-            if c in pdf.columns
-        ]
-        has_sig_rows = "__is_sig" in pdf.columns
-        if has_sig_rows:
-            pdf = pdf.assign(__tick_after_sig=1 - pdf["__is_sig"])
-            keys.insert(1, "__tick_after_sig")
-        pdf = pdf.sort_values(keys, kind="mergesort")
+        pdf = _sorted_wire(pdf)
 
+        # lazy session holder: seeds may install the snapshot session, and
+        # checkpoint state outranks the ledger (a seed arriving for an
+        # existing key is a no-op)
+        holder = [None]
         if state.exists:
             (blob,) = state.get
-            sess = pickle.loads(bytes(blob))
-        else:
-            sess = ReplaySession(scen)
+            holder[0] = pickle.loads(bytes(blob))
 
-        tsl = pdf["time_msc"].astype("int64").tolist()
-        cl = (
-            pdf["collected_msc"].astype("int64").tolist()
-            if "collected_msc" in pdf.columns
-            else tsl
-        )
-        bl = pdf["bid"].tolist()
-        al = pdf["ask"].tolist()
-        if has_sig_rows:
-            sig_l = pdf["__is_sig"].tolist()
-            score_l = pdf["__score"].tolist()
-            for t, c, b, a, is_sig, score in zip(tsl, cl, bl, al, sig_l, score_l):
-                if is_sig:
-                    sess.process_signal(t, score)
-                else:
-                    sess.process_tick(t, c, b, a)
-        else:
-            for t, c, b, a in zip(tsl, cl, bl, al):
-                sess.process_tick(t, c, b, a)
+        def session_for(_sym):
+            if holder[0] is None:
+                holder[0] = ReplaySession(scen)
+            return holder[0]
+
+        def on_seed(blob):
+            if holder[0] is None:
+                holder[0] = pickle.loads(bytes(blob))
+
+        _drive_session_rows(pdf, session_for, on_seed)
+        sess = holder[0]
+        if sess is None:
+            return
 
         rows = _trade_rows(symbol, sess.drain_trades())
         state.update((pickle.dumps(sess),))
@@ -928,6 +1205,20 @@ def live_backtest_generic(
             yield pd.DataFrame(rows, columns=[f.name for f in TRADE_SCHEMA.fields])
 
     src = ticks if signals is None else _merge_signals(ticks, signals)
+    if bootstrap is not None:
+        from .bootstrap import check_staleness
+
+        check_staleness(
+            bootstrap,
+            max_age_trading_days=max_age_trading_days,
+            weekend_aware=weekend_aware,
+            restore_now=restore_now,
+            on_stale=on_stale,
+            name="live_backtest_generic.bootstrap",
+        )
+        src = _seed_union(
+            src, bootstrap, bootstrap_dir, key_src="symbol", key_dst="symbol"
+        )
     return src.groupBy("symbol").applyInPandasWithState(
         run,
         outputStructType=TRADE_SCHEMA,
@@ -956,6 +1247,12 @@ def live_backtest_account(
     latency_max_ms: int = 0,
     timeout_ms: int = 0,
     signals: DataFrame | None = None,
+    bootstrap: DataFrame | None = None,
+    bootstrap_dir: str | None = None,
+    max_age_trading_days: int = 0,
+    weekend_aware: bool = True,
+    restore_now=None,
+    on_stale: str = "warn",
 ) -> DataFrame:
     """The live loop re-keyed by ACCOUNT: one stateful session spanning all
     of the account's symbols, so margin and balance gate opens at the
@@ -1011,8 +1308,20 @@ def live_backtest_account(
     seen, resolving a quiet symbol's in-gap fills while its siblings
     tick; (2) ``timeout_ms > 0`` arms a ProcessingTimeTimeout ghost pass
     for the FULLY idle account (see ``ReplaySession.heartbeat``).
+
+    ``bootstrap``/``bootstrap_dir``: cold-start recovery from a
+    ``bootstrap_account_sessions`` snapshot — blob is the pickled
+    ``(AccountState, {symbol: ReplaySession})`` tuple, seeded per account
+    exactly as in ``live_backtest_generic`` (seed rows sort first;
+    checkpoint state outranks the ledger; staleness gated the same way).
+    The snapshot's ``account`` column must match the live stream's
+    ``account_col`` values ("ACCOUNT" for the single-account form, which
+    ``bootstrap_account_sessions(account_col=None)`` emits).
     """
     from ..operators.replay import AccountState, ReplaySession
+
+    if (bootstrap is None) != (bootstrap_dir is None):
+        raise ValueError("bootstrap and bootstrap_dir must be passed together")
 
     p = dict(params)
     p["equity_sample_every"] = "0"
@@ -1062,46 +1371,34 @@ def live_backtest_account(
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        keys = [
-            c
-            for c in ("time_msc", "tick_seq", "timestamp", "collected_msc",
-                      "symbol", "bid", "ask")
-            if c in pdf.columns
-        ]
-        has_sig_rows = "__is_sig" in pdf.columns
-        if has_sig_rows:
-            pdf = pdf.assign(__tick_after_sig=1 - pdf["__is_sig"])
-            keys.insert(1, "__tick_after_sig")
-        pdf = pdf.sort_values(keys, kind="mergesort")
+        pdf = _sorted_wire(pdf, extra_key="symbol")
 
+        # lazy account holder: a snapshot seed installs (acct, books);
+        # checkpoint state outranks the ledger (seed no-op on existing key)
+        holder = [None]
         if state.exists:
             (blob,) = state.get
-            acct, books = pickle.loads(bytes(blob))
-        else:
-            acct, books = AccountState(start_balance), {}
+            holder[0] = pickle.loads(bytes(blob))
 
-        sym_l = pdf["symbol"].tolist()
-        ts_l = pdf["time_msc"].astype("int64").tolist()
-        cl = (
-            pdf["collected_msc"].astype("int64").tolist()
-            if "collected_msc" in pdf.columns
-            else ts_l
-        )
-        bid_l = pdf["bid"].tolist()
-        ask_l = pdf["ask"].tolist()
-        sig_l = pdf["__is_sig"].tolist() if has_sig_rows else None
-        score_l = pdf["__score"].tolist() if has_sig_rows else None
-
-        for i, (sym, t, c, b, a) in enumerate(zip(sym_l, ts_l, cl, bid_l, ask_l)):
+        def session_for(sym):
+            if holder[0] is None:
+                holder[0] = (AccountState(start_balance), {})
+            acct, books = holder[0]
             sess = books.get(sym)
             if sess is None:
                 sess = books[sym] = ReplaySession(
                     {"scenario_id": len(books), **scen_base}, account=acct
                 )
-            if sig_l is not None and sig_l[i]:
-                sess.process_signal(t, score_l[i])
-            else:
-                sess.process_tick(t, c, b, a)
+            return sess
+
+        def on_seed(blob):
+            if holder[0] is None:
+                holder[0] = pickle.loads(bytes(blob))
+
+        _drive_session_rows(pdf, session_for, on_seed)
+        if holder[0] is None:
+            return
+        acct, books = holder[0]
 
         # R8 cross-symbol clock propagation: the account's single
         # event-time queue IS the clock, so a sub-book whose symbol went
@@ -1109,8 +1406,12 @@ def live_backtest_account(
         # in-gap latency fills resolve at (deadline, its last quote),
         # exactly what its own next tick would resolve retroactively
         # (ReplaySession.heartbeat gates on heartbeat_ms/suppress).
-        if ts_l:
-            batch_max_t = max(ts_l)
+        # Seed rows are excluded: their stamp is the snapshot's own time.
+        ts = pdf["time_msc"]
+        if "__is_seed" in pdf.columns:
+            ts = ts[pdf["__is_seed"] == 0]
+        if len(ts):
+            batch_max_t = int(ts.max())
             for sess in books.values():
                 base = sess.ghost_t if sess.ghost_t is not None else sess.prev_t
                 if base is not None and base < batch_max_t:
@@ -1131,6 +1432,20 @@ def live_backtest_account(
         if account_col is None
         else src.withColumnRenamed(account_col, "__account")
     )
+    if bootstrap is not None:
+        from .bootstrap import check_staleness
+
+        check_staleness(
+            bootstrap,
+            max_age_trading_days=max_age_trading_days,
+            weekend_aware=weekend_aware,
+            restore_now=restore_now,
+            on_stale=on_stale,
+            name="live_backtest_account.bootstrap",
+        )
+        src = _seed_union(
+            src, bootstrap, bootstrap_dir, key_src="account", key_dst="__account"
+        )
     return src.groupBy("__account").applyInPandasWithState(
         run,
         outputStructType=TRADE_SCHEMA,
