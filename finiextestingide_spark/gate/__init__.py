@@ -114,6 +114,7 @@ CURATED_ORDER: tuple[str, ...] = (
     # round-9 rotated-out veterans go to the back of this queue
     "multimodal_frames",
     "multimodal_audio_frames",
+    "live_clipping_report",
     "reconcile_state_diff",
     "embedding_neardup_lsh",
     "embedding_neardup_lsh_recall",

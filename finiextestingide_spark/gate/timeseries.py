@@ -2907,6 +2907,74 @@ JOIN xprice x USING (symbol)
 """
 
 
+def live_clipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#197 clipping telemetry, fleet roll-up form: deterministic synthetic
+    per-tick processing times (((event_id %% 97) + 1) * 0.25 ms) against
+    the real inter-arrival deltas of the events feed, classified with the
+    reference's rule (clipped when processing > tick_delta > 0; staleness =
+    overshoot; avg staleness over CLIPPED ticks only). Floor-form rounding
+    on double outputs; the classification compares UNROUNDED values."""
+    from ..operators.clipping import clipping_report
+
+    def _r(col, n=6):
+        return F.floor(col * F.lit(float(10**n)) + 0.5) / F.lit(float(10**n))
+
+    telem = _events(spark, sf_dir).select(
+        F.col("event_type").alias("symbol"),
+        F.unix_micros("ts").alias("arrival_us"),
+        (((F.col("event_id") % 97) + 1) * 0.25).alias("processing_ms"),
+        "event_id",
+    )
+    out = clipping_report(telem, by=("symbol",), order_tiebreak="event_id")
+    return out.select(
+        "symbol",
+        "total_ticks",
+        "ticks_clipped",
+        _r(F.col("clipping_ratio")).alias("clipping_ratio"),
+        _r(F.col("max_stale_ms")).alias("max_stale_ms"),
+        _r(F.col("avg_stale_ms")).alias("avg_stale_ms"),
+        _r(F.col("max_processing_ms")).alias("max_processing_ms"),
+        _r(F.col("avg_processing_ms")).alias("avg_processing_ms"),
+    )
+
+
+LIVE_CLIPPING_REPORT_SQL = """
+WITH telem AS (
+  SELECT event_type AS symbol, epoch_us(ts) AS arrival_us,
+         ((event_id % 97) + 1) * 0.25 AS processing_ms, event_id
+  FROM events
+),
+d AS (
+  SELECT symbol, processing_ms,
+         (arrival_us - lag(arrival_us) OVER (
+            PARTITION BY symbol ORDER BY arrival_us, event_id)) / 1000.0
+           AS delta_ms
+  FROM telem
+),
+s AS (
+  SELECT symbol, processing_ms,
+         CASE WHEN delta_ms > 0 AND processing_ms > delta_ms
+              THEN processing_ms - delta_ms END AS stale_ms
+  FROM d
+)
+SELECT symbol,
+       count(*) AS total_ticks,
+       count(stale_ms) AS ticks_clipped,
+       floor(CAST(count(stale_ms) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+         / 1000000.0 AS clipping_ratio,
+       floor(coalesce(max(stale_ms), 0.0) * 1000000.0 + 0.5) / 1000000.0
+         AS max_stale_ms,
+       floor(coalesce(avg(stale_ms), 0.0) * 1000000.0 + 0.5) / 1000000.0
+         AS avg_stale_ms,
+       floor(max(processing_ms) * 1000000.0 + 0.5) / 1000000.0
+         AS max_processing_ms,
+       floor(avg(processing_ms) * 1000000.0 + 0.5) / 1000000.0
+         AS avg_processing_ms
+FROM s
+GROUP BY symbol
+"""
+
+
 QUERIES: dict[str, Query] = {
     "bars_1h": Query(bars_1h, BARS_1H_SQL, "A1 tumbling OHLCV, H1"),
     "bars_1d": Query(bars_1d, BARS_1D_SQL, "A1 tumbling OHLCV, D1"),
@@ -3046,5 +3114,10 @@ QUERIES: dict[str, Query] = {
         trade_analytics_by_scenario,
         TRADE_ANALYTICS_BY_SCENARIO_SQL,
         "A5 expectancy/win-loss analytics over oracle-checked replay trades",
+    ),
+    "live_clipping_report": Query(
+        live_clipping_report,
+        LIVE_CLIPPING_REPORT_SQL,
+        "#197 clipping telemetry roll-up: processing vs inter-arrival delta",
     ),
 }

@@ -1,0 +1,215 @@
+"""Live clipping telemetry (#197): can the engine keep up with the feed?
+
+The reference's ``LiveClippingMonitor``
+(python/framework/autotrader/live_clipping_monitor.py:1-25 + type shapes in
+types/autotrader_types/clipping_monitor_types.py) measures, per tick, the
+REAL processing time against the inter-tick arrival interval: a tick whose
+processing outlasts the gap to the next arrival is CLIPPED — the one
+operational metric a live operator checks first. Phases: per-tick timing,
+clipping detection, session counters (ticks_clipped / max_stale_ms /
+avg_stale_ms), periodic interval reports, queue-depth watermark.
+
+Two engine forms:
+
+- ``ClippingMonitor`` — the per-session fold, reference-parity arithmetic,
+  plain picklable data so it rides INSIDE a live session's streaming state
+  (``live_backtest_generic(clipping=True)`` attaches one per key and wraps
+  every ``process_tick`` with a perf_counter_ns measurement; arrival time
+  is the wire's ``collected_msc`` ingest clock, the reference's tick_delta
+  source). Unlike the reference, the raw per-tick time list is BOUNDED
+  (last ``keep_times`` entries) — a months-lived session must not grow an
+  unbounded float list in checkpoint state.
+- ``clipping_report`` — the BATCH/fleet form: one aggregation over a
+  telemetry ledger (arrival + processing_ms per tick) producing the
+  session-summary row per group. At 100 TB this is a window-lag + groupBy,
+  shuffling each group once; no driver participation.
+
+Clock policy: the engine bans ambient wall-clock reads in DETERMINISTIC
+operator surfaces; clipping is observational telemetry of real elapsed
+time, so the live path measures with ``time.perf_counter_ns`` — but every
+entry point takes the measurement as an ARGUMENT (``record_tick``,
+``get_periodic_report(now_s)``), so tests drive the fold with synthesized
+clocks and the arithmetic stays deterministic.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+class ClippingMonitor:
+    """Per-session clipping fold (reference LiveClippingMonitor parity).
+
+    ``record_tick(processing_ns, tick_delta_ms)``: a tick is clipped when
+    ``tick_delta_ms > 0`` and processing exceeded it; staleness is the
+    overshoot. First-tick / unknown deltas pass 0 (never clipped).
+    ``get_periodic_report(now_s)`` returns the interval report dict once
+    ``report_interval_s`` has elapsed on the CALLER-SUPPLIED monotonic
+    clock, then resets interval counters (the reference's Phase 4).
+    ``session_summary()`` is the end-of-session roll-up (Phase 3 totals).
+    """
+
+    __slots__ = (
+        "report_interval_s", "strategy", "keep_times",
+        "total_ticks", "ticks_clipped", "total_stale_ms", "max_stale_ms",
+        "max_processing_ms", "total_processing_ms", "max_queue_depth",
+        "processing_times_ms", "last_arrival_ms", "_iv", "last_report_s",
+    )
+
+    def __init__(
+        self,
+        report_interval_s: float = 60.0,
+        strategy: str = "queue_all",
+        keep_times: int = 10_000,
+        start_s: float = 0.0,
+    ):
+        if strategy not in ("queue_all", "drop_stale"):
+            raise ValueError(f"unknown clipping strategy {strategy!r}")
+        self.report_interval_s = float(report_interval_s)
+        self.strategy = strategy
+        self.keep_times = int(keep_times)
+        self.total_ticks = 0
+        self.ticks_clipped = 0
+        self.total_stale_ms = 0.0
+        self.max_stale_ms = 0.0
+        self.max_processing_ms = 0.0
+        self.total_processing_ms = 0.0
+        self.max_queue_depth = 0
+        self.processing_times_ms: deque = deque(maxlen=self.keep_times)
+        self.last_arrival_ms: int | None = None  # live-path delta anchor
+        self._iv = self._fresh_interval()
+        self.last_report_s = float(start_s)
+
+    @staticmethod
+    def _fresh_interval() -> dict:
+        return {
+            "ticks": 0, "clipped": 0, "stale_ms": 0.0, "max_stale_ms": 0.0,
+            "max_processing_ms": 0.0, "total_processing_ms": 0.0,
+            "max_queue_depth": 0,
+        }
+
+    def record_tick(self, processing_ns: int, tick_delta_ms: float) -> None:
+        processing_ms = processing_ns / 1_000_000.0
+        self.total_ticks += 1
+        self.total_processing_ms += processing_ms
+        self.processing_times_ms.append(processing_ms)
+        if processing_ms > self.max_processing_ms:
+            self.max_processing_ms = processing_ms
+        iv = self._iv
+        iv["ticks"] += 1
+        iv["total_processing_ms"] += processing_ms
+        if processing_ms > iv["max_processing_ms"]:
+            iv["max_processing_ms"] = processing_ms
+        if tick_delta_ms > 0 and processing_ms > tick_delta_ms:
+            stale_ms = processing_ms - tick_delta_ms
+            self.ticks_clipped += 1
+            self.total_stale_ms += stale_ms
+            if stale_ms > self.max_stale_ms:
+                self.max_stale_ms = stale_ms
+            iv["clipped"] += 1
+            iv["stale_ms"] += stale_ms
+            if stale_ms > iv["max_stale_ms"]:
+                iv["max_stale_ms"] = stale_ms
+
+    def record_arrival(self, arrival_ms: int, processing_ns: int) -> None:
+        """Live-path convenience: fold one tick given its ARRIVAL stamp
+        (the wire's collected_msc ingest clock); the monitor holds the
+        previous arrival as the delta anchor. Out-of-order arrivals fold
+        with delta 0 (never clipped) and do not move the anchor back."""
+        if self.last_arrival_ms is None or arrival_ms < self.last_arrival_ms:
+            delta = 0.0
+        else:
+            delta = float(arrival_ms - self.last_arrival_ms)
+        if self.last_arrival_ms is None or arrival_ms > self.last_arrival_ms:
+            self.last_arrival_ms = arrival_ms
+        self.record_tick(processing_ns, delta)
+
+    def record_queue_depth(self, depth: int) -> None:
+        if depth > self.max_queue_depth:
+            self.max_queue_depth = depth
+        if depth > self._iv["max_queue_depth"]:
+            self._iv["max_queue_depth"] = depth
+
+    def get_periodic_report(self, now_s: float) -> dict | None:
+        if now_s - self.last_report_s < self.report_interval_s:
+            return None
+        iv = self._iv
+        if iv["ticks"] == 0:
+            self.last_report_s = now_s
+            return None
+        report = {
+            "interval_ticks": iv["ticks"],
+            "interval_clipped": iv["clipped"],
+            "interval_max_stale_ms": iv["max_stale_ms"],
+            "interval_avg_stale_ms": (
+                iv["stale_ms"] / iv["clipped"] if iv["clipped"] else 0.0
+            ),
+            "interval_max_processing_ms": iv["max_processing_ms"],
+            "interval_avg_processing_ms": iv["total_processing_ms"] / iv["ticks"],
+            "interval_max_queue_depth": iv["max_queue_depth"],
+        }
+        self._iv = self._fresh_interval()
+        self.last_report_s = now_s
+        return report
+
+    def session_summary(self) -> dict:
+        n, c = self.total_ticks, self.ticks_clipped
+        return {
+            "total_ticks": n,
+            "ticks_clipped": c,
+            "clipping_ratio": c / n if n else 0.0,
+            "max_stale_ms": self.max_stale_ms,
+            "avg_stale_ms": self.total_stale_ms / c if c else 0.0,
+            "max_processing_ms": self.max_processing_ms,
+            "avg_processing_ms": self.total_processing_ms / n if n else 0.0,
+            "max_queue_depth": self.max_queue_depth,
+            "processing_times_ms": list(self.processing_times_ms),
+        }
+
+
+def clipping_report(
+    telemetry: DataFrame,
+    *,
+    by: Sequence[str] = ("symbol",),
+    arrival_us: str = "arrival_us",
+    processing_ms: str = "processing_ms",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Session-summary clipping report from a per-tick telemetry ledger —
+    the reference's ClippingSessionSummary computed as ONE Spark
+    aggregation per group instead of an in-memory fold.
+
+    ``telemetry``: one row per processed tick with its ARRIVAL stamp
+    (``arrival_us``, microseconds — collected_msc*1000 or an ingest
+    clock) and measured ``processing_ms``. The inter-tick delta is
+    ``arrival - lag(arrival)`` per group in arrival order (the reference's
+    tick_delta); a group's first tick has no delta and is never clipped.
+
+    Output per group: ``total_ticks, ticks_clipped, clipping_ratio,
+    max_stale_ms, avg_stale_ms, max_processing_ms, avg_processing_ms``
+    (avg_stale over CLIPPED ticks, the reference convention; zeros when
+    nothing clipped).
+
+    Scale: one window shuffle on the group key (lag), one partial-agg
+    groupBy on the same key — AQE coalesces them; no Python in the path."""
+    order = [F.col(arrival_us)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(*by).orderBy(*order)
+    delta_ms = (F.col(arrival_us) - F.lag(arrival_us).over(w)) / 1000.0
+    p = F.col(processing_ms)
+    stale = F.when((delta_ms > 0) & (p > delta_ms), p - delta_ms)
+    rows = telemetry.select(
+        *by, p.alias("__p"), stale.alias("__stale")
+    )
+    return rows.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("total_ticks"),
+        F.count("__stale").alias("ticks_clipped"),
+        (F.count("__stale") / F.count(F.lit(1))).alias("clipping_ratio"),
+        F.coalesce(F.max("__stale"), F.lit(0.0)).alias("max_stale_ms"),
+        F.coalesce(F.avg("__stale"), F.lit(0.0)).alias("avg_stale_ms"),
+        F.max("__p").alias("max_processing_ms"),
+        F.avg("__p").alias("avg_processing_ms"),
+    )

@@ -83,7 +83,9 @@ for the engine's whole strategy surface. Account-global portfolio state
 
 from __future__ import annotations
 
+import logging
 import pickle
+import time
 from collections.abc import Iterator
 
 import pandas as pd
@@ -128,6 +130,10 @@ TRADE_SCHEMA = StructType(
 )
 
 _NO_SIG = -(2**62)
+
+# #197 periodic clipping reports land here on the EXECUTOR (operational
+# telemetry, the reference's [CLIPPING] log channel)
+_CLIP_LOG = logging.getLogger("finiextestingide_spark.clipping")
 
 # live_backtest's native transparent-state strategies; everything else
 # (recursive-EMA/ctx/action strategies, plugins) auto-delegates to the
@@ -896,12 +902,21 @@ def bootstrap_live_sessions(
     return src.groupBy("symbol").applyInPandas(snap, _bootstrap_schema("symbol"))
 
 
-def _drive_session_rows(pdf: pd.DataFrame, session_for, on_seed=None) -> None:
+def _drive_session_rows(
+    pdf: pd.DataFrame, session_for, on_seed=None, monitor=None, clock_ns=None
+) -> None:
     """Feed sorted wire rows into sessions (``session_for(symbol)`` maps a
     row to its session — constant for per-symbol drives, a book lookup for
     account drives; ``on_seed(blob)`` receives snapshot seed rows). Shared
     by the batch snapshot producers and the streaming run() loops, so the
-    event fold is ONE piece of code in both pipelines."""
+    event fold is ONE piece of code in both pipelines.
+
+    ``monitor=True`` (#197): sessions carrying a ``clipping_monitor``
+    attribute (an ``operators.clipping.ClippingMonitor``) get every
+    ``process_tick`` wrapped in a ``clock_ns`` measurement
+    (``time.perf_counter_ns`` in the live paths; tests inject a synthetic
+    clock) folded against the tick's arrival stamp (the ``collected_msc``
+    ingest clock, the reference's tick_delta source)."""
     tsl = pdf["time_msc"].astype("int64").tolist()
     cl = (
         pdf["collected_msc"].astype("int64").tolist()
@@ -923,8 +938,16 @@ def _drive_session_rows(pdf: pd.DataFrame, session_for, on_seed=None) -> None:
         sess = session_for(sym_l[i] if sym_l is not None else None)
         if sig_l is not None and sig_l[i]:
             sess.process_signal(tsl[i], score_l[i])
-        else:
+        elif not monitor:
             sess.process_tick(tsl[i], cl[i], bl[i], al[i])
+        else:
+            mon = getattr(sess, "clipping_monitor", None)
+            if mon is None:
+                sess.process_tick(tsl[i], cl[i], bl[i], al[i])
+            else:
+                t0 = clock_ns()
+                sess.process_tick(tsl[i], cl[i], bl[i], al[i])
+                mon.record_arrival(cl[i], clock_ns() - t0)
 
 
 def bootstrap_account_sessions(
@@ -1080,6 +1103,8 @@ def live_backtest_generic(
     weekend_aware: bool = True,
     restore_now=None,
     on_stale: str = "warn",
+    clipping: bool = False,
+    clipping_report_interval_s: float = 60.0,
 ) -> DataFrame:
     """The live loop for ANY decision logic with the ENTIRE batch feature
     surface — per-symbol state is the pickled ``operators.replay.
@@ -1131,7 +1156,22 @@ def live_backtest_generic(
     unaffected and seeds never double-apply.
     ``max_age_trading_days``/``weekend_aware``/``restore_now``/
     ``on_stale`` gate the restore on snapshot staleness exactly as in
-    ``reconcile_stream`` (trading-day aware; explicit clock)."""
+    ``reconcile_stream`` (trading-day aware; explicit clock).
+
+    ``clipping=True`` arms LIVE CLIPPING TELEMETRY (#197, reference
+    live_clipping_monitor.py:1-25): each session carries an
+    ``operators.clipping.ClippingMonitor`` in its streaming state; every
+    ``process_tick`` is wrapped in a real ``perf_counter_ns`` measurement
+    and folded against the tick's ``collected_msc`` arrival delta — a tick
+    whose processing outlasts the gap to the next arrival is CLIPPED, the
+    "engine can't keep up with the feed" signal a live operator checks
+    first. Interval reports (every ``clipping_report_interval_s`` on the
+    worker's monotonic clock) are logged to the
+    ``finiextestingide_spark.clipping`` logger on the executor; the
+    running session summary rides in the state blob
+    (``pickle.loads(state).clipping_monitor.session_summary()``), and
+    fleet-wide roll-ups come from ``operators.clipping.clipping_report``
+    over a telemetry ledger."""
     from ..operators.replay import ReplaySession
 
     if (bootstrap is None) != (bootstrap_dir is None):
@@ -1183,19 +1223,39 @@ def live_backtest_generic(
             (blob,) = state.get
             holder[0] = pickle.loads(bytes(blob))
 
+        def _arm(sess):
+            # #197: the monitor rides ON the session so it checkpoints with
+            # it; snapshot-seeded / pre-clipping sessions get one attached
+            if clipping and getattr(sess, "clipping_monitor", None) is None:
+                from ..operators.clipping import ClippingMonitor
+
+                sess.clipping_monitor = ClippingMonitor(
+                    clipping_report_interval_s, start_s=time.monotonic()
+                )
+            return sess
+
         def session_for(_sym):
             if holder[0] is None:
-                holder[0] = ReplaySession(scen)
+                holder[0] = _arm(ReplaySession(scen))
             return holder[0]
 
         def on_seed(blob):
             if holder[0] is None:
-                holder[0] = pickle.loads(bytes(blob))
+                holder[0] = _arm(pickle.loads(bytes(blob)))
 
-        _drive_session_rows(pdf, session_for, on_seed)
+        if holder[0] is not None:
+            _arm(holder[0])
+        _drive_session_rows(
+            pdf, session_for, on_seed,
+            monitor=clipping, clock_ns=time.perf_counter_ns,
+        )
         sess = holder[0]
         if sess is None:
             return
+        if clipping:
+            report = sess.clipping_monitor.get_periodic_report(time.monotonic())
+            if report is not None:
+                _CLIP_LOG.info("[CLIPPING] %s %s", symbol, report)
 
         rows = _trade_rows(symbol, sess.drain_trades())
         state.update((pickle.dumps(sess),))
@@ -1253,6 +1313,8 @@ def live_backtest_account(
     weekend_aware: bool = True,
     restore_now=None,
     on_stale: str = "warn",
+    clipping: bool = False,
+    clipping_report_interval_s: float = 60.0,
 ) -> DataFrame:
     """The live loop re-keyed by ACCOUNT: one stateful session spanning all
     of the account's symbols, so margin and balance gate opens at the
@@ -1317,6 +1379,12 @@ def live_backtest_account(
     The snapshot's ``account`` column must match the live stream's
     ``account_col`` values ("ACCOUNT" for the single-account form, which
     ``bootstrap_account_sessions(account_col=None)`` emits).
+
+    ``clipping=True``: #197 telemetry at account scope — ONE
+    ``ClippingMonitor`` per account (the reference's monitor is per tick
+    LOOP, and the account's interleaved feed is one loop), shared by every
+    sub-book (pickle's memo keeps the sharing inside the state blob);
+    semantics as in ``live_backtest_generic``.
     """
     from ..operators.replay import AccountState, ReplaySession
 
@@ -1376,9 +1444,29 @@ def live_backtest_account(
         # lazy account holder: a snapshot seed installs (acct, books);
         # checkpoint state outranks the ledger (seed no-op on existing key)
         holder = [None]
+        mon_holder = [None]
         if state.exists:
             (blob,) = state.get
             holder[0] = pickle.loads(bytes(blob))
+
+        def _account_monitor(books):
+            # ONE monitor per account, shared by every sub-book (#197);
+            # recover the shared instance from any restored sub-book
+            if not clipping:
+                return None
+            if mon_holder[0] is None:
+                for s in books.values():
+                    m = getattr(s, "clipping_monitor", None)
+                    if m is not None:
+                        mon_holder[0] = m
+                        break
+            if mon_holder[0] is None:
+                from ..operators.clipping import ClippingMonitor
+
+                mon_holder[0] = ClippingMonitor(
+                    clipping_report_interval_s, start_s=time.monotonic()
+                )
+            return mon_holder[0]
 
         def session_for(sym):
             if holder[0] is None:
@@ -1389,16 +1477,26 @@ def live_backtest_account(
                 sess = books[sym] = ReplaySession(
                     {"scenario_id": len(books), **scen_base}, account=acct
                 )
+            if clipping and getattr(sess, "clipping_monitor", None) is None:
+                sess.clipping_monitor = _account_monitor(books)
             return sess
 
         def on_seed(blob):
             if holder[0] is None:
                 holder[0] = pickle.loads(bytes(blob))
 
-        _drive_session_rows(pdf, session_for, on_seed)
+        _drive_session_rows(
+            pdf, session_for, on_seed,
+            monitor=clipping, clock_ns=time.perf_counter_ns,
+        )
         if holder[0] is None:
             return
         acct, books = holder[0]
+        if clipping and books:
+            mon = _account_monitor(books)
+            report = mon.get_periodic_report(time.monotonic())
+            if report is not None:
+                _CLIP_LOG.info("[CLIPPING] account=%s %s", key[0], report)
 
         # R8 cross-symbol clock propagation: the account's single
         # event-time queue IS the clock, so a sub-book whose symbol went

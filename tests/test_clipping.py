@@ -1,0 +1,165 @@
+"""#197 live clipping telemetry (reference live_clipping_monitor.py).
+
+The fold is deterministic by design (every entry point takes its clock
+reading as an argument), so these tests drive it with synthesized
+processing delays — the reference's own integration test strategy — and
+check the live wiring perturbs nothing.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from finiextestingide_spark.operators.clipping import ClippingMonitor
+
+
+def test_monitor_fold_matches_reference_arithmetic():
+    """Synthesized (processing_ns, delta_ms) pairs vs a hand mirror:
+    clipped iff delta > 0 and processing_ms > delta; staleness = overshoot;
+    avg staleness over clipped ticks only."""
+    cases = [
+        (5_000_000, 10.0),   # 5ms vs 10ms gap: fine
+        (12_000_000, 10.0),  # 12ms vs 10ms: clipped, stale 2
+        (30_000_000, 10.0),  # clipped, stale 20
+        (8_000_000, 0.0),    # first-tick convention: delta 0 never clips
+        (9_999_999, 10.0),   # just under: fine
+        (10_000_001, 10.0),  # just over: clipped, stale 1e-6
+    ]
+    m = ClippingMonitor()
+    for ns, d in cases:
+        m.record_tick(ns, d)
+    m.record_queue_depth(3)
+    m.record_queue_depth(1)
+    s = m.session_summary()
+    assert s["total_ticks"] == 6
+    assert s["ticks_clipped"] == 3
+    assert s["clipping_ratio"] == 0.5
+    assert s["max_stale_ms"] == 20.0
+    assert s["avg_stale_ms"] == pytest.approx((2.0 + 20.0 + 1e-6) / 3)
+    assert s["max_processing_ms"] == 30.0
+    assert s["avg_processing_ms"] == pytest.approx(
+        sum(ns for ns, _ in cases) / 1e6 / 6
+    )
+    assert s["max_queue_depth"] == 3
+    assert len(s["processing_times_ms"]) == 6
+
+
+def test_monitor_periodic_report_interval_and_reset():
+    """Phase 4: a report emits only once the interval elapses on the
+    CALLER's clock, carries interval-local stats, and resets them."""
+    m = ClippingMonitor(report_interval_s=60.0, start_s=100.0)
+    m.record_tick(12_000_000, 10.0)
+    assert m.get_periodic_report(150.0) is None  # interval not elapsed
+    r = m.get_periodic_report(161.0)
+    assert r == {
+        "interval_ticks": 1,
+        "interval_clipped": 1,
+        "interval_max_stale_ms": 2.0,
+        "interval_avg_stale_ms": 2.0,
+        "interval_max_processing_ms": 12.0,
+        "interval_avg_processing_ms": 12.0,
+        "interval_max_queue_depth": 0,
+    }
+    # interval reset; session totals remain
+    assert m.get_periodic_report(400.0) is None  # no ticks this interval
+    assert m.session_summary()["total_ticks"] == 1
+
+
+def test_monitor_times_list_is_bounded():
+    """Unlike the reference's unbounded list, the per-tick time buffer is
+    a bounded deque — months-lived state must not grow."""
+    m = ClippingMonitor(keep_times=10)
+    for _ in range(25):
+        m.record_tick(1_000_000, 5.0)
+    s = m.session_summary()
+    assert s["total_ticks"] == 25
+    assert len(s["processing_times_ms"]) == 10
+
+
+def test_monitor_rejects_unknown_strategy():
+    with pytest.raises(ValueError, match="strategy"):
+        ClippingMonitor(strategy="panic")
+
+
+class _StubSession:
+    """Records process calls; carries the monitor like a live session."""
+
+    def __init__(self, monitor):
+        self.clipping_monitor = monitor
+        self.ticks = []
+
+    def process_tick(self, t, c, b, a):
+        self.ticks.append(t)
+
+    def process_signal(self, t, score):  # pragma: no cover - not driven here
+        raise AssertionError("no signal rows in this test")
+
+
+def test_drive_rows_wires_monitor_with_synthetic_clock():
+    """The live wiring: _drive_session_rows wraps each process_tick in a
+    clock_ns measurement and folds it against the collected_msc arrival
+    delta. Synthetic clock => deterministic clipped count."""
+    from finiextestingide_spark.streaming.live_replay import _drive_session_rows
+
+    # arrivals 10ms apart; scripted per-tick processing: 5, 15, 5, 25 ms
+    pdf = pd.DataFrame(
+        {
+            "time_msc": [1000, 1010, 1020, 1030],
+            "collected_msc": [1000, 1010, 1020, 1030],
+            "bid": [1.0, 1.0, 1.0, 1.0],
+            "ask": [1.1, 1.1, 1.1, 1.1],
+        }
+    )
+    script = [5, 15, 5, 25]  # ms per tick
+    state = {"i": 0, "now": 0}
+
+    def clock_ns():
+        # called twice per tick: entry, then exit advanced by the script
+        half = state["i"] // 2
+        if state["i"] % 2 == 1:
+            state["now"] += script[half] * 1_000_000
+        state["i"] += 1
+        return state["now"]
+
+    mon = ClippingMonitor()
+    sess = _StubSession(mon)
+    _drive_session_rows(pdf, lambda _s: sess, monitor=True, clock_ns=clock_ns)
+    assert sess.ticks == [1000, 1010, 1020, 1030]
+    s = mon.session_summary()
+    assert s["total_ticks"] == 4
+    # first tick has no delta anchor (never clips); 15ms and 25ms clip
+    assert s["ticks_clipped"] == 2
+    assert s["max_stale_ms"] == 15.0
+    assert s["avg_stale_ms"] == pytest.approx(10.0)
+
+
+def test_live_clipping_does_not_perturb_trades(spark, tmp_path):
+    """clipping=True is pure telemetry: the trade stream is bit-identical
+    with and without it."""
+    from tests.test_live_bootstrap import PARAMS, LAT, TICK_DDL, _ticks
+    from finiextestingide_spark.streaming.live_replay import live_backtest_generic
+
+    feed = _ticks("EURUSD", 120)
+
+    def run(tag, **kw):
+        ticks_dir = str(tmp_path / f"t_{tag}")
+        out = str(tmp_path / f"o_{tag}")
+        spark.createDataFrame(feed, TICK_DDL).write.parquet(ticks_dir)
+        stream = spark.readStream.schema(TICK_DDL).parquet(ticks_dir)
+        q = (
+            live_backtest_generic(stream, PARAMS, **LAT, **kw)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"c_{tag}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(out).collect()
+        return sorted(tuple(r) for r in rows)
+
+    base = run("plain")
+    with_clip = run("clip", clipping=True, clipping_report_interval_s=0.0)
+    assert base and base == with_clip
