@@ -89,10 +89,74 @@ def _dedup_state(
         if len(pdf):
             m = int(pdf["doc_id"].min())
             mn = m if mn is None else min(mn, m)
-            n += len(pdf)
+            # each live doc weighs 1; a bootstrap seed row carries its
+            # whole history group as (min_id, weight=n) — the fold is
+            # commutative (min + weighted count), so seeds racing live
+            # rows is just out-of-order arrival (the reconcile protocol)
+            n += int(pdf["__w"].sum()) if "__w" in pdf.columns else len(pdf)
     if mn is not None:
         state.update((int(mn), int(n), int(emitted)))
         state.setTimeoutDuration(timeout_ms)
+
+
+def bootstrap_dedup_state(
+    docs: DataFrame, *, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """BATCH per-hash dedup snapshot from a history corpus — the bulk half
+    of the batch-bootstrap/stream-tail protocol (round-10 item 3): exact
+    dedup of months of history through the STREAM costs per-key-invocation
+    overhead (SCALE.md §7: 23 s at sf1 where the batch groupBy is
+    sub-second); this is ONE JVM hash aggregation, and
+    ``streaming_exact_dedup(bootstrap=...)`` folds it in as weighted seed
+    rows so the stream pays per-key cost only on the live tail.
+
+    Returns ``(content_hash, min_id, n)`` — exactly the stream's per-key
+    state."""
+    return (
+        docs.select(
+            F.md5(normalized_text(F.col(text))).alias("content_hash"),
+            F.col(id_col).cast("long").alias("doc_id"),
+        )
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("min_id"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merged_dedup_view(snapshot: DataFrame, stream_rows: DataFrame) -> DataFrame:
+    """SINK-MERGE form of the backfill protocol — the 100 TB path.
+
+    The dedup aggregate is commutative (min of ids, sum of counts), so
+    history does not need to flow through the stream AT ALL: run the batch
+    ``bootstrap_dedup_state`` over history (one JVM aggregation), stream
+    ONLY the tail with FRESH state, and merge at read time — this view
+    takes the snapshot plus the stream's emitted rows (cumulative per
+    hash; the latest per hash is used) and returns the exact batch dedup
+    of history+tail. Measured at sf1: snapshot 5.3 s + tail-at-tail-cost,
+    vs 23 s driving history through the per-key state machinery and a
+    comparable cost folding 50k seed ROWS through it (the ``bootstrap=``
+    seed-union pays per-KEY Python invocation on every seeded hash, so it
+    only wins when distinct history hashes are few relative to tail
+    traffic — e.g. a bar/session key space — not for an open-ended corpus).
+    The stream's canonical ids are tail-local until merged; the view's ids
+    are the all-time min."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash").orderBy(F.col("group_size").desc())
+    latest = (
+        stream_rows.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "content_hash",
+            F.col("canonical_id").alias("min_id"),
+            F.col("group_size").alias("n"),
+        )
+    )
+    return (
+        snapshot.select("content_hash", "min_id", "n")
+        .unionByName(latest)
+        .groupBy("content_hash")
+        .agg(F.min("min_id").alias("min_id"), F.sum("n").alias("n"))
+    )
 
 
 def streaming_exact_dedup(
@@ -101,13 +165,45 @@ def streaming_exact_dedup(
     id_col: str = "doc_id",
     text: str = "text",
     heartbeat_ms: int = 3_000,
+    bootstrap: DataFrame | None = None,
+    bootstrap_dir: str | None = None,
 ) -> DataFrame:
     """(content_hash, canonical_id, group_size) per distinct normalized
-    content, emitted when the hash's feed has been idle ``heartbeat_ms``."""
+    content, emitted when the hash's feed has been idle ``heartbeat_ms``.
+
+    ``bootstrap`` (+ ``bootstrap_dir``): cold-start/backfill seeding from a
+    ``bootstrap_dedup_state`` snapshot via the shared ledger protocol
+    (streaming/bootstrap.py — create-only parquet, one-shot file-source
+    union, source-checkpoint dedup across restarts). Each seed row merges
+    COMMUTATIVELY (min of ids, weighted count), so the emitted rows equal
+    the batch dedup of history+tail without driving history through the
+    per-key state machinery. NOTE the cost model: seeding pays per-KEY
+    Python invocation on every seeded hash — right when the stream must
+    emit history-true canonical ids/counts and the key space is moderate;
+    for an open-ended corpus (distinct hashes ~ document count) use the
+    SINK-MERGE protocol instead: stream the tail with fresh state and
+    combine with the batch snapshot via ``merged_dedup_view``."""
+    if (bootstrap is None) != (bootstrap_dir is None):
+        raise ValueError("bootstrap and bootstrap_dir must be passed together")
     hashed = docs.select(
         F.md5(normalized_text(F.col(text))).alias("content_hash"),
         F.col(id_col).cast("long").alias("doc_id"),
+        F.lit(1).cast("long").alias("__w"),
     )
+    if bootstrap is not None:
+        from .bootstrap import persist_ledger
+
+        seed_wire = bootstrap.select(
+            F.col("content_hash"),
+            F.col("min_id").cast("long").alias("doc_id"),
+            F.col("n").cast("long").alias("__w"),
+        )
+        persist_ledger(seed_wire, bootstrap_dir)
+        seed_src = (
+            docs.sparkSession.readStream.schema(seed_wire.schema)
+            .parquet(bootstrap_dir)
+        )
+        hashed = hashed.unionByName(seed_src)
 
     def fn(key, pdfs, state):
         return _dedup_state(key, pdfs, state, timeout_ms=heartbeat_ms)

@@ -23,7 +23,8 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -87,9 +88,33 @@ def _render(
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        pdf = pdf.sort_values(["timestamp", "time_msc"], kind="mergesort")
+        keys = ["timestamp", "time_msc"]
+        has_seed = "__is_seed" in pdf.columns
+        if has_seed:
+            # forming-bar seeds sort FIRST (before any tail tick); a key
+            # whose state already exists ignores its seed — checkpoint
+            # state outranks the ledger (the shared bootstrap contract)
+            pdf = pdf.assign(
+                __seed_after=1 - pdf["__is_seed"].fillna(0).astype("int64")
+            )
+            keys.insert(0, "__seed_after")
+        pdf = pdf.sort_values(keys, kind="mergesort")
         us = pdf["timestamp"].astype("int64") // 1000  # ns -> us
-        for t_us, price, vol in zip(us, pdf["mid"], pdf["volume"]):
+        seed_l = pdf["__is_seed"].tolist() if has_seed else None
+        rows = zip(range(len(pdf)), us, pdf["mid"], pdf["volume"])
+        for i, t_us, price, vol in rows:
+            if seed_l is not None and seed_l[i]:
+                if open_bar is None:
+                    open_bar = [
+                        int(pdf["b_bucket_us"].iloc[i]),
+                        float(pdf["b_open"].iloc[i]),
+                        float(pdf["b_high"].iloc[i]),
+                        float(pdf["b_low"].iloc[i]),
+                        float(pdf["b_close"].iloc[i]),
+                        float(pdf["b_volume"].iloc[i]),
+                        int(pdf["b_n"].iloc[i]),
+                    ]
+                continue
             bucket = (int(t_us) // bar_us) * bar_us
             if open_bar is None:
                 open_bar = [bucket, price, price, price, price, vol, 1]
@@ -126,11 +151,70 @@ def _bar_frame(symbol, bucket_us, o, h, lo, c, v, n, bar_us) -> pd.DataFrame:
     )
 
 
+def bootstrap_bar_state(
+    ticks: DataFrame, timeframe_ms: int = 60_000
+) -> DataFrame:
+    """BATCH forming-bar snapshot from a history ledger — the bulk half of
+    the batch-bootstrap/stream-tail protocol for the incremental renderer
+    (round-10 item 3; SCALE.md §7: driving history through the per-key
+    state machinery cost 21 s at sf1 where the batch bar scan is
+    sub-second). Returns one row per symbol: the LAST bucket's aggregates
+    ``(symbol, bucket_us, open, high, low, close, volume, n)`` — exactly
+    the stream's open-bar state. The volume is folded in (timestamp,
+    time_msc) tick order via a sorted JVM aggregate, so the seeded float
+    running sum is bit-identical to the one an uninterrupted stream would
+    hold. History's CLOSED bars are the batch path's output
+    (operators.bars.ohlcv_bars); pass this snapshot to
+    ``incremental_bars(bootstrap=...)`` and stream only the tail."""
+    bar_us = timeframe_ms * 1000
+    us = F.unix_micros("timestamp")
+    rows = ticks.select(
+        "symbol",
+        us.alias("__us"),
+        (us - F.pmod(us, F.lit(bar_us))).alias("bucket_us"),
+        F.col("time_msc").cast("long").alias("__tie"),
+        F.col("mid").cast("double").alias("__mid"),
+        F.col("volume").cast("double").alias("__vol"),
+    )
+    per_bucket = rows.groupBy("symbol", "bucket_us").agg(
+        F.sort_array(
+            F.collect_list(F.struct("__us", "__tie", "__mid", "__vol"))
+        ).alias("__seq")
+    )
+    seq = F.col("__seq")
+    return (
+        per_bucket.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("symbol").orderBy(F.desc("bucket_us"))
+            ),
+        )
+        .where(F.col("__rk") == 1)
+        .select(
+            "symbol",
+            "bucket_us",
+            seq[0]["__mid"].alias("open"),
+            F.array_max(F.transform(seq, lambda x: x["__mid"])).alias("high"),
+            F.array_min(F.transform(seq, lambda x: x["__mid"])).alias("low"),
+            F.element_at(seq, -1)["__mid"].alias("close"),
+            # the renderer's running float sum, in exact tick order
+            F.aggregate(
+                F.transform(seq, lambda x: x["__vol"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("volume"),
+            F.size(seq).cast("long").alias("n"),
+        )
+    )
+
+
 def incremental_bars(
     ticks: DataFrame,
     timeframe_ms: int = 60_000,
     *,
     heartbeat_ms: int = 30_000,
+    bootstrap: DataFrame | None = None,
+    bootstrap_dir: str | None = None,
 ) -> DataFrame:
     """Close-on-next-bucket bar stream over columns
     (symbol, timestamp, time_msc, mid, volume).
@@ -139,8 +223,43 @@ def incremental_bars(
     arrives for that symbol (exact reference semantics, including
     out-of-order-free input assumption), or when the symbol's feed is idle
     for ``heartbeat_ms`` of processing time.
-    """
+
+    ``bootstrap`` (+ ``bootstrap_dir``): cold-start/backfill seeding from a
+    ``bootstrap_bar_state`` snapshot via the shared ledger protocol
+    (streaming/bootstrap.py — create-only parquet, one-shot file-source
+    union, source-checkpoint dedup across restarts): each symbol's forming
+    bar installs BEFORE any tail tick, so a restarted renderer that lost
+    its checkpoint resumes mid-bar without replaying history; a key whose
+    state already exists ignores its seed."""
+    if (bootstrap is None) != (bootstrap_dir is None):
+        raise ValueError("bootstrap and bootstrap_dir must be passed together")
     bar_us = timeframe_ms * 1000
+    if bootstrap is not None:
+        from .bootstrap import persist_ledger
+
+        seed_wire = bootstrap.select(
+            F.col("symbol"),
+            F.timestamp_micros(F.col("bucket_us")).alias("timestamp"),
+            F.lit(0).cast("long").alias("time_msc"),
+            F.lit(None).cast("double").alias("mid"),
+            F.lit(None).cast("double").alias("volume"),
+            F.lit(1).alias("__is_seed"),
+            F.col("bucket_us").cast("long").alias("b_bucket_us"),
+            F.col("open").cast("double").alias("b_open"),
+            F.col("high").cast("double").alias("b_high"),
+            F.col("low").cast("double").alias("b_low"),
+            F.col("close").cast("double").alias("b_close"),
+            F.col("volume").cast("double").alias("b_volume"),
+            F.col("n").cast("long").alias("b_n"),
+        )
+        persist_ledger(seed_wire, bootstrap_dir)
+        seed_src = (
+            ticks.sparkSession.readStream.schema(seed_wire.schema)
+            .parquet(bootstrap_dir)
+        )
+        ticks = ticks.withColumn("__is_seed", F.lit(0)).unionByName(
+            seed_src, allowMissingColumns=True
+        )
 
     def fn(key, pdfs, state):
         return _render(key, pdfs, state, bar_us=bar_us, timeout_ms=heartbeat_ms)

@@ -1,0 +1,173 @@
+"""Batch-bootstrap/stream-tail for the remaining streaming surfaces
+(round-10 item 3): exact dedup and the incremental bar renderer pay
+per-key-invocation overhead when history is DRIVEN through the stream
+(SCALE.md §7: 23 s / 21 s at sf1 vs sub-second batch shapes); the
+designated backfill path is a batch snapshot + tail streaming, the same
+ledger protocol as the reconcile and live-session bootstraps.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from finiextestingide_spark.streaming.dedup_stream import (
+    bootstrap_dedup_state,
+    streaming_exact_dedup,
+)
+from finiextestingide_spark.streaming.incremental_bars import (
+    bootstrap_bar_state,
+    drain_to_memory,
+    incremental_bars,
+)
+
+DOC_DDL = "doc_id long, text string"
+TICK_DDL = (
+    "symbol string, timestamp timestamp, time_msc long, mid double, volume double"
+)
+T0 = 1_700_000_000_000_000  # us
+
+
+def test_dedup_seed_plus_tail_equals_batch(spark, tmp_path):
+    """Seed(history) + tail stream == batch dedup of the FULL corpus: group
+    sizes span the cut (weighted commutative merge), canonical ids are the
+    all-time min even when it lives in history, and tail-only hashes start
+    fresh."""
+    hist = [
+        (1, "alpha beta"),
+        (2, "alpha beta"),      # dup within history
+        (3, "gamma"),
+        (4, "delta"),
+    ]
+    tail = [
+        (5, "alpha beta"),      # continues a history group (3-way)
+        (6, "gamma"),           # continues another
+        (7, "epsilon"),         # tail-only group
+        (8, "epsilon"),
+    ]
+    snap = bootstrap_dedup_state(spark.createDataFrame(hist, DOC_DDL))
+
+    tail_dir = str(tmp_path / "docs")
+    spark.createDataFrame(tail, DOC_DDL).write.parquet(tail_dir)
+    stream = spark.readStream.schema(DOC_DDL).parquet(tail_dir)
+    out = streaming_exact_dedup(
+        stream, heartbeat_ms=1_500,
+        bootstrap=snap, bootstrap_dir=str(tmp_path / "ledger"),
+    )
+    name = "t_dedup_boot"
+    drain_to_memory(out, name, settle_secs=4.0, await_state_drain=True)
+    rows = spark.table(name).collect()
+    # emitted rows are cumulative; the LATEST (largest n) per hash stands
+    got = {}
+    for r in rows:
+        prev = got.get(r["content_hash"])
+        if prev is None or r["group_size"] > prev[1]:
+            got[r["content_hash"]] = (r["canonical_id"], r["group_size"])
+
+    batch = {
+        r["content_hash"]: (r["min_id"], r["n"])
+        for r in bootstrap_dedup_state(
+            spark.createDataFrame(hist + tail, DOC_DDL)
+        ).collect()
+    }
+    assert got == batch
+    assert len(batch) == 4  # alpha-beta x3, gamma x2, delta x1, epsilon x2
+
+
+def test_dedup_sink_merge_equals_batch(spark, tmp_path):
+    """The 100 TB protocol: tail-only stream with FRESH state + batch
+    snapshot, merged at read time — exact batch dedup of history+tail
+    without any history (or seed) row entering the state machinery."""
+    from finiextestingide_spark.streaming.dedup_stream import merged_dedup_view
+
+    hist = [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma"), (4, "delta")]
+    tail = [(5, "alpha beta"), (6, "gamma"), (7, "epsilon"), (8, "epsilon")]
+    snap = bootstrap_dedup_state(spark.createDataFrame(hist, DOC_DDL))
+
+    tail_dir = str(tmp_path / "docs")
+    spark.createDataFrame(tail, DOC_DDL).write.parquet(tail_dir)
+    stream = spark.readStream.schema(DOC_DDL).parquet(tail_dir)
+    out = streaming_exact_dedup(stream, heartbeat_ms=1_500)  # fresh state
+    name = "t_dedup_sinkmerge"
+    drain_to_memory(out, name, settle_secs=4.0, await_state_drain=True)
+
+    merged = {
+        r["content_hash"]: (r["min_id"], r["n"])
+        for r in merged_dedup_view(snap, spark.table(name)).collect()
+    }
+    batch = {
+        r["content_hash"]: (r["min_id"], r["n"])
+        for r in bootstrap_dedup_state(
+            spark.createDataFrame(hist + tail, DOC_DDL)
+        ).collect()
+    }
+    assert merged == batch
+
+
+def _bar_ticks(symbol: str, n: int, *, start_us: int = T0) -> list[tuple]:
+    rows = []
+    for i in range(n):
+        t_us = start_us + i * 200_000  # 0.2 s apart -> 5/s, bar = 1 s
+        price = 100.0 + ((i * 7) % 13) - 6 + (0.01 if symbol == "B" else 0.0)
+        rows.append(
+            (
+                symbol,
+                pd.Timestamp(t_us, unit="us").to_pydatetime(),
+                i,
+                price,
+                1.0 + (i % 3) * 0.25,
+            )
+        )
+    return rows
+
+
+def test_bars_seed_plus_tail_equals_uninterrupted(spark, tmp_path):
+    """The forming-bar seed installs before any tail tick, so the bar
+    STRADDLING the cut aggregates history+tail ticks exactly as an
+    uninterrupted renderer would (open from history, close from tail,
+    volume folded in tick order); later tail bars are untouched."""
+    feed = sorted(
+        _bar_ticks("A", 40) + _bar_ticks("B", 40), key=lambda r: (r[1], r[0])
+    )
+    cut_us = T0 + 13 * 200_000  # mid-bucket: bucket 2 straddles the cut
+    hist = [r for r in feed if r[1] < pd.Timestamp(cut_us, unit="us")]
+    tail = [r for r in feed if r[1] >= pd.Timestamp(cut_us, unit="us")]
+
+    def run(rows, tag, **kw):
+        d = str(tmp_path / f"t_{tag}")
+        spark.createDataFrame(rows, TICK_DDL).write.parquet(d)
+        stream = spark.readStream.schema(TICK_DDL).parquet(d)
+        bars = incremental_bars(stream, 1_000, heartbeat_ms=3_600_000_000, **kw)
+        name = f"t_bars_{tag}"
+        drain_to_memory(bars, name, settle_secs=4.0)
+        return {
+            (r["symbol"], r["bar_ts"]): (
+                r["open"], r["high"], r["low"], r["close"],
+                r["volume"], r["tick_count"],
+            )
+            for r in spark.table(name).collect()
+        }
+
+    # uninterrupted reference: the whole feed through one stream
+    full = run(feed, "full")
+    snap = bootstrap_bar_state(spark.createDataFrame(hist, TICK_DDL), 1_000)
+    seeded = run(
+        tail, "boot", bootstrap=snap, bootstrap_dir=str(tmp_path / "ledger")
+    )
+
+    # the tail stream emits exactly the uninterrupted bars whose bucket is
+    # >= the seed bucket (earlier bars are history, the batch path's output)
+    seed_buckets = {
+        r["symbol"]: r["bucket_us"] for r in snap.collect()
+    }
+    expected = {
+        k: v
+        for k, v in full.items()
+        if int(k[1].timestamp() * 1_000_000) >= seed_buckets[k[0]]
+    }
+    assert seeded == expected
+    # the straddling bar is really in there (the test bites)
+    straddle = [
+        k for k in seeded
+        if int(k[1].timestamp() * 1_000_000) == seed_buckets[k[0]]
+    ]
+    assert len(straddle) == 2
