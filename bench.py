@@ -49,6 +49,18 @@ HEADLINE = [
     # 40 scenarios through bars+strategy+order-simulator, the BASELINE.md
     # benchmark-certificate shape (75k ticks/s reference).
     "replay_loadtest_40",
+    # round-10 additions (VERDICT r9 item 4): the round 7-9 surfaces were
+    # previously untimed, so regressions there had no tolerance band.
+    # drift_audit = J6 economics join+unpivot; multimodal_decode_jpeg =
+    # native huffman+IDCT map; embedding_neardup_lsh = banded-LSH
+    # threshold pairs; streaming_reconcile_tail = the backfill protocol's
+    # restart shape (bootstrap snapshot + streamed tail — NOTE its wall is
+    # dominated by fixed streaming machinery startup, so its band in the
+    # certificate is wide by design).
+    "drift_audit",
+    "multimodal_decode_jpeg",
+    "embedding_neardup_lsh",
+    "streaming_reconcile_tail",
 ]
 
 

@@ -38,18 +38,20 @@ from ._util import Query  # noqa: F401
 # driver-green CORRECTNESS row. Rotated-out veterans stay green via
 # scripts/check_gate.py (the full-registry mirror) and consuming pytests.
 #
-# Round-9 rotation (VERDICT r8 #5): OUT weighted_avg_price,
-# profiling_percentiles, session_profile, atr_sma_daily, macd_daily,
-# replay_scaleout_oracle, streaming_bars_1h (families A6/A8, S4, W6, W3,
-# R4, §2.9 all keep in-window representatives — nation_order_kpis,
-# gap_scan_calendar, atr_ewm_daily, rsi_14_daily, replay_pyramid_oracle,
-# streaming_incremental_bars_1h); IN the head of the never-verified queue
-# (atr_ewm_daily, token_budget_mix_greedy, streaming_dedup_exact,
-# ivf_topk_5, ivf_recall_audit, multimodal_resize) + the NEW
-# multimodal_decode_jpeg (native baseline JPEG, round-9 item 1) and the
-# NEW drift_audit (J6 economics, round-9 item 4; topk_orders_per_priority
-# rotates out to make room — top_unshipped_orders keeps the O2/W14
-# deterministic-ranking family in-window).
+# Round-10 rotation (VERDICT r9 #5, rotation round 3): OUT replay_sma_oracle,
+# streaming_asof_signal, streaming_session_windows, ivf_train_centroids,
+# neardup_clusters, pii_redaction, multimodal_decode, blocks_split_coverage,
+# walkforward_embargo_wfe — each family keeps an in-window representative
+# (R: equity/limit/pyramid/modify/spot oracles; §2.9: incremental_bars,
+# live_limit, dedup, reconcile_tail, live_replay, live_signal; ANN:
+# ivf_topk_5 + ivf_recall_audit; dedup: exact/minhash/jaccard/keep_best;
+# text: tfidf/quality_quantile/contamination; codecs: compressed/jpeg/
+# resize/frames). IN the 9 head entries of the never-driver-verified queue:
+# the NEW live_clipping_report (#197) and streaming_reconcile_tail
+# (backfill protocol), plus reconcile_state_diff, embedding_neardup_lsh
+# (+_recall), multimodal_frames, multimodal_audio_frames,
+# streaming_live_replay, streaming_live_signal. Every in-window entry is
+# oracle-backed.
 CURATED_ORDER: tuple[str, ...] = (
     # relational core
     "pricing_summary",
@@ -59,7 +61,9 @@ CURATED_ORDER: tuple[str, ...] = (
     "swap_accrual",
     "order_reconciliation",
     "streaming_reconciliation",
+    "streaming_reconcile_tail",
     "drift_audit",
+    "reconcile_state_diff",
     # timeseries / indicators
     "bars_1h",
     "gap_scan_calendar",
@@ -69,11 +73,9 @@ CURATED_ORDER: tuple[str, ...] = (
     "extreme_moves_hourly",
     "volatility_regimes",
     "trade_analytics_by_scenario",
-    "walkforward_embargo_wfe",
     "quality_check_ticks",
-    "blocks_split_coverage",
+    "live_clipping_report",
     # replay lifecycle oracles (hash-matched stateful paths)
-    "replay_sma_oracle",
     "replay_equity_oracle",
     "replay_limit_oracle",
     "replay_pyramid_oracle",
@@ -82,44 +84,46 @@ CURATED_ORDER: tuple[str, ...] = (
     # sweeps
     "sweep_buyhold_ledger",
     "sweep_sensitivity",
-    # streaming
+    # streaming (incl. the LIVE session paths, first driver exposure)
     "streaming_incremental_bars_1h",
-    "streaming_asof_signal",
-    "streaming_session_windows",
     "streaming_live_limit",
+    "streaming_live_replay",
+    "streaming_live_signal",
     "streaming_dedup_exact",
     # LLM-data dedup / ANN core
     "dedup_exact",
     "minhash_lsh_pairs",
-    "neardup_clusters",
     "cosine_topk_10",
-    "ivf_train_centroids",
     "ivf_topk_5",
     "ivf_recall_audit",
+    "embedding_neardup_lsh",
+    "embedding_neardup_lsh_recall",
     "contamination_3gram",
     "jaccard_pairs_dfcap",
     "neardup_keep_best",
-    "pii_redaction",
     "tfidf_topterms_3",
     "quality_quantile_40",
     "token_budget_mix_greedy",
-    # multimodal codec seam: BMP + native PNG + native JPEG (round-9)
-    "multimodal_decode",
+    # multimodal codec seam: native PNG + native JPEG + frame surfaces
     "multimodal_decode_compressed",
     "multimodal_decode_jpeg",
     "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_audio_frames",
     # --- driver window cutoff (first 50 above) ---
     # positions 51+: highest-information out-of-window entries first, so a
     # widened driver window picks them up in this order (round-5 VERDICT #8);
-    # round-9 rotated-out veterans go to the back of this queue
-    "multimodal_frames",
-    "multimodal_audio_frames",
-    "live_clipping_report",
-    "reconcile_state_diff",
-    "embedding_neardup_lsh",
-    "embedding_neardup_lsh_recall",
-    "streaming_live_replay",
-    "streaming_live_signal",
+    # round-10 rotated-out veterans go to the back of this queue
+    "lsh_ann_topk_5",
+    "lsh_ann_multiprobe_8",
+    "dedup_keep_best",
+    "token_budget_mix",
+    "decontaminated_train",
+    "embedding_neardup_clusters",
+    "repetition_stats",
+    "multimodal_chunks",
+    "sample_deterministic_30",
+    "stratified_sample_audit",
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",
@@ -137,6 +141,15 @@ CURATED_ORDER: tuple[str, ...] = (
     "replay_scaleout_oracle",
     "streaming_bars_1h",
     "topk_orders_per_priority",
+    "replay_sma_oracle",
+    "streaming_asof_signal",
+    "streaming_session_windows",
+    "ivf_train_centroids",
+    "neardup_clusters",
+    "pii_redaction",
+    "multimodal_decode",
+    "blocks_split_coverage",
+    "walkforward_embargo_wfe",
 )
 
 

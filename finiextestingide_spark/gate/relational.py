@@ -593,6 +593,82 @@ def streaming_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAMING_RECONCILIATION_SQL = ORDER_RECONCILIATION_SQL
 
 
+def streaming_reconcile_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 live, TAIL SHAPE (round-10 item 4) — the designated backfill
+    protocol end-to-end: bulk history goes through ``bootstrap_state``
+    (one JVM decimal aggregation + full-outer join, batch speed), the
+    snapshot seeds the stream via the create-only ledger, and the stream
+    itself processes ONLY the tail slice (10%% of fills by key, plus the
+    late orders on %%5 keys — so seeded ORPHANs reclassify across the
+    cut). The latest revision per key must hash-match the batch
+    classification of the FULL ledger — the same oracle as the bulk-drive
+    gate, proving the two drive shapes are interchangeable. This is the
+    shape bench.py times: it reflects the restart cost a real operator
+    pays, not the verification artifact's full-history drive."""
+    import tempfile
+
+    from ..streaming.bars_stream import run_to_memory
+    from ..streaming.reconcile_stream import (
+        bootstrap_state,
+        latest_revisions,
+        reconcile_stream,
+    )
+
+    qty_expr = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(28,6)")
+
+    # batch history ledgers: orders not on %5 (those arrive late, in the
+    # tail), fills not on the %10==3 key slice
+    o_hist = (
+        t(spark, sf_dir, "orders")
+        .where((F.col("o_orderkey") % 7 != 0) & (F.col("o_orderkey") % 5 != 0))
+        .select("o_orderkey", F.col("o_totalprice").alias("expected_amount"))
+    )
+    e_hist = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 10 != 3)
+        .select(F.col("l_orderkey").alias("o_orderkey"), qty_expr.alias("qty"))
+    )
+    snap = bootstrap_state(
+        o_hist, e_hist, order_key="o_orderkey",
+        expected="expected_amount", qty="qty",
+    )
+
+    o_schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    l_schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    orders_tail = (
+        spark.readStream.schema(o_schema)
+        .parquet(f"{sf_dir}/orders.parque*")
+        .where((F.col("o_orderkey") % 7 != 0) & (F.col("o_orderkey") % 5 == 0))
+        .select("o_orderkey", F.col("o_totalprice").alias("expected_amount"))
+    )
+    execs_tail = (
+        spark.readStream.schema(l_schema)
+        .parquet(f"{sf_dir}/lineitem.parque*")
+        .where(F.col("l_orderkey") % 10 == 3)
+        .select(F.col("l_orderkey").alias("o_orderkey"), qty_expr.alias("qty"))
+    )
+    rev = reconcile_stream(
+        orders_tail, execs_tail, order_key="o_orderkey",
+        expected="expected_amount", qty="qty", tolerance=0.01,
+        bootstrap=snap, bootstrap_dir=tempfile.mkdtemp(prefix="recon_tail_"),
+    )
+    name = "gate_streaming_reconcile_tail"
+    run_to_memory(rev, name)
+    out = latest_revisions(spark.table(name), "o_orderkey")
+    return out.select(
+        "o_orderkey",
+        F.round("expected_amount", 6).alias("expected_amount"),
+        F.round("executed_amount", 6).alias("executed_amount"),
+        F.col("n_executions").cast("long").alias("n_executions"),
+        "status",
+    )
+
+
+STREAMING_RECONCILE_TAIL_SQL = ORDER_RECONCILIATION_SQL
+
+
 def drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 economics (round-9 item 4; reference DriftAuditor #327): for
     PAIRED fills, compare locally-computed fee/volume/price against
@@ -844,6 +920,11 @@ QUERIES: dict[str, Query] = {
         streaming_reconciliation,
         STREAMING_RECONCILIATION_SQL,
         "J6 live: continuous stateful order<->execution pairing, batch-oracle hash",
+    ),
+    "streaming_reconcile_tail": Query(
+        streaming_reconcile_tail,
+        STREAMING_RECONCILE_TAIL_SQL,
+        "J6 backfill protocol: bootstrap_state snapshot + streamed tail, batch-oracle hash",
     ),
     "order_reconciliation": Query(
         order_reconciliation, ORDER_RECONCILIATION_SQL, "J6 order<->execution reconciliation audit"
