@@ -249,10 +249,10 @@ def trading_days_between(saved_at, now, *, weekend_aware: bool = True) -> int:
     d0, d1 = saved_at.date(), now.date()
     if not weekend_aware:
         return (d1 - d0).days
-    days = 0
-    cur = d0
-    while cur <= d1:
-        if cur.weekday() <= 4:  # Monday-Friday
-            days += 1
-        cur += timedelta(days=1)
+    # numpy busday_count is half-open [d0, d1); add one day to make the
+    # range inclusive, then the same minus-one convention as above — O(1)
+    # instead of the old O(days) date loop (VERDICT r9 cosmetic #3)
+    import numpy as np
+
+    days = int(np.busday_count(d0, d1 + timedelta(days=1)))
     return max(0, days - 1)

@@ -415,26 +415,35 @@ def _idct_matrix() -> np.ndarray:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG/JFIF -> (H, W, 3) uint8 RGB: a REAL compressed-image
-    decoder in pure stdlib+numpy (round-9 item 1 — the format that dominates
-    real multimodal lakes). Full marker walk (DQT 8/16-bit, DHT, SOF0/SOF1,
-    DRI, APPn/COM skip), byte-unstuffing + restart-marker segmentation,
-    canonical Huffman DC/AC decode with EOB/ZRL, dequantize, de-zigzag,
-    matrix IDCT vectorized across ALL blocks of a component at once, integer
-    chroma upsampling (4:4:4 / 4:2:2 / 4:2:0), and JFIF YCbCr->RGB with
-    floor(x+0.5) rounding (the rounding the gate's DuckDB pixel oracle
-    mirrors bit-for-bit). Grayscale (1 component) replicates to 3 channels.
-    Progressive (SOF2), arithmetic coding, 12-bit precision, CMYK and
-    non-integer sampling ratios raise with a clear message — pass a full
-    decoder through the ``decoder=`` seam for those."""
+    """JPEG/JFIF -> (H, W, 3) uint8 RGB: a REAL compressed-image decoder in
+    pure stdlib+numpy (round-9 item 1 — the format that dominates real
+    multimodal lakes; round-10 extends it to PROGRESSIVE). Full marker walk
+    (DQT 8/16-bit, DHT incl. between-scan redefinition, SOF0/SOF1/SOF2,
+    DRI, APPn/COM skip, T.81 fill bytes), byte-unstuffing + restart-marker
+    segmentation, canonical Huffman DC/AC decode with EOB/ZRL, and for
+    SOF2 the full progressive protocol (T.81 Annex G.2: interleaved DC
+    scans, non-interleaved spectral-selection AC bands, successive
+    approximation with DC/AC refinement passes and cross-block EOB runs) —
+    every scan accumulates into one zigzag coefficient store, then
+    dequantize, de-zigzag, matrix IDCT vectorized across ALL blocks of a
+    component at once, integer chroma upsampling (4:4:4 / 4:2:2 / 4:2:0),
+    and JFIF YCbCr->RGB with floor(x+0.5) rounding (the rounding the
+    gate's DuckDB pixel oracle mirrors bit-for-bit). Grayscale (1
+    component) replicates to 3 channels. Arithmetic coding, 12-bit
+    precision, CMYK, hierarchical and non-integer sampling ratios raise
+    with a clear message — pass a full decoder through the ``decoder=``
+    seam for those."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> lut
     frame = None  # (H, W, [(cid, h, v, tq), ...])
+    progressive = False
     restart_interval = 0
-    scan_comps = None
-    entropy_segments: list[bytes] = []
+    # one record per SOS: tables/DRI snapshots (both may be redefined
+    # between scans), spectral band, successive-approximation bits, and
+    # the scan's unstuffed entropy segments
+    scans: list[dict] = []
     pos = 2
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:

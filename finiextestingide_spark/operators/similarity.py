@@ -327,6 +327,7 @@ def lsh_neardup_pairs(
     vec_col: str = "embedding",
     extra_key: str | None = None,
     max_bucket_pairs: int | None = 25_000_000,
+    max_total_pairs: int | None = 50_000_000,
 ) -> DataFrame:
     """Threshold near-dup pairs via banded hyperplane LSH + exact verify —
     the SCALABLE path ``neardup_pairs_blocked``'s pairs-budget guard points
@@ -354,7 +355,21 @@ def lsh_neardup_pairs(
     exists there, which is exactly what the companion recall-audit gate
     MEASURES per label instead of hiding. For loose-threshold neighbor
     needs at scale, use per-item top-k ANN (``lsh_ann_topk``/``ivf_topk``,
-    both recall-audited) or a finer block key."""
+    both recall-audited) or a finer block key.
+
+    TWO pairs budgets, both computed at planning time from ONE bucket
+    histogram (round-10 sf10 finding): ``max_bucket_pairs`` bounds any
+    single bucket (a degenerate hot bucket), and ``max_total_pairs``
+    bounds SUM of C(n_b, 2) across ALL buckets and bands — the failure
+    mode the per-bucket cap cannot see: at sf10 the gate's r=4 bands gave
+    10 label groups x 4 bands x 16 buckets x ~780k pairs each = ~5e8
+    candidates, every bucket individually under the cap, and the
+    candidate join spilled past the machine's disk. Fail-loud guidance:
+    longer bands (raise r), a finer extra_key, or the top-k ANN surface.
+    Physical shape: the candidate join carries IDS ONLY (band/key/id);
+    vectors re-join per deduped pair at verify time — carrying two
+    float arrays through the n-squared-ish stage multiplied the shuffle
+    ~30x for nothing."""
     nbits = len(planes)
     if nbits % bands:
         raise ValueError(f"nbits={nbits} not divisible by bands={bands}")
@@ -371,24 +386,39 @@ def lsh_neardup_pairs(
         ]
     )
     tagged = vectors.select(
-        F.col(id_col), F.col(vec_col), *extra, F.explode(band_keys).alias("__bk")
-    ).select(id_col, vec_col, *extra, "__bk.band", "__bk.key")
-    if max_bucket_pairs is not None:
-        oversized = (
+        F.col(id_col), *extra, F.explode(band_keys).alias("__bk")
+    ).select(id_col, *extra, "__bk.band", "__bk.key")
+    if max_bucket_pairs is not None or max_total_pairs is not None:
+        hist = (
             tagged.groupBy("band", "key", *extra)
             .count()
-            .where(F.col("count") * (F.col("count") - 1) / 2 > max_bucket_pairs)
-            .limit(1)
-            .collect()
+            .select(
+                (F.col("count") * (F.col("count") - 1) / 2).alias("__pairs"),
+                "band",
+                "key",
+                "count",
+            )
         )
-        if oversized:
-            row = oversized[0]
-            n = row["count"]
+        top = hist.orderBy(F.col("__pairs").desc()).limit(1).collect()
+        total = hist.agg(F.sum("__pairs")).collect()[0][0] or 0
+        if top:
+            row, n = top[0], top[0]["count"]
+            if max_bucket_pairs is not None and row["__pairs"] > max_bucket_pairs:
+                raise ValueError(
+                    f"lsh_neardup_pairs: bucket (band={row['band']}, "
+                    f"key={row['key']!r}) has {n} rows = {n * (n - 1) // 2} "
+                    f"candidate pairs > max_bucket_pairs={max_bucket_pairs}; "
+                    "add hyperplanes (longer bands) or a finer extra_key"
+                )
+        if max_total_pairs is not None and total > max_total_pairs:
             raise ValueError(
-                f"lsh_neardup_pairs: bucket (band={row['band']}, "
-                f"key={row['key']!r}) has {n} rows = {n * (n - 1) // 2} "
-                f"candidate pairs > max_bucket_pairs={max_bucket_pairs}; "
-                "add hyperplanes (longer bands) or a finer extra_key"
+                f"lsh_neardup_pairs: {int(total)} candidate pairs across all "
+                f"band buckets > max_total_pairs={max_total_pairs} — every "
+                "bucket is under the per-bucket cap but their SUM makes the "
+                "candidate join super-budget (the sf10 failure mode). Add "
+                "hyperplanes per band (raise r = nbits/bands), use a finer "
+                "extra_key, or route through the top-k ANN surface "
+                "(lsh_ann_topk/ivf_topk)."
             )
     a, b = tagged.alias("a"), tagged.alias("b")
     cond = (
@@ -398,26 +428,29 @@ def lsh_neardup_pairs(
     )
     for e in extra:
         cond = cond & (F.col(f"a.{e}") == F.col(f"b.{e}"))
-    cand = (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            *[F.col(f"a.{e}").alias(e) for e in extra],
-            F.col(f"a.{vec_col}").alias("__va"),
-            F.col(f"b.{vec_col}").alias("__vb"),
-        )
-        # a pair found by several bands must verify (and emit) once
-        .groupBy("id_a", "id_b")
-        .agg(
-            *[F.first(e).alias(e) for e in extra],
-            F.first("__va").alias("__va"),
-            F.first("__vb").alias("__vb"),
-        )
+    # candidate join on IDS ONLY (a pair found by several bands dedupes in
+    # the distinct), then vectors join back per pair for the exact verify —
+    # the near-quadratic stage must never carry the float arrays
+    cand = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        *[F.col(f"a.{e}").alias(e) for e in extra],
+    ).distinct()
+    va = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
     )
-    return cand.select(
-        "id_a", "id_b", *extra, cosine(F.col("__va"), F.col("__vb")).alias("cosine")
-    ).where(F.col("cosine") >= min_cosine)
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", *extra,
+            cosine(F.col("__va"), F.col("__vb")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+    )
 
 
 def neardup_pairs_blocked(

@@ -1039,3 +1039,19 @@ def test_lsh_neardup_pairs_subset_and_band_recall(spark):
         lsh_neardup_pairs(
             same, planes16, 0.9, bands=4, extra_key="label", max_bucket_pairs=100
         )
+
+    # TOTAL pairs budget (round-10 sf10 finding): many buckets each under
+    # the per-bucket cap whose SUM exceeds the total — the clustered
+    # corpus spreads across buckets, so a tight total cap trips while the
+    # per-bucket cap passes
+    with _pytest.raises(ValueError, match="max_total_pairs"):
+        lsh_neardup_pairs(
+            vecs, planes16, 0.9, bands=4, extra_key="label",
+            max_bucket_pairs=10_000, max_total_pairs=5,
+        )
+    # and both budgets disarmable
+    ok = lsh_neardup_pairs(
+        vecs, planes16, 0.9, bands=4, extra_key="label",
+        max_bucket_pairs=None, max_total_pairs=None,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in ok} == got4
