@@ -399,6 +399,159 @@ def _jpeg_decode_block(
     return coefs, pred
 
 
+def _jpeg_ac_first(br, ac_lut, block, ss, se, al, eobrun) -> int:
+    """Progressive AC first pass for one block (T.81 G.2 / the classic
+    decode_mcu_AC_first shape): spectral band [ss, se] at precision al,
+    with cross-block EOB runs. ``block`` is the 64-entry ZIGZAG-order
+    coefficient row; returns the new eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _jpeg_decode_huff(br, ac_lut)
+        r, s = rs >> 4, rs & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("JPEG progressive AC run overflows the band")
+            block[k] = br.extend(s) << al
+            k += 1
+        else:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.bits(r)
+                return eobrun - 1  # this block is a member of the EOB run
+            k += 16  # ZRL
+    return 0
+
+
+def _jpeg_ac_refine(br, ac_lut, block, ss, se, al, eobrun) -> int:
+    """Progressive AC refinement pass for one block: correction bits on
+    history-nonzero coefficients, newly-nonzero insertions at +-1<<al,
+    EOB runs still consuming correction bits (T.81 G.2.2 successive
+    approximation). Two's-complement bit tests match the C reference
+    arithmetic exactly (Python ints are two's complement under &)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_decode_huff(br, ac_lut)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients below
+            else:
+                if s != 1:
+                    raise ValueError("JPEG AC refinement symbol size != 1")
+                s = p1 if br.bit() else m1
+            while k <= se:
+                c = int(block[k])
+                if c != 0:
+                    if br.bit() and (c & p1) == 0:
+                        block[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                block[k] = s
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(block[k])
+            if c != 0:
+                if br.bit() and (c & p1) == 0:
+                    block[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_progressive_scan(
+    scan, coef_store, comp_by_id, hmax, vmax, w_img, h_img, mcux, mcuy
+) -> None:
+    """Accumulate one progressive scan into the zigzag coefficient store.
+
+    Geometry per T.81: a multi-component scan is MCU-interleaved (legal
+    for DC only); a single-component scan traverses the component's OWN
+    block raster (ceil(ceil(dim*sampling/max_sampling)/8)) — note this
+    covers fewer blocks than the MCU-padded store, exactly as specified.
+    Restart intervals count scan units (MCUs or blocks), resetting DC
+    predictors and the EOB run."""
+    comps, ss, se = scan["comps"], scan["ss"], scan["se"]
+    ah, al = scan["ah"], scan["al"]
+    huff, segs, dri = scan["huff"], scan["segs"], scan["dri"]
+    interleaved = len(comps) > 1
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC bands (Ss=0, Se>0)")
+    if ss > 0 and interleaved:
+        raise ValueError("progressive AC scan must be non-interleaved")
+
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        cid = comps[0][0]
+        hs, vs, _ = comp_by_id[cid]
+        comp_w = -(-w_img * hs // hmax)  # ceil div
+        comp_h = -(-h_img * vs // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        units = bw * bh
+
+    pred = {cid: 0 for cid in comp_by_id}
+    eobrun = 0
+    seg_i = 0
+    br = _JpegBits(segs[0])
+    for u in range(units):
+        if dri and u and u % dri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG missing expected restart marker")
+            br = _JpegBits(segs[seg_i])
+            pred = {cid: 0 for cid in comp_by_id}
+            eobrun = 0
+        if interleaved:  # DC scan over MCUs
+            my, mx = divmod(u, mcux)
+            for cid, td, _ta in comps:
+                hs, vs, _ = comp_by_id[cid]
+                store = coef_store[cid]
+                for by in range(vs):
+                    for bx in range(hs):
+                        block = store[my * vs + by, mx * hs + bx]
+                        if ah == 0:
+                            t = _jpeg_decode_huff(br, huff[(0, td)])
+                            pred[cid] += br.extend(t)
+                            block[0] = pred[cid] << al
+                        elif br.bit():
+                            block[0] = int(block[0]) | (1 << al)
+        else:
+            cid, td, ta = comps[0]
+            by, bx = divmod(u, bw)
+            block = coef_store[cid][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    t = _jpeg_decode_huff(br, huff[(0, td)])
+                    pred[cid] += br.extend(t)
+                    block[0] = pred[cid] << al
+                elif br.bit():
+                    block[0] = int(block[0]) | (1 << al)
+            elif ah == 0:
+                eobrun = _jpeg_ac_first(
+                    br, huff[(1, ta)], block, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _jpeg_ac_refine(
+                    br, huff[(1, ta)], block, ss, se, al, eobrun
+                )
+
+
 # IDCT basis: M[u, x] = C(u)/2 * cos((2x+1)u*pi/16); f = M.T @ F @ M
 _IDCT_M = None
 
@@ -504,11 +657,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h_img, w_img, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) not supported natively — pass a "
-                "full decoder via the decoder= seam"
-            )
+        elif marker == 0xC2:  # SOF2 progressive (T.81 Annex G)
+            precision, h_img, w_img, n_comp = struct.unpack_from(">BHHB", seg, 0)
+            if precision != 8:
+                raise NotImplementedError(
+                    f"{precision}-bit JPEG not supported natively (8-bit only)"
+                )
+            comps = []
+            for ci in range(n_comp):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h_img, w_img, comps)
+            progressive = True
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF marker 0x{marker:02x} (lossless/arithmetic/"
@@ -522,6 +682,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0x0F)
                 for i in range(n_sc)
             ]
+            o = 1 + 2 * n_sc
+            ss, se, ahal = seg[o], seg[o + 1], seg[o + 2]
+            segments: list[bytes] = []
             i = pos + seglen
             cur = bytearray()
             while i < len(payload):
@@ -536,18 +699,30 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         i += 1
                         continue
                     if 0xD0 <= nb <= 0xD7:  # restart marker
-                        entropy_segments.append(bytes(cur))
+                        segments.append(bytes(cur))
                         cur = bytearray()
                         i += 2
                         continue
                     break  # a real marker ends the scan
                 cur.append(b)
                 i += 1
-            entropy_segments.append(bytes(cur))
+            segments.append(bytes(cur))
+            scans.append(
+                {
+                    "comps": scan_comps,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0x0F,
+                    "dri": restart_interval,
+                    "huff": dict(huff),  # tables may be redefined per scan
+                    "segs": segments,
+                }
+            )
             pos = i
             continue
         pos += seglen
-    if frame is None or scan_comps is None:
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
     h_img, w_img, comps = frame
     comp_by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
@@ -562,26 +737,41 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
         for cid, (hs, vs, _) in comp_by_id.items()
     }
-    pred = {cid: 0 for cid in comp_by_id}
-    seg_i = 0
-    br = _JpegBits(entropy_segments[0])
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            seg_i += 1
-            if seg_i >= len(entropy_segments):
-                raise ValueError("JPEG missing expected restart marker")
-            br = _JpegBits(entropy_segments[seg_i])
-            pred = {cid: 0 for cid in comp_by_id}
-        my, mx = divmod(m, mcux)
-        for cid, td, ta in scan_comps:
-            hs, vs, _ = comp_by_id[cid]
-            store = coef_store[cid]
-            for by in range(vs):
-                for bx in range(hs):
-                    coefs, pred[cid] = _jpeg_decode_block(
-                        br, huff[(0, td)], huff[(1, ta)], pred[cid]
-                    )
-                    store[my * vs + by, mx * hs + bx] = coefs
+    if progressive:
+        for scan in scans:
+            _jpeg_progressive_scan(
+                scan, coef_store, comp_by_id, hmax, vmax, w_img, h_img, mcux, mcuy
+            )
+    else:
+        if len(scans) != 1:
+            raise NotImplementedError(
+                "multi-scan sequential (non-interleaved baseline) JPEG not "
+                "supported natively — pass a full decoder via the decoder= "
+                "seam"
+            )
+        scan = scans[0]
+        scan_comps, huff = scan["comps"], scan["huff"]
+        entropy_segments, restart_interval = scan["segs"], scan["dri"]
+        pred = {cid: 0 for cid in comp_by_id}
+        seg_i = 0
+        br = _JpegBits(entropy_segments[0])
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(entropy_segments):
+                    raise ValueError("JPEG missing expected restart marker")
+                br = _JpegBits(entropy_segments[seg_i])
+                pred = {cid: 0 for cid in comp_by_id}
+            my, mx = divmod(m, mcux)
+            for cid, td, ta in scan_comps:
+                hs, vs, _ = comp_by_id[cid]
+                store = coef_store[cid]
+                for by in range(vs):
+                    for bx in range(hs):
+                        coefs, pred[cid] = _jpeg_decode_block(
+                            br, huff[(0, td)], huff[(1, ta)], pred[cid]
+                        )
+                        store[my * vs + by, mx * hs + bx] = coefs
 
     # natural-order index per zigzag position, for vectorized de-zigzag
     zz = _jpeg_zigzag()
