@@ -28,14 +28,15 @@ _BANNED_CALLS = {
     ("time", "time_ns"),
     ("time", "monotonic"),
     ("time", "perf_counter"),
+    ("time", "perf_counter_ns"),
 }
 
 # bare names that only exist as wall-clock reads (`from time import time`)
-_BANNED_BARE = {"time_ns", "monotonic", "perf_counter"}
+_BANNED_BARE = {"time_ns", "monotonic", "perf_counter", "perf_counter_ns"}
 
 
 def find_wall_clock_calls(
-    path: str | Path, *, only_class: str | None = None
+    path: str | Path, *, only_class: str | None = None, allow_pragma: bool = False
 ) -> list[str]:
     """``file:line: call`` for every wall-clock read in a Python source
     file. AST-based (no regex false positives on strings/comments); a
@@ -45,9 +46,26 @@ def find_wall_clock_calls(
 
     ``only_class`` scopes the call scan to that class's body (import
     aliases are still resolved module-wide), so a plugin class in a file
-    with unrelated module-level timing code doesn't false-positive."""
+    with unrelated module-level timing code doesn't false-positive.
+
+    ``allow_pragma=True`` honors ``# wall-clock-ok: <reason>`` on the
+    call's line — for the REPO lint only, where a sanctioned observational
+    read (the #197 clipping monitor measures REAL per-tick processing
+    time; that is its one job) must be exempt WITH a stated reason. The
+    plugin startup validator never sets it: a USER plugin cannot pragma
+    its way past the determinism ban."""
     path = Path(path)
-    tree = ast.parse(path.read_text(), filename=str(path))
+    src = path.read_text()
+    tree = ast.parse(src, filename=str(path))
+    src_lines = src.splitlines()
+
+    def _pragma_ok(lineno: int) -> bool:
+        if not allow_pragma or lineno > len(src_lines):
+            return False
+        line = src_lines[lineno - 1]
+        mark = "# wall-clock-ok:"
+        i = line.find(mark)
+        return i >= 0 and bool(line[i + len(mark):].strip())
     hits: list[str] = []
     # `from time import time` style aliases: map imported names back to the
     # wall-clock functions they bind so a bare call is still caught
@@ -55,7 +73,7 @@ def find_wall_clock_calls(
     for node in ast.walk(tree):
         if isinstance(node, ast.ImportFrom) and node.module == "time":
             for alias in node.names:
-                if alias.name in {"time", "time_ns", "monotonic", "perf_counter"}:
+                if alias.name in {"time", "time_ns", "monotonic", "perf_counter", "perf_counter_ns"}:
                     bare_aliases[alias.asname or alias.name] = alias.name
     scan_root: ast.AST = tree
     if only_class is not None:
@@ -76,7 +94,9 @@ def find_wall_clock_calls(
         func = node.func
         if isinstance(func, ast.Name):
             bound = bare_aliases.get(func.id)
-            if bound is not None or func.id in _BANNED_BARE:
+            if (bound is not None or func.id in _BANNED_BARE) and not _pragma_ok(
+                node.lineno
+            ):
                 hits.append(
                     f"{path}:{node.lineno}: {func.id}() [time.{bound or func.id}]"
                 )
@@ -92,7 +112,7 @@ def find_wall_clock_calls(
             base_name = base.attr
         if base_name is None:
             continue
-        if (base_name, attr) in _BANNED_CALLS:
+        if (base_name, attr) in _BANNED_CALLS and not _pragma_ok(node.lineno):
             hits.append(f"{path}:{node.lineno}: {base_name}.{attr}()")
     return hits
 

@@ -1230,7 +1230,7 @@ def live_backtest_generic(
                 from ..operators.clipping import ClippingMonitor
 
                 sess.clipping_monitor = ClippingMonitor(
-                    clipping_report_interval_s, start_s=time.monotonic()
+                    clipping_report_interval_s, start_s=time.monotonic()  # wall-clock-ok: #197 clipping report cadence (observational telemetry)
                 )
             return sess
 
@@ -1247,13 +1247,15 @@ def live_backtest_generic(
             _arm(holder[0])
         _drive_session_rows(
             pdf, session_for, on_seed,
-            monitor=clipping, clock_ns=time.perf_counter_ns,
+            monitor=clipping, clock_ns=time.perf_counter_ns,  # wall-clock-ok: #197 real processing-time measurement
         )
         sess = holder[0]
         if sess is None:
             return
         if clipping:
-            report = sess.clipping_monitor.get_periodic_report(time.monotonic())
+            report = sess.clipping_monitor.get_periodic_report(
+                time.monotonic()  # wall-clock-ok: #197 report cadence
+            )
             if report is not None:
                 _CLIP_LOG.info("[CLIPPING] %s %s", symbol, report)
 
@@ -1464,7 +1466,7 @@ def live_backtest_account(
                 from ..operators.clipping import ClippingMonitor
 
                 mon_holder[0] = ClippingMonitor(
-                    clipping_report_interval_s, start_s=time.monotonic()
+                    clipping_report_interval_s, start_s=time.monotonic()  # wall-clock-ok: #197 clipping report cadence (observational telemetry)
                 )
             return mon_holder[0]
 
@@ -1487,14 +1489,16 @@ def live_backtest_account(
 
         _drive_session_rows(
             pdf, session_for, on_seed,
-            monitor=clipping, clock_ns=time.perf_counter_ns,
+            monitor=clipping, clock_ns=time.perf_counter_ns,  # wall-clock-ok: #197 real processing-time measurement
         )
         if holder[0] is None:
             return
         acct, books = holder[0]
         if clipping and books:
             mon = _account_monitor(books)
-            report = mon.get_periodic_report(time.monotonic())
+            report = mon.get_periodic_report(
+                time.monotonic()  # wall-clock-ok: #197 report cadence
+            )
             if report is not None:
                 _CLIP_LOG.info("[CLIPPING] account=%s %s", key[0], report)
 

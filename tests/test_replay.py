@@ -1204,7 +1204,7 @@ def test_no_wall_clock_in_strategy_surface():
             # algo surface) — wall-clock polling is its job
             if py.name == "incremental_bars.py":
                 continue
-            violations.extend(find_wall_clock_calls(py))
+            violations.extend(find_wall_clock_calls(py, allow_pragma=True))
     assert not violations, "\n".join(violations)
 
 
@@ -1287,6 +1287,31 @@ def test_wall_clock_validator_catches_bare_import(tmp_path):
     )
     hits = find_wall_clock_calls(p)
     assert len(hits) == 1 and "now_fn()" in hits[0]
+
+
+def test_wall_clock_pragma_semantics(tmp_path):
+    """`# wall-clock-ok: <reason>` exempts a line ONLY when allow_pragma
+    is set (the repo lint) AND a reason is stated; the plugin startup
+    validator never honors it — a USER plugin cannot pragma its way past
+    the determinism ban."""
+    from finiextestingide_spark.operators.validation import find_wall_clock_calls
+
+    p = tmp_path / "telemetry.py"
+    p.write_text(
+        "import time\n"
+        "def a():\n"
+        "    return time.monotonic()  # wall-clock-ok: observational\n"
+        "def b():\n"
+        "    return time.monotonic()  # wall-clock-ok:\n"  # no reason
+        "def c():\n"
+        "    return time.perf_counter_ns()\n"
+    )
+    # default (plugin-validator path): pragma means nothing
+    assert len(find_wall_clock_calls(p)) == 3
+    # repo lint: reasoned pragma exempts; bare pragma and unmarked don't
+    hits = find_wall_clock_calls(p, allow_pragma=True)
+    assert len(hits) == 2
+    assert all("monotonic" in h or "perf_counter_ns" in h for h in hits)
 
 
 def test_maker_taker_fees_spot(spark):
