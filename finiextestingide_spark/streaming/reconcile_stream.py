@@ -398,6 +398,71 @@ def reconcile_stream(
     )
 
 
+def merged_reconcile_view(
+    snapshot: DataFrame,
+    revisions: DataFrame,
+    *,
+    order_key: str,
+    tolerance: float = 1e-6,
+) -> DataFrame:
+    """SINK-MERGE form of the reconcile backfill (the cost-model lesson the
+    sf1 drive of the tail gate taught, mirroring ``merged_dedup_view``):
+    seeding a months-old book through the stream pays the ~80 us per-key
+    Python invocation on EVERY seeded key — a one-time restart cost that
+    is fine for a bounded open-order book, but for a ledger-wide audit
+    (1.35M keys at sf1 = ~170 s of pure seed folding) history should not
+    enter the state machinery at all. This view takes the
+    ``bootstrap_state`` snapshot plus a FRESH-state tail stream's emitted
+    revisions and merges commutatively at read time (sum of executed
+    totals and counts, max of has_order, coalesce of expected), then
+    applies the batch classification — equal to ``reconcile_orders`` over
+    history+tail. Fidelity note: the revision wire carries executed as
+    double (15-16 significant digits); the merge adds one double to the
+    snapshot's exact decimal, so totals are exact to double precision —
+    pass the seed-union ``bootstrap=`` path instead if a bit-exact decimal
+    audit trail across the cut is required and the key count affordable."""
+    lat = latest_revisions(revisions, order_key)
+    s = snapshot.select(
+        F.col(order_key).alias("__k"),
+        F.col("has_order").alias("__s_has"),
+        F.col("expected").alias("__s_exp"),
+        F.col("executed").cast("double").alias("__s_exec"),
+        F.col("n_exec").alias("__s_n"),
+    )
+    t = lat.select(
+        F.col(order_key).alias("__k"),
+        F.col("expected_amount").alias("__t_exp"),
+        F.col("executed_amount").alias("__t_exec"),
+        F.col("n_executions").alias("__t_n"),
+        # the stream saw the order iff its latest verdict is not ORPHAN
+        (F.col("status") != "ORPHAN").cast("int").alias("__t_has"),
+    )
+    j = s.join(t, "__k", "full_outer")
+    has_order = (
+        F.coalesce("__s_has", F.lit(0)) + F.coalesce("__t_has", F.lit(0)) > 0
+    )
+    expected = F.coalesce("__t_exp", "__s_exp")
+    n = F.coalesce("__s_n", F.lit(0)) + F.coalesce("__t_n", F.lit(0))
+    executed = F.coalesce("__s_exec", F.lit(0.0)) + F.coalesce(
+        "__t_exec", F.lit(0.0)
+    )
+    diff = executed - expected
+    status = (
+        F.when(~has_order, F.lit("ORPHAN"))
+        .when(n == 0, F.lit("MISSING"))
+        .when(F.abs(diff) <= tolerance, F.lit("MATCHED"))
+        .when(diff < 0, F.lit("UNDER_EXECUTED"))
+        .otherwise(F.lit("OVER_EXECUTED"))
+    )
+    return j.select(
+        F.col("__k").alias(order_key),
+        F.when(has_order, expected).alias("expected_amount"),
+        F.when(n > 0, executed).alias("executed_amount"),
+        n.cast("long").alias("n_executions"),
+        status.alias("status"),
+    )
+
+
 def latest_revisions(revisions: DataFrame, order_key: str) -> DataFrame:
     """Collapse a (bounded) revision table to the current verdict per key —
     what a dashboard or the gate's batch comparison reads."""

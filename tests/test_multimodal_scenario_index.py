@@ -440,114 +440,9 @@ def _gray_coef_blocks(yp: np.ndarray):
     return bh, bw_, blocks
 
 
-class _ProgEncoder:
-    """T.81 Annex G progressive entropy encoder (grayscale), independent of
-    the decoder: spectral selection, successive approximation (DC+AC first
-    and refinement passes), cross-block EOB runs with buffered correction
-    bits — the jcphuff.c algorithm re-derived from the spec."""
-
-    def __init__(self):
-        from finiextestingide_spark.gate.llmdata import (
-            _JAC_BITS, _JAC_VALS, _JDC_BITS, _JDC_VALS, _jhuff_codes,
-        )
-
-        self.dc = _jhuff_codes(_JDC_BITS, _JDC_VALS)
-        self.ac = _jhuff_codes(_JAC_BITS, _JAC_VALS)
-
-    @staticmethod
-    def _vbits(v: int, s: int) -> int:
-        return (v if v > 0 else v + (1 << s) - 1) & ((1 << s) - 1)
-
-    def dc_first(self, bw, blocks, order, al):
-        pred = 0
-        for key in order:
-            v = int(blocks[key][0]) >> al  # arithmetic shift (C semantics)
-            diff = v - pred
-            pred = v
-            s = abs(diff).bit_length()
-            bw.write(*self.dc[s])
-            if s:
-                bw.write(self._vbits(diff, s), s)
-
-    def dc_refine(self, bw, blocks, order, al):
-        for key in order:
-            bw.write((int(blocks[key][0]) >> al) & 1, 1)
-
-    def _flush_eob(self, bw, eobrun, corr):
-        if eobrun > 0:
-            r = eobrun.bit_length() - 1
-            bw.write(*self.ac[r << 4])
-            if r:
-                bw.write(eobrun - (1 << r), r)
-        for bit in corr:
-            bw.write(bit, 1)
-        return 0, []
-
-    def ac_first(self, bw, blocks, order, ss, se, al):
-        eobrun = 0
-        for key in order:
-            band = [int(blocks[key][k]) for k in range(ss, se + 1)]
-            pt = [(1 if v > 0 else -1) * (abs(v) >> al) for v in band]
-            if not any(pt):
-                eobrun += 1
-                if eobrun == 0x7FFF:
-                    eobrun, _ = self._flush_eob(bw, eobrun, [])
-                continue
-            run = 0
-            for v in pt:
-                if v == 0:
-                    run += 1
-                    continue
-                eobrun, _ = self._flush_eob(bw, eobrun, [])
-                while run > 15:
-                    bw.write(*self.ac[0xF0])
-                    run -= 16
-                s = abs(v).bit_length()
-                bw.write(*self.ac[(run << 4) | s])
-                bw.write(self._vbits(v, s), s)
-                run = 0
-            if run:
-                eobrun += 1
-        self._flush_eob(bw, eobrun, [])
-
-    def ac_refine(self, bw, blocks, order, ss, se, al):
-        eobrun, be = 0, []  # run length + its buffered correction bits
-        for key in order:
-            band = [int(blocks[key][k]) for k in range(ss, se + 1)]
-            absv = [abs(v) >> al for v in band]
-            eob = -1  # last index that becomes NEWLY nonzero this pass
-            for i, a in enumerate(absv):
-                if a == 1:
-                    eob = i
-            run, br = 0, []
-            for i, a in enumerate(absv):
-                if a == 0:
-                    run += 1
-                    continue
-                if a > 1:  # history coefficient: correction bit only
-                    br.append(a & 1)
-                    continue
-                # newly nonzero: flush any pending EOB run, ZRLs within
-                # the EOB span, then the (run, 1) symbol + sign
-                eobrun, be = self._flush_eob(bw, eobrun, be)
-                while run > 15 and i <= eob:
-                    bw.write(*self.ac[0xF0])
-                    run -= 16
-                    for bit in br:
-                        bw.write(bit, 1)
-                    br = []
-                bw.write(*self.ac[(run << 4) | 1])
-                bw.write(1 if band[i] > 0 else 0, 1)
-                for bit in br:
-                    bw.write(bit, 1)
-                br = []
-                run = 0
-            if run > 0 or br:
-                eobrun += 1
-                be.extend(br)
-                if eobrun == 0x7FFF:
-                    eobrun, be = self._flush_eob(bw, eobrun, be)
-        self._flush_eob(bw, eobrun, be)
+from finiextestingide_spark.gate.llmdata import (  # noqa: E402
+    _JProgEncoder as _ProgEncoder,
+)
 
 
 def _jpeg_gray_encode_progressive(yp: np.ndarray, dri: int = 0) -> bytes:
@@ -674,94 +569,6 @@ def test_jpeg_progressive_truncation_raises_or_coarser_preview():
     assert previews > 0  # and scan-boundary cuts must decode as previews
 
 
-def _jpeg_420_encode_progressive(yp, cb, cr) -> bytes:
-    """4:2:0 COLOR progressive encoding of the SAME coefficients
-    jpeg_encode_420 carries (unit quant): one INTERLEAVED DC-first scan
-    over MCUs (Y 2x2 then Cb then Cr — the only scan shape T.81 allows to
-    interleave), then one non-interleaved AC-first full-band scan per
-    component over its OWN subsampled block raster."""
-    import struct
-
-    from finiextestingide_spark.gate.llmdata import (
-        _JAC_BITS, _JAC_VALS, _JBitWriter, _JDC_BITS, _JDC_VALS, _jseg, _JZZ,
-    )
-
-    H, W = yp.shape
-    assert H % 16 == 0 and W % 16 == 0
-    u = np.arange(8).reshape(8, 1)
-    x = np.arange(8).reshape(1, 8)
-    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
-    m[0] /= np.sqrt(2.0)
-
-    def fdct(block):
-        f = m @ (block.astype(np.float64) - 128.0) @ m.T
-        return np.round(f.reshape(64)[list(_JZZ)]).astype(np.int64)
-
-    yb = {
-        (r, c): fdct(yp[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8])
-        for r in range(H // 8)
-        for c in range(W // 8)
-    }
-    cbb = {
-        (r, c): fdct(cb[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8])
-        for r in range(H // 16)
-        for c in range(W // 16)
-    }
-    crb = {
-        (r, c): fdct(cr[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8])
-        for r in range(H // 16)
-        for c in range(W // 16)
-    }
-    enc = _ProgEncoder()
-    out = bytearray(b"\xff\xd8")
-    out += _jseg(0xDB, bytes([0]) + b"\x01" * 64)
-    out += _jseg(0xDB, bytes([1]) + b"\x01" * 64)
-    out += _jseg(
-        0xC2,
-        struct.pack(">BHHB", 8, H, W, 3)
-        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
-    )
-    for tc, th in ((0, 0), (0, 1)):
-        out += _jseg(0xC4, bytes([tc << 4 | th]) + bytes(_JDC_BITS) + _JDC_VALS)
-    for tc, th in ((1, 0), (1, 1)):
-        out += _jseg(0xC4, bytes([tc << 4 | th]) + bytes(_JAC_BITS) + _JAC_VALS)
-
-    # scan 1: interleaved DC first, Al=0 — per-component diff predictors
-    out += _jseg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0]))
-    bw = _JBitWriter()
-    mcux, mcuy = W // 16, H // 16
-    pred = {1: 0, 2: 0, 3: 0}
-
-    def dc(blk, cid):
-        v = int(blk[0])
-        diff = v - pred[cid]
-        pred[cid] = v
-        s = abs(diff).bit_length()
-        bw.write(*enc.dc[s])
-        if s:
-            bw.write(enc._vbits(diff, s), s)
-
-    for mi in range(mcux * mcuy):
-        my, mx = divmod(mi, mcux)
-        for by in range(2):
-            for bx in range(2):
-                dc(yb[(my * 2 + by, mx * 2 + bx)], 1)
-        dc(cbb[(my, mx)], 2)
-        dc(crb[(my, mx)], 3)
-    bw.flush()
-    out += bytes(bw.out)
-
-    # scans 2-4: AC first full band per component, own block raster
-    for cid, blocks, bwid in ((1, yb, W // 8), (2, cbb, W // 16), (3, crb, W // 16)):
-        out += _jseg(0xDA, bytes([1, cid, 0x01 if cid > 1 else 0x00, 1, 63, 0]))
-        order = sorted(blocks)
-        bw = _JBitWriter()
-        enc.ac_first(bw, blocks, order, 1, 63, 0)
-        bw.flush()
-        out += bytes(bw.out)
-    return bytes(out) + b"\xff\xd9"
-
-
 def test_jpeg_progressive_color_420_equals_baseline():
     """Interleaved DC scan + subsampled per-component AC rasters: the color
     progressive encoding decodes pixel-identically to the baseline encoding
@@ -773,8 +580,10 @@ def test_jpeg_progressive_color_420_equals_baseline():
     yp = rng.integers(0, 256, (16, 32)).astype(np.uint8)
     cb = rng.integers(0, 256, (8, 16)).astype(np.uint8)
     cr = rng.integers(0, 256, (8, 16)).astype(np.uint8)
+    from finiextestingide_spark.gate.llmdata import jpeg_encode_420_progressive
+
     base = decode_jpeg(jpeg_encode_420(yp, cb, cr, dri=0))
-    prog = decode_jpeg(_jpeg_420_encode_progressive(yp, cb, cr))
+    prog = decode_jpeg(jpeg_encode_420_progressive(yp, cb, cr))
     assert np.array_equal(prog, base)
 
 

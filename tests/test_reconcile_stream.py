@@ -472,6 +472,105 @@ def test_bootstrap_restart_from_checkpoint_folds_seed_once(spark, tmp_path):
     assert final[2]["status"] == "MATCHED"
 
 
+def test_sink_merge_equals_batch_reconcile(spark, tmp_path):
+    """merged_reconcile_view (round-10): batch snapshot of history + a
+    FRESH-state tail stream, merged at read time == reconcile_orders over
+    the FULL ledger — the backfill path for ledger-wide audits where
+    seeding every key through the stream would pay the per-key Python
+    cost on the whole book. Covers every cross-cut class: seed-only keys,
+    tail-only keys, fills split across the cut, a seeded ORPHAN whose
+    order arrives in the tail, and a seeded MISSING order filled in the
+    tail."""
+    from finiextestingide_spark.operators.reconcile import reconcile_orders
+    from finiextestingide_spark.streaming.reconcile_stream import (
+        bootstrap_state,
+        merged_reconcile_view,
+    )
+
+    hist_orders = [(k, v) for k, v in ORDERS.items() if k not in (3, 4)]
+    hist_fills = (
+        [(1, FILLS[1][0])]
+        + [(2, q) for q in FILLS[2]]
+        + [(3, q) for q in FILLS[3]]       # ORPHAN in history...
+        + [(5, q) for q in FILLS[5]]
+        + [(6, q) for q in FILLS[6]]
+        + [(8, q) for q in FILLS[8][:2]]
+    )
+    tail_orders = [(3, ORDERS[3]), (4, ORDERS[4])]  # ...order 3 lands late
+    tail_fills = [
+        (1, FILLS[1][1]),
+        (4, FILLS[4][0]),
+        (8, FILLS[8][2]),
+        (9, FILLS[9][0]),
+    ]
+    snap = bootstrap_state(
+        spark.createDataFrame(hist_orders, "order_id long, expected_amount double"),
+        spark.createDataFrame(hist_fills, "order_id long, qty double"),
+        order_key="order_id",
+    )
+
+    o_dir, f_dir = str(tmp_path / "o"), str(tmp_path / "f")
+    spark.createDataFrame(
+        tail_orders, "order_id long, expected_amount double"
+    ).write.parquet(o_dir)
+    spark.createDataFrame(tail_fills, "order_id long, qty double").write.parquet(
+        f_dir
+    )
+    rev = reconcile_stream(
+        spark.readStream.schema("order_id long, expected_amount double").parquet(
+            o_dir
+        ),
+        spark.readStream.schema("order_id long, qty double").parquet(f_dir),
+        order_key="order_id",
+        tolerance=0.01,
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        rev.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = {
+        r["order_id"]: r
+        for r in merged_reconcile_view(
+            snap, spark.read.parquet(out_dir), order_key="order_id",
+            tolerance=0.01,
+        ).collect()
+    }
+    batch = {
+        r["order_id"]: r
+        for r in reconcile_orders(
+            spark.createDataFrame(
+                [(k, v) for k, v in ORDERS.items()], "order_id long, expected double"
+            ),
+            spark.createDataFrame(
+                [(k, q) for k, qs in FILLS.items() for q in qs],
+                "order_id long, qty double",
+            ),
+            order_key="order_id",
+            expected=F.col("expected"),
+            executed=F.sum("qty"),
+            tolerance=0.01,
+        ).collect()
+    }
+    assert set(merged) == set(batch)
+    for k, br in batch.items():
+        mr = merged[k]
+        for c in ("expected_amount", "n_executions", "status"):
+            assert mr[c] == br[c], (k, c, mr[c], br[c])
+        if br["executed_amount"] is None:
+            assert mr["executed_amount"] is None, k
+        else:
+            assert mr["executed_amount"] == pytest.approx(
+                br["executed_amount"], abs=1e-9
+            ), k
+
+
 # --- Hypothesis sweep: arrival-order / slicing invariance (round-9 item 8) --
 
 from decimal import Decimal
