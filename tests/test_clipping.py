@@ -134,6 +134,81 @@ def test_drive_rows_wires_monitor_with_synthetic_clock():
     assert s["avg_stale_ms"] == pytest.approx(10.0)
 
 
+def test_monitor_fold_matches_mirror_hypothesis():
+    """Hypothesis sweep: the fold equals a plain-python mirror on arbitrary
+    (processing_ns, delta_ms) sequences — totals, clipped counts, max/avg
+    staleness and processing (the reference Phase-3 arithmetic)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        seq=st.lists(
+            st.tuples(
+                st.integers(0, 50_000_000),
+                st.sampled_from([0.0, 0.5, 1.0, 5.0, 10.0, 25.0]),
+            ),
+            max_size=40,
+        )
+    )
+    def run(seq):
+        m = ClippingMonitor()
+        stales, procs = [], []
+        for ns, d in seq:
+            m.record_tick(ns, d)
+            p = ns / 1e6
+            procs.append(p)
+            if d > 0 and p > d:
+                stales.append(p - d)
+        s = m.session_summary()
+        assert s["total_ticks"] == len(procs)
+        assert s["ticks_clipped"] == len(stales)
+        assert s["max_stale_ms"] == (max(stales) if stales else 0.0)
+        assert s["avg_stale_ms"] == pytest.approx(
+            sum(stales) / len(stales) if stales else 0.0
+        )
+        assert s["max_processing_ms"] == (max(procs) if procs else 0.0)
+        assert s["avg_processing_ms"] == pytest.approx(
+            sum(procs) / len(procs) if procs else 0.0
+        )
+
+    run()
+
+
+def test_account_clipping_does_not_perturb_trades(spark, tmp_path):
+    """Account scope: one shared monitor across sub-books is pure telemetry
+    too — the account trade stream is bit-identical with and without it."""
+    from tests.test_live_bootstrap import PARAMS, LAT, TICK_DDL, _ticks
+    from finiextestingide_spark.streaming.live_replay import live_backtest_account
+
+    params = {**PARAMS, "start_balance": 10_000.0, "margin_per_lot": 3_000.0}
+    feed = sorted(
+        _ticks("EURUSD", 100) + _ticks("GBPUSD", 100, phase=1.3),
+        key=lambda r: (r[2], r[0]),
+    )
+
+    def run(tag, **kw):
+        ticks_dir = str(tmp_path / f"t_{tag}")
+        out = str(tmp_path / f"o_{tag}")
+        spark.createDataFrame(feed, TICK_DDL).write.parquet(ticks_dir)
+        stream = spark.readStream.schema(TICK_DDL).parquet(ticks_dir)
+        q = (
+            live_backtest_account(stream, params, **LAT, **kw)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"c_{tag}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    base = run("plain")
+    with_clip = run("clip", clipping=True, clipping_report_interval_s=0.0)
+    assert base and base == with_clip
+
+
 def test_live_clipping_does_not_perturb_trades(spark, tmp_path):
     """clipping=True is pure telemetry: the trade stream is bit-identical
     with and without it."""
