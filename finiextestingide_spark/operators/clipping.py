@@ -30,6 +30,15 @@ time, so the live path measures with ``time.perf_counter_ns`` — but every
 entry point takes the measurement as an ARGUMENT (``record_tick``,
 ``get_periodic_report(now_s)``), so tests drive the fold with synthesized
 clocks and the arithmetic stays deterministic.
+
+Strategy posture (reference Phase 6, stated honestly): the monitor
+records ``queue_all``/``drop_stale`` but the ENGINE always processes
+every tick (queue_all semantics) — in Structured Streaming, load
+shedding is the SOURCE's job (``maxOffsetsPerTrigger``/rate limits on
+the ingest side), and silently dropping ticks inside the keyed session
+would break the live==batch parity contract every live gate pins. The
+queue-depth phase maps to the micro-batch backlog (rows per key-batch),
+the engine's analogue of ``queue.Queue.qsize()``.
 """
 
 from __future__ import annotations

@@ -1253,6 +1253,10 @@ def live_backtest_generic(
         if sess is None:
             return
         if clipping:
+            # Phase 5 analogue: the micro-batch backlog IS this engine's
+            # queue depth — rows waiting in the batch when the key's turn
+            # came (the reference polls queue.Queue.qsize())
+            sess.clipping_monitor.record_queue_depth(len(pdf))
             report = sess.clipping_monitor.get_periodic_report(
                 time.monotonic()  # wall-clock-ok: #197 report cadence
             )
@@ -1496,6 +1500,7 @@ def live_backtest_account(
         acct, books = holder[0]
         if clipping and books:
             mon = _account_monitor(books)
+            mon.record_queue_depth(len(pdf))  # Phase 5: batch backlog
             report = mon.get_periodic_report(
                 time.monotonic()  # wall-clock-ok: #197 report cadence
             )
