@@ -21,6 +21,14 @@ Used by ``streaming.reconcile_stream`` (per-key pairing seeds) and
 4. ``check_staleness`` optionally gates the restore on the snapshot's
    trading-day age (algo_state_store.py:19-22 — a Friday-night snapshot is
    NOT 3 days old on Monday).
+
+Restart contract: the seed union is a SOURCE in the streaming plan, and
+Spark checkpoints the source set — so every restart of the same
+checkpoint must pass the SAME bootstrap arguments (the create-only ledger
+makes that idempotent). Restarting with ``bootstrap=None`` against a
+checkpoint created WITH one changes the plan's source count and Spark
+refuses the recovery loudly (the safe failure mode — never a silent
+re-seed or seed loss).
 """
 
 from __future__ import annotations

@@ -229,6 +229,98 @@ def test_account_restart_without_checkpoint_parity(spark, tmp_path):
     assert got == expected_tail
 
 
+def test_signal_follow_bootstrap_parity(spark, tmp_path):
+    """W7 across the cut: the snapshot carries the as-of signal state and
+    per-position signal stamps, so a signal_follow session seeded from
+    history + signal/tick tails equals the uninterrupted run — including
+    entry_sig_ts/entry_sig_score on tail trades whose DECISION signal
+    arrived in history."""
+    from finiextestingide_spark.streaming.live_replay import _merge_signals
+
+    sym = "EURUSD"
+    params = {
+        "strategy": "signal_follow",
+        "bar_ms": 1000,
+        "lots": 1.0,
+        "fee_per_side": 0.05,
+        "signal_threshold": 0.2,
+    }
+    all_ticks = _ticks(sym, 200)
+    # deterministic signal wave: flips every ~8 bars, offset from bar edges
+    sigs = [
+        (sym, pd.Timestamp(T0 + 350 + k * 2_000, unit="ms").to_pydatetime(),
+         0.9 if (k // 4) % 2 == 0 else -0.9)
+        for k in range(25)
+    ]
+    SIG_DDL = "symbol string, sig_ts timestamp, score double"
+
+    def oracle(ticks_rows, sig_rows):
+        from finiextestingide_spark.operators.replay import ReplaySession
+
+        scen = {
+            "scenario_id": 0,
+            "parameters": {**{k: str(v) for k, v in params.items()},
+                           "equity_sample_every": "0"},
+            "tick_processing_budget_ms": None,
+            "max_ticks": None,
+            "latency_seed": LAT["latency_seed"],
+            "latency_min_ms": LAT["latency_min_ms"],
+            "latency_max_ms": LAT["latency_max_ms"],
+        }
+        sess = ReplaySession(scen)
+        events = [("t", r[2], r[3], r[4]) for r in ticks_rows] + [
+            ("s", int(r[1].timestamp() * 1000), r[2], None) for r in sig_rows
+        ]
+        # signal-first at equal event time (the as-of at-or-before contract)
+        events.sort(key=lambda e: (e[1], 0 if e[0] == "s" else 1))
+        for kind, t, a, b in events:
+            if kind == "s":
+                sess.process_signal(t, a)
+            else:
+                sess.process_tick(t, t, a, b)
+        return sess
+
+    cut_ms = T0 + 101 * 250
+    hist_t = [r for r in all_ticks if r[2] < cut_ms]
+    tail_t = [r for r in all_ticks if r[2] >= cut_ms]
+    hist_s = [r for r in sigs if r[1].timestamp() * 1000 < cut_ms]
+    tail_s = [r for r in sigs if r[1].timestamp() * 1000 >= cut_ms]
+
+    full_trades = oracle(all_ticks, sigs).drain_trades()
+    n_hist = len(oracle(hist_t, hist_s).drain_trades())
+    assert n_hist >= 1 and len(full_trades) > n_hist
+    expected_tail = [
+        _normalize(r) for r in _trade_rows(sym, full_trades[n_hist:])
+    ]
+    # the test must bite: at least one tail trade stamped with a signal
+    assert any(r[-2] is not None for r in expected_tail)
+
+    snap = bootstrap_live_sessions(
+        spark.createDataFrame(hist_t, TICK_DDL), params, **LAT,
+        signals=spark.createDataFrame(hist_s, SIG_DDL),
+    )
+    t_dir, s_dir = str(tmp_path / "t"), str(tmp_path / "s")
+    spark.createDataFrame(tail_t, TICK_DDL).write.parquet(t_dir)
+    spark.createDataFrame(tail_s, SIG_DDL).write.parquet(s_dir)
+    res = live_backtest_generic(
+        spark.readStream.schema(TICK_DDL).parquet(t_dir),
+        params, **LAT,
+        signals=spark.readStream.schema(SIG_DDL).parquet(s_dir),
+        bootstrap=snap, bootstrap_dir=str(tmp_path / "ledger"),
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        res.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _collected(spark, out_dir) == expected_tail
+
+
 def test_bootstrap_staleness_gate(spark, tmp_path):
     """A stale snapshot (trading-day aware) errors before seeding under
     on_stale='error' and proceeds under 'warn' — the shared protocol from
