@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import struct
 from collections.abc import Callable, Iterator
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -313,44 +314,74 @@ def _jpeg_zigzag() -> list[tuple[int, int]]:
     return order
 
 
-def _jpeg_huff_lut(bits: list[int], values: bytes) -> dict[tuple[int, int], int]:
-    """DHT (BITS, HUFFVAL) -> {(code_length, code): symbol} per the canonical
-    code construction of T.81 Annex C (generate_size_table / generate_code_
-    table): codes of each length are consecutive, doubling at each length."""
-    lut: dict[tuple[int, int], int] = {}
+@lru_cache(maxsize=64)
+def _jpeg_huff_lut(bits: bytes, values: bytes) -> list:
+    """DHT (BITS, HUFFVAL) -> a 65536-entry 16-bit-window lookup table:
+    entry[w] = (code_length << 8) | symbol for the canonical code that
+    PREFIXES window w (T.81 Annex C construction: codes of each length are
+    consecutive, doubling at each length); 0 = invalid prefix. One peek +
+    one table hit decodes any symbol — the round-10 replacement for the
+    bit-at-a-time tree walk that dominated bulk decode wall (each symbol
+    cost up to 16 Python calls). Built with numpy slice assignment and
+    lru_cached on the table bytes, so real lakes (which overwhelmingly
+    ship the Annex K tables) build each LUT once per worker."""
+    lut = np.zeros(65536, dtype=np.uint16)
     code = k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            lut[(length, code)] = values[k]
+            start = code << (16 - length)
+            lut[start : start + (1 << (16 - length))] = (length << 8) | values[k]
             k += 1
             code += 1
         code <<= 1
-    return lut
+    # a plain list: C-array indexing beats numpy scalar indexing ~3x in the
+    # per-symbol hot loop
+    return lut.tolist()
 
 
 class _JpegBits:
-    """MSB-first bit reader over an UNSTUFFED entropy-coded segment."""
+    """MSB-first bit cursor over an UNSTUFFED entropy-coded segment:
+    absolute bit addressing with a 16-bit peek window (two pad bytes of
+    1-bits let a peek run past the end; consuming past the end still
+    raises — T.81 pads flushes with 1-bits, so the pad can never alias a
+    valid longer code that the real data didn't contain)."""
 
-    __slots__ = ("d", "i", "acc", "n")
+    __slots__ = ("d", "nbits", "pos")
 
     def __init__(self, d: bytes) -> None:
-        self.d, self.i, self.acc, self.n = d, 0, 0, 0
+        self.d = d + b"\xff\xff\xff"
+        self.nbits = len(d) * 8
+        self.pos = 0
+
+    def peek16(self) -> int:
+        i = self.pos >> 3
+        sh = self.pos & 7
+        d = self.d
+        return (
+            ((d[i] << 16) | (d[i + 1] << 8) | d[i + 2]) >> (8 - sh)
+        ) & 0xFFFF
 
     def bit(self) -> int:
-        if self.n == 0:
-            if self.i >= len(self.d):
-                raise ValueError("JPEG entropy stream underrun")
-            self.acc = self.d[self.i]
-            self.i += 1
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+        p = self.pos
+        if p >= self.nbits:
+            raise ValueError("JPEG entropy stream underrun")
+        self.pos = p + 1
+        return (self.d[p >> 3] >> (7 - (p & 7))) & 1
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        p = self.pos
+        if p + k > self.nbits:
+            raise ValueError("JPEG entropy stream underrun")
+        self.pos = p + k
+        i = p >> 3
+        sh = p & 7
+        d = self.d
+        acc = 0
+        # up to 16 bits per call in this codec: three bytes always suffice
+        nbytes = (sh + k + 7) >> 3
+        for j in range(nbytes):
+            acc = (acc << 8) | d[i + j]
+        return (acc >> (nbytes * 8 - sh - k)) & ((1 << k) - 1)
 
     def extend(self, s: int) -> int:
         """RECEIVE + EXTEND (T.81 F.2.2.1): s magnitude bits -> signed value."""
@@ -360,42 +391,84 @@ class _JpegBits:
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _jpeg_decode_huff(br: _JpegBits, lut: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.bit()
-        sym = lut.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG huffman code (no match within 16 bits)")
+def _jpeg_decode_huff(br: _JpegBits, lut: list) -> int:
+    entry = lut[br.peek16()]
+    if entry == 0:
+        raise ValueError("invalid JPEG huffman code (no match within 16 bits)")
+    length = int(entry) >> 8
+    if br.pos + length > br.nbits:
+        raise ValueError("JPEG entropy stream underrun")
+    br.pos += length
+    return int(entry) & 0xFF
 
 
 def _jpeg_decode_block(
     br: _JpegBits,
-    dc_lut: dict,
-    ac_lut: dict,
+    dc_lut: list,
+    ac_lut: list,
     pred: int,
-) -> tuple[np.ndarray, int]:
+) -> tuple[list, int]:
     """One 8x8 block -> (64 coefficients IN ZIGZAG ORDER, new DC predictor):
-    DC category + diff, then AC run/size pairs with EOB and ZRL (T.81 F.2.2)."""
-    coefs = np.zeros(64, dtype=np.int32)
-    t = _jpeg_decode_huff(br, dc_lut)
-    pred += br.extend(t)
-    coefs[0] = pred
-    k = 1
-    while k < 64:
-        rs = _jpeg_decode_huff(br, ac_lut)
-        r, s = rs >> 4, rs & 0x0F
-        if s == 0:
-            if r == 15:  # ZRL: run of 16 zeros
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("JPEG AC run overflows the block")
-        coefs[k] = br.extend(s)
+    DC category + diff, then AC run/size pairs with EOB and ZRL (T.81 F.2.2).
+
+    This is THE hot loop of bulk decode (~16 symbols/block x millions of
+    blocks on a real lake), so the window-LUT huffman decode and
+    RECEIVE/EXTEND are fully inlined on local variables — the factored
+    `_jpeg_decode_huff`/`extend` pair cost one Python call each per symbol,
+    which profiling showed was ~70%% of decode wall (round-10)."""
+    d = br.d
+    pos = br.pos
+    nbits = br.nbits
+    coefs = [0] * 64
+    k = 0
+    lut = dc_lut
+    while True:
+        i = pos >> 3
+        w = (((d[i] << 16) | (d[i + 1] << 8) | d[i + 2]) >> (8 - (pos & 7))) & 0xFFFF
+        entry = lut[w]
+        if entry == 0:
+            raise ValueError("invalid JPEG huffman code (no match within 16 bits)")
+        pos += entry >> 8
+        s = entry & 0xFF
+        if k:  # AC symbol: run/size
+            r = s >> 4
+            s &= 0x0F
+            if s == 0:
+                if r == 15:  # ZRL: run of 16 zeros
+                    k += 16
+                    if k < 64:
+                        continue
+                break  # EOB (or ZRL landing exactly at the end)
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run overflows the block")
+        if s:  # RECEIVE + EXTEND, inline
+            if pos + s > nbits:
+                raise ValueError("JPEG entropy stream underrun")
+            i = pos >> 3
+            sh = pos & 7
+            nbytes = (sh + s + 7) >> 3
+            acc = 0
+            for j in range(nbytes):
+                acc = (acc << 8) | d[i + j]
+            v = (acc >> (nbytes * 8 - sh - s)) & ((1 << s) - 1)
+            if v < (1 << (s - 1)):
+                v += 1 - (1 << s)
+            pos += s
+        else:
+            v = 0
+        if k == 0:
+            pred += v
+            coefs[0] = pred
+            lut = ac_lut
+        else:
+            coefs[k] = v
         k += 1
+        if k >= 64:
+            break
+    if pos > nbits:
+        raise ValueError("JPEG entropy stream underrun")
+    br.pos = pos
     return coefs, pred
 
 
@@ -640,10 +713,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             o = 0
             while o < len(seg):
                 tc, th = seg[o] >> 4, seg[o] & 0x0F
-                bits = list(seg[o + 1 : o + 17])
+                bits = bytes(seg[o + 1 : o + 17])
                 nvals = sum(bits)
                 huff[(tc, th)] = _jpeg_huff_lut(
-                    bits, seg[o + 17 : o + 17 + nvals]
+                    bits, bytes(seg[o + 17 : o + 17 + nvals])
                 )
                 o += 17 + nvals
         elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
