@@ -476,27 +476,63 @@ def _jpeg_ac_first(br, ac_lut, block, ss, se, al, eobrun) -> int:
     """Progressive AC first pass for one block (T.81 G.2 / the classic
     decode_mcu_AC_first shape): spectral band [ss, se] at precision al,
     with cross-block EOB runs. ``block`` is the 64-entry ZIGZAG-order
-    coefficient row; returns the new eobrun."""
+    coefficient row; returns the new eobrun. Hot loop inlined like
+    ``_jpeg_decode_block`` (per-symbol call overhead dominated wall)."""
     if eobrun > 0:
         return eobrun - 1
+    d = br.d
+    pos = br.pos
+    nbits = br.nbits
     k = ss
+    out_eobrun = 0
     while k <= se:
-        rs = _jpeg_decode_huff(br, ac_lut)
+        i = pos >> 3
+        w = (((d[i] << 16) | (d[i + 1] << 8) | d[i + 2]) >> (8 - (pos & 7))) & 0xFFFF
+        entry = ac_lut[w]
+        if entry == 0:
+            raise ValueError("invalid JPEG huffman code (no match within 16 bits)")
+        pos += entry >> 8
+        rs = entry & 0xFF
         r, s = rs >> 4, rs & 0x0F
         if s:
             k += r
             if k > se:
                 raise ValueError("JPEG progressive AC run overflows the band")
-            block[k] = br.extend(s) << al
+            if pos + s > nbits:
+                raise ValueError("JPEG entropy stream underrun")
+            i = pos >> 3
+            sh = pos & 7
+            nbytes = (sh + s + 7) >> 3
+            acc = 0
+            for j in range(nbytes):
+                acc = (acc << 8) | d[i + j]
+            v = (acc >> (nbytes * 8 - sh - s)) & ((1 << s) - 1)
+            if v < (1 << (s - 1)):
+                v += 1 - (1 << s)
+            pos += s
+            block[k] = v << al
             k += 1
         else:
             if r != 15:
                 eobrun = 1 << r
                 if r:
-                    eobrun += br.bits(r)
-                return eobrun - 1  # this block is a member of the EOB run
+                    if pos + r > nbits:
+                        raise ValueError("JPEG entropy stream underrun")
+                    i = pos >> 3
+                    sh = pos & 7
+                    nbytes = (sh + r + 7) >> 3
+                    acc = 0
+                    for j in range(nbytes):
+                        acc = (acc << 8) | d[i + j]
+                    eobrun += (acc >> (nbytes * 8 - sh - r)) & ((1 << r) - 1)
+                    pos += r
+                out_eobrun = eobrun - 1  # this block joins the EOB run
+                break
             k += 16  # ZRL
-    return 0
+    if pos > nbits:
+        raise ValueError("JPEG entropy stream underrun")
+    br.pos = pos
+    return out_eobrun
 
 
 def _jpeg_ac_refine(br, ac_lut, block, ss, se, al, eobrun) -> int:
