@@ -399,17 +399,24 @@ def lsh_neardup_pairs(
                 "count",
             )
         )
-        top = hist.orderBy(F.col("__pairs").desc()).limit(1).collect()
-        total = hist.agg(F.sum("__pairs")).collect()[0][0] or 0
-        if top:
-            row, n = top[0], top[0]["count"]
-            if max_bucket_pairs is not None and row["__pairs"] > max_bucket_pairs:
-                raise ValueError(
-                    f"lsh_neardup_pairs: bucket (band={row['band']}, "
-                    f"key={row['key']!r}) has {n} rows = {n * (n - 1) // 2} "
-                    f"candidate pairs > max_bucket_pairs={max_bucket_pairs}; "
-                    "add hyperplanes (longer bands) or a finer extra_key"
-                )
+        # ONE planning job for both budgets; the offending-bucket lookup
+        # runs only on the error path
+        stats = hist.agg(
+            F.sum("__pairs").alias("t"), F.max("__pairs").alias("m")
+        ).collect()[0]
+        total = stats["t"] or 0
+        worst = stats["m"] or 0
+        if max_bucket_pairs is not None and worst > max_bucket_pairs:
+            row = (
+                hist.where(F.col("__pairs") == worst).limit(1).collect()[0]
+            )
+            n = row["count"]
+            raise ValueError(
+                f"lsh_neardup_pairs: bucket (band={row['band']}, "
+                f"key={row['key']!r}) has {n} rows = {n * (n - 1) // 2} "
+                f"candidate pairs > max_bucket_pairs={max_bucket_pairs}; "
+                "add hyperplanes (longer bands) or a finer extra_key"
+            )
         if max_total_pairs is not None and total > max_total_pairs:
             raise ValueError(
                 f"lsh_neardup_pairs: {int(total)} candidate pairs across all "
