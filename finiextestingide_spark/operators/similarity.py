@@ -366,10 +366,13 @@ def lsh_neardup_pairs(
     candidates, every bucket individually under the cap, and the
     candidate join spilled past the machine's disk. Fail-loud guidance:
     longer bands (raise r), a finer extra_key, or the top-k ANN surface.
-    Physical shape: the candidate join carries IDS ONLY (band/key/id);
-    vectors re-join per deduped pair at verify time — carrying two
-    float arrays through the n-squared-ish stage multiplied the shuffle
-    ~30x for nothing."""
+    Physical shape, chosen from the SAME planning histogram: above ~1M
+    candidates the join carries IDS ONLY (band/key/id) and vectors
+    re-join per deduped pair at verify time — carrying two float arrays
+    through the n-squared-ish stage multiplied the shuffle ~30x for
+    nothing; below that, one vector-carrying self-join skips the two
+    re-joins (cheaper at small scale, measured). Budgets disarmed means
+    no histogram, so the scale-safe id-only shape runs unconditionally."""
     nbits = len(planes)
     if nbits % bands:
         raise ValueError(f"nbits={nbits} not divisible by bands={bands}")
@@ -427,6 +430,20 @@ def lsh_neardup_pairs(
                 "extra_key, or route through the top-k ANN surface "
                 "(lsh_ann_topk/ivf_topk)."
             )
+    # Physical choice from the SAME planning histogram the budgets read
+    # (an AQE-style decision on a measured stat, not a guess): with few
+    # candidates, carrying the vectors through one self-join is cheaper
+    # than the id-only join + two vector re-joins; at scale the id-only
+    # shape wins ~30x on shuffle mass (the float arrays must never ride
+    # the near-quadratic stage). Budgets disarmed -> no histogram -> the
+    # scale-safe id-only shape unconditionally.
+    carry_vectors = (
+        max_bucket_pairs is not None or max_total_pairs is not None
+    ) and total <= 1_000_000
+    if carry_vectors:
+        tagged = tagged.join(
+            vectors.select(F.col(id_col), F.col(vec_col)), id_col
+        )
     a, b = tagged.alias("a"), tagged.alias("b")
     cond = (
         (F.col("a.band") == F.col("b.band"))
@@ -435,9 +452,28 @@ def lsh_neardup_pairs(
     )
     for e in extra:
         cond = cond & (F.col(f"a.{e}") == F.col(f"b.{e}"))
-    # candidate join on IDS ONLY (a pair found by several bands dedupes in
-    # the distinct), then vectors join back per pair for the exact verify —
-    # the near-quadratic stage must never carry the float arrays
+    if carry_vectors:
+        cand = (
+            a.join(b, cond)
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                *[F.col(f"a.{e}").alias(e) for e in extra],
+                F.col(f"a.{vec_col}").alias("__va"),
+                F.col(f"b.{vec_col}").alias("__vb"),
+            )
+            # a pair found by several bands must verify (and emit) once
+            .groupBy("id_a", "id_b")
+            .agg(
+                *[F.first(e).alias(e) for e in extra],
+                F.first("__va").alias("__va"),
+                F.first("__vb").alias("__vb"),
+            )
+        )
+        return cand.select(
+            "id_a", "id_b", *extra,
+            cosine(F.col("__va"), F.col("__vb")).alias("cosine"),
+        ).where(F.col("cosine") >= min_cosine)
     cand = a.join(b, cond).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
