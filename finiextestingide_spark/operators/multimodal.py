@@ -341,15 +341,22 @@ def _jpeg_huff_lut(bits: bytes, values: bytes) -> list:
 
 class _JpegBits:
     """MSB-first bit cursor over an UNSTUFFED entropy-coded segment:
-    absolute bit addressing with a 16-bit peek window (two pad bytes of
-    1-bits let a peek run past the end; consuming past the end still
-    raises — T.81 pads flushes with 1-bits, so the pad can never alias a
-    valid longer code that the real data didn't contain)."""
+    absolute bit addressing with a 16-bit peek window over a 1-bit pad
+    (T.81 pads flushes with 1-bits, so the pad can never alias a valid
+    longer code the real data didn't contain). Consuming past the end
+    still raises. The pad is 16 bytes because the INLINED hot loops
+    (`_jpeg_decode_block`, `_jpeg_ac_first`) defer the underrun check to
+    symbol boundaries: on corrupt input a run of up-to-4 ZRL symbols can
+    advance the cursor ≤64 bits past `nbits` before the end-of-block
+    check fires, and every intermediate window read must stay in-bounds
+    so corruption surfaces as the contract ValueError, never IndexError
+    (ADVICE r10: 3 pad bytes let a fuzzed stream index past the
+    buffer)."""
 
     __slots__ = ("d", "nbits", "pos")
 
     def __init__(self, d: bytes) -> None:
-        self.d = d + b"\xff\xff\xff"
+        self.d = d + b"\xff" * 16
         self.nbits = len(d) * 8
         self.pos = 0
 
@@ -442,6 +449,12 @@ def _jpeg_decode_block(
             k += r
             if k > 63:
                 raise ValueError("JPEG AC run overflows the block")
+        elif s > 15:
+            # DC category: T.81 F.1.2.1.2 caps it at 15 (11 for 8-bit
+            # precision). A corrupt DC table can emit any value byte; an
+            # unchecked one would drive a >15-bit RECEIVE past the pad and
+            # overflow the int32 store (ADVICE r10 fuzz contract).
+            raise ValueError(f"JPEG DC category {s} out of range")
         if s:  # RECEIVE + EXTEND, inline
             if pos + s > nbits:
                 raise ValueError("JPEG entropy stream underrun")
@@ -468,6 +481,10 @@ def _jpeg_decode_block(
             break
     if pos > nbits:
         raise ValueError("JPEG entropy stream underrun")
+    if not -2147483648 <= pred <= 2147483647:
+        # valid 8-bit streams keep |DC| ≤ 2^15; only corrupt diffs can walk
+        # the predictor out of the coefficient store's int32 range
+        raise ValueError("JPEG DC predictor out of int32 range")
     br.pos = pos
     return coefs, pred
 
@@ -583,6 +600,46 @@ def _jpeg_ac_refine(br, ac_lut, block, ss, se, al, eobrun) -> int:
     return eobrun
 
 
+def _dc32(v: int) -> int:
+    """Bounds-gate a progressive DC value before it enters the int32
+    coefficient store: valid 8-bit streams stay ≤ 2^15 << al; only corrupt
+    diffs can overflow, and those must raise the contract ValueError, not
+    numpy's OverflowError (ADVICE r10 fuzz contract)."""
+    if -2147483648 <= v <= 2147483647:
+        return v
+    raise ValueError("JPEG DC coefficient out of int32 range")
+
+
+def _validate_jpeg_scan(scan, comp_by_id, progressive: bool) -> None:
+    """Reject scans whose component ids or huffman-table ids don't resolve
+    against the frame / the tables defined so far — corrupt headers must
+    surface as the contract ValueError before the entropy loops ever
+    dereference them (ADVICE r10: fuzzed SOF2 streams escaped as KeyError
+    from comp_by_id / huff lookups)."""
+    ss, ah = scan["ss"], scan["ah"]
+    huff = scan["huff"]
+    for cid, td, ta in scan["comps"]:
+        if cid not in comp_by_id:
+            raise ValueError(
+                f"JPEG scan references component id {cid} not declared in SOF"
+            )
+        needed = []
+        if not progressive:
+            needed = [(0, td), (1, ta)]
+        elif ss == 0:
+            if ah == 0:
+                needed = [(0, td)]  # DC first pass; DC refine is raw bits
+        else:
+            needed = [(1, ta)]  # AC first and refine both walk the AC table
+        for key in needed:
+            if key not in huff:
+                kind = "DC" if key[0] == 0 else "AC"
+                raise ValueError(
+                    f"JPEG scan references undefined {kind} huffman table "
+                    f"{key[1]}"
+                )
+
+
 def _jpeg_progressive_scan(
     scan, coef_store, comp_by_id, hmax, vmax, w_img, h_img, mcux, mcuy
 ) -> None:
@@ -636,8 +693,12 @@ def _jpeg_progressive_scan(
                         block = store[my * vs + by, mx * hs + bx]
                         if ah == 0:
                             t = _jpeg_decode_huff(br, huff[(0, td)])
+                            if t > 15:
+                                raise ValueError(
+                                    f"JPEG DC category {t} out of range"
+                                )
                             pred[cid] += br.extend(t)
-                            block[0] = pred[cid] << al
+                            block[0] = _dc32(pred[cid] << al)
                         elif br.bit():
                             block[0] = int(block[0]) | (1 << al)
         else:
@@ -647,8 +708,10 @@ def _jpeg_progressive_scan(
             if ss == 0:
                 if ah == 0:
                     t = _jpeg_decode_huff(br, huff[(0, td)])
+                    if t > 15:
+                        raise ValueError(f"JPEG DC category {t} out of range")
                     pred[cid] += br.extend(t)
-                    block[0] = pred[cid] << al
+                    block[0] = _dc32(pred[cid] << al)
                 elif br.bit():
                     block[0] = int(block[0]) | (1 << al)
             elif ah == 0:
@@ -748,51 +811,71 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT: one or more tables per segment
             o = 0
             while o < len(seg):
+                if o + 17 > len(seg):
+                    raise ValueError("truncated JPEG DHT segment")
                 tc, th = seg[o] >> 4, seg[o] & 0x0F
                 bits = bytes(seg[o + 1 : o + 17])
                 nvals = sum(bits)
+                if o + 17 + nvals > len(seg):
+                    raise ValueError("truncated JPEG DHT segment (values cut)")
                 huff[(tc, th)] = _jpeg_huff_lut(
                     bits, bytes(seg[o + 17 : o + 17 + nvals])
                 )
                 o += 17 + nvals
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 prog.
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG SOF header")
             precision, h_img, w_img, n_comp = struct.unpack_from(">BHHB", seg, 0)
             if precision != 8:
                 raise NotImplementedError(
                     f"{precision}-bit JPEG not supported natively (8-bit only)"
                 )
+            if n_comp < 1:
+                raise ValueError("JPEG SOF declares zero components")
+            if len(seg) < 6 + 3 * n_comp:
+                raise ValueError("truncated JPEG SOF component specs")
             comps = []
             for ci in range(n_comp):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):  # T.81 B.2.2
+                    raise ValueError(
+                        f"JPEG component sampling factors {hs}x{vs} out of "
+                        "the legal 1..4 range"
+                    )
+                comps.append((cid, hs, vs, tq))
             frame = (h_img, w_img, comps)
-        elif marker == 0xC2:  # SOF2 progressive (T.81 Annex G)
-            precision, h_img, w_img, n_comp = struct.unpack_from(">BHHB", seg, 0)
-            if precision != 8:
-                raise NotImplementedError(
-                    f"{precision}-bit JPEG not supported natively (8-bit only)"
-                )
-            comps = []
-            for ci in range(n_comp):
-                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (h_img, w_img, comps)
-            progressive = True
+            progressive = marker == 0xC2  # T.81 Annex G
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF marker 0x{marker:02x} (lossless/arithmetic/"
                 f"hierarchical) not supported natively"
             )
         elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack(">H", seg)
+            if len(seg) < 2:
+                raise ValueError("truncated JPEG DRI segment")
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS: entropy-coded data follows the header
+            if not seg:
+                raise ValueError("truncated JPEG SOS header")
             n_sc = seg[0]
+            # T.81 B.2.3: 1..4 scan components, then Ss/Se/AhAl — bound the
+            # parse by the declared count BEFORE indexing (ADVICE r10: a
+            # corrupt count escaped as IndexError)
+            if not 1 <= n_sc <= 4:
+                raise ValueError(f"JPEG SOS declares {n_sc} components (1..4)")
+            if len(seg) < 1 + 2 * n_sc + 3:
+                raise ValueError("truncated JPEG SOS component specs")
             scan_comps = [
                 (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0x0F)
                 for i in range(n_sc)
             ]
             o = 1 + 2 * n_sc
             ss, se, ahal = seg[o], seg[o + 1], seg[o + 2]
+            if ss > se or se > 63:
+                raise ValueError(
+                    f"JPEG SOS spectral band [{ss}, {se}] out of range"
+                )
             segments: list[bytes] = []
             i = pos + seglen
             cur = bytearray()
@@ -848,6 +931,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     }
     if progressive:
         for scan in scans:
+            _validate_jpeg_scan(scan, comp_by_id, progressive=True)
             _jpeg_progressive_scan(
                 scan, coef_store, comp_by_id, hmax, vmax, w_img, h_img, mcux, mcuy
             )
@@ -859,6 +943,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 "seam"
             )
         scan = scans[0]
+        _validate_jpeg_scan(scan, comp_by_id, progressive=False)
         scan_comps, huff = scan["comps"], scan["huff"]
         entropy_segments, restart_interval = scan["segs"], scan["dri"]
         pred = {cid: 0 for cid in comp_by_id}
@@ -891,6 +976,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     planes = []
     for cid, hs, vs, tq in comps:
+        if tq not in qt:
+            raise ValueError(
+                f"JPEG component {cid} references undefined quantization "
+                f"table {tq}"
+            )
         store = coef_store[cid]
         rows_b, cols_b = store.shape[:2]
         deq = (store * qt[tq]).reshape(-1, 64)[:, natural].reshape(-1, 8, 8)
