@@ -1105,6 +1105,7 @@ def live_backtest_generic(
     on_stale: str = "warn",
     clipping: bool = False,
     clipping_report_interval_s: float = 60.0,
+    telemetry_dir: str | None = None,
 ) -> DataFrame:
     """The live loop for ANY decision logic with the ENTIRE batch feature
     surface — per-symbol state is the pickled ``operators.replay.
@@ -1167,11 +1168,19 @@ def live_backtest_generic(
     "engine can't keep up with the feed" signal a live operator checks
     first. Interval reports (every ``clipping_report_interval_s`` on the
     worker's monotonic clock) are logged to the
-    ``finiextestingide_spark.clipping`` logger on the executor; the
-    running session summary rides in the state blob
+    ``finiextestingide_spark.clipping`` logger on the executor AND — when
+    ``telemetry_dir`` is set — appended as ROWS to a telemetry ledger
+    (one JSON file per report, tmp-then-rename; read back with
+    ``operators.clipping.read_clipping_telemetry``), so the fleet can
+    QUERY #197 instead of grepping executor logs (VERDICT r10 #4; the
+    reference's Phase 4 surfaces these rows to its monitoring consumer).
+    The running session summary rides in the state blob
     (``pickle.loads(state).clipping_monitor.session_summary()``), and
-    fleet-wide roll-ups come from ``operators.clipping.clipping_report``
-    over a telemetry ledger."""
+    fleet-wide per-tick roll-ups come from
+    ``operators.clipping.clipping_report`` over a per-tick ledger. The
+    in-state monitor keeps only the last 256 per-tick times (the batch
+    report path never reads them from state; an unbounded raw-times list
+    would re-pickle ~80 KB per key per micro-batch — VERDICT r10 #7)."""
     from ..operators.replay import ReplaySession
 
     if (bootstrap is None) != (bootstrap_dir is None):
@@ -1230,7 +1239,8 @@ def live_backtest_generic(
                 from ..operators.clipping import ClippingMonitor
 
                 sess.clipping_monitor = ClippingMonitor(
-                    clipping_report_interval_s, start_s=time.monotonic()  # wall-clock-ok: #197 clipping report cadence (observational telemetry)
+                    clipping_report_interval_s, keep_times=256,
+                    start_s=time.monotonic(),  # wall-clock-ok: #197 clipping report cadence (observational telemetry)
                 )
             return sess
 
@@ -1262,6 +1272,10 @@ def live_backtest_generic(
             )
             if report is not None:
                 _CLIP_LOG.info("[CLIPPING] %s %s", symbol, report)
+                if telemetry_dir is not None:
+                    from ..operators.clipping import write_report_row
+
+                    write_report_row(telemetry_dir, symbol, report)
 
         rows = _trade_rows(symbol, sess.drain_trades())
         state.update((pickle.dumps(sess),))
@@ -1321,6 +1335,7 @@ def live_backtest_account(
     on_stale: str = "warn",
     clipping: bool = False,
     clipping_report_interval_s: float = 60.0,
+    telemetry_dir: str | None = None,
 ) -> DataFrame:
     """The live loop re-keyed by ACCOUNT: one stateful session spanning all
     of the account's symbols, so margin and balance gate opens at the
@@ -1470,7 +1485,8 @@ def live_backtest_account(
                 from ..operators.clipping import ClippingMonitor
 
                 mon_holder[0] = ClippingMonitor(
-                    clipping_report_interval_s, start_s=time.monotonic()  # wall-clock-ok: #197 clipping report cadence (observational telemetry)
+                    clipping_report_interval_s, keep_times=256,
+                    start_s=time.monotonic(),  # wall-clock-ok: #197 clipping report cadence (observational telemetry)
                 )
             return mon_holder[0]
 
@@ -1506,6 +1522,10 @@ def live_backtest_account(
             )
             if report is not None:
                 _CLIP_LOG.info("[CLIPPING] account=%s %s", key[0], report)
+                if telemetry_dir is not None:
+                    from ..operators.clipping import write_report_row
+
+                    write_report_row(telemetry_dir, key[0], report)
 
         # R8 cross-symbol clock propagation: the account's single
         # event-time queue IS the clock, so a sub-book whose symbol went
