@@ -54,9 +54,22 @@ def ledger_exists(spark, path: str) -> bool:
 
 
 def persist_ledger(df: DataFrame, path: str) -> None:
-    """Create-only parquet write of the snapshot wire (see module doc)."""
+    """Create-only parquet write of the snapshot wire (see module doc).
+
+    The ledger is COALESCED TO ONE FILE (ADVICE r10): seed application
+    relies on a key's seed row landing in the same micro-batch as (or
+    before) the key's first tail event — state that already exists
+    outranks the ledger, so a seed deferred past the first tail batch
+    would be permanently ignored and the key silently starts cold. One
+    file makes batch-0 delivery structural: the file source ingests the
+    whole ledger in its first list, and no per-file throttling
+    (maxFilesPerTrigger-style) or slow object-store listing can split it.
+    Seed snapshots are small relative to history (one row per key), so
+    the single-writer cost is a few seconds even at millions of keys. If
+    you hand-build a ledger instead, keep it one file for the same
+    reason."""
     if not ledger_exists(df.sparkSession, path):
-        df.write.mode("overwrite").parquet(path)
+        df.coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def check_staleness(

@@ -89,6 +89,11 @@ def _render(
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         keys = ["timestamp", "time_msc"]
+        if "tick_seq" in pdf.columns:
+            # monotone wire tiebreak: makes the fold order deterministic
+            # even for ticks tied on (timestamp, time_msc) — and therefore
+            # bit-identical to bootstrap_bar_state's sorted-aggregate seed
+            keys.append("tick_seq")
         has_seed = "__is_seed" in pdf.columns
         if has_seed:
             # forming-bar seeds sort FIRST (before any tail tick); a key
@@ -161,24 +166,40 @@ def bootstrap_bar_state(
     sub-second). Returns one row per symbol: the LAST bucket's aggregates
     ``(symbol, bucket_us, open, high, low, close, volume, n)`` — exactly
     the stream's open-bar state. The volume is folded in (timestamp,
-    time_msc) tick order via a sorted JVM aggregate, so the seeded float
-    running sum is bit-identical to the one an uninterrupted stream would
-    hold. History's CLOSED bars are the batch path's output
+    time_msc[, tick_seq]) tick order via a sorted JVM aggregate, so the
+    seeded float running sum is bit-identical to the one an uninterrupted
+    stream would hold.
+
+    Tie contract (ADVICE r10): ticks must be UNIQUE on (timestamp,
+    time_msc) OR carry a monotone ``tick_seq`` column (picked up here and
+    by the streaming renderer as the third sort key). Without either,
+    ticks tied on both keys sort here by (mid, volume) while the stream's
+    stable mergesort keeps arrival order — the seeded open/close and the
+    float volume-sum order can then differ from an uninterrupted stream.
+
+    History's CLOSED bars are the batch path's output
     (operators.bars.ohlcv_bars); pass this snapshot to
     ``incremental_bars(bootstrap=...)`` and stream only the tail."""
     bar_us = timeframe_ms * 1000
     us = F.unix_micros("timestamp")
-    rows = ticks.select(
-        "symbol",
+    cols = [
+        ticks["symbol"],
         us.alias("__us"),
         (us - F.pmod(us, F.lit(bar_us))).alias("bucket_us"),
         F.col("time_msc").cast("long").alias("__tie"),
+    ]
+    struct_keys = ["__us", "__tie"]
+    if "tick_seq" in ticks.columns:
+        cols.append(F.col("tick_seq").cast("long").alias("__seq3"))
+        struct_keys.append("__seq3")
+    rows = ticks.select(
+        *cols,
         F.col("mid").cast("double").alias("__mid"),
         F.col("volume").cast("double").alias("__vol"),
     )
     per_bucket = rows.groupBy("symbol", "bucket_us").agg(
         F.sort_array(
-            F.collect_list(F.struct("__us", "__tie", "__mid", "__vol"))
+            F.collect_list(F.struct(*struct_keys, "__mid", "__vol"))
         ).alias("__seq")
     )
     seq = F.col("__seq")

@@ -171,3 +171,64 @@ def test_bars_seed_plus_tail_equals_uninterrupted(spark, tmp_path):
         if int(k[1].timestamp() * 1_000_000) == seed_buckets[k[0]]
     ]
     assert len(straddle) == 2
+
+
+def test_bars_seed_tie_order_with_tick_seq(spark, tmp_path):
+    """ADVICE r10: ticks TIED on (timestamp, time_msc) reorder under the
+    snapshot's struct sort unless a monotone tick_seq rides the wire. With
+    tick_seq, the seeded straddling bar is bit-identical to the
+    uninterrupted render even when ties carry different prices/volumes in
+    arrival order."""
+    ddl = (
+        "symbol string, timestamp timestamp, time_msc long, "
+        "tick_seq long, mid double, volume double"
+    )
+    rows = []
+    seq = 0
+    for i in range(12):
+        t_us = T0 + (i // 3) * 400_000  # THREE ticks per identical stamp
+        # prices deliberately NON-monotone within a tie group so a
+        # (mid, volume) reorder would change open/close/volume-fold order
+        for j, price in enumerate([101.0 - i, 99.5 + i, 100.25]):
+            rows.append(
+                (
+                    "A",
+                    pd.Timestamp(t_us, unit="us").to_pydatetime(),
+                    7,  # SAME time_msc everywhere: worst-case ties
+                    seq,
+                    price,
+                    1.0 + j * 0.5,
+                )
+            )
+            seq += 1
+
+    def run(data, tag, **kw):
+        d = str(tmp_path / f"t_{tag}")
+        spark.createDataFrame(data, ddl).write.parquet(d)
+        stream = spark.readStream.schema(ddl).parquet(d)
+        bars = incremental_bars(stream, 1_000, heartbeat_ms=3_600_000_000, **kw)
+        name = f"tie_bars_{tag}"
+        drain_to_memory(bars, name, settle_secs=4.0)
+        return {
+            (r["symbol"], r["bar_ts"]): (
+                r["open"], r["high"], r["low"], r["close"],
+                r["volume"], r["tick_count"],
+            )
+            for r in spark.table(name).collect()
+        }
+
+    cut = pd.Timestamp(T0 + 5 * 400_000, unit="us")
+    hist = [r for r in rows if r[1] < cut]
+    tail = [r for r in rows if r[1] >= cut]
+    full = run(rows, "full")
+    snap = bootstrap_bar_state(spark.createDataFrame(hist, ddl), 1_000)
+    seeded = run(
+        tail, "boot", bootstrap=snap, bootstrap_dir=str(tmp_path / "ledger2")
+    )
+    seed_buckets = {r["symbol"]: r["bucket_us"] for r in snap.collect()}
+    expected = {
+        k: v
+        for k, v in full.items()
+        if int(k[1].timestamp() * 1_000_000) >= seed_buckets[k[0]]
+    }
+    assert seeded == expected
