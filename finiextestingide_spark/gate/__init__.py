@@ -38,38 +38,36 @@ from ._util import Query  # noqa: F401
 # driver-green CORRECTNESS row. Rotated-out veterans stay green via
 # scripts/check_gate.py (the full-registry mirror) and consuming pytests.
 #
-# Round-10 rotation (VERDICT r9 #5, rotation round 3): OUT replay_sma_oracle,
-# streaming_asof_signal, streaming_session_windows, ivf_train_centroids,
-# neardup_clusters, pii_redaction, multimodal_decode, blocks_split_coverage,
-# walkforward_embargo_wfe — each family keeps an in-window representative
-# (R: equity/limit/pyramid/modify/spot oracles; §2.9: incremental_bars,
-# live_limit, dedup, reconcile_tail, live_replay, live_signal; ANN:
-# ivf_topk_5 + ivf_recall_audit; dedup: exact/minhash/jaccard/keep_best;
-# text: tfidf/quality_quantile/contamination; codecs: compressed/jpeg/
-# resize/frames). IN the 9 head entries of the never-driver-verified queue:
-# the NEW live_clipping_report (#197) and streaming_reconcile_tail
-# (backfill protocol), plus reconcile_state_diff, embedding_neardup_lsh
-# (+_recall), multimodal_frames, multimodal_audio_frames,
-# streaming_live_replay, streaming_live_signal. Every in-window entry is
-# oracle-backed.
+# Round-11 rotation (VERDICT r10 #5, rotation round 4): OUT 13 multi-round
+# veterans — streaming_reconcile_tail + streaming_reconciliation (family
+# kept by order_reconciliation + the two NEW reconcile shapes),
+# customer_equity_curve, nation_order_kpis, swap_accrual,
+# gap_scan_calendar, rsi_14_daily, asof_purchase_click,
+# sweep_buyhold_ledger (sweep_sensitivity stays), dedup_exact
+# (streaming_dedup_exact + dedup_keep_best stay), minhash_lsh_pairs
+# (jaccard_pairs_dfcap + embedding_neardup_lsh stay), cosine_topk_10
+# (ivf + lsh_ann ANN reps stay), multimodal_resize (four codec gates
+# stay). IN: the three NEW round-11 gates — streaming_reconcile_restart
+# (the benched design-regime restart), merged_reconcile_view +
+# merged_dedup_view (the sink-merge backfill shapes, VERDICT r10 #3) —
+# plus the 10 remaining never-driver-verified oracle-backed entries:
+# lsh_ann_topk_5, lsh_ann_multiprobe_8, dedup_keep_best, token_budget_mix,
+# decontaminated_train, embedding_neardup_clusters, repetition_stats,
+# multimodal_chunks, sample_deterministic_30, stratified_sample_audit.
+# (replay_trendchannel stays out: rows-only, and the window is kept 100%
+# oracle-backed.) Every in-window entry is oracle-backed.
 CURATED_ORDER: tuple[str, ...] = (
     # relational core
     "pricing_summary",
     "top_unshipped_orders",
-    "customer_equity_curve",
-    "nation_order_kpis",
-    "swap_accrual",
     "order_reconciliation",
-    "streaming_reconciliation",
-    "streaming_reconcile_tail",
+    "streaming_reconcile_restart",
+    "merged_reconcile_view",
     "drift_audit",
     "reconcile_state_diff",
     # timeseries / indicators
     "bars_1h",
-    "gap_scan_calendar",
-    "rsi_14_daily",
     "atr_ewm_daily",
-    "asof_purchase_click",
     "extreme_moves_hourly",
     "volatility_regimes",
     "trade_analytics_by_scenario",
@@ -82,48 +80,44 @@ CURATED_ORDER: tuple[str, ...] = (
     "replay_modify_oracle",
     "replay_spot_oracle",
     # sweeps
-    "sweep_buyhold_ledger",
     "sweep_sensitivity",
-    # streaming (incl. the LIVE session paths, first driver exposure)
+    # streaming (incl. the LIVE session paths)
     "streaming_incremental_bars_1h",
     "streaming_live_limit",
     "streaming_live_replay",
     "streaming_live_signal",
     "streaming_dedup_exact",
+    "merged_dedup_view",
     # LLM-data dedup / ANN core
-    "dedup_exact",
-    "minhash_lsh_pairs",
-    "cosine_topk_10",
+    "dedup_keep_best",
+    "lsh_ann_topk_5",
+    "lsh_ann_multiprobe_8",
     "ivf_topk_5",
     "ivf_recall_audit",
     "embedding_neardup_lsh",
     "embedding_neardup_lsh_recall",
+    "embedding_neardup_clusters",
     "contamination_3gram",
+    "decontaminated_train",
     "jaccard_pairs_dfcap",
     "neardup_keep_best",
     "tfidf_topterms_3",
+    "repetition_stats",
     "quality_quantile_40",
     "token_budget_mix_greedy",
+    "token_budget_mix",
+    "sample_deterministic_30",
+    "stratified_sample_audit",
     # multimodal codec seam: native PNG + native JPEG + frame surfaces
     "multimodal_decode_compressed",
     "multimodal_decode_jpeg",
-    "multimodal_resize",
     "multimodal_frames",
     "multimodal_audio_frames",
+    "multimodal_chunks",
     # --- driver window cutoff (first 50 above) ---
     # positions 51+: highest-information out-of-window entries first, so a
     # widened driver window picks them up in this order (round-5 VERDICT #8);
-    # round-10 rotated-out veterans go to the back of this queue
-    "lsh_ann_topk_5",
-    "lsh_ann_multiprobe_8",
-    "dedup_keep_best",
-    "token_budget_mix",
-    "decontaminated_train",
-    "embedding_neardup_clusters",
-    "repetition_stats",
-    "multimodal_chunks",
-    "sample_deterministic_30",
-    "stratified_sample_audit",
+    # round-11 rotated-out veterans go to the back of this queue
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",
@@ -150,6 +144,21 @@ CURATED_ORDER: tuple[str, ...] = (
     "multimodal_decode",
     "blocks_split_coverage",
     "walkforward_embargo_wfe",
+    # round-11 rotated-out veterans (driver-verified across rounds 1-10;
+    # kept green by scripts/check_gate.py + consuming pytests)
+    "customer_equity_curve",
+    "nation_order_kpis",
+    "swap_accrual",
+    "streaming_reconciliation",
+    "streaming_reconcile_tail",
+    "gap_scan_calendar",
+    "rsi_14_daily",
+    "asof_purchase_click",
+    "sweep_buyhold_ledger",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "cosine_topk_10",
+    "multimodal_resize",
 )
 
 

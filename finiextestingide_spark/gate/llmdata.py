@@ -153,6 +153,52 @@ GROUP BY 1
 """
 
 
+def merged_dedup_view_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SINK-MERGE (VERDICT r10 #3): the designated backfill shape for
+    an OPEN-ENDED corpus — distinct hashes grow with document count, so
+    seeding them through the stream would pay per-KEY Python invocation on
+    every history hash. Instead: batch ``bootstrap_dedup_state`` over
+    history (one JVM aggregation), FRESH-state stream over only the tail
+    slice (doc_id %%10 == 3), and ``merged_dedup_view`` combines them at
+    read time — must hash-match the plain batch GROUP BY over the full
+    corpus."""
+    from ..streaming.dedup_stream import (
+        bootstrap_dedup_state,
+        merged_dedup_view,
+        streaming_exact_dedup,
+    )
+    from ..streaming.incremental_bars import drain_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    hist = _docs(spark, sf_dir).where(F.col("doc_id") % 10 != 3)
+    snap = bootstrap_dedup_state(hist)
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    tail = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/documents.parque*")
+        .where(F.col("doc_id") % 10 == 3)
+    )
+    out = streaming_exact_dedup(tail, heartbeat_ms=2_000)
+    name = "gate_merged_dedup_view"
+    drain_to_memory(out, name, settle_secs=4.0, await_state_drain=True)
+    merged = merged_dedup_view(snap, spark.table(name))
+    return merged.select(
+        "content_hash",
+        F.col("min_id").cast("long").alias("min_id"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+MERGED_DEDUP_VIEW_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents
+GROUP BY 1
+"""
+
+
 # --- n-gram Jaccard pairs ---
 
 _J_MIN_INTER = 2
@@ -2383,6 +2429,11 @@ QUERIES: dict[str, Query] = {
         streaming_dedup_exact,
         STREAMING_DEDUP_EXACT_SQL,
         "stateful streaming exact dedup (emit-on-idle), batch-parity oracle",
+    ),
+    "merged_dedup_view": Query(
+        merged_dedup_view_gate,
+        MERGED_DEDUP_VIEW_SQL,
+        "dedup sink-merge: batch snapshot + fresh-state tail merged at read time",
     ),
     "contamination_3gram": Query(
         contamination_3gram, CONTAMINATION_3GRAM_SQL, "train/eval n-gram contamination audit"

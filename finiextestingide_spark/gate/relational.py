@@ -602,9 +602,13 @@ def streaming_reconcile_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     late orders on %%5 keys — so seeded ORPHANs reclassify across the
     cut). The latest revision per key must hash-match the batch
     classification of the FULL ledger — the same oracle as the bulk-drive
-    gate, proving the two drive shapes are interchangeable. This is the
-    shape bench.py times: it reflects the restart cost a real operator
-    pays, not the verification artifact's full-history drive."""
+    gate, proving the two drive shapes are interchangeable. This gate is
+    the VERIFICATION artifact for the seed protocol at full-history scope;
+    its wall is the linear per-key seed fold (~80 us x every history key —
+    SF1.md measured ~9x wall for 10x keys), which is exactly why bench.py
+    times the designated shapes instead: ``streaming_reconcile_restart``
+    (bounded open-book seed) and ``merged_reconcile_view`` (ledger-wide
+    sink-merge)."""
     import tempfile
 
     from ..streaming.bars_stream import run_to_memory
@@ -667,6 +671,252 @@ def streaming_reconcile_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAMING_RECONCILE_TAIL_SQL = ORDER_RECONCILIATION_SQL
+
+
+def streaming_reconcile_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 live, DESIGN-REGIME RESTART (VERDICT r10 #1): what a real
+    operator's restart actually pays — seed a BOUNDED open-order book
+    (the keys still in flight at the cut, here the %%29 slice: ~3.4%% of
+    the ledger), stream only those keys' remaining fills, and read the
+    book's verdicts. This is the shape bench.py times for the backfill
+    protocol: per-key seed cost applies to the OPEN book, not all of
+    history — the full-ledger audit scope has its own designated shape
+    (``merged_reconcile_view``, gated separately), and the full-history
+    seed drive remains the verification artifact
+    (``streaming_reconcile_tail``).
+
+    Cut model: open keys' ORDERS are already in history (placed before
+    the restart), half their fills (even l_linenumber) landed before the
+    cut, the odd half arrives in the tail. Every open key's final state
+    is therefore history+tail == the full ledger for that key, so the
+    oracle is the batch classification restricted to the open-book
+    slice."""
+    import tempfile
+
+    from ..streaming.bars_stream import run_to_memory
+    from ..streaming.reconcile_stream import (
+        bootstrap_state,
+        latest_revisions,
+        reconcile_stream,
+    )
+
+    qty_expr = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(28,6)")
+
+    # the open book's history: its orders (standard %7 orphan carve-out)
+    # and its even-linenumber fills — the snapshot inputs are pre-filtered
+    # to the book slice (equivalent to filtering the snapshot, and it
+    # pushes the book predicate into the parquet scan)
+    o_hist = (
+        t(spark, sf_dir, "orders")
+        .where((F.col("o_orderkey") % 29 == 0) & (F.col("o_orderkey") % 7 != 0))
+        .select("o_orderkey", F.col("o_totalprice").alias("expected_amount"))
+    )
+    e_hist = (
+        t(spark, sf_dir, "lineitem")
+        .where((F.col("l_orderkey") % 29 == 0) & (F.col("l_linenumber") % 2 == 0))
+        .select(F.col("l_orderkey").alias("o_orderkey"), qty_expr.alias("qty"))
+    )
+    open_book = bootstrap_state(
+        o_hist, e_hist, order_key="o_orderkey",
+        expected="expected_amount", qty="qty",
+    )
+
+    l_schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    orders_tail = (
+        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/orders.parquet").schema)
+        .parquet(f"{sf_dir}/orders.parque*")
+        .where(F.col("o_orderkey") % 29 == 0)
+        .where(F.lit(False))  # no late orders in this cut model
+        .select("o_orderkey", F.col("o_totalprice").alias("expected_amount"))
+    )
+    execs_tail = (
+        spark.readStream.schema(l_schema)
+        .parquet(f"{sf_dir}/lineitem.parque*")
+        .where((F.col("l_orderkey") % 29 == 0) & (F.col("l_linenumber") % 2 == 1))
+        .select(F.col("l_orderkey").alias("o_orderkey"), qty_expr.alias("qty"))
+    )
+    rev = reconcile_stream(
+        orders_tail, execs_tail, order_key="o_orderkey",
+        expected="expected_amount", qty="qty", tolerance=0.01,
+        bootstrap=open_book, bootstrap_dir=tempfile.mkdtemp(prefix="recon_rs_"),
+    )
+    name = "gate_streaming_reconcile_restart"
+    run_to_memory(rev, name)
+    out = latest_revisions(spark.table(name), "o_orderkey")
+    return out.select(
+        "o_orderkey",
+        F.round("expected_amount", 6).alias("expected_amount"),
+        F.round("executed_amount", 6).alias("executed_amount"),
+        F.col("n_executions").cast("long").alias("n_executions"),
+        "status",
+    )
+
+
+STREAMING_RECONCILE_RESTART_SQL = """
+WITH o AS (
+  SELECT o_orderkey, max(o_totalprice) AS expected
+  FROM orders WHERE o_orderkey % 29 = 0 AND o_orderkey % 7 <> 0
+  GROUP BY 1
+),
+e AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS executed,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem WHERE l_orderkey % 29 = 0
+  GROUP BY 1
+)
+SELECT COALESCE(o.o_orderkey, e.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NOT NULL THEN round(o.expected, 6) END
+         AS expected_amount,
+       CASE WHEN e.o_orderkey IS NOT NULL THEN round(e.executed, 6) END
+         AS executed_amount,
+       COALESCE(e.n, 0) AS n_executions,
+       CASE WHEN o.o_orderkey IS NULL THEN 'ORPHAN'
+            WHEN e.o_orderkey IS NULL THEN 'MISSING'
+            WHEN abs(e.executed - o.expected) <= 0.01 THEN 'MATCHED'
+            WHEN e.executed < o.expected THEN 'UNDER_EXECUTED'
+            ELSE 'OVER_EXECUTED' END AS status
+FROM o FULL OUTER JOIN e ON o.o_orderkey = e.o_orderkey
+"""
+
+
+def merged_reconcile_view_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 SINK-MERGE (VERDICT r10 #3): the designated LEDGER-WIDE backfill
+    shape — history never enters the state machinery. The batch
+    ``bootstrap_state`` snapshot covers history at join speed; the stream
+    processes ONLY the tail slice with FRESH state; the two merge
+    commutatively at read time and must equal the batch classification of
+    the full ledger (same slices as ``streaming_reconcile_tail``, proving
+    the two backfill shapes interchangeable at this scope — the seed-union
+    drive pays ~80 us/key on every seeded key, this view pays one
+    full-outer join). Fidelity: the merge adds the tail's double to the
+    snapshot's decimal-cast-double (documented in the operator); the
+    oracle mirrors that split-sum arithmetic."""
+    from ..streaming.bars_stream import run_to_memory
+    from ..streaming.reconcile_stream import (
+        bootstrap_state,
+        merged_reconcile_view,
+        reconcile_stream,
+    )
+
+    qty_expr = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(28,6)")
+
+    o_hist = (
+        t(spark, sf_dir, "orders")
+        .where((F.col("o_orderkey") % 7 != 0) & (F.col("o_orderkey") % 5 != 0))
+        .select("o_orderkey", F.col("o_totalprice").alias("expected_amount"))
+    )
+    e_hist = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 10 != 3)
+        .select(F.col("l_orderkey").alias("o_orderkey"), qty_expr.alias("qty"))
+    )
+    snap = bootstrap_state(
+        o_hist, e_hist, order_key="o_orderkey",
+        expected="expected_amount", qty="qty",
+    )
+
+    o_schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    l_schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    orders_tail = (
+        spark.readStream.schema(o_schema)
+        .parquet(f"{sf_dir}/orders.parque*")
+        .where((F.col("o_orderkey") % 7 != 0) & (F.col("o_orderkey") % 5 == 0))
+        .select("o_orderkey", F.col("o_totalprice").alias("expected_amount"))
+    )
+    execs_tail = (
+        spark.readStream.schema(l_schema)
+        .parquet(f"{sf_dir}/lineitem.parque*")
+        .where(F.col("l_orderkey") % 10 == 3)
+        .select(F.col("l_orderkey").alias("o_orderkey"), qty_expr.alias("qty"))
+    )
+    # FRESH-state tail: no bootstrap — history stays out of the state
+    # machinery entirely; that is the point of the sink-merge shape
+    rev = reconcile_stream(
+        orders_tail, execs_tail, order_key="o_orderkey",
+        expected="expected_amount", qty="qty", tolerance=0.01,
+    )
+    name = "gate_merged_reconcile_view"
+    run_to_memory(rev, name)
+    out = merged_reconcile_view(
+        snap, spark.table(name), order_key="o_orderkey", tolerance=0.01
+    )
+    return out.select(
+        "o_orderkey",
+        F.round("expected_amount", 6).alias("expected_amount"),
+        F.round("executed_amount", 6).alias("executed_amount"),
+        F.col("n_executions").cast("long").alias("n_executions"),
+        "status",
+    )
+
+
+MERGED_RECONCILE_VIEW_SQL = """
+WITH hist_o AS (
+  SELECT o_orderkey, max(o_totalprice) AS expected
+  FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0
+  GROUP BY 1
+),
+hist_e AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS executed,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem WHERE l_orderkey % 10 <> 3
+  GROUP BY 1
+),
+hist AS (
+  SELECT COALESCE(o.o_orderkey, e.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS has_order,
+         o.expected,
+         COALESCE(e.executed, 0.0) AS executed,
+         COALESCE(e.n, 0) AS n
+  FROM hist_o o FULL OUTER JOIN hist_e e ON o.o_orderkey = e.o_orderkey
+),
+tail_o AS (
+  SELECT o_orderkey, max(o_totalprice) AS expected
+  FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+  GROUP BY 1
+),
+tail_e AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS executed,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem WHERE l_orderkey % 10 = 3
+  GROUP BY 1
+),
+tail AS (
+  SELECT COALESCE(o.o_orderkey, e.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS has_order,
+         o.expected,
+         COALESCE(e.executed, 0.0) AS executed,
+         COALESCE(e.n, 0) AS n
+  FROM tail_o o FULL OUTER JOIN tail_e e ON o.o_orderkey = e.o_orderkey
+),
+m AS (
+  SELECT COALESCE(h.o_orderkey, t.o_orderkey) AS o_orderkey,
+         (COALESCE(h.has_order, 0) + COALESCE(t.has_order, 0)) > 0 AS has_order,
+         COALESCE(t.expected, h.expected) AS expected,
+         COALESCE(h.executed, 0.0) + COALESCE(t.executed, 0.0) AS executed,
+         COALESCE(h.n, 0) + COALESCE(t.n, 0) AS n
+  FROM hist h FULL OUTER JOIN tail t ON h.o_orderkey = t.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN has_order THEN round(expected, 6) END AS expected_amount,
+       CASE WHEN n > 0 THEN round(executed, 6) END AS executed_amount,
+       CAST(n AS BIGINT) AS n_executions,
+       CASE WHEN NOT has_order THEN 'ORPHAN'
+            WHEN n = 0 THEN 'MISSING'
+            WHEN abs(executed - expected) <= 0.01 THEN 'MATCHED'
+            WHEN executed < expected THEN 'UNDER_EXECUTED'
+            ELSE 'OVER_EXECUTED' END AS status
+FROM m
+"""
 
 
 def drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -925,6 +1175,16 @@ QUERIES: dict[str, Query] = {
         streaming_reconcile_tail,
         STREAMING_RECONCILE_TAIL_SQL,
         "J6 backfill protocol: bootstrap_state snapshot + streamed tail, batch-oracle hash",
+    ),
+    "streaming_reconcile_restart": Query(
+        streaming_reconcile_restart,
+        STREAMING_RECONCILE_RESTART_SQL,
+        "J6 design-regime restart: bounded open-book seed + tail (the benched shape)",
+    ),
+    "merged_reconcile_view": Query(
+        merged_reconcile_view_gate,
+        MERGED_RECONCILE_VIEW_SQL,
+        "J6 sink-merge: fresh-state tail + batch snapshot merged at read time",
     ),
     "order_reconciliation": Query(
         order_reconciliation, ORDER_RECONCILIATION_SQL, "J6 order<->execution reconciliation audit"

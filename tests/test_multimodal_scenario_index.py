@@ -1009,3 +1009,82 @@ def test_jpeg_corruption_fuzz():
                     continue  # the clean-rejection contract
                 # decoding despite corruption is fine (entropy bits moved);
                 # any OTHER exception type fails the test by escaping
+
+
+def test_bulk_decoder_routes_through_accelerated_codec(monkeypatch):
+    """VERDICT r10 item 6: bulk_decoder() picks up a C-accelerated codec
+    (PIL-shaped) when importable and falls back to the native codecs
+    otherwise. This container has no PIL, so the accelerated route is
+    driven with an injected PIL-shaped fake; the adapter contract
+    (bytes -> (H, W, 3) uint8 RGB + UnidentifiedImageError fallback) is
+    what the fake enforces."""
+    import sys
+    import types
+
+    from finiextestingide_spark.operators import multimodal as mm
+
+    # absent -> native fallback IS decode_media
+    assert mm.accelerated_decoder() is None
+    assert mm.bulk_decoder() is mm.decode_media
+
+    calls = []
+
+    class _FakeImg:
+        def __init__(self, payload):
+            self.payload = payload
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            h = self.payload[0] or 1
+            return np.full((h, 4, 3), 7, np.uint8)
+
+    class _Unidentified(Exception):
+        pass
+
+    fake_pil = types.ModuleType("PIL")
+    fake_image_mod = types.ModuleType("PIL.Image")
+
+    def _open(bio):
+        data = bio.read()
+        if data[:2] == b"P6":  # fake can't sniff PPM -> native fallback
+            raise _Unidentified()
+        calls.append(data)
+        return _FakeImg(data)
+
+    fake_image_mod.open = _open
+    fake_pil.Image = fake_image_mod
+    fake_pil.UnidentifiedImageError = _Unidentified
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    dec = mm.bulk_decoder()
+    assert dec is not mm.decode_media
+    out = dec(bytes([3, 9, 9]))
+    assert out.shape == (3, 4, 3) and out.dtype == np.uint8 and calls
+
+    # unidentifiable payload falls back to the native codec set
+    ppm = mm.encode_ppm(np.full((2, 2, 3), 11, np.uint8)) if hasattr(
+        mm, "encode_ppm"
+    ) else b"P6\n2 2\n255\n" + bytes([11] * 12)
+    assert np.array_equal(dec(ppm), mm.decode_media(ppm))
+
+
+def test_extract_features_default_stays_native(monkeypatch):
+    """The gates hash-match the NATIVE pixel arithmetic, and JPEG decoders
+    differ within codec tolerance — so extract_features' default decoder
+    must stay decode_media even when an accelerated codec is importable
+    (acceleration is opt-in via decoder=bulk_decoder())."""
+    import inspect
+
+    from finiextestingide_spark.operators import multimodal as mm
+
+    src = inspect.getsource(mm.extract_features)
+    assert "decoder or decode_media" in src
+    src_r = inspect.getsource(mm.resize)
+    assert "decoder or decode_media" in src_r
