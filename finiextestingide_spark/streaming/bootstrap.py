@@ -67,9 +67,14 @@ def persist_ledger(df: DataFrame, path: str) -> None:
     Seed snapshots are small relative to history (one row per key), so
     the single-writer cost is a few seconds even at millions of keys. If
     you hand-build a ledger instead, keep it one file for the same
-    reason."""
+    reason. ``repartition(1)``, NOT ``coalesce(1)``: coalesce merges the
+    plan's final stage into one task, which would run the whole upstream
+    snapshot computation (an applyInPandas history replay, a full
+    aggregation) single-threaded — measured 14x slower on an sf10 live
+    snapshot; repartition shuffles the (small, one-row-per-key) result
+    instead, so only the file write is single-task."""
     if not ledger_exists(df.sparkSession, path):
-        df.coalesce(1).write.mode("overwrite").parquet(path)
+        df.repartition(1).write.mode("overwrite").parquet(path)
 
 
 def check_staleness(
