@@ -760,7 +760,60 @@ def replay_trendchannel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bus_decode_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Message-bus ingress (round 11; SURVEY §2.9 production ingress): the
+    gate ticks serialized onto the Kafka WIRE SHAPE (key/value binary +
+    topic/partition/offset/timestamp — ``encode_bus_ticks``) and decoded
+    back through ``decode_bus_ticks`` (``from_json`` + casts, the exact
+    chain a readStream.format('kafka') source feeds), then aggregated per
+    symbol. The oracle computes the same aggregates straight from events:
+    a hash match proves the decoder inverts the producer wire exactly —
+    types, epoch-ms clocks, and values — with zero Python in the path."""
+    from ..streaming.bus import decode_bus_ticks as _dec
+    from ..streaming.bus import encode_bus_ticks as _enc
+
+    def _r4(col):  # deterministic cross-engine half-up rounding
+        return F.floor(col * F.lit(10000.0) + 0.5) / F.lit(10000.0)
+
+    ticks = _ticks(spark, sf_dir).select("symbol", "time_msc", "bid", "ask")
+    out = _dec(_enc(ticks))
+    return out.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.min("time_msc").alias("first_ms"),
+        F.max("time_msc").alias("last_ms"),
+        _r4(F.sum(F.col("bid").cast("decimal(28,6)")).cast("double")).alias(
+            "bid_sum"
+        ),
+        _r4(F.sum(F.col("ask").cast("decimal(28,6)")).cast("double")).alias(
+            "ask_sum"
+        ),
+        # the bus append stamp must round-trip into collected_msc verbatim
+        # (the encoder stamps event time, so any skew is a decode bug)
+        F.sum(F.col("collected_msc") - F.col("time_msc")).alias("clock_skew"),
+    )
+
+
+BUS_DECODE_TICKS_SQL = """
+SELECT event_type AS symbol,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       CAST(min(epoch_ms(ts)) AS BIGINT) AS first_ms,
+       CAST(max(epoch_ms(ts)) AS BIGINT) AS last_ms,
+       floor(CAST(sum(CAST(value - 0.005 AS DECIMAL(28,6))) AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS bid_sum,
+       floor(CAST(sum(CAST(value + 0.005 AS DECIMAL(28,6))) AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS ask_sum,
+       CAST(0 AS BIGINT) AS clock_skew
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "bus_decode_ticks": Query(
+        bus_decode_ticks,
+        BUS_DECODE_TICKS_SQL,
+        "Kafka-wire encode/decode round trip aggregated per symbol",
+    ),
     "replay_pyramid_oracle": Query(
         replay_pyramid_oracle,
         REPLAY_PYRAMID_ORACLE_SQL,

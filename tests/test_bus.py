@@ -1,0 +1,148 @@
+"""Kafka-shaped message-bus ingress (streaming/bus.py).
+
+No broker in this environment — and none needed: format("kafka") has ONE
+output schema, so the decoder is driven by file streams carrying exactly
+that shape. encode_bus_ticks is the producer-side inverse, which makes
+round-trip and live-pipeline parity testable end to end.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pyspark.sql.functions as F
+import pytest
+
+from finiextestingide_spark.streaming.bus import (
+    KAFKA_WIRE_DDL,
+    decode_bus_signals,
+    decode_bus_ticks,
+    encode_bus_ticks,
+)
+
+TICK_DDL = "symbol string, time_msc long, bid double, ask double"
+T0 = 1_767_225_600_000  # 2026-01-01T00:00:00Z epoch ms
+
+
+def _ticks(spark, n=60, symbols=("EURUSD", "GBPUSD", "USDJPY")):
+    rows = [
+        (symbols[i % len(symbols)], T0 + i * 2000, 100.0 + (i % 7) * 0.01,
+         100.02 + (i % 7) * 0.01)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, TICK_DDL)
+
+
+def test_encode_decode_round_trip(spark):
+    ticks = _ticks(spark)
+    bus = encode_bus_ticks(ticks, topic="t", n_partitions=4)
+    # the wire IS the kafka source schema (modulo literal nullability)
+    ref = spark.createDataFrame([], KAFKA_WIRE_DDL).schema
+    assert [(f.name, f.dataType) for f in bus.schema] == [
+        (f.name, f.dataType) for f in ref
+    ]
+    out = decode_bus_ticks(bus)
+    got = sorted(
+        (r["symbol"], r["time_msc"], r["bid"], r["ask"]) for r in out.collect()
+    )
+    exp = sorted(tuple(r) for r in ticks.collect())
+    assert got == exp
+    # offsets are per-partition monotone and dense, like a real log
+    per_part = (
+        bus.groupBy("partition")
+        .agg(F.count("*").alias("n"), F.min("offset").alias("lo"),
+             F.max("offset").alias("hi"))
+        .collect()
+    )
+    assert all(r["lo"] == 0 and r["hi"] == r["n"] - 1 for r in per_part)
+    # a symbol never spans partitions (the keyed-topic discipline)
+    spans = (
+        bus.select(F.decode("key", "UTF-8").alias("s"), "partition")
+        .distinct().groupBy("s").count().where(F.col("count") > 1).count()
+    )
+    assert spans == 0
+    # collected_msc carries the bus append stamp; tick_seq carries offset
+    row = out.where(F.col("symbol") == "EURUSD").orderBy("time_msc").first()
+    assert row["collected_msc"] == row["time_msc"]  # encoder stamps event time
+    assert row["tick_seq"] is not None
+
+
+def test_malformed_values_drop_or_audit(spark):
+    ticks = _ticks(spark, n=12)
+    bus = encode_bus_ticks(ticks)
+    junk = spark.createDataFrame(
+        [
+            (None, b"not json at all", "t", 0, 999, 
+             datetime(2026, 1, 1, tzinfo=timezone.utc), 0),
+            (None, b'{"symbol": "X"}', "t", 0, 1000,  # missing fields
+             datetime(2026, 1, 1, tzinfo=timezone.utc), 0),
+        ],
+        KAFKA_WIRE_DDL,
+    )
+    mixed = bus.unionByName(junk)
+    assert decode_bus_ticks(mixed).count() == 12  # dropped by default
+    kept = decode_bus_ticks(mixed, drop_malformed=False)
+    assert kept.count() == 14
+    assert kept.where(F.col("bid").isNull()).count() == 2  # auditable
+
+
+def test_bus_stream_feeds_live_pipeline_with_batch_parity(spark, tmp_path):
+    """The whole point of the ingress: kafka-wire rows STREAMED through
+    decode_bus_ticks -> incremental_bars equal the batch ohlcv_bars over
+    the same ticks (closed buckets), proving a production
+    readStream.format('kafka') source slots in with parity."""
+    from finiextestingide_spark.operators.bars import ohlcv_bars
+    from finiextestingide_spark.streaming.incremental_bars import (
+        drain_to_memory,
+        incremental_bars,
+    )
+
+    ticks = _ticks(spark, n=240)
+    bus_dir = str(tmp_path / "bus")
+    encode_bus_ticks(ticks).write.parquet(bus_dir)
+    wire = spark.readStream.schema(KAFKA_WIRE_DDL).parquet(bus_dir)
+    decoded = decode_bus_ticks(wire).withColumn(
+        "mid", (F.col("bid") + F.col("ask")) / 2
+    ).withColumn("volume", F.lit(1.0))
+    bars = incremental_bars(decoded, 60_000, heartbeat_ms=3_600_000_000)
+    drain_to_memory(bars, "bus_bars", settle_secs=4.0)
+    got = {
+        (r["symbol"], r["bar_ts"]): (r["open"], r["high"], r["low"], r["close"],
+                                     r["volume"], r["tick_count"])
+        for r in spark.table("bus_bars").collect()
+    }
+    batch = ohlcv_bars(
+        ticks.select(
+            "symbol",
+            F.timestamp_millis("time_msc").alias("timestamp"),
+            "time_msc",
+            ((F.col("bid") + F.col("ask")) / 2).alias("mid"),
+            F.lit(1.0).alias("volume"),
+        ),
+        "M1",
+    )
+    # compare the buckets the stream CLOSED (each key's last stays open)
+    exp = {
+        (r["symbol"], r["bar_ts"]): (r["open"], r["high"], r["low"], r["close"],
+                                     r["volume"], r["tick_count"])
+        for r in batch.collect()
+    }
+    assert got
+    for k, v in got.items():
+        assert exp[k] == v, k
+
+
+def test_decode_bus_signals(spark):
+    import json
+
+    rows = [
+        (b"EURUSD", json.dumps({"symbol": "EURUSD", "sig_ts": T0, "score": 0.7}
+                               ).encode(), "sig", 0, 0,
+         datetime(2026, 1, 1, tzinfo=timezone.utc), 0),
+        (None, b"junk", "sig", 0, 1,
+         datetime(2026, 1, 1, tzinfo=timezone.utc), 0),
+    ]
+    bus = spark.createDataFrame(rows, KAFKA_WIRE_DDL)
+    got = decode_bus_signals(bus).collect()
+    assert len(got) == 1
+    assert got[0]["symbol"] == "EURUSD" and got[0]["score"] == 0.7
