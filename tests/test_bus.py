@@ -146,3 +146,57 @@ def test_decode_bus_signals(spark):
     got = decode_bus_signals(bus).collect()
     assert len(got) == 1
     assert got[0]["symbol"] == "EURUSD" and got[0]["score"] == 0.7
+
+
+def test_bus_stream_drives_live_session_with_batch_parity(spark, tmp_path):
+    """The production composition end to end: kafka-wire rows ->
+    decode_bus_ticks -> live_backtest_generic equals the BATCH replay of
+    the same ticks trade-for-trade (seeded latency included) — a real
+    readStream.format('kafka') feed drives the trading session with
+    parity by construction."""
+    from tests.test_live_bootstrap import LAT, PARAMS, TICK_DDL, _ticks
+    from tests.test_live_socket import _assert_trade_parity
+    from finiextestingide_spark.operators.replay import run_backtest, trades_table
+    from finiextestingide_spark.streaming.live_replay import live_backtest_generic
+
+    feed = _ticks("EURUSD", 160)
+    ticks = spark.createDataFrame(feed, TICK_DDL)
+    bus_dir = str(tmp_path / "bus")
+    encode_bus_ticks(
+        ticks.select("symbol", "time_msc", "bid", "ask")
+    ).write.parquet(bus_dir)
+
+    wire = spark.readStream.schema(KAFKA_WIRE_DDL).parquet(bus_dir)
+    out = live_backtest_generic(decode_bus_ticks(wire), PARAMS, **LAT)
+    sink = str(tmp_path / "o")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {}
+    for r in sorted(
+        spark.read.parquet(sink).collect(),
+        key=lambda r: (r["symbol"], r["trade_id"]),
+    ):
+        got.setdefault(r["symbol"], []).append(r)
+
+    scen = spark.createDataFrame(
+        [(1, "p", "EURUSD", None, None, LAT["latency_seed"],
+          LAT["latency_min_ms"], LAT["latency_max_ms"],
+          {k: str(v) for k, v in PARAMS.items()})],
+        "scenario_id int, name string, symbol string, max_ticks int, "
+        "tick_processing_budget_ms double, latency_seed int, "
+        "latency_min_ms int, latency_max_ms int, "
+        "parameters map<string,string>",
+    )
+    batch = {}
+    for r in trades_table(run_backtest(ticks, scen)).collect():
+        if r["exit_reason"] != "END":  # a live session never END-closes
+            batch.setdefault("EURUSD", []).append(r)
+    assert batch, "fixture must produce at least one closed trade"
+    _assert_trade_parity(batch, got)
