@@ -119,6 +119,7 @@ CURATED_ORDER: tuple[str, ...] = (
     # widened driver window picks them up in this order (round-5 VERDICT #8);
     # round-11 rotated-out veterans go to the back of this queue
     "bus_decode_ticks",
+    "streaming_minhash_lsh",
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",

@@ -371,6 +371,37 @@ JOIN sizes sb ON sb.doc_id = cands.id_b
 """
 
 
+def streaming_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup (round 11; §2.9 x dedup): documents arrive as an
+    unbounded stream, ``streaming_lsh_candidates`` surfaces LSH candidate
+    pairs AS THEY ARRIVE (row-local Python-mirrored signatures -> one
+    keyed bucket state), and once the feed drains the distinct pair set
+    equals the batch band bucket-join — verified here by running the
+    exact-Jaccard verify over the streamed candidates and hash-matching
+    the SAME oracle as the batch ``minhash_lsh_pairs`` gate."""
+    from ..streaming.dedup_stream import streaming_lsh_candidates
+    from ..streaming.incremental_bars import drain_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/documents.parque*")
+    pairs = streaming_lsh_candidates(
+        stream, shingle_n=3, num_hashes=_MH_K, bands=_MH_BANDS
+    )
+    name = "gate_streaming_minhash_lsh"
+    drain_to_memory(pairs, name, settle_secs=4.0, await_state_drain=True)
+    cands = spark.table(name).distinct()
+    sh = dd.word_shingles(_docs(spark, sf_dir), 3)
+    sets = dd.shingle_set_table(sh)
+    out = dd.verify_candidate_pairs(cands, sets, 0.0)
+    return out.select(
+        "id_a", "id_b", "intersection", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+STREAMING_MINHASH_LSH_SQL = MINHASH_LSH_PAIRS_SQL
+
+
 # --- near-dup clusters: MinHash pairs -> connected components (the one
 #     ITERATIVE operator; oracle = recursive-CTE transitive closure) ---
 
@@ -2434,6 +2465,11 @@ QUERIES: dict[str, Query] = {
         merged_dedup_view_gate,
         MERGED_DEDUP_VIEW_SQL,
         "dedup sink-merge: batch snapshot + fresh-state tail merged at read time",
+    ),
+    "streaming_minhash_lsh": Query(
+        streaming_minhash_lsh,
+        STREAMING_MINHASH_LSH_SQL,
+        "streaming MinHash-LSH near-dup candidates, verified vs the batch oracle",
     ),
     "contamination_3gram": Query(
         contamination_3gram, CONTAMINATION_3GRAM_SQL, "train/eval n-gram contamination audit"

@@ -32,7 +32,13 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..operators.text import normalized_text
 
@@ -156,6 +162,157 @@ def merged_dedup_view(snapshot: DataFrame, stream_rows: DataFrame) -> DataFrame:
         .unionByName(latest)
         .groupBy("content_hash")
         .agg(F.min("min_id").alias("min_id"), F.sum("n").alias("n"))
+    )
+
+
+def lsh_band_stream(
+    docs: DataFrame,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """(bucket, doc_id) LSH band rows per arriving document — the
+    row-local half of streaming near-dup.
+
+    EXACT Python mirror of the batch construction (operators.dedup:
+    ``normalized_text`` -> word n-gram shingles -> ``_mh_slice`` sliced-md5
+    permutation minima -> md5 band hash), pinned by a pytest that compares
+    this stream's rows against ``minhash_signatures`` + band hashing on
+    the same corpus. Batch uses an exploded JVM aggregate because its
+    input is a LAKE (the shuffle amortizes); a stream sees each document
+    exactly once in one row, so the signature is computed row-local in an
+    Arrow batch (mapInPandas) — no shuffle, no state, per-doc cost only.
+    Documents with fewer than ``shingle_n`` words have no shingles and
+    emit nothing (the batch contract)."""
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import re
+
+        n_dig = (num_hashes + 3) // 4
+        for pdf in batches:
+            out_bucket: list[str] = []
+            out_id: list[int] = []
+            for did, body in zip(pdf[id_col], pdf[text]):
+                if body is None or pd.isna(did):
+                    continue
+                norm = re.sub(r"[^a-z0-9]+", " ", str(body).lower()).strip()
+                words = norm.split(" ") if norm else []
+                if len(words) < shingle_n:
+                    continue
+                mins: list[str | None] = [None] * num_hashes
+                for j in range(len(words) - shingle_n + 1):
+                    s = " ".join(words[j : j + shingle_n])
+                    for d in range(n_dig):
+                        h = hashlib.md5(f"{d}|{s}".encode()).hexdigest()
+                        for o in range(4):
+                            i = d * 4 + o
+                            if i >= num_hashes:
+                                break
+                            sl = h[o * 8 : o * 8 + 8]
+                            if mins[i] is None or sl < mins[i]:
+                                mins[i] = sl
+                for b in range(bands):
+                    sig = "|".join(
+                        mins[b * rows_per_band + r] for r in range(rows_per_band)
+                    )
+                    bh = hashlib.md5(sig.encode()).hexdigest()
+                    out_bucket.append(f"{b}|{bh}")
+                    out_id.append(int(did))
+            yield pd.DataFrame({"bucket": out_bucket, "doc_id": out_id})
+
+    return docs.mapInPandas(run, "bucket string, doc_id long")
+
+
+_LSH_PAIR_SCHEMA = StructType(
+    [StructField("id_a", LongType()), StructField("id_b", LongType())]
+)
+
+_LSH_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
+
+
+def streaming_lsh_candidates(
+    docs: DataFrame,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_bucket_members: int = 10_000,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup: candidate pairs surfaced AS
+    DOCUMENTS ARRIVE (the ingest-firehose analogue of
+    ``operators.dedup.lsh_candidate_pairs``, which the emitted pair SET
+    equals once the feed drains — micro-batch slicing cannot change it,
+    because an unordered pair is emitted exactly once, when its later
+    member reaches the bucket).
+
+    Shape: row-local band rows (``lsh_band_stream``) -> ONE keyed
+    stateful op per band bucket holding the member-id list; a new member
+    pairs with every existing member. Pairs repeat across bands exactly
+    like the batch bucket-join before its ``distinct()`` — dedupe at the
+    sink (or feed ``operators.dedup.verify_candidate_pairs``, which
+    consumes distinct pairs).
+
+    Scale posture: state is one id-list per OCCUPIED bucket, sharded by
+    the bucket-key shuffle — the same cardinality the batch band-join
+    shuffles. ``max_bucket_members`` is the streaming form of the pairs
+    budget (a bucket at the cap has emitted ~cap^2/2 pairs — degenerate
+    banding, the same condition the batch guards fail loud on): members
+    beyond the cap are counted-and-dropped in state rather than pairing
+    quadratically forever; a real lake tunes bands/rows-per-band instead
+    of raising the cap."""
+    rows = lsh_band_stream(
+        docs, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+        id_col=id_col, text=text,
+    )
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover — no timeout armed
+            return
+        import pickle
+
+        if state.exists:
+            ids, dropped = pickle.loads(bytes(state.get[0]))
+        else:
+            ids, dropped = [], 0
+        seen = set(ids)
+        incoming: set[int] = set()
+        for pdf in pdfs:
+            if len(pdf):
+                incoming.update(int(x) for x in pdf["doc_id"])
+        pairs: list[tuple[int, int]] = []
+        changed = False
+        # sorted: a batch delivering {7, 3} to a bucket emits (3, 7)
+        # regardless of arrival slicing — determinism of the pair SET
+        for did in sorted(incoming):
+            if did in seen:
+                continue
+            changed = True
+            if len(ids) >= max_bucket_members:
+                dropped += 1
+                continue
+            pairs.extend((m, did) if m < did else (did, m) for m in ids)
+            ids.append(did)
+            seen.add(did)
+        if changed:
+            state.update((pickle.dumps((ids, dropped)),))
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["id_a", "id_b"])
+
+    return rows.groupBy("bucket").applyInPandasWithState(
+        fn,
+        outputStructType=_LSH_PAIR_SCHEMA,
+        stateStructType=_LSH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

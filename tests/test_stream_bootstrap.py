@@ -232,3 +232,112 @@ def test_bars_seed_tie_order_with_tick_seq(spark, tmp_path):
         if int(k[1].timestamp() * 1_000_000) >= seed_buckets[k[0]]
     }
     assert seeded == expected
+
+
+# --- streaming MinHash-LSH near-dup (round 11) -------------------------------
+
+
+def _lsh_docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "pack my box with five dozen liquor jugs",
+        "sphinx of black quartz judge my vow",
+        "how vexingly quick daft zebras jump",
+    ]
+    rows = []
+    for i in range(40):
+        body = base[i % len(base)]
+        if i % 7 == 0:
+            body = body + " extra token"  # near-dup variants
+        rows.append((i, body))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_band_stream_mirrors_batch_signatures(spark):
+    """The Python signature in lsh_band_stream must be bit-identical to
+    the batch construction (normalized_text -> _mh_slice minima -> md5
+    band hash) — the parity everything downstream rests on."""
+    import pyspark.sql.functions as F
+
+    from finiextestingide_spark.operators import dedup as dd
+    from finiextestingide_spark.streaming.dedup_stream import lsh_band_stream
+
+    docs = _lsh_docs(spark)
+    k, bands = 8, 4
+    rpb = k // bands
+    sigs = dd.minhash_signatures(dd.shingle_stream(docs, 3), k)
+    batch = sigs.select(
+        "doc_id",
+        *[
+            F.concat(
+                F.lit(f"{b}|"),
+                F.md5(F.concat_ws(
+                    "|", *[F.col(f"mh_{b * rpb + r}") for r in range(rpb)]
+                )),
+            ).alias(f"b{b}")
+            for b in range(bands)
+        ],
+    )
+    exp = set()
+    for r in batch.collect():
+        for b in range(bands):
+            exp.add((r[f"b{b}"], r["doc_id"]))
+    got = {
+        (r["bucket"], r["doc_id"])
+        for r in lsh_band_stream(docs, shingle_n=3, num_hashes=k, bands=bands).collect()
+    }
+    assert got == exp
+
+
+def test_streaming_lsh_candidates_equal_batch_pairs(spark, tmp_path):
+    """Once the feed drains, the DISTINCT emitted pair set equals the
+    batch lsh_candidate_pairs over the same corpus — regardless of how
+    the source slices micro-batches (two files force at least two)."""
+    from finiextestingide_spark.operators import dedup as dd
+    from finiextestingide_spark.streaming.dedup_stream import streaming_lsh_candidates
+    from finiextestingide_spark.streaming.bars_stream import run_to_memory
+
+    docs = _lsh_docs(spark)
+    k, bands = 8, 4
+    d = tmp_path / "docs"
+    docs.where("doc_id % 2 = 0").coalesce(1).write.parquet(str(d / "p1"))
+    docs.where("doc_id % 2 = 1").coalesce(1).write.parquet(str(d / "p2"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(d / "p*")
+    )
+    pairs = streaming_lsh_candidates(stream, shingle_n=3, num_hashes=k, bands=bands)
+    run_to_memory(pairs, "lsh_cand_stream")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.table("lsh_cand_stream").collect()
+    }
+    sigs = dd.minhash_signatures(dd.shingle_stream(docs, 3), k)
+    exp = {
+        (r["id_a"], r["id_b"])
+        for r in dd.lsh_candidate_pairs(sigs, k, bands).collect()
+    }
+    assert got == exp and exp  # the fixture must actually produce pairs
+
+
+def test_streaming_lsh_bucket_cap_bounds_pairs(spark, tmp_path):
+    """The member cap is the streaming pairs budget: a degenerate bucket
+    (every doc identical) stops pairing at the cap instead of emitting
+    quadratically forever; capped members are counted, not errored (a
+    stream cannot fail loud mid-flight)."""
+    from finiextestingide_spark.streaming.bars_stream import run_to_memory
+    from finiextestingide_spark.streaming.dedup_stream import streaming_lsh_candidates
+
+    rows = [(i, "all documents carry this identical body text") for i in range(12)]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(d)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    pairs = streaming_lsh_candidates(
+        stream, shingle_n=3, num_hashes=8, bands=4, max_bucket_members=5
+    )
+    run_to_memory(pairs, "lsh_capped")
+    got = {
+        (r["id_a"], r["id_b"]) for r in spark.table("lsh_capped").collect()
+    }
+    # 5 members -> C(5,2) = 10 distinct pairs, in every one of the 4 bands
+    assert got == {(a, b) for a in range(5) for b in range(a + 1, 5)}
