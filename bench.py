@@ -70,6 +70,13 @@ HEADLINE = [
     #   the state machinery.
     "streaming_reconcile_restart",
     "merged_reconcile_view",
+    # round-11: the kafka-wire decode throughput surface (from_json +
+    # casts + per-symbol agg, pure JVM — the ingress a production bus
+    # feed pays per micro-batch). streaming_minhash_lsh is deliberately
+    # NOT benched: its gate wall is dominated by the drain-settle
+    # heuristic, the misleading-row shape the r10 tail row was retired
+    # for; its scale signal is the SCALE.md sf10 row instead.
+    "bus_decode_ticks",
 ]
 
 

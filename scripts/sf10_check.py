@@ -63,6 +63,11 @@ TARGETS = [
     "ivf_topk_5",
     "embedding_neardup",
     "lsh_ann_multiprobe_8",
+    # round-11 surfaces: the two designated reconcile-backfill shapes and
+    # the kafka-wire decode (scan-bound rows recorded in SCALE.md §7)
+    "streaming_reconcile_restart",
+    "merged_reconcile_view",
+    "bus_decode_ticks",
 ]
 
 
