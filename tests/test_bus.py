@@ -200,3 +200,36 @@ def test_bus_stream_drives_live_session_with_batch_parity(spark, tmp_path):
             batch.setdefault("EURUSD", []).append(r)
     assert batch, "fixture must produce at least one closed trade"
     _assert_trade_parity(batch, got)
+
+
+def test_decode_bus_fuzz_never_crashes(spark):
+    """Robustness: arbitrary bytes in `value` (truncated JSON, binary
+    garbage, wrong types, huge numbers) never crash the decode — from_json
+    yields NULL fields and the default drop filter removes them. A
+    poisoned bus partition must be skippable, not a stream-killer."""
+    import json
+    import numpy as np
+    from datetime import datetime, timezone
+
+    rng = np.random.default_rng(31)
+    good = json.dumps(
+        {"symbol": "EURUSD", "time_msc": T0, "bid": 1.1, "ask": 1.2}
+    ).encode()
+    rows = [(None, good, "t", 0, 0, datetime(2026, 1, 1, tzinfo=timezone.utc), 0)]
+    payloads = [
+        b"", b"{", b"[]", b"null", b'"str"', b"{}",
+        json.dumps({"symbol": 7, "time_msc": "x", "bid": [], "ask": {}}).encode(),
+        json.dumps({"symbol": "X", "time_msc": 10**30, "bid": 1, "ask": 1}).encode(),
+        good[:11],
+    ] + [bytes(rng.integers(0, 256, rng.integers(1, 64)).tolist()) for _ in range(40)]
+    for i, p in enumerate(payloads):
+        rows.append(
+            (None, p, "t", 0, i + 1, datetime(2026, 1, 1, tzinfo=timezone.utc), 0)
+        )
+    bus = spark.createDataFrame(rows, KAFKA_WIRE_DDL)
+    kept = decode_bus_ticks(bus).collect()
+    # only rows whose payload parses to a COMPLETE tick survive; the one
+    # known-good row is among them and nothing ever raised
+    assert any(r["symbol"] == "EURUSD" and r["time_msc"] == T0 for r in kept)
+    audit = decode_bus_ticks(bus, drop_malformed=False)
+    assert audit.count() == len(rows)  # audit mode keeps every wire row
