@@ -120,6 +120,7 @@ CURATED_ORDER: tuple[str, ...] = (
     # round-11 rotated-out veterans go to the back of this queue
     "bus_decode_ticks",
     "streaming_minhash_lsh",
+    "clipping_ledger_roundtrip",
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",

@@ -2975,6 +2975,122 @@ GROUP BY symbol
 """
 
 
+def clipping_ledger_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#197 PERIODIC reports through the telemetry LEDGER, end to end
+    (VERDICT r10 #4's "ideally a gate"): each symbol's ticks drive a real
+    ``ClippingMonitor`` fold on a DETERMINISTIC clock (1 synthetic second
+    per tick, report_interval 100 s -> one interval report per 100 ticks
+    plus a tail flush), every report is appended to the ledger via
+    ``write_report_row`` from the executors, and the gate output is
+    ``read_clipping_telemetry`` over that ledger — so the driver hash
+    covers the monitor's interval arithmetic AND the write/read plumbing.
+    The oracle recomputes the interval chunking relationally (row_number
+    // 100 per symbol in (arrival, event_id) order). Multiplicity
+    matters: identical report rows from different intervals must both
+    survive the round trip (the order-insensitive hash counts them)."""
+    import tempfile
+
+    def _r(col, n=6):
+        return F.floor(col * F.lit(float(10**n)) + 0.5) / F.lit(float(10**n))
+
+    telem = _events(spark, sf_dir).select(
+        F.col("event_type").alias("symbol"),
+        F.unix_micros("ts").alias("arrival_us"),
+        (((F.col("event_id") % 97) + 1) * 0.25).alias("processing_ms"),
+        "event_id",
+    )
+    tdir = tempfile.mkdtemp(prefix="clip_ledger_")
+
+    def fold(pdf):
+        import pandas as _pd
+
+        from finiextestingide_spark.operators.clipping import (
+            ClippingMonitor,
+            write_report_row,
+        )
+
+        pdf = pdf.sort_values(["arrival_us", "event_id"], kind="mergesort")
+        symbol = pdf["symbol"].iloc[0]
+        m = ClippingMonitor(report_interval_s=100.0, start_s=0.0)
+        prev = None
+        k = 0
+        for arr, proc in zip(pdf["arrival_us"], pdf["processing_ms"]):
+            delta = 0.0 if prev is None else (arr - prev) / 1000.0
+            prev = arr
+            m.record_tick(int(proc * 1e6), delta)
+            k += 1
+            if k % 100 == 0:
+                rep = m.get_periodic_report(float(k))
+                if rep is not None:
+                    write_report_row(tdir, symbol, rep)
+        rep = m.get_periodic_report(float(k) + 100.0)  # tail flush
+        if rep is not None:
+            write_report_row(tdir, symbol, rep)
+        return _pd.DataFrame({"symbol": [symbol]})
+
+    # force the distributed fold (one row per symbol) before reading the
+    # ledger back — the round trip IS the thing under test
+    telem.groupBy("symbol").applyInPandas(fold, "symbol string").count()
+
+    from ..operators.clipping import read_clipping_telemetry
+
+    led = read_clipping_telemetry(spark, tdir)
+    return led.select(
+        "key",
+        F.col("interval_ticks").cast("long").alias("interval_ticks"),
+        F.col("interval_clipped").cast("long").alias("interval_clipped"),
+        _r(F.col("interval_max_stale_ms")).alias("interval_max_stale_ms"),
+        _r(F.col("interval_avg_stale_ms")).alias("interval_avg_stale_ms"),
+        _r(F.col("interval_max_processing_ms")).alias(
+            "interval_max_processing_ms"
+        ),
+        _r(F.col("interval_avg_processing_ms")).alias(
+            "interval_avg_processing_ms"
+        ),
+        F.col("interval_max_queue_depth").cast("long").alias(
+            "interval_max_queue_depth"
+        ),
+    )
+
+
+CLIPPING_LEDGER_ROUNDTRIP_SQL = """
+WITH telem AS (
+  SELECT event_type AS symbol, epoch_us(ts) AS arrival_us,
+         ((event_id % 97) + 1) * 0.25 AS processing_ms, event_id
+  FROM events
+),
+d AS (
+  SELECT symbol, processing_ms,
+         row_number() OVER (
+            PARTITION BY symbol ORDER BY arrival_us, event_id) AS rn,
+         (arrival_us - lag(arrival_us) OVER (
+            PARTITION BY symbol ORDER BY arrival_us, event_id)) / 1000.0
+           AS delta_ms
+  FROM telem
+),
+s AS (
+  SELECT symbol, processing_ms, (rn - 1) // 100 AS iv,
+         CASE WHEN delta_ms > 0 AND processing_ms > delta_ms
+              THEN processing_ms - delta_ms END AS stale_ms
+  FROM d
+)
+SELECT symbol AS key,
+       CAST(count(*) AS BIGINT) AS interval_ticks,
+       CAST(count(stale_ms) AS BIGINT) AS interval_clipped,
+       floor(coalesce(max(stale_ms), 0.0) * 1000000.0 + 0.5) / 1000000.0
+         AS interval_max_stale_ms,
+       floor(coalesce(avg(stale_ms), 0.0) * 1000000.0 + 0.5) / 1000000.0
+         AS interval_avg_stale_ms,
+       floor(max(processing_ms) * 1000000.0 + 0.5) / 1000000.0
+         AS interval_max_processing_ms,
+       floor(avg(processing_ms) * 1000000.0 + 0.5) / 1000000.0
+         AS interval_avg_processing_ms,
+       CAST(0 AS BIGINT) AS interval_max_queue_depth
+FROM s
+GROUP BY symbol, iv
+"""
+
+
 QUERIES: dict[str, Query] = {
     "bars_1h": Query(bars_1h, BARS_1H_SQL, "A1 tumbling OHLCV, H1"),
     "bars_1d": Query(bars_1d, BARS_1D_SQL, "A1 tumbling OHLCV, D1"),
@@ -3119,5 +3235,10 @@ QUERIES: dict[str, Query] = {
         live_clipping_report,
         LIVE_CLIPPING_REPORT_SQL,
         "#197 clipping telemetry roll-up: processing vs inter-arrival delta",
+    ),
+    "clipping_ledger_roundtrip": Query(
+        clipping_ledger_roundtrip,
+        CLIPPING_LEDGER_ROUNDTRIP_SQL,
+        "#197 periodic reports through the telemetry ledger (write/read round trip)",
     ),
 }
