@@ -133,9 +133,18 @@ def _total_busy_ticks() -> int:
 
 
 def _tree_cpu_ticks(root: int) -> int:
-    """utime+stime ticks of ``root`` and every live descendant (the bench
-    python, its JVM, and the forked pyspark workers) via /proc — no psutil
-    in this environment."""
+    """utime+stime+cutime+cstime ticks of ``root`` and every live
+    descendant (the bench python, its JVM, and the forked pyspark workers)
+    via /proc — no psutil in this environment.
+
+    cutime/cstime matter (ADVICE r11): a pyspark worker that exits
+    mid-sample has its CPU folded into its parent's cutime/cstime at reap
+    time — counting only live utime+stime would misattribute that burn to
+    co-tenants and could spuriously reject samples on an idle box (e.g.
+    worker idle-timeout reaping). Live children report 0 in the parent's
+    cutime, and a reaped child's total rolls into exactly one live
+    ancestor, so summing all four fields over the live tree counts every
+    tick exactly once."""
     procs = []
     for d in os.listdir("/proc"):
         if not d.isdigit():
@@ -145,7 +154,9 @@ def _tree_cpu_ticks(root: int) -> int:
                 rest = f.read().rsplit(")", 1)[1].split()
         except OSError:
             continue  # raced a process exit
-        procs.append((int(d), int(rest[1]), int(rest[11]) + int(rest[12])))
+        own = int(rest[11]) + int(rest[12])
+        reaped = int(rest[13]) + int(rest[14])
+        procs.append((int(d), int(rest[1]), own + reaped))
     kids: dict[int, list[int]] = {}
     ticks = {}
     for pid, ppid, t in procs:

@@ -3028,13 +3028,24 @@ def clipping_ledger_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_report_row(tdir, symbol, rep)
         return _pd.DataFrame({"symbol": [symbol]})
 
+    # NOTE (ADVICE r11): executors write into a driver-side mkdtemp path —
+    # valid only because this harness runs local-mode (one host, shared
+    # filesystem); write_report_row's docstring states the shared-fs
+    # requirement for real clusters.
     # force the distributed fold (one row per symbol) before reading the
     # ledger back — the round trip IS the thing under test
     telem.groupBy("symbol").applyInPandas(fold, "symbol string").count()
 
     from ..operators.clipping import read_clipping_telemetry
 
-    led = read_clipping_telemetry(spark, tdir)
+    # materialize the ledger rows on the driver so the temp dir can be
+    # removed (one row per ~100 events — bounded), then hand back a local
+    # DataFrame; leaving tdir behind leaked one dir of JSON per gate run
+    raw = read_clipping_telemetry(spark, tdir)
+    led = spark.createDataFrame(raw.collect(), raw.schema)
+    import shutil
+
+    shutil.rmtree(tdir, ignore_errors=True)
     return led.select(
         "key",
         F.col("interval_ticks").cast("long").alias("interval_ticks"),

@@ -43,11 +43,41 @@ the engine's analogue of ``queue.Queue.qsize()``.
 
 from __future__ import annotations
 
+import time
 from collections import deque
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+
+
+def _host_boot_token() -> str:
+    """Identity of the monotonic clock's origin: host + boot.
+
+    ``time.monotonic()`` is CLOCK_MONOTONIC — since-boot, shared by EVERY
+    process on the host — so report anchors taken by one pyspark worker
+    are valid in any other worker on the same machine. That matters
+    because the live paths pickle session state at the end of every
+    micro-batch and a key's task routinely lands on a different worker
+    process next batch (worker-pool churn): a per-PROCESS identity would
+    re-anchor cadence nearly every batch, reproducing the very bug it was
+    meant to fix (ADVICE r11 — the old null-anchor-on-every-pickle made
+    the single per-batch ``get_periodic_report`` call always hit the
+    re-anchor branch, so periodic reports never fired after batch 1).
+    Only a genuine clock-origin change — another host, or a reboot —
+    makes the anchor foreign (ADVICE r10: a foreign monotonic origin can
+    suppress reports indefinitely or fire spuriously)."""
+    import socket
+
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            boot = f.read().strip()
+    except OSError:  # non-Linux fallback: boot epoch, 4 s tolerance
+        boot = str(round((time.time() - time.monotonic()) / 4.0))
+    return f"{socket.gethostname()}:{boot}"
+
+
+_CLOCK_TOKEN = _host_boot_token()
 
 
 class ClippingMonitor:
@@ -73,7 +103,7 @@ class ClippingMonitor:
         self,
         report_interval_s: float = 60.0,
         strategy: str = "queue_all",
-        keep_times: int = 10_000,
+        keep_times: int = 256,
         start_s: float = 0.0,
     ):
         if strategy not in ("queue_all", "drop_stale"):
@@ -161,17 +191,22 @@ class ClippingMonitor:
 
     def __getstate__(self) -> dict:
         state = {s: getattr(self, s) for s in self.__slots__}
-        # monotonic clocks are not comparable across processes/hosts: a
-        # monitor that moves executors (or survives a restart) inside
-        # checkpoint state must re-anchor its report cadence on first use,
-        # not compare a foreign monotonic origin (ADVICE r10 — a stale
-        # anchor can suppress reports indefinitely or fire spuriously)
-        state["last_report_s"] = None
+        # Stamp which host+boot (monotonic-clock origin) pickled this
+        # state; __setstate__ re-anchors the report cadence ONLY when the
+        # origin changed (see _host_boot_token). Per-micro-batch pickling
+        # on the same host keeps the anchor so periodic reports keep
+        # their cadence (ADVICE r11).
+        state["_clock_token"] = _CLOCK_TOKEN
         return state
 
     def __setstate__(self, state: dict) -> None:
+        token = state.pop("_clock_token", None)
         for k, v in state.items():
             setattr(self, k, v)
+        if token != _CLOCK_TOKEN:
+            # foreign (or legacy tokenless) state: the monotonic origin
+            # is from another host/boot — re-anchor on first use
+            self.last_report_s = None
 
     def get_periodic_report(self, now_s: float) -> dict | None:
         if self.last_report_s is None:
@@ -237,7 +272,17 @@ def write_report_row(telemetry_dir: str, key: str, report: dict) -> None:
     file, no driver participation), which is the only append shape that
     is safe from inside a streaming state function. Dot-prefixed temp
     names are invisible to Spark's reader. Fleet roll-ups read the ledger
-    back with ``read_clipping_telemetry``."""
+    back with ``read_clipping_telemetry``.
+
+    Deployment requirement (ADVICE r11): ``telemetry_dir`` must be a
+    filesystem SHARED by every executor and the reader (NFS/shared mount,
+    or any path all nodes see) — on a multi-node cluster a plain local
+    path scatters rows across machines and ``read_clipping_telemetry``
+    silently returns only the reader-local slice. The tmp-then-rename
+    atomicity also requires a POSIX-rename target: object stores (s3://,
+    gs://) implement rename as copy+delete and can expose torn or
+    duplicate rows — ledger to a real filesystem, roll up to the object
+    store afterwards if needed."""
     import json
     import os
 

@@ -240,18 +240,27 @@ def test_live_clipping_does_not_perturb_trades(spark, tmp_path):
     assert base and base == with_clip
 
 
-def test_monitor_reanchors_monotonic_after_unpickle():
-    """ADVICE r10: monotonic clocks are not comparable across processes —
-    after an unpickle (state migrated executors / restarted) the report
-    cadence must re-anchor to the first observed clock, not compare a
-    foreign monotonic origin (which could suppress reports forever or
-    fire spuriously)."""
+def test_monitor_reanchors_monotonic_after_cross_host_unpickle():
+    """ADVICE r10: monotonic origins are not comparable across hosts or
+    boots — state restored on a DIFFERENT machine (migrated executor /
+    restart from checkpoint) must re-anchor the report cadence to the
+    first observed clock, not compare a foreign monotonic origin (which
+    could suppress reports forever or fire spuriously). Simulated by
+    swapping the module's clock token between dump and load."""
     import pickle
+
+    import finiextestingide_spark.operators.clipping as clip_mod
 
     m = ClippingMonitor(report_interval_s=10.0, start_s=1_000_000.0)
     m.record_tick(5_000_000, 100.0)
-    m2 = pickle.loads(pickle.dumps(m))
-    # counters survive the round trip; the monotonic anchor does not
+    blob = pickle.dumps(m)
+    saved = clip_mod._CLOCK_TOKEN
+    clip_mod._CLOCK_TOKEN = "other-host:deadbeef"
+    try:
+        m2 = pickle.loads(blob)
+    finally:
+        clip_mod._CLOCK_TOKEN = saved
+    # counters survive the round trip; the foreign monotonic anchor does not
     assert m2.total_ticks == 1 and m2.last_report_s is None
     # first call on the new clock anchors (no report), even though the
     # OLD origin would have made now - last_report_s hugely negative
@@ -262,6 +271,38 @@ def test_monitor_reanchors_monotonic_after_unpickle():
     # interval COUNTERS survive the round trip (only the clock anchor is
     # dropped), so the pre-pickle tick is still in this interval
     assert rep is not None and rep["interval_ticks"] == 2
+
+
+def test_monitor_same_host_pickle_keeps_cadence():
+    """ADVICE r11 (high): the live paths pickle session state at the END
+    of every micro-batch and call get_periodic_report exactly once per
+    batch. A same-host round trip must KEEP the monotonic anchor (all
+    processes on a host share CLOCK_MONOTONIC's origin) — with the old
+    null-on-every-pickle behavior the single per-batch call always hit
+    the re-anchor branch and a periodic report could never fire after
+    the first micro-batch, at any interval."""
+    import pickle
+
+    m = ClippingMonitor(report_interval_s=10.0, start_s=0.0)
+    reports = []
+    clock = 0.0
+    for _batch in range(4):
+        clock += 6.0  # batches arrive every 6s; interval is 10s
+        m.record_tick(2_000_000, 1.0)
+        rep = m.get_periodic_report(clock)  # once per batch, like live
+        if rep is not None:
+            reports.append((clock, rep))
+        m = pickle.loads(pickle.dumps(m))  # end-of-batch state round trip
+    # anchor survives same-process pickles: reports at t=12 and t=24
+    assert [t for t, _ in reports] == [12.0, 24.0]
+    assert reports[0][1]["interval_ticks"] == 2
+    assert reports[1][1]["interval_ticks"] == 2
+    # legacy tokenless state (pre-fix checkpoint) still re-anchors safely
+    state = m.__getstate__()
+    state.pop("_clock_token")
+    m3 = ClippingMonitor.__new__(ClippingMonitor)
+    m3.__setstate__(state)
+    assert m3.last_report_s is None
 
 
 def test_drop_stale_strategy_warns_loud():
@@ -362,4 +403,48 @@ def test_live_telemetry_dir_writes_queryable_rows(spark, tmp_path):
     rows = read_clipping_telemetry(spark, tdir).collect()
     assert rows, "interval_s=0 must emit at least one report row"
     assert all(r["key"] == "EURUSD" and r["interval_ticks"] > 0 for r in rows)
-    assert sum(r["interval_ticks"] for r in rows) <= 120
+
+
+def test_live_telemetry_fires_across_micro_batches(spark, tmp_path):
+    """ADVICE r11 (high) regression, live form: periodic reports must keep
+    firing AFTER the first micro-batch. The feed is split into three files
+    driven one per micro-batch (maxFilesPerTrigger=1), so the monitor's
+    state is pickled/unpickled between report opportunities; with the old
+    null-anchor-on-every-pickle behavior only batch 1 could ever report."""
+    from tests.test_live_bootstrap import PARAMS, LAT, TICK_DDL, _ticks
+    from finiextestingide_spark.operators.clipping import read_clipping_telemetry
+    from finiextestingide_spark.streaming.live_replay import live_backtest_generic
+
+    feed = _ticks("EURUSD", 150)
+    ticks_dir = str(tmp_path / "t")
+    tdir = str(tmp_path / "ledger")
+    for lo, hi in ((0, 50), (50, 100), (100, 150)):  # chronological slices
+        spark.createDataFrame(feed[lo:hi], TICK_DDL).repartition(1).write.mode(
+            "append"
+        ).parquet(ticks_dir)
+    stream = (
+        spark.readStream.schema(TICK_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ticks_dir)
+    )
+    q = (
+        live_backtest_generic(
+            stream, PARAMS, **LAT,
+            clipping=True, clipping_report_interval_s=0.0,
+            telemetry_dir=tdir,
+        )
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "o"))
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = read_clipping_telemetry(spark, tdir).collect()
+    # one report per micro-batch that saw ticks; a worker-process change
+    # legitimately re-anchors (suppressing at most that batch), so >= 2
+    # proves cadence survived at least one same-process pickle round trip
+    assert len(rows) >= 2, f"expected reports from multiple batches, got {rows}"
+    assert sum(r["interval_ticks"] for r in rows) <= 150
+    assert all(r["key"] == "EURUSD" for r in rows)
