@@ -56,6 +56,19 @@ from ._util import Query  # noqa: F401
 # multimodal_chunks, sample_deterministic_30, stratified_sample_audit.
 # (replay_trendchannel stays out: rows-only, and the window is kept 100%
 # oracle-backed.) Every in-window entry is oracle-backed.
+#
+# Round-12 rotation (VERDICT r11 #2, rotation round 5): OUT 4 veterans —
+# bars_1h (bar family kept by streaming_incremental_bars_1h +
+# atr_ewm_daily), volatility_regimes (regime family kept by
+# trade_analytics_by_scenario; volatility_profile green at 51+),
+# replay_spot_oracle (replay lifecycle keeps 4 hash-matched oracles
+# in-window), ivf_topk_5 (ANN family keeps ivf_recall_audit +
+# lsh_ann_topk_5 + lsh_ann_multiprobe_8). IN: the three r11 gates the
+# driver has never verified — bus_decode_ticks, streaming_minhash_lsh,
+# clipping_ledger_roundtrip — plus the NEW streaming_lsh_backfill
+# (the #355 cold-start protocol for the LSH stream, VERDICT r11 #1).
+# After this round every oracle-backed gate has earned a driver-green
+# row at least once except streaming_lsh_backfill's own successor work.
 CURATED_ORDER: tuple[str, ...] = (
     # relational core
     "pricing_summary",
@@ -66,19 +79,17 @@ CURATED_ORDER: tuple[str, ...] = (
     "drift_audit",
     "reconcile_state_diff",
     # timeseries / indicators
-    "bars_1h",
     "atr_ewm_daily",
     "extreme_moves_hourly",
-    "volatility_regimes",
     "trade_analytics_by_scenario",
     "quality_check_ticks",
     "live_clipping_report",
+    "clipping_ledger_roundtrip",
     # replay lifecycle oracles (hash-matched stateful paths)
     "replay_equity_oracle",
     "replay_limit_oracle",
     "replay_pyramid_oracle",
     "replay_modify_oracle",
-    "replay_spot_oracle",
     # sweeps
     "sweep_sensitivity",
     # streaming (incl. the LIVE session paths)
@@ -88,15 +99,17 @@ CURATED_ORDER: tuple[str, ...] = (
     "streaming_live_signal",
     "streaming_dedup_exact",
     "merged_dedup_view",
+    "bus_decode_ticks",
     # LLM-data dedup / ANN core
     "dedup_keep_best",
     "lsh_ann_topk_5",
     "lsh_ann_multiprobe_8",
-    "ivf_topk_5",
     "ivf_recall_audit",
     "embedding_neardup_lsh",
     "embedding_neardup_lsh_recall",
     "embedding_neardup_clusters",
+    "streaming_minhash_lsh",
+    "streaming_lsh_backfill",
     "contamination_3gram",
     "decontaminated_train",
     "jaccard_pairs_dfcap",
@@ -118,9 +131,6 @@ CURATED_ORDER: tuple[str, ...] = (
     # positions 51+: highest-information out-of-window entries first, so a
     # widened driver window picks them up in this order (round-5 VERDICT #8);
     # round-11 rotated-out veterans go to the back of this queue
-    "bus_decode_ticks",
-    "streaming_minhash_lsh",
-    "clipping_ledger_roundtrip",
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",
@@ -162,6 +172,11 @@ CURATED_ORDER: tuple[str, ...] = (
     "minhash_lsh_pairs",
     "cosine_topk_10",
     "multimodal_resize",
+    # round-12 rotated-out veterans
+    "bars_1h",
+    "volatility_regimes",
+    "replay_spot_oracle",
+    "ivf_topk_5",
 )
 
 

@@ -402,6 +402,65 @@ def streaming_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAMING_MINHASH_LSH_SQL = MINHASH_LSH_PAIRS_SQL
 
 
+def streaming_lsh_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH cold-start/backfill protocol (VERDICT r11 #1; #355 discipline):
+    history (doc_id % 5 != 2, ~80% — the existing lake) is snapshotted
+    as JVM-side band-bucket rows (``bootstrap_lsh_state``) and seeded
+    through the create-only ledger; ONLY the tail slice flows through the
+    stream's per-doc Python MinHash map, pairing against the seeded lake.
+    ``merged_lsh_view`` (batch band join over history ∪ drained stream
+    pairs) must — after the exact-Jaccard verify — hash-match the SAME
+    full-corpus oracle as the batch ``minhash_lsh_pairs`` gate: the
+    protocol loses no pair, mints no extra pair, at any cut."""
+    import shutil
+    import tempfile
+
+    from ..streaming.dedup_stream import (
+        bootstrap_lsh_state,
+        merged_lsh_view,
+        streaming_lsh_candidates,
+    )
+    from ..streaming.incremental_bars import drain_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    hist = _docs(spark, sf_dir).where(F.col("doc_id") % 5 != 2)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    tail = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/documents.parque*")
+        .where(F.col("doc_id") % 5 == 2)
+    )
+    seed_dir = tempfile.mkdtemp(prefix="lsh_seed_")
+    try:
+        pairs = streaming_lsh_candidates(
+            tail, shingle_n=3, num_hashes=_MH_K, bands=_MH_BANDS,
+            bootstrap=bootstrap_lsh_state(
+                hist, shingle_n=3, num_hashes=_MH_K, bands=_MH_BANDS
+            ),
+            bootstrap_dir=seed_dir,
+        )
+        name = "gate_streaming_lsh_backfill"
+        drain_to_memory(pairs, name, settle_secs=4.0, await_state_drain=True)
+        hist_sigs = dd.minhash_signatures(dd.shingle_stream(hist, 3), _MH_K)
+        merged = merged_lsh_view(
+            dd.lsh_candidate_pairs(hist_sigs, _MH_K, _MH_BANDS),
+            spark.table(name),
+        )
+        sh = dd.word_shingles(_docs(spark, sf_dir), 3)
+        sets = dd.shingle_set_table(sh)
+        out = dd.verify_candidate_pairs(merged, sets, 0.0).select(
+            "id_a", "id_b", "intersection", F.round("jaccard", 6).alias("jaccard")
+        )
+        # materialize before removing the seed ledger the plan reads from
+        res = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(seed_dir, ignore_errors=True)
+    return res
+
+
+STREAMING_LSH_BACKFILL_SQL = MINHASH_LSH_PAIRS_SQL
+
+
 # --- near-dup clusters: MinHash pairs -> connected components (the one
 #     ITERATIVE operator; oracle = recursive-CTE transitive closure) ---
 
@@ -2470,6 +2529,11 @@ QUERIES: dict[str, Query] = {
         streaming_minhash_lsh,
         STREAMING_MINHASH_LSH_SQL,
         "streaming MinHash-LSH near-dup candidates, verified vs the batch oracle",
+    ),
+    "streaming_lsh_backfill": Query(
+        streaming_lsh_backfill,
+        STREAMING_LSH_BACKFILL_SQL,
+        "LSH cold-start/backfill: batch band-bucket seed + tail stream + merged view",
     ),
     "contamination_3gram": Query(
         contamination_3gram, CONTAMINATION_3GRAM_SQL, "train/eval n-gram contamination audit"

@@ -237,6 +237,83 @@ _LSH_PAIR_SCHEMA = StructType(
 _LSH_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
 
 
+def bootstrap_lsh_state(
+    docs: DataFrame,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """BATCH ``(bucket, doc_id)`` band rows for a history corpus — the
+    bulk half of the streaming LSH cold-start protocol (#355, reference
+    algo_state_store.py:1-22: reconstruct state at startup from a durable
+    snapshot instead of replaying history).
+
+    Computed ENTIRELY JVM-side (``operators.dedup.minhash_signatures``
+    partial aggregate + md5 band hash + one ``stack`` generate — no
+    Python), producing bucket keys bit-identical to the stream's
+    ``lsh_band_stream`` (``f"{{band}}|{{md5(sig-slice)}}"``; the same
+    construction the batch/stream signature-parity pytest pins). A
+    restarted or newly-attached ``streaming_lsh_candidates`` seeds its
+    bucket state from these rows at batch speed, instead of replaying the
+    entire corpus through the per-document Python MinHash map — the
+    bulk-drive constant the engine's other keyed streams already avoid.
+
+    Docs with fewer than ``shingle_n`` words emit nothing (the batch and
+    stream contract alike)."""
+    from ..operators.dedup import minhash_signatures, shingle_stream
+
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    sigs = minhash_signatures(
+        shingle_stream(docs, shingle_n, id_col=id_col, text=text),
+        num_hashes,
+        id_col=id_col,
+    )
+    hashed = sigs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *[
+            F.concat(
+                F.lit(f"{b}|"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ),
+            ).alias(f"__b{b}")
+            for b in range(bands)
+        ],
+    )
+    stack_args = ", ".join(f"__b{b}" for b in range(bands))
+    return hashed.select(
+        F.expr(f"stack({bands}, {stack_args}) as bucket"), "doc_id"
+    )
+
+
+def merged_lsh_view(history_pairs: DataFrame, stream_pairs: DataFrame) -> DataFrame:
+    """Read-time merge completing the LSH backfill protocol: the full
+    candidate-pair set over history+tail is the batch band join over
+    HISTORY (``operators.dedup.lsh_candidate_pairs`` — JVM speed) union
+    the stream's emitted pairs (tail×tail plus tail×history cross pairs —
+    the cross pairs REQUIRE the bucket state to be seeded via
+    ``bootstrap_lsh_state``, which is why seeding is the primary path,
+    not an optimization). Distinct absorbs the band-level multiplicity of
+    the stream's emissions; both inputs already order each pair id_a <
+    id_b."""
+    return (
+        history_pairs.select("id_a", "id_b")
+        .unionByName(stream_pairs.select("id_a", "id_b"))
+        .distinct()
+    )
+
+
 def streaming_lsh_candidates(
     docs: DataFrame,
     *,
@@ -246,6 +323,8 @@ def streaming_lsh_candidates(
     id_col: str = "doc_id",
     text: str = "text",
     max_bucket_members: int = 10_000,
+    bootstrap: DataFrame | None = None,
+    bootstrap_dir: str | None = None,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-dup: candidate pairs surfaced AS
     DOCUMENTS ARRIVE (the ingest-firehose analogue of
@@ -261,18 +340,52 @@ def streaming_lsh_candidates(
     sink (or feed ``operators.dedup.verify_candidate_pairs``, which
     consumes distinct pairs).
 
+    ``bootstrap`` (+ ``bootstrap_dir``): cold-start/backfill seeding from
+    a ``bootstrap_lsh_state`` snapshot via the shared create-only ledger
+    protocol (streaming/bootstrap.py — #355 discipline, same as the
+    dedup/bars/reconcile/live streams). Seed rows populate bucket
+    membership WITHOUT emitting pairs among themselves: history×history
+    pairs are the batch band join's job (``lsh_candidate_pairs``, JVM
+    speed); what seeding buys is (a) a restarted ingest stream that lost
+    its checkpoint re-arms at batch speed instead of replaying the whole
+    corpus through the per-doc Python MinHash map, and (b) new arrivals
+    pair against the EXISTING lake (the tail×history cross pairs). Full
+    pair set at read time = ``merged_lsh_view(batch_pairs, this stream)``.
+    The one-file ledger guarantees every seed lands in batch 0, so a
+    cross pair can never be missed by a seed arriving after its tail
+    member. A doc present in both the snapshot and the tail (replay
+    overlap) is absorbed by the per-bucket seen-set — seeded membership
+    outranks the tail row, so no self-pairs and no double pairing.
+
     Scale posture: state is one id-list per OCCUPIED bucket, sharded by
     the bucket-key shuffle — the same cardinality the batch band-join
     shuffles. ``max_bucket_members`` is the streaming form of the pairs
     budget (a bucket at the cap has emitted ~cap^2/2 pairs — degenerate
     banding, the same condition the batch guards fail loud on): members
     beyond the cap are counted-and-dropped in state rather than pairing
-    quadratically forever; a real lake tunes bands/rows-per-band instead
-    of raising the cap."""
+    quadratically forever (seeds fill first — deterministically, in
+    sorted id order); a real lake tunes bands/rows-per-band instead of
+    raising the cap."""
+    if (bootstrap is None) != (bootstrap_dir is None):
+        raise ValueError("bootstrap and bootstrap_dir must be passed together")
     rows = lsh_band_stream(
         docs, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
         id_col=id_col, text=text,
-    )
+    ).withColumn("__seed", F.lit(False))
+    if bootstrap is not None:
+        from .bootstrap import persist_ledger
+
+        seed_wire = bootstrap.select(
+            F.col("bucket"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit(True).alias("__seed"),
+        )
+        persist_ledger(seed_wire, bootstrap_dir)
+        seed_src = (
+            docs.sparkSession.readStream.schema(seed_wire.schema)
+            .parquet(bootstrap_dir)
+        )
+        rows = rows.unionByName(seed_src)
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:  # pragma: no cover — no timeout armed
@@ -285,14 +398,28 @@ def streaming_lsh_candidates(
             ids, dropped = [], 0
         seen = set(ids)
         incoming: set[int] = set()
+        incoming_seed: set[int] = set()
         for pdf in pdfs:
             if len(pdf):
-                incoming.update(int(x) for x in pdf["doc_id"])
+                for did, sd in zip(pdf["doc_id"], pdf["__seed"]):
+                    (incoming_seed if sd else incoming).add(int(did))
         pairs: list[tuple[int, int]] = []
         changed = False
+        # seeds first: membership only, no pair emission (history pairs
+        # are the batch join's; see docstring) — and filling membership
+        # before live rows keeps the cap deterministic
+        for did in sorted(incoming_seed):
+            if did in seen:
+                continue
+            changed = True
+            if len(ids) >= max_bucket_members:
+                dropped += 1
+                continue
+            ids.append(did)
+            seen.add(did)
         # sorted: a batch delivering {7, 3} to a bucket emits (3, 7)
         # regardless of arrival slicing — determinism of the pair SET
-        for did in sorted(incoming):
+        for did in sorted(incoming - incoming_seed):
             if did in seen:
                 continue
             changed = True

@@ -68,6 +68,9 @@ TARGETS = [
     "streaming_reconcile_restart",
     "merged_reconcile_view",
     "bus_decode_ticks",
+    # round-12: the LSH cold-start/backfill protocol (seed-cost row in
+    # SCALE.md §7)
+    "streaming_lsh_backfill",
 ]
 
 

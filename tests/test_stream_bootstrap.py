@@ -320,6 +320,82 @@ def test_streaming_lsh_candidates_equal_batch_pairs(spark, tmp_path):
     assert got == exp and exp  # the fixture must actually produce pairs
 
 
+def test_streaming_lsh_bootstrap_restart_parity(spark, tmp_path):
+    """#355 discipline for the LSH stream (VERDICT r11 #1): split the
+    corpus at ANY cut — batch band-bucket snapshot of the head seeds the
+    stream, only the tail flows through the per-doc Python map — and the
+    merged view (batch pairs over the head ∪ drained stream pairs) equals
+    the batch band join over the FULL corpus. The stream itself emits
+    ONLY pairs with at least one tail member (history×history is the
+    batch join's job)."""
+    from finiextestingide_spark.operators import dedup as dd
+    from finiextestingide_spark.streaming.bars_stream import run_to_memory
+    from finiextestingide_spark.streaming.dedup_stream import (
+        bootstrap_lsh_state,
+        merged_lsh_view,
+        streaming_lsh_candidates,
+    )
+
+    docs = _lsh_docs(spark)
+    k, bands = 8, 4
+    full_sigs = dd.minhash_signatures(dd.shingle_stream(docs, 3), k)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dd.lsh_candidate_pairs(full_sigs, k, bands).collect()
+    }
+    assert full
+    for cut in (5, 13):
+        head = docs.where(f"doc_id < {cut}")
+        tail = docs.where(f"doc_id >= {cut}")
+        d = str(tmp_path / f"tail_{cut}")
+        tail.coalesce(1).write.parquet(d)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+        pairs = streaming_lsh_candidates(
+            stream, shingle_n=3, num_hashes=k, bands=bands,
+            bootstrap=bootstrap_lsh_state(head, shingle_n=3, num_hashes=k, bands=bands),
+            bootstrap_dir=str(tmp_path / f"seed_{cut}"),
+        )
+        name = f"lsh_boot_{cut}"
+        run_to_memory(pairs, name)
+        got = {(r["id_a"], r["id_b"]) for r in spark.table(name).collect()}
+        # the stream never re-derives history×history pairs...
+        assert all(b >= cut for _, b in got)
+        # ...and the merged view is exactly the full-corpus band join
+        head_sigs = dd.minhash_signatures(dd.shingle_stream(head, 3), k)
+        merged = {
+            (r["id_a"], r["id_b"])
+            for r in merged_lsh_view(
+                dd.lsh_candidate_pairs(head_sigs, k, bands),
+                spark.createDataFrame(
+                    sorted(got) or [(None, None)], "id_a long, id_b long"
+                ).where("id_a is not null"),
+            ).collect()
+        }
+        assert merged == full
+
+
+def test_bootstrap_lsh_state_matches_stream_buckets(spark):
+    """The JVM-side snapshot must mint bucket keys bit-identical to the
+    stream's Python construction — otherwise seeds land in orphan buckets
+    and cross pairs silently vanish."""
+    from finiextestingide_spark.streaming.dedup_stream import (
+        bootstrap_lsh_state,
+        lsh_band_stream,
+    )
+
+    docs = _lsh_docs(spark)
+    k, bands = 8, 4
+    batch = {
+        (r["bucket"], r["doc_id"])
+        for r in bootstrap_lsh_state(docs, shingle_n=3, num_hashes=k, bands=bands).collect()
+    }
+    stream_rows = {
+        (r["bucket"], r["doc_id"])
+        for r in lsh_band_stream(docs, shingle_n=3, num_hashes=k, bands=bands).collect()
+    }
+    assert batch == stream_rows and batch
+
+
 def test_streaming_lsh_bucket_cap_bounds_pairs(spark, tmp_path):
     """The member cap is the streaming pairs budget: a degenerate bucket
     (every doc identical) stops pairing at the cap instead of emitting
