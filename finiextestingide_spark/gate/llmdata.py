@@ -2157,78 +2157,138 @@ def jpeg_encode_420_progressive(yp, cb, cr):
 _JPG_H, _JPG_W = 16, 32  # 2 MCUs wide, 1 high: DC-diff chaining + a restart
 
 
-def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline JPEG decode (round-9 item 1 — the format that dominates
-    real multimodal lakes): one 4:2:0 JPEG per document is synthesized
-    DISTRIBUTED by the independent gate encoder above, decoded by the native
-    decode_jpeg via the default decode_media seam, and reduced to
-    exact-integer pixel stats. The construction makes a LOSSY format
-    pixel-exact and therefore SQL-oracle-able: unit quant tables, and luma
-    blocks built in the exact span of DCT basis (0,0)+(4,4) — pixel
-    Y = dc + k*s(x)*s(y) with s = +1 at x%%8 in (0,3,4,7) else -1 has exact
-    integer coefficients F(0,0)=8(dc-128), F(4,4)=8k, so Huffman DC/AC
-    (run-33 -> two ZRLs before (4,4)), dequant, IDCT, 2x2 chroma upsample
-    and the JFIF color convert all round-trip exactly. Chroma is constant
-    per MCU. Round-10: ODD doc_ids encode PROGRESSIVE (SOF2 — interleaved
-    DC scan + per-component spectral AC scans, coefficient-identical to
-    the baseline encoding), so the driver verifies the progressive decoder
-    against the same pixel formulas. Oracle: DuckDB recomputes Y/Cb/Cr
-    from the doc_id formulas and applies the same floor(x+0.5)-rounded
-    YCbCr->RGB conversion — encoding-agnostic by construction."""
+def _synth_jpeg_batches(batches):
+    """Per-document deterministic JPEG payloads (doc_id formulas in the
+    gate docstring below); odd doc_ids progressive, even baseline."""
     import numpy as np
     import pandas as pd
 
-    from ..operators.multimodal import extract_features
-
-    docs = _docs(spark, sf_dir).select("doc_id")
     h, w = _JPG_H, _JPG_W
-    n_px = h * w * 3
+    s = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    ss = np.outer(s, s)
+    for pdf in batches:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            yp = np.zeros((h, w))
+            for r in range(h // 8):
+                for c in range(w // 8):
+                    dc = 64 + (did * 13 + r * 29 + c * 7) % 128
+                    k = (did * 5 + r * 3 + c) % 24
+                    yp[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = dc + k * ss
+            cb = np.zeros((h // 2, w // 2))
+            cr = np.zeros((h // 2, w // 2))
+            for mi in range(w // 16):
+                cb[:, mi * 8 : mi * 8 + 8] = 64 + (did * 11 + mi * 37) % 128
+                cr[:, mi * 8 : mi * 8 + 8] = 64 + (did * 7 + mi * 53) % 128
+            enc = (
+                jpeg_encode_420_progressive
+                if did % 2
+                else lambda y_, b_, r_: jpeg_encode_420(y_, b_, r_, dri=1)
+            )
+            payloads.append(
+                enc(yp.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8))
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
 
-    def synth(batches):
-        s = np.array([1, -1, -1, 1, 1, -1, -1, 1])
-        ss = np.outer(s, s)
+
+#: bump when _synth_jpeg_batches or either gate encoder changes — the key
+#: of the pre-encoded corpus cache below
+_JPG_CORPUS_V = "r12-1"
+
+
+def _jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-encoded gate corpus, created ONCE per (sf_dir, encoder version)
+    and reused across runs (VERDICT r11 #3): the bit-by-bit gate encoder
+    is test scaffolding, and synthesizing in-line made the gate/bench row
+    time the ENCODER instead of the shipping decode path — the same
+    misleading-row class the reconcile-tail bench was retired for. The
+    corpus is deterministic in doc_id (formulas in the gate docstring),
+    so a create-only parquet cache (the persist_ledger discipline) is
+    byte-stable; the first run of a fresh environment pays the encode
+    once, every subsequent sample times scan + decode + stats. Cache key
+    = sf_dir path + image dims + encoder version (bump _JPG_CORPUS_V when
+    touching any gate encoder)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..streaming.bootstrap import ledger_exists
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{_JPG_H}x{_JPG_W}|{_JPG_CORPUS_V}".encode()
+    ).hexdigest()[:16]
+    cdir = os.path.join(tempfile.gettempdir(), f"finiex_gate_jpeg_{key}")
+    if not ledger_exists(spark, cdir):
+        docs = _docs(spark, sf_dir).select("doc_id")
+        docs.mapInPandas(_synth_jpeg_batches, "doc_id long, media binary").write.mode(
+            "overwrite"
+        ).parquet(cdir)
+    return spark.read.parquet(cdir)
+
+
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode (round-9 item 1 — the format that dominates
+    real multimodal lakes): one 4:2:0 JPEG per document is synthesized
+    DISTRIBUTED by the independent gate encoder above (pre-encoded once
+    into a deterministic corpus cache — see ``_jpeg_corpus``; the timed
+    path is scan + the shipping decoder, not the scaffolding encoder),
+    decoded by the native decode_jpeg via the default decode_media seam,
+    and reduced to exact-integer pixel stats. The construction makes a
+    LOSSY format pixel-exact and therefore SQL-oracle-able: unit quant
+    tables, and luma blocks built in the exact span of DCT basis
+    (0,0)+(4,4) — pixel Y = dc + k*s(x)*s(y) with s = +1 at x%%8 in
+    (0,3,4,7) else -1 has exact integer coefficients F(0,0)=8(dc-128),
+    F(4,4)=8k, so Huffman DC/AC (run-33 -> two ZRLs before (4,4)),
+    dequant, IDCT, 2x2 chroma upsample and the JFIF color convert all
+    round-trip exactly. Chroma is constant per MCU. Round-10: ODD doc_ids
+    encode PROGRESSIVE (SOF2 — interleaved DC scan + per-component
+    spectral AC scans, coefficient-identical to the baseline encoding),
+    so the driver verifies the progressive decoder against the same pixel
+    formulas. Oracle: DuckDB recomputes Y/Cb/Cr from the doc_id formulas
+    and applies the same floor(x+0.5)-rounded YCbCr->RGB conversion —
+    encoding-agnostic by construction."""
+    blobs = _jpeg_corpus(spark, sf_dir)
+
+    def decode_and_reduce(batches):
+        # ONE Arrow pass: native decode + numpy pixel stats per row
+        # (VERDICT r11 #3 follow-through). The previous shape —
+        # extract_features -> interpreted zip_with/aggregate — spent ~35%
+        # of the wall Arrow-round-tripping a 12k-double features array and
+        # running interpreted higher-order functions, scaffolding drowning
+        # the decode path this row exists to time. decode_media here IS
+        # the shipping decoder (the same seam extract_features defaults
+        # to); the extract_features Arrow plumbing itself stays pinned by
+        # the multimodal_decode / multimodal_resize / multimodal_meta /
+        # multimodal_decode_compressed gates. All sums exact in float64
+        # (pixel totals < 2^53).
+        import numpy as np
+        import pandas as pd
+
+        from finiextestingide_spark.operators.multimodal import decode_media
+
+        w = None
         for pdf in batches:
-            payloads = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                yp = np.zeros((h, w))
-                for r in range(h // 8):
-                    for c in range(w // 8):
-                        dc = 64 + (did * 13 + r * 29 + c * 7) % 128
-                        k = (did * 5 + r * 3 + c) % 24
-                        yp[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = dc + k * ss
-                cb = np.zeros((h // 2, w // 2))
-                cr = np.zeros((h // 2, w // 2))
-                for mi in range(w // 16):
-                    cb[:, mi * 8 : mi * 8 + 8] = 64 + (did * 11 + mi * 37) % 128
-                    cr[:, mi * 8 : mi * 8 + 8] = 64 + (did * 7 + mi * 53) % 128
-                enc = (
-                    jpeg_encode_420_progressive
-                    if did % 2
-                    else lambda y_, b_, r_: jpeg_encode_420(y_, b_, r_, dri=1)
-                )
-                payloads.append(
-                    enc(
-                        yp.astype(np.uint8), cb.astype(np.uint8),
-                        cr.astype(np.uint8),
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["media"]):
+                img = decode_media(bytes(payload))
+                flat = img.reshape(-1).astype(np.float64)
+                if w is None or w.size != flat.size:
+                    w = 1.0 + (np.arange(flat.size) % 97)
+                rows.append(
+                    (
+                        int(did), img.shape[0], img.shape[1],
+                        int(flat.sum()), int(flat @ w),
                     )
                 )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "height", "width", "px_sum", "wsum"]
+                )
 
-    blobs = docs.mapInPandas(synth, "doc_id long, media binary")
-    feats = extract_features(blobs, id_col="doc_id", feature_dim=n_px)
-    idx = F.sequence(F.lit(0), F.lit(n_px - 1))
-    weighted = F.zip_with(
-        F.col("features"), idx, lambda p, i: p * (1 + (i % 97).cast("double"))
-    )
-    return feats.select(
-        "doc_id",
-        F.col("height").cast("long").alias("height"),
-        F.col("width").cast("long").alias("width"),
-        F.aggregate("features", F.lit(0.0), lambda a, x: a + x)
-        .cast("long").alias("px_sum"),
-        F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)
-        .cast("long").alias("wsum"),
+    return blobs.mapInPandas(
+        decode_and_reduce,
+        "doc_id long, height long, width long, px_sum long, wsum long",
     )
 
 
