@@ -31,6 +31,17 @@ from finiextestingide_spark.session import build_session  # noqa: E402
 # window/topk, the tick->bar->indicator spine, as-of join, discovery scan,
 # dedup (exact + MinHash-LSH), similarity search, text analysis, and the
 # recursive-EMA pandas path.
+#: sample count for rows whose min is sub-second (VERDICT r11 #5: their
+#: round-to-round drift exceeded the +-8% variance model on untouched code
+#: with zero co-tenant draw — jitter the CPU guard can't see needs more
+#: samples, and sub-second rows make extra samples nearly free)
+SUBSEC_RUNS = 9
+
+#: a row where EVERY accepted sample burned more than this many co-tenant
+#: cores is marked tainted in the artifact (VERDICT r11 #4) — fine for
+#: trend-watching, never for setting a certificate baseline
+TAINT_CORES = 0.5
+
 HEADLINE = [
     "pricing_summary",
     "top_unshipped_orders",
@@ -216,16 +227,17 @@ def time_queries_stats(
         samples: list[float] = []
         cotenant: list[float] = []
         rejected: list[dict] = []
+        target = runs
         budget = runs + 4
         attempts = 0
-        while len(samples) < runs and attempts < budget:
+        while len(samples) < target and attempts < budget:
             attempts += 1
             busy0, tree0 = _total_busy_ticks(), _tree_cpu_ticks(os.getpid())
             t0 = time.perf_counter()
             qs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
             other = round(_cotenant_cores(dt, busy0, tree0), 2)
-            retries_left = budget - attempts >= runs - len(samples)
+            retries_left = budget - attempts >= target - len(samples)
             if (
                 cotenant_threshold is not None
                 and other > cotenant_threshold
@@ -235,6 +247,21 @@ def time_queries_stats(
                 continue
             samples.append(dt)
             cotenant.append(other)
+            # VERDICT r11 #5: sub-second rows drifted +23-41% across rounds
+            # on untouched code with zero recorded co-tenant draw — their
+            # wall is small enough that scheduler/cache jitter the CPU
+            # guard cannot see dominates. Once the base sample set shows a
+            # sub-second min, widen to SUBSEC_RUNS samples (cheap by
+            # construction: the row is sub-second) so min/median estimates
+            # tighten; multi-second rows keep the base n.
+            if (
+                len(samples) == runs
+                and target == runs
+                and min(samples) < 1.0
+                and SUBSEC_RUNS > runs
+            ):
+                target = SUBSEC_RUNS
+                budget += SUBSEC_RUNS - runs
         entry: dict = {
             "min": round(min(samples), 4),
             "median": round(statistics.median(samples), 4),
@@ -245,6 +272,13 @@ def time_queries_stats(
             entry["cotenant_cores"] = cotenant
             if rejected:
                 entry["rejected"] = rejected
+            # VERDICT r11 #4: r11's streaming_reconcile_restart entered the
+            # certificate from a distribution whose EVERY sample carried
+            # 1.3-2.1 co-tenant cores (all under the 4-core rejection cap).
+            # A row where no sample ran clean is flagged in the artifact so
+            # it is never silently adopted as a certificate baseline.
+            if cotenant and min(cotenant) > TAINT_CORES:
+                entry["tainted_cotenant"] = True
         out[name] = entry
     return out
 
@@ -338,6 +372,12 @@ def main() -> int:
                 # accepted samples' co-tenant draw is in
                 # queries_stats[*].cotenant_cores)
                 "rejected_samples": rejected,
+                # rows whose EVERY accepted sample carried >TAINT_CORES of
+                # co-tenant CPU — usable for trend-watching, NEVER as a
+                # certificate baseline (VERDICT r11 #4)
+                "tainted_queries": [
+                    n for n, s in stats.items() if s.get("tainted_cotenant")
+                ],
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

@@ -34,9 +34,25 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     bench.warmup(spark, sf_dir)
     # 5 runs for the committed baseline (vs 3 for the per-round snapshot):
-    # the certificate is long-lived, so buy a tighter distribution once
-    stats = bench.time_queries_stats(spark, sf_dir, runs=5)
+    # the certificate is long-lived, so buy a tighter distribution once;
+    # the per-sample co-tenant guard is armed so every sample carries its
+    # reading (and the tainted marker below can fire)
+    stats = bench.time_queries_stats(spark, sf_dir, runs=5, cotenant_threshold=4.0)
     spark.stop()
+    # VERDICT r11 #4: refuse a certificate any of whose rows is tainted —
+    # EVERY accepted sample of the row carried > TAINT_CORES co-tenant
+    # cores (all under the 4-core rejection cap, so rejection alone can't
+    # catch it). r11's streaming_reconcile_restart baseline was set from
+    # exactly such a distribution; a certificate-SETTING run must be clean.
+    tainted = [n for n, s in stats.items() if s.get("tainted_cotenant")]
+    if tainted:
+        print(
+            "REFUSING to write certificate — every sample of "
+            f"{tainted} carried >{bench.TAINT_CORES} co-tenant cores; "
+            "re-run on an idle machine",
+            file=sys.stderr,
+        )
+        return 1
     # refuse a noisy baseline: the regression gate compares the measured
     # MIN against the certificate MEDIAN, so the certificate is only a
     # meaningful baseline when its median sits close to its min — an
