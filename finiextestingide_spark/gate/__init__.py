@@ -131,6 +131,7 @@ CURATED_ORDER: tuple[str, ...] = (
     # positions 51+: highest-information out-of-window entries first, so a
     # widened driver window picks them up in this order (round-5 VERDICT #8);
     # round-11 rotated-out veterans go to the back of this queue
+    "bus_decode_signals",
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",

@@ -793,6 +793,63 @@ def bus_decode_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bus_decode_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 signal path over the message bus (VERDICT r11 #7 — previously
+    pytest-only): deterministic signals (every event with event_id%10==3,
+    deduped to one per (symbol, ms)) are serialized onto the Kafka wire by
+    ``encode_bus_signals``, decoded back by ``decode_bus_signals``, and
+    driven through the engine's as-of projection against the tick feed —
+    the exact consumption shape of the live signal worker. The oracle
+    recomputes the signals straight from events and uses DuckDB's native
+    ASOF JOIN; both sides compare epoch-ms longs (the wire's clock), so a
+    hash match proves the signal decode inverts the producer exactly AND
+    survives the downstream join semantics."""
+    from ..operators.asof import asof_join
+    from ..streaming.bus import decode_bus_signals as _dec
+    from ..streaming.bus import encode_bus_signals as _enc
+
+    ev = _events(spark, sf_dir)
+    sigs = (
+        ev.where(F.col("event_id") % 10 == 3)
+        .groupBy(
+            F.col("event_type").alias("symbol"),
+            F.timestamp_millis(F.unix_millis("ts")).alias("sig_ts"),
+        )
+        .agg(F.max("value").alias("score"))
+    )
+    dec = _dec(_enc(sigs)).select(
+        "symbol", F.unix_millis("sig_ts").alias("sig_ms"), "score"
+    )
+    ticks = _ticks(spark, sf_dir).select("symbol", "time_msc", "bid")
+    j = asof_join(
+        ticks, dec, on=["symbol"], left_ts="time_msc", right_ts="sig_ms"
+    )
+    return j.select(
+        "symbol",
+        "time_msc",
+        F.round("bid", 6).alias("bid"),
+        "sig_ms",
+        F.round("score", 6).alias("score"),
+    )
+
+
+BUS_DECODE_SIGNALS_SQL = """
+WITH sigs AS (
+  SELECT event_type AS symbol, epoch_ms(ts) AS sig_ms, max(value) AS score
+  FROM events WHERE event_id % 10 = 3
+  GROUP BY 1, 2
+),
+ticks AS (
+  SELECT event_type AS symbol, epoch_ms(ts) AS time_msc, value - 0.005 AS bid
+  FROM events
+)
+SELECT t.symbol, t.time_msc, round(t.bid, 6) AS bid,
+       s.sig_ms, round(s.score, 6) AS score
+FROM ticks t
+ASOF JOIN sigs s ON t.symbol = s.symbol AND t.time_msc >= s.sig_ms
+"""
+
+
 BUS_DECODE_TICKS_SQL = """
 SELECT event_type AS symbol,
        CAST(count(*) AS BIGINT) AS n_ticks,
@@ -813,6 +870,11 @@ QUERIES: dict[str, Query] = {
         bus_decode_ticks,
         BUS_DECODE_TICKS_SQL,
         "Kafka-wire encode/decode round trip aggregated per symbol",
+    ),
+    "bus_decode_signals": Query(
+        bus_decode_signals,
+        BUS_DECODE_SIGNALS_SQL,
+        "W7 signal decode over the bus, driven through the as-of projection",
     ),
     "replay_pyramid_oracle": Query(
         replay_pyramid_oracle,
