@@ -69,9 +69,19 @@ from ._util import Query  # noqa: F401
 # (the #355 cold-start protocol for the LSH stream, VERDICT r11 #1).
 # After this round every oracle-backed gate has earned a driver-green
 # row at least once except streaming_lsh_backfill's own successor work.
+#
+# Round-12b (same round, new operators): OUT 3 more veterans —
+# pricing_summary (relational family kept by top_unshipped_orders),
+# extreme_moves_hourly (multi-round green; W10 stays pinned by its pytest
+# golden + check_gate), quality_check_ticks (S5; the live-session gates
+# exercise the same tick scan+validation path). IN: bus_decode_signals
+# (the W7-over-bus gate, never driver-verified) and the two NEW round-12
+# operators — winnow_pairs (substring-level near-dup via winnowing/MOSS
+# fingerprints; subsumes winnow_fingerprints, which queues at position 51)
+# and gopher_quality (the published MassiveText rule set).
 CURATED_ORDER: tuple[str, ...] = (
     # relational core
-    "pricing_summary",
+    "winnow_pairs",
     "top_unshipped_orders",
     "order_reconciliation",
     "streaming_reconcile_restart",
@@ -80,9 +90,9 @@ CURATED_ORDER: tuple[str, ...] = (
     "reconcile_state_diff",
     # timeseries / indicators
     "atr_ewm_daily",
-    "extreme_moves_hourly",
+    "gopher_quality",
     "trade_analytics_by_scenario",
-    "quality_check_ticks",
+    "bus_decode_signals",
     "live_clipping_report",
     "clipping_ledger_roundtrip",
     # replay lifecycle oracles (hash-matched stateful paths)
@@ -131,7 +141,7 @@ CURATED_ORDER: tuple[str, ...] = (
     # positions 51+: highest-information out-of-window entries first, so a
     # widened driver window picks them up in this order (round-5 VERDICT #8);
     # round-11 rotated-out veterans go to the back of this queue
-    "bus_decode_signals",
+    "winnow_fingerprints",
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",
@@ -178,6 +188,9 @@ CURATED_ORDER: tuple[str, ...] = (
     "volatility_regimes",
     "replay_spot_oracle",
     "ivf_topk_5",
+    "pricing_summary",
+    "extreme_moves_hourly",
+    "quality_check_ticks",
 )
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators import text as tx
+from ..operators import winnow as wn
 from ._util import Query, t
 
 # Shared DuckDB CTE: distinct word 3-shingles per doc (mirror of
@@ -2566,7 +2567,175 @@ GROUP BY doc_id, i // {_AUD_FRAME}
 """
 
 
+# --- winnowing: substring-level near-dup fingerprints (MOSS) ---
+#
+# k=3-word grams, window=4 -> guaranteed fingerprint collision for any
+# shared span >= 6 words; df cap 5 bites on this corpus (max fp df is 7 at
+# sf0.01), exercising the boilerplate guard the same way _J_MAX_DF does.
+
+_WIN_K = 3
+_WIN_W = 4
+_WIN_MAX_DF = 5
+_WIN_MIN_SHARED = 2
+
+_WINNOW_FPS_CTE = f"""
+ww AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM documents
+),
+wg AS (
+  SELECT doc_id, i AS pos,
+         md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS h
+  FROM ww, UNNEST(generate_series(1, len(words) - {_WIN_K - 1})) AS t(i)
+  WHERE len(words) >= {_WIN_K}
+),
+wins AS (
+  SELECT doc_id, min(h) OVER fw AS fp, count(*) OVER fw AS cnt
+  FROM wg
+  WINDOW fw AS (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+),
+wfps AS (
+  SELECT DISTINCT doc_id, fp FROM wins WHERE cnt = {_WIN_W}
+)
+"""
+
+
+def winnow_fps_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return wn.winnow_fingerprints(_docs(spark, sf_dir), _WIN_K, _WIN_W)
+
+
+WINNOW_FPS_SQL = f"""
+WITH {_WINNOW_FPS_CTE}
+SELECT doc_id, fp FROM wfps
+"""
+
+
+def winnow_pairs_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = wn.winnow_fingerprints(_docs(spark, sf_dir), _WIN_K, _WIN_W)
+    out = wn.winnow_candidate_pairs(
+        fps, _WIN_MIN_SHARED, max_doc_freq=_WIN_MAX_DF
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("shared").cast("long").alias("shared"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("containment", 6).alias("containment"),
+    )
+
+
+WINNOW_PAIRS_SQL = f"""
+WITH {_WINNOW_FPS_CTE},
+capped AS (
+  SELECT * FROM wfps
+  WHERE fp NOT IN (
+    SELECT fp FROM wfps GROUP BY 1 HAVING count(DISTINCT doc_id) > {_WIN_MAX_DF}
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {_WIN_MIN_SHARED}
+)
+SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+"""
+
+
+# --- Gopher/MassiveText quality rule set ---
+
+
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tx.gopher_quality_flags(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        g["n_words"].alias("n_words"),
+        F.round(g["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(g["symbol_word_ratio"], 6).alias("symbol_word_ratio"),
+        F.round(g["bullet_line_frac"], 6).alias("bullet_line_frac"),
+        F.round(g["ellipsis_line_frac"], 6).alias("ellipsis_line_frac"),
+        F.round(g["alpha_word_frac"], 6).alias("alpha_word_frac"),
+        g["stop_hits"].alias("stop_hits"),
+        g["keep"].alias("keep"),
+    )
+
+
+_GOPHER_STOP_HITS = " + ".join(
+    f"CASE WHEN len(regexp_extract_all(norm, '\\b{w}\\b')) > 0 THEN 1 ELSE 0 END"
+    for w in tx.GOPHER_STOPWORDS
+)
+
+GOPHER_QUALITY_SQL = rf"""
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text, norm,
+         CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS n_words,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_symbols,
+         len(regexp_extract_all(text, '(?m)^\s*[-*•]')) AS bullet_lines,
+         len(regexp_extract_all(text, '(?m)(\.\.\.|…)\s*$')) AS ellipsis_lines,
+         len(regexp_extract_all(norm, '\b[0-9]+\b')) AS digit_words,
+         ({_GOPHER_STOP_HITS}) AS stop_hits
+  FROM n
+),
+m AS (
+  SELECT doc_id,
+         CAST(n_words AS BIGINT) AS n_words,
+         CASE WHEN n_words > 0
+              THEN CAST(len(norm) - (n_words - 1) AS DOUBLE) / n_words
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_words > 0
+              THEN CAST(n_symbols AS DOUBLE) / n_words ELSE 0.0 END AS symbol_word_ratio,
+         CASE WHEN n_lines > 0
+              THEN CAST(bullet_lines AS DOUBLE) / n_lines ELSE 0.0 END AS bullet_line_frac,
+         CASE WHEN n_lines > 0
+              THEN CAST(ellipsis_lines AS DOUBLE) / n_lines ELSE 0.0 END AS ellipsis_line_frac,
+         CASE WHEN n_words > 0
+              THEN CAST(n_words - digit_words AS DOUBLE) / n_words
+              ELSE 0.0 END AS alpha_word_frac,
+         CAST(stop_hits AS BIGINT) AS stop_hits
+  FROM s
+)
+SELECT doc_id, n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(symbol_word_ratio, 6) AS symbol_word_ratio,
+       round(bullet_line_frac, 6) AS bullet_line_frac,
+       round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+       round(alpha_word_frac, 6) AS alpha_word_frac,
+       stop_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+        AND alpha_word_frac >= 0.8 AND stop_hits >= 2) AS keep
+FROM m
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "winnow_fingerprints": Query(
+        winnow_fps_gate, WINNOW_FPS_SQL, "winnowing (MOSS) substring fingerprints"
+    ),
+    "winnow_pairs": Query(
+        winnow_pairs_gate,
+        WINNOW_PAIRS_SQL,
+        "substring-level near-dup pairs via shared winnowing fingerprints",
+    ),
+    "gopher_quality": Query(
+        gopher_quality_gate, GOPHER_QUALITY_SQL, "Gopher/MassiveText quality rule set"
+    ),
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via content hash"),
     "dedup_keep_best": Query(
         dedup_keep_best, DEDUP_KEEP_BEST_SQL, "exact dedup, quality keep-policy"

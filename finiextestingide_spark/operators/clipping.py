@@ -73,7 +73,7 @@ def _host_boot_token() -> str:
         with open("/proc/sys/kernel/random/boot_id") as f:
             boot = f.read().strip()
     except OSError:  # non-Linux fallback: boot epoch, 4 s tolerance
-        boot = str(round((time.time() - time.monotonic()) / 4.0))
+        boot = str(round((time.time() - time.monotonic()) / 4.0))  # wall-clock-ok: host/boot identity for the monotonic-anchor token, not simulated time
     return f"{socket.gethostname()}:{boot}"
 
 

@@ -235,6 +235,73 @@ def repetition_stats(text: Column) -> dict[str, Column]:
     }
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(text: Column) -> dict[str, Column]:
+    """The published MassiveText/Gopher quality rule set (Rae et al. 2021,
+    appendix A) as pure Column expressions — the standard pre-training
+    corpus filter, computable JVM-side in one linear scan:
+
+    - 50 <= word count <= 100,000
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio ('#' or ellipsis) <= 0.1
+    - < 90% of lines start with a bullet
+    - < 30% of lines end with an ellipsis
+    - >= 80% of words contain an alphabetic character
+    - contains >= 2 of the 8 Gopher stop words
+
+    Every expression mirrors 1:1 into RE2 (no lookarounds, no backrefs), so
+    the DuckDB oracle runs the SAME regexes. Mean word length is computed
+    arithmetically on the normalized form (single-space separated):
+    (len - (n_words - 1)) / n_words — no higher-order array functions (those
+    run interpreted, the ~50x lesson of `dedup.shingle_stream`)."""
+    norm = normalized_text(text)
+    n_words = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " "))).cast("long")
+    mean_word_len = F.when(
+        n_words > 0,
+        (F.length(norm) - (n_words - 1)).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+    n_symbols = F.regexp_count(text, F.lit(r"#|\.\.\.|…"))
+    symbol_word_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(0.0))
+    n_lines = F.size(F.split(text, r"\n")).cast("long")
+    bullet_lines = F.regexp_count(text, F.lit(r"(?m)^\s*[-*•]"))
+    ellipsis_lines = F.regexp_count(text, F.lit(r"(?m)(\.\.\.|…)\s*$"))
+    bullet_line_frac = F.when(n_lines > 0, bullet_lines / n_lines).otherwise(F.lit(0.0))
+    ellipsis_line_frac = F.when(n_lines > 0, ellipsis_lines / n_lines).otherwise(F.lit(0.0))
+    # words in the normalized form are [a-z0-9]+ tokens; the non-alphabetic
+    # ones are exactly the pure-digit tokens (\b is RE2-safe).
+    digit_words = F.regexp_count(norm, F.lit(r"\b[0-9]+\b"))
+    alpha_word_frac = F.when(
+        n_words > 0, (n_words - digit_words) / n_words
+    ).otherwise(F.lit(0.0))
+    stop_hits = sum(
+        F.when(F.regexp_count(norm, F.lit(r"\b" + w + r"\b")) > 0, 1).otherwise(0)
+        for w in GOPHER_STOPWORDS
+    ).cast("long")
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (symbol_word_ratio <= 0.1)
+        & (bullet_line_frac < 0.9)
+        & (ellipsis_line_frac < 0.3)
+        & (alpha_word_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_word_ratio": symbol_word_ratio,
+        "bullet_line_frac": bullet_line_frac,
+        "ellipsis_line_frac": ellipsis_line_frac,
+        "alpha_word_frac": alpha_word_frac,
+        "stop_hits": stop_hits,
+        "keep": keep,
+    }
+
+
 def decontaminate(
     train_shingles: DataFrame,
     eval_shingles: DataFrame,

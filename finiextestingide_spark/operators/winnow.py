@@ -1,0 +1,161 @@
+"""Winnowing document fingerprints — substring-level near-dup detection.
+
+Implements the winnowing local fingerprinting scheme (Schleimer, Wilkerson,
+Aiken, "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+2003 — the MOSS algorithm): hash every word k-gram, slide a window of `w`
+consecutive k-gram hashes, and keep each window's minimum. The guarantee is
+LOCAL: any shared run of at least k + w - 1 words between two documents
+shares at least one selected fingerprint, so documents that duplicate a
+SPAN (a quoted paragraph, boilerplate, a copied license block) collide even
+when their whole-document signatures (MinHash over the full shingle set,
+`operators/dedup.py:197`) do not — the capability class of span-level
+training-data dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+Language Models Better"), approximated with fingerprints instead of suffix
+arrays so it stays one shuffle on Spark.
+
+Relationship to the rest of the dedup surface:
+- exact/MinHash/SimHash (`operators/dedup.py`) answer "are these DOCUMENTS
+  near-identical"; winnowing answers "do these documents SHARE A SPAN".
+- the pair stage reuses the inverted-index discipline of
+  ``jaccard_pairs`` (`operators/dedup.py:135`): a df-cap drops boilerplate
+  fingerprints before the posting-list self-join, and a planning-time
+  pairs budget fails loud before a quadratic bucket is launched.
+
+Determinism: k-gram hashes are md5 hex strings compared lexicographically —
+reproducible in any engine with md5 (the DuckDB oracle mirrors 1:1).
+
+Scale shape: ONE exchange keyed by doc id (the window sort over the
+exploded word stream — short strings, never full bodies); the k-gram
+construction (`lead`), the hash, and the windowed min/count all run over
+that single sort (Catalyst reuses the sort for both window frames). The
+fingerprint set per doc is ~n_grams / ((w+1)/2) in expectation — the 2/(w+1)
+density bound from the paper — so downstream joins carry a tunable fraction
+of the corpus, never the corpus itself.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from .text import normalized_text
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    window: int = 5,
+    *,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Distinct winnowing fingerprints per document: (id_col, fp).
+
+    ``fp`` is the md5 of a word k-gram that was minimal in at least one
+    window of ``window`` consecutive k-gram hashes. We emit the distinct
+    set of selected VALUES (positions dropped): cross-document matching
+    keys on hash equality only, and every per-window minimum is by
+    definition a selected fingerprint, so the value set is exactly the
+    winnowing fingerprint set.
+
+    Documents shorter than k + window - 1 words produce no fingerprints
+    (no full window exists) — the scheme's stated minimum match length.
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k={k} and window={window} must be >= 1")
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(F.col(text)), " ")).alias("pos", "w"),
+    ).where(F.col("w") != "")
+    win = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, k)]
+    grams = words.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.md5(F.concat_ws(" ", *parts)).alias("h"),
+        parts[-1].isNotNull().alias("_full"),
+    ).where("_full")
+    # Same partitioning + ordering as `win`, so the exchange and sort are
+    # reused — the whole operator is one shuffle.
+    fwin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    sel = grams.select(
+        F.col(id_col),
+        F.min("h").over(fwin).alias("fp"),
+        F.count(F.lit(1)).over(fwin).alias("_cnt"),
+    ).where(F.col("_cnt") == window)
+    return sel.select(id_col, "fp").distinct()
+
+
+def winnow_candidate_pairs(
+    fps: DataFrame,
+    min_shared: int = 2,
+    *,
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+    max_pairs: int | None = 25_000_000,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints, with
+    the span-containment score shared / min(n_a, n_b) — the right metric
+    for substring duplication, where a small document wholly quoted inside
+    a large one should score ~1.0 even though whole-doc Jaccard is tiny.
+
+    Output: (id_a, id_b, shared, n_a, n_b, containment), id_a < id_b.
+
+    Scale guards (both the lesson of `jaccard_pairs` /
+    `neardup_pairs_blocked`):
+    - ``max_doc_freq`` drops fingerprints present in more than that many
+      documents from the WHOLE computation (shared counts AND per-doc
+      sizes) — one boilerplate span shared by 10^6 docs makes its posting
+      list quadratic; the hot set is tiny, so the filter is a broadcast
+      anti-join, not a second shuffle.
+    - ``max_pairs`` is a planning-time budget on the TOTAL candidate pair
+      count sum(df*(df-1)/2) after the cap — a column-pruned count with
+      map-side combine that fails loud BEFORE the self-join is launched,
+      naming the knobs. Pass None to skip when the fingerprint density was
+      already tuned (larger `window` in winnow_fingerprints lowers it).
+    """
+    fps = fps.select(F.col(id_col), "fp")
+    if max_doc_freq is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count_distinct(id_col).alias("__df"))
+            .where(F.col("__df") > max_doc_freq)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    if max_pairs is not None:
+        total = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("p"))
+            .collect()[0]["p"]
+        )
+        if total is not None and total > max_pairs:
+            raise ValueError(
+                f"winnow_candidate_pairs: {int(total)} candidate pairs > "
+                f"max_pairs={max_pairs}; the posting-list self-join is "
+                "quadratic per fingerprint — lower max_doc_freq, raise the "
+                "winnowing window (fewer fingerprints per doc), or raise "
+                "max_pairs if the cost is intended."
+            )
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("containment", F.col("shared") / F.least("n_a", "n_b"))
+        .select("id_a", "id_b", "shared", "n_a", "n_b", "containment")
+    )

@@ -1,0 +1,159 @@
+"""Winnowing fingerprints (operators/winnow.py) + Gopher quality rules.
+
+Pins the paper's guarantee (any shared span >= k + w - 1 words produces a
+shared fingerprint), the density bound direction, the budget/df-cap guards,
+and the Gopher rule arithmetic on hand-computable documents.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from finiextestingide_spark.operators import winnow as wn
+from finiextestingide_spark.operators import text as tx
+
+K, W = 3, 4
+GUARANTEE = K + W - 1  # = 6 words
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shared_span_guarantees_shared_fingerprint(spark):
+    # Docs share an 8-word span (> guarantee) embedded in different contexts.
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(
+        spark,
+        [
+            (1, f"one two three {span} four five six seven eight nine"),
+            (2, f"red green blue {span} yellow purple orange pink brown"),
+        ],
+    )
+    fps = wn.winnow_fingerprints(docs, K, W).collect()
+    a = {r.fp for r in fps if r.doc_id == 1}
+    b = {r.fp for r in fps if r.doc_id == 2}
+    assert a & b, "shared span >= k+w-1 words must share a fingerprint"
+
+
+def test_disjoint_docs_share_nothing(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+    )
+    fps = wn.winnow_fingerprints(docs, K, W).collect()
+    a = {r.fp for r in fps if r.doc_id == 1}
+    b = {r.fp for r in fps if r.doc_id == 2}
+    assert a and b and not (a & b)
+
+
+def test_short_doc_yields_no_fingerprints(spark):
+    # k + w - 1 words is the minimum; one fewer -> no full window of grams.
+    docs = _docs(spark, [(1, "a b c d e"), (2, "a b c d e f")])
+    out = {r.doc_id for r in wn.winnow_fingerprints(docs, K, W).collect()}
+    assert out == {2}
+
+
+def test_fingerprints_subset_of_gram_hashes_and_dense_enough(spark):
+    text = " ".join(f"w{i % 7}x{i % 3}" for i in range(40))
+    docs = _docs(spark, [(1, text)])
+    fps = {r.fp for r in wn.winnow_fingerprints(docs, K, W).collect()}
+    import hashlib
+
+    words = text.split(" ")
+    grams = [
+        " ".join(words[i : i + K]) for i in range(len(words) - K + 1)
+    ]
+    hashes = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    # reference winnow: distinct set of per-window minima
+    expect = {
+        min(hashes[t : t + W]) for t in range(len(hashes) - W + 1)
+    }
+    assert fps == expect
+
+
+def test_pairs_containment_and_budget(spark):
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(
+        spark,
+        [
+            (1, span),  # wholly contained in 2
+            (2, f"one two three {span} four five six seven"),
+            (3, "red green blue cyan magenta white black grey pink tan"),
+        ],
+    )
+    fps = wn.winnow_fingerprints(docs, K, W)
+    pairs = wn.winnow_candidate_pairs(fps, 1).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    (p,) = pairs
+    # doc 1's fingerprints all come from the shared span -> containment 1.0
+    assert p.containment == pytest.approx(1.0)
+    # planning-time pairs budget fails loud before the join
+    with pytest.raises(ValueError, match="max_pairs"):
+        wn.winnow_candidate_pairs(fps, 1, max_pairs=0)
+
+
+def test_pairs_df_cap_drops_boilerplate(spark):
+    # A span shared by ALL docs is boilerplate; df cap removes its
+    # fingerprints from the whole computation, so no pairs remain.
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(
+        spark,
+        [(i, f"u{i} v{i} w{i} {span} x{i} y{i} z{i}") for i in range(1, 5)],
+    )
+    fps = wn.winnow_fingerprints(docs, K, W)
+    uncapped = wn.winnow_candidate_pairs(fps, 1).count()
+    assert uncapped > 0
+    # cap=1 drops every fingerprint shared by >= 2 docs -> no pairs at all
+    assert wn.winnow_candidate_pairs(fps, 1, max_doc_freq=1).count() == 0
+    # intermediate caps are monotone: dropping hot fingerprints never adds pairs
+    assert wn.winnow_candidate_pairs(fps, 1, max_doc_freq=3).count() <= uncapped
+
+
+def test_gopher_quality_rules(spark):
+    good = " ".join(
+        ["the quick brown fox jumps over lazy dogs with vigor and style"] * 5
+    )  # 60 words, mean len ~4, has 'the'/'and'/'with'
+    short = "the and with tiny"  # < 50 words
+    digits = " ".join(str(i) for i in range(60)) + " the and"  # alpha frac low
+    docs = _docs(spark, [(1, good), (2, short), (3, digits)])
+    g = tx.gopher_quality_flags(F.col("text"))
+    rows = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            g["n_words"].alias("n_words"),
+            g["mean_word_len"].alias("mwl"),
+            g["alpha_word_frac"].alias("alpha"),
+            g["stop_hits"].alias("stop_hits"),
+            g["keep"].alias("keep"),
+        ).collect()
+    }
+    assert rows[1].keep and rows[1].n_words == 60 and rows[1].stop_hits >= 2
+    assert not rows[2].keep  # word count rule
+    assert not rows[3].keep and rows[3].alpha < 0.8  # alpha-word rule
+    # mean word length arithmetic: 60 words, known char count
+    text_len = len(" ".join(["the quick brown fox jumps over lazy dogs with vigor and style"] * 5))
+    assert rows[1].mwl == pytest.approx((text_len - 59) / 60)
+
+
+def test_gopher_line_rules(spark):
+    bullets = "\n".join(["- item one two three"] * 10)
+    dots = "\n".join(["trailing words here..."] * 10)
+    docs = _docs(spark, [(1, bullets), (2, dots)])
+    g = tx.gopher_quality_flags(F.col("text"))
+    rows = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            g["bullet_line_frac"].alias("bullet"),
+            g["ellipsis_line_frac"].alias("ellipsis"),
+        ).collect()
+    }
+    assert rows[1].bullet == pytest.approx(1.0)
+    assert rows[2].ellipsis == pytest.approx(1.0)
