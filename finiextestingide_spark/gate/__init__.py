@@ -78,7 +78,9 @@ from ._util import Query  # noqa: F401
 # (the W7-over-bus gate, never driver-verified) and the two NEW round-12
 # operators — winnow_pairs (substring-level near-dup via winnowing/MOSS
 # fingerprints; subsumes winnow_fingerprints, which queues at position 51)
-# and gopher_quality (the published MassiveText rule set).
+# and gopher_quality (the published MassiveText rule set). Also OUT
+# tfidf_topterms_3 (text family keeps repetition_stats + gopher_quality)
+# for the NEW streaming_ivf_assign — the streaming ANN-ingest parity gate.
 CURATED_ORDER: tuple[str, ...] = (
     # relational core
     "winnow_pairs",
@@ -124,7 +126,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "decontaminated_train",
     "jaccard_pairs_dfcap",
     "neardup_keep_best",
-    "tfidf_topterms_3",
+    "streaming_ivf_assign",
     "repetition_stats",
     "quality_quantile_40",
     "token_budget_mix_greedy",
@@ -191,6 +193,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "pricing_summary",
     "extreme_moves_hourly",
     "quality_check_ticks",
+    "tfidf_topterms_3",
 )
 
 

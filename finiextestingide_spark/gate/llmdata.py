@@ -678,6 +678,57 @@ WHERE rank <= {_IVF_K} AND vec_id <> 0
 """
 
 
+# --- streaming IVF ingest: arrivals assigned row-locally against the
+#     driver-collected quantizer, history assigned by the batch broadcast
+#     form, merged index == DuckDB argmax over the full corpus. Proves the
+#     two assignment forms share one tie rule (§2.9 x ANN). ---
+
+
+def streaming_ivf_assign_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ann_stream import merged_ivf_index, streaming_ivf_assign
+    from ..streaming.incremental_bars import drain_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < _IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    # the trained quantizer is k rows by construction — the one bounded
+    # driver collect of this path (same posture as the batch broadcast)
+    centroid_rows = [
+        (int(r["centroid_id"]), list(r["embedding"])) for r in centroids.collect()
+    ]
+    hist = sim.assign_centroids(
+        emb.where(F.col("vec_id") % 10 != 3), centroids
+    ).select("vec_id", F.col("centroid_id").cast("long").alias("centroid_id"))
+
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    tail = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/embeddings.parque*")
+        .where(F.col("vec_id") % 10 == 3)
+    )
+    out = streaming_ivf_assign(tail, centroid_rows).select("vec_id", "centroid_id")
+    name = "gate_streaming_ivf_assign"
+    drain_to_memory(out, name, settle_secs=2.0)
+    return merged_ivf_index(hist, spark.table(name))
+
+
+STREAMING_IVF_ASSIGN_SQL = f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+               WHERE vec_id < {_IVF_NCENTROIDS}),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_cos_sql('e.embedding', 'c.cvec')} AS ccos
+  FROM embeddings e CROSS JOIN cents c
+)
+SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        ORDER BY ccos DESC, centroid_id) AS r FROM scored)
+WHERE r = 1
+"""
+
+
 _RECALL_K = 10
 _RECALL_NPROBE = 2
 _RECALL_NQUERIES = 20
@@ -2790,6 +2841,11 @@ QUERIES: dict[str, Query] = {
     "simhash_docs": Query(simhash_docs, SIMHASH_DOCS_SQL, "64-bit SimHash signatures"),
     "cosine_topk_10": Query(cosine_topk_10, COSINE_TOPK_10_SQL, "brute-force cosine top-k"),
     "ivf_topk_5": Query(ivf_topk_5, IVF_TOPK_5_SQL, "IVF-bucketed ANN"),
+    "streaming_ivf_assign": Query(
+        streaming_ivf_assign_gate,
+        STREAMING_IVF_ASSIGN_SQL,
+        "streaming IVF index ingest (row-local assign) merged with batch history",
+    ),
     "ivf_recall_audit": Query(
         ivf_recall_audit,
         IVF_RECALL_AUDIT_SQL,

@@ -563,6 +563,45 @@ def neardup_pairs_blocked(
     )
 
 
+def assign_centroids_rowlocal(
+    vectors: DataFrame,
+    centroid_rows: list[tuple[int, list[float]]],
+    *,
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """IVF coarse assignment against DRIVER-SUPPLIED centroids as literal
+    expressions — the row-local form of ``assign_centroids``, with the SAME
+    deterministic tie rule (max cosine, then lowest centroid id, via an
+    orderable (cosine, -id) struct).
+
+    This is the STREAMING-SAFE shape: no join, no shuffle, no state — a
+    narrow map any micro-batch (or continuous) stream applies at source
+    parallelism. The trained quantizer is small by construction (k
+    centroids, k*dim doubles — the output of ``lloyd_centroids``), so
+    embedding it as literals is the streaming analogue of the batch form's
+    ``F.broadcast``; at 1000 executors there is nothing to re-broadcast per
+    micro-batch and nothing in the state store. A zero vector (null cosine)
+    sorts below every real score and is only picked when ALL cosines are
+    null — same never-matched posture as the batch max_by.
+
+    ``centroid_rows``: [(centroid_id, vector), ...] — collect them from the
+    trained-quantizer frame; the caller owns keeping k bounded."""
+    if not centroid_rows:
+        raise ValueError("assign_centroids_rowlocal: no centroids supplied")
+    cands = []
+    for cid, cvec in centroid_rows:
+        cv = F.array(*[F.lit(float(x)) for x in cvec])
+        cands.append(
+            F.struct(
+                cosine(F.col(vec_col), cv).alias("c"),
+                F.lit(-int(cid)).cast("long").alias("n"),
+            )
+        )
+    best = F.array_max(F.array(*cands))
+    return vectors.withColumn(centroid_id, (-best["n"]).cast("long"))
+
+
 def lloyd_centroids(
     vectors: DataFrame,
     k: int = 8,

@@ -1,0 +1,63 @@
+"""Streaming ANN index ingest: assign arriving embeddings to a trained IVF
+quantizer as they land, so the vector index grows continuously instead of by
+batch rebuilds.
+
+Extends the engine's streaming discipline (§2.9) to the similarity surface:
+ticks, documents, and orders all have live ingest paths; this gives the
+embedding lake one. The design point is that IVF coarse assignment is
+STATELESS — each vector's bucket depends only on the vector and the (small,
+frozen) quantizer — so unlike the dedup/reconcile streams there is no keyed
+state to bootstrap and the #355 cold-start discipline is satisfied
+trivially:
+
+- restart: reprocessing an arrival is idempotent (same vector -> same
+  bucket); no checkpoint state beyond source offsets.
+- backfill: history is assigned by the BATCH form
+  (`operators/similarity.py assign_centroids` — broadcast join + max_by)
+  and the merged index is a plain UNION with the streamed tail; no
+  cross-seeding, because no operator state exists.
+- parity: the row-local streaming form and the batch broadcast-join form
+  share one tie rule, proven by the `streaming_ivf_assign` gate against
+  the DuckDB argmax oracle over the full corpus.
+
+Scale posture: the assignment is a narrow map at source parallelism (a
+1000-partition topic assigns on 1000 tasks with zero exchange); sinking
+`partitionBy(centroid_id)` keeps the probe path partition-pruned exactly
+like the batch index layout. Re-training the quantizer is a batch concern
+(`lloyd_centroids`); on a quantizer version bump the stream restarts with
+new literals and history is re-assigned batch-side — the standard
+IVF-index rebuild boundary, stated here so nobody tries to mutate
+centroids inside a running stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.similarity import assign_centroids_rowlocal
+
+
+def streaming_ivf_assign(
+    stream: DataFrame,
+    centroid_rows: list[tuple[int, list[float]]],
+    *,
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Assign a STREAM of embeddings to their nearest trained centroid.
+
+    Pure narrow map (see module docstring) — works under any trigger and
+    any source; the result streams straight into a
+    ``partitionBy(centroid_id)`` sink or an in-memory table."""
+    if not stream.isStreaming:
+        raise ValueError("streaming_ivf_assign expects a streaming DataFrame")
+    return assign_centroids_rowlocal(
+        stream, centroid_rows, vec_col=vec_col, centroid_id=centroid_id
+    )
+
+
+def merged_ivf_index(batch_assigned: DataFrame, streamed_assigned: DataFrame) -> DataFrame:
+    """The sink-merge read view of the growing index: batch-assigned history
+    UNION the streamed tail. Stateless assignment means this is a plain
+    union by name — no reconciliation column, no create-only ledger."""
+    return batch_assigned.unionByName(streamed_assigned)

@@ -1,0 +1,96 @@
+"""Streaming IVF ingest (streaming/ann_stream.py): row-local assignment
+parity with the batch broadcast form, tie-rule pin, and the stateless
+restart/backfill properties the module docstring claims."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from finiextestingide_spark.operators import similarity as sim
+from finiextestingide_spark.streaming.ann_stream import (
+    merged_ivf_index,
+    streaming_ivf_assign,
+)
+from finiextestingide_spark.streaming.incremental_bars import drain_to_memory
+
+
+def _vectors(spark, n=24, dim=4):
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _centroids(spark, vectors, k=3):
+    c = vectors.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    rows = [(int(r["centroid_id"]), list(r["embedding"])) for r in c.collect()]
+    return c, rows
+
+
+def test_rowlocal_matches_batch_assign(spark):
+    vectors = _vectors(spark)
+    centroids, rows = _centroids(spark, vectors)
+    batch = {
+        r.vec_id: r.centroid_id
+        for r in sim.assign_centroids(vectors, centroids).collect()
+    }
+    local = {
+        r.vec_id: r.centroid_id
+        for r in sim.assign_centroids_rowlocal(vectors, rows).collect()
+    }
+    assert local == batch and len(batch) == 24
+
+
+def test_rowlocal_tie_rule_lowest_centroid_wins(spark):
+    # two identical centroids -> exact cosine tie -> lowest id must win,
+    # matching assign_centroids' max_by((cos, -id)) rule
+    vectors = spark.createDataFrame(
+        [(10, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    rows = [(5, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.0]), (7, [-1.0, 0.0, 0.0])]
+    (r,) = sim.assign_centroids_rowlocal(vectors, rows).collect()
+    assert r.centroid_id == 2
+
+
+def test_rowlocal_requires_centroids(spark):
+    with pytest.raises(ValueError, match="no centroids"):
+        sim.assign_centroids_rowlocal(_vectors(spark), [])
+
+
+def test_streaming_assign_parity_and_merge(spark, tmp_path):
+    vectors = _vectors(spark)
+    centroids, rows = _centroids(spark, vectors)
+    pq = str(tmp_path / "emb")
+    vectors.write.parquet(pq)
+
+    schema = vectors.schema
+    tail = (
+        spark.readStream.schema(schema).parquet(pq).where(F.col("vec_id") % 2 == 1)
+    )
+    out = streaming_ivf_assign(tail, rows).select("vec_id", "centroid_id")
+    drain_to_memory(out, "t_ann_stream", settle_secs=1.0)
+
+    hist = sim.assign_centroids(
+        vectors.where(F.col("vec_id") % 2 == 0), centroids
+    ).select("vec_id", F.col("centroid_id").cast("long").alias("centroid_id"))
+    merged = {
+        r.vec_id: r.centroid_id
+        for r in merged_ivf_index(hist, spark.table("t_ann_stream")).collect()
+    }
+    full = {
+        r.vec_id: r.centroid_id
+        for r in sim.assign_centroids(vectors, centroids).collect()
+    }
+    assert merged == full
+
+
+def test_streaming_assign_rejects_batch_frame(spark):
+    vectors = _vectors(spark)
+    _, rows = _centroids(spark, vectors)
+    with pytest.raises(ValueError, match="streaming"):
+        streaming_ivf_assign(vectors, rows)
