@@ -80,7 +80,10 @@ from ._util import Query  # noqa: F401
 # fingerprints; subsumes winnow_fingerprints, which queues at position 51)
 # and gopher_quality (the published MassiveText rule set). Also OUT
 # tfidf_topterms_3 (text family keeps repetition_stats + gopher_quality)
-# for the NEW streaming_ivf_assign — the streaming ANN-ingest parity gate.
+# for the NEW streaming_ivf_assign — the streaming ANN-ingest parity gate;
+# and OUT live_clipping_report (family kept by clipping_ledger_roundtrip)
+# for the NEW curated_corpus — the end-to-end curation decision table
+# whose oracle composes the verified stage oracles.
 CURATED_ORDER: tuple[str, ...] = (
     # relational core
     "winnow_pairs",
@@ -95,7 +98,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "gopher_quality",
     "trade_analytics_by_scenario",
     "bus_decode_signals",
-    "live_clipping_report",
+    "curated_corpus",
     "clipping_ledger_roundtrip",
     # replay lifecycle oracles (hash-matched stateful paths)
     "replay_equity_oracle",
@@ -194,6 +197,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "extreme_moves_hourly",
     "quality_check_ticks",
     "tfidf_topterms_3",
+    "live_clipping_report",
 )
 
 

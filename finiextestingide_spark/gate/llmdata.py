@@ -2724,7 +2724,8 @@ _GOPHER_STOP_HITS = " + ".join(
     for w in tx.GOPHER_STOPWORDS
 )
 
-GOPHER_QUALITY_SQL = rf"""
+def _gopher_sql(min_words: int = 50, min_stop_hits: int = 2) -> str:
+    return rf"""
 WITH n AS (
   SELECT doc_id, text,
          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
@@ -2766,12 +2767,103 @@ SELECT doc_id, n_words,
        round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
        round(alpha_word_frac, 6) AS alpha_word_frac,
        stop_hits,
-       (n_words >= 50 AND n_words <= 100000
+       (n_words >= {min_words} AND n_words <= 100000
         AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
         AND symbol_word_ratio <= 0.1
         AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
-        AND alpha_word_frac >= 0.8 AND stop_hits >= 2) AS keep
+        AND alpha_word_frac >= 0.8 AND stop_hits >= {min_stop_hits}) AS keep
 FROM m
+"""
+
+
+# the published-threshold instance (what the gopher_quality gate runs)
+GOPHER_QUALITY_SQL = _gopher_sql()
+
+
+# --- end-to-end corpus curation: the four independent per-doc judgments
+#     (exact dup, near dup, quality, contamination) joined into one
+#     decision table. The oracle COMPOSES the already-verified stage
+#     oracles as CTEs — exact_side/near_side/gopher_side are the verbatim
+#     gate SQLs of dedup_keep_best / neardup_keep_best / gopher_quality
+#     (thresholds tuned for this short-form corpus: min_words=40,
+#     min_stop_hits=1 — the published 50/2 drops ALL 500 synthetic docs,
+#     a degenerate keep column that would gate nothing). Eval set = the
+#     doc_id %% 20 == 0 slice used by decontaminated_train, here treated
+#     as a leaked benchmark INSIDE the corpus: those docs self-contaminate
+#     to ~1.0 and are removed, which is the decontamination behavior a
+#     real pipeline wants. ---
+
+_CUR_MIN_WORDS = 40
+_CUR_MIN_STOPS = 1
+
+
+def curated_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation as cu
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    out = cu.curate_corpus(
+        docs,
+        ev,
+        shingle_n=3,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        min_jaccard=0.0,
+        max_contamination=_DECON_MAX,
+        min_words=_CUR_MIN_WORDS,
+        min_stop_hits=_CUR_MIN_STOPS,
+    )
+    return out.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "is_exact_dup",
+        "is_near_dup",
+        "fails_quality",
+        F.round("contamination", 6).alias("contamination"),
+        "is_contaminated",
+        "kept",
+    )
+
+
+CURATED_CORPUS_SQL = f"""
+WITH exact_side AS MATERIALIZED (
+  {DEDUP_KEEP_BEST_SQL}
+),
+near_side AS MATERIALIZED (
+  {NEARDUP_KEEP_BEST_SQL}
+),
+gopher_side AS MATERIALIZED (
+  {_gopher_sql(_CUR_MIN_WORDS, _CUR_MIN_STOPS)}
+),
+{_SHINGLES_CTE},
+evset AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_contaminated
+  FROM sh t JOIN evset e ON e.shingle = t.shingle
+  GROUP BY 1
+),
+shc AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+decon AS (
+  SELECT d.doc_id,
+         CASE WHEN coalesce(shc.n_shingles, 0) > 0
+              THEN CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / shc.n_shingles
+              ELSE 0.0 END AS contamination
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN shc USING (doc_id) LEFT JOIN hits h USING (doc_id)
+)
+SELECT e.doc_id,
+       round(e.score, 6) AS score,
+       e.is_dropped AS is_exact_dup,
+       n.is_dropped AS is_near_dup,
+       NOT g.keep AS fails_quality,
+       round(d.contamination, 6) AS contamination,
+       d.contamination > {_DECON_MAX} AS is_contaminated,
+       (NOT e.is_dropped AND NOT n.is_dropped AND g.keep
+        AND d.contamination <= {_DECON_MAX}) AS kept
+FROM exact_side e
+JOIN near_side n USING (doc_id)
+JOIN gopher_side g USING (doc_id)
+JOIN decon d USING (doc_id)
 """
 
 
@@ -2786,6 +2878,11 @@ QUERIES: dict[str, Query] = {
     ),
     "gopher_quality": Query(
         gopher_quality_gate, GOPHER_QUALITY_SQL, "Gopher/MassiveText quality rule set"
+    ),
+    "curated_corpus": Query(
+        curated_corpus_gate,
+        CURATED_CORPUS_SQL,
+        "end-to-end curation decision table (dedup x near-dup x quality x decontamination)",
     ),
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via content hash"),
     "dedup_keep_best": Query(

@@ -1,0 +1,117 @@
+"""End-to-end corpus curation: the one-call pipeline a training-data job
+actually ships, composed from the engine's audited stages.
+
+A pre-training corpus pass runs, in practice, four independent judgments
+per document — exact duplication, near duplication, quality, and benchmark
+contamination — then keeps the documents that pass all four. This module
+wires the engine's existing operators into that decision table:
+
+- exact dedup, quality keep-policy   (`dedup.exact_dedup_keep_best`)
+- MinHash+LSH near-dup clusters, cluster keep-best
+                                     (`dedup.neardup_dedup_keep_best`)
+- Gopher/MassiveText quality rules   (`text.gopher_quality_flags`)
+- eval-set n-gram contamination      (`text.decontaminate`)
+
+The flags are deliberately INDEPENDENT (each computed over the full input,
+not over the survivors of the previous stage): a curation report needs to
+say *every* reason a document was dropped — sequential stages under-count
+overlap (a near-dup that also fails quality shows up in whichever stage
+ran first) and make the pipeline's output depend on stage order. ``kept``
+is the conjunction.
+
+Scale shape: each stage is the already-audited plan of its operator (see
+PLANS.md); this module adds only id-keyed joins of (id, flag) rows — the
+document bodies are read in the stage scans and never travel through the
+final joins. At lake scale the four stages share one scan per stage the
+same way the gate queries do; persist the input once if the scans dominate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .dedup import exact_dedup_keep_best, neardup_dedup_keep_best, word_shingles
+from .text import decontaminate, gopher_quality_flags, quality_score
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    score: Column | None = None,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    min_jaccard: float = 0.0,
+    max_contamination: float = 0.1,
+    min_words: int = 50,
+    min_stop_hits: int = 2,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Per-document curation decision table.
+
+    Output: (id_col, score, is_exact_dup, is_near_dup, fails_quality,
+    contamination, is_contaminated, kept) — one row per input document.
+
+    ``eval_docs`` is the held-out benchmark corpus; a document whose
+    shingle overlap with it exceeds ``max_contamination`` is flagged (and a
+    benchmark document that leaked into the input is ~fully contaminated,
+    which is exactly the removal decontamination exists for). ``score``
+    defaults to the engine's deterministic quality heuristic rounded to 6
+    decimals (cross-engine reproducible keep-best ties)."""
+    sc = score if score is not None else F.round(quality_score(F.col(text)), 6)
+
+    exact = exact_dedup_keep_best(docs, sc, id_col=id_col, text=text).select(
+        F.col(id_col),
+        F.col("score"),
+        F.col("is_dropped").alias("is_exact_dup"),
+    )
+    near = neardup_dedup_keep_best(
+        docs,
+        sc,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        min_jaccard=min_jaccard,
+        id_col=id_col,
+        text=text,
+    ).select(F.col(id_col), F.col("is_dropped").alias("is_near_dup"))
+    g = gopher_quality_flags(
+        F.col(text), min_words=min_words, min_stop_hits=min_stop_hits
+    )
+    quality = docs.select(F.col(id_col), (~g["keep"]).alias("fails_quality"))
+    decon = decontaminate(
+        word_shingles(docs, shingle_n, id_col=id_col, text=text),
+        word_shingles(eval_docs, shingle_n, id_col=id_col, text=text),
+        max_contamination,
+        id_col=id_col,
+        train_ids=docs,
+    ).select(
+        F.col(id_col),
+        F.col("contamination"),
+        (~F.col("keep")).alias("is_contaminated"),
+    )
+    return (
+        exact.join(near, id_col)
+        .join(quality, id_col)
+        .join(decon, id_col)
+        .withColumn(
+            "kept",
+            ~F.col("is_exact_dup")
+            & ~F.col("is_near_dup")
+            & ~F.col("fails_quality")
+            & ~F.col("is_contaminated"),
+        )
+        .select(
+            id_col,
+            "score",
+            "is_exact_dup",
+            "is_near_dup",
+            "fails_quality",
+            "contamination",
+            "is_contaminated",
+            "kept",
+        )
+    )

@@ -238,24 +238,33 @@ def repetition_stats(text: Column) -> dict[str, Column]:
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_quality_flags(text: Column) -> dict[str, Column]:
+def gopher_quality_flags(
+    text: Column,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_hits: int = 2,
+) -> dict[str, Column]:
     """The published MassiveText/Gopher quality rule set (Rae et al. 2021,
     appendix A) as pure Column expressions — the standard pre-training
     corpus filter, computable JVM-side in one linear scan:
 
-    - 50 <= word count <= 100,000
+    - min_words <= word count <= max_words (published: 50..100,000)
     - 3 <= mean word length <= 10
     - symbol-to-word ratio ('#' or ellipsis) <= 0.1
     - < 90% of lines start with a bullet
     - < 30% of lines end with an ellipsis
     - >= 80% of words contain an alphabetic character
-    - contains >= 2 of the 8 Gopher stop words
+    - contains >= min_stop_hits of the 8 Gopher stop words (published: 2)
 
-    Every expression mirrors 1:1 into RE2 (no lookarounds, no backrefs), so
-    the DuckDB oracle runs the SAME regexes. Mean word length is computed
-    arithmetically on the normalized form (single-space separated):
-    (len - (n_words - 1)) / n_words — no higher-order array functions (those
-    run interpreted, the ~50x lesson of `dedup.shingle_stream`)."""
+    The defaults are the paper's thresholds; the three knobs every real
+    pipeline tunes per corpus (short-form data, non-English mixes) are
+    parameters. Every expression mirrors 1:1 into RE2 (no lookarounds, no
+    backrefs), so the DuckDB oracle runs the SAME regexes. Mean word length
+    is computed arithmetically on the normalized form (single-space
+    separated): (len - (n_words - 1)) / n_words — no higher-order array
+    functions (those run interpreted, the ~50x lesson of
+    `dedup.shingle_stream`)."""
     norm = normalized_text(text)
     n_words = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " "))).cast("long")
     mean_word_len = F.when(
@@ -280,15 +289,15 @@ def gopher_quality_flags(text: Column) -> dict[str, Column]:
         for w in GOPHER_STOPWORDS
     ).cast("long")
     keep = (
-        (n_words >= 50)
-        & (n_words <= 100_000)
+        (n_words >= min_words)
+        & (n_words <= max_words)
         & (mean_word_len >= 3.0)
         & (mean_word_len <= 10.0)
         & (symbol_word_ratio <= 0.1)
         & (bullet_line_frac < 0.9)
         & (ellipsis_line_frac < 0.3)
         & (alpha_word_frac >= 0.8)
-        & (stop_hits >= 2)
+        & (stop_hits >= min_stop_hits)
     )
     return {
         "n_words": n_words,

@@ -24,10 +24,13 @@ Relationship to the rest of the dedup surface:
 Determinism: k-gram hashes are md5 hex strings compared lexicographically —
 reproducible in any engine with md5 (the DuckDB oracle mirrors 1:1).
 
-Scale shape: ONE exchange keyed by doc id (the window sort over the
-exploded word stream — short strings, never full bodies); the k-gram
-construction (`lead`), the hash, and the windowed min/count all run over
-that single sort (Catalyst reuses the sort for both window frames). The
+Scale shape: ONE exchange keyed by doc id feeds the whole fingerprint
+construction (the window sort over the exploded word stream — short
+strings, never full bodies); the k-gram `lead`, the hash, and the
+windowed min/count all run over that single sort (verified in the plan:
+two Window nodes share one Sort). The final per-doc distinct adds one
+map-side-combined aggregate exchange on (doc, fp) — selected fingerprints
+only, ~2/(w+1) of the gram stream. The
 fingerprint set per doc is ~n_grams / ((w+1)/2) in expectation — the 2/(w+1)
 density bound from the paper — so downstream joins carry a tunable fraction
 of the corpus, never the corpus itself.

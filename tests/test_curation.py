@@ -1,0 +1,61 @@
+"""End-to-end corpus curation (operators/curation.py): each drop reason
+fires independently on a hand-built corpus, overlaps are reported on every
+flag, and kept is the conjunction."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from finiextestingide_spark.operators.curation import curate_corpus
+
+
+def _corpus(spark):
+    base = "the quick brown fox jumps over a lazy dog near the old stone bridge today"
+    near = base.replace("today", "tonight")  # high-Jaccard near-dup of base
+    rows = [
+        (1, base),                      # survivor (best score in its groups)
+        (2, base),                      # exact dup of 1
+        (3, near),                      # near dup of 1, not exact
+        (4, "short text the end"),      # fails quality (word count)
+        (5, "alpha beta gamma the delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron"),  # clean keeper
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_flags_fire_independently(spark):
+    docs = _corpus(spark)
+    # eval corpus = doc 5's text -> doc 5 is fully contaminated
+    ev = docs.where(F.col("doc_id") == 5)
+    out = {
+        r.doc_id: r
+        for r in curate_corpus(
+            docs, ev, min_words=10, min_stop_hits=1, min_jaccard=0.3
+        ).collect()
+    }
+    assert len(out) == 5
+    # exact-dup group {1,2}: equal scores, tie to smallest id -> 2 dropped
+    assert not out[1].is_exact_dup and out[2].is_exact_dup
+    # near-dup cluster {1,2,3}: 3 is not exact-dup but is near-dup
+    assert out[3].is_near_dup and not out[3].is_exact_dup
+    # quality: doc 4 too short
+    assert out[4].fails_quality and not out[1].fails_quality
+    # contamination: doc 5 overlaps the eval set fully
+    assert out[5].is_contaminated and out[5].contamination == 1.0
+    assert not out[1].is_contaminated
+    # kept = conjunction: only doc 1 passes everything
+    assert {d for d, r in out.items() if r.kept} == {1}
+
+
+def test_no_eval_overlap_keeps_clean_docs(spark):
+    docs = _corpus(spark).where(F.col("doc_id").isin(1, 5))
+    ev = docs.sparkSession.createDataFrame(
+        [(99, "completely unrelated benchmark text with many other words")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in curate_corpus(docs, ev, min_words=10, min_stop_hits=1).collect()
+    }
+    assert out[1].kept and out[5].kept
+    assert all(not r.is_contaminated for r in out.values())
