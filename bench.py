@@ -88,6 +88,17 @@ HEADLINE = [
     # heuristic, the misleading-row shape the r10 tail row was retired
     # for; its scale signal is the SCALE.md sf10 row instead.
     "bus_decode_ticks",
+    # round-12: the two new substantial batch surfaces. winnow_pairs is
+    # the substring-level near-dup (fingerprint construction + df-capped
+    # pair join — the budget-guarded quadratic-risk stage); curated_corpus
+    # is the end-to-end curation decision table (its wall is dominated by
+    # the MinHash near-dup subtree, measured here as the composed
+    # pipeline a curation job actually ships). streaming_ivf_assign is
+    # deliberately NOT benched — drain-settle-dominated, the same
+    # misleading-row shape streaming_minhash_lsh is excluded for; its
+    # scale story is the stateless-map argument in PLANS.md.
+    "winnow_pairs",
+    "curated_corpus",
 ]
 
 

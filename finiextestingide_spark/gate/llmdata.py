@@ -2629,6 +2629,8 @@ _WIN_W = 4
 _WIN_MAX_DF = 5
 _WIN_MIN_SHARED = 2
 
+# NOTE: the md5 concat below is written out for _WIN_K = 3 — changing
+# _WIN_K requires editing the words[i]||...||words[i+k-1] expression too.
 _WINNOW_FPS_CTE = f"""
 ww AS (
   SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words

@@ -71,6 +71,11 @@ TARGETS = [
     # round-12: the LSH cold-start/backfill protocol (seed-cost row in
     # SCALE.md §7)
     "streaming_lsh_backfill",
+    # round-12 new operators: the winnowing substring near-dup (the pair
+    # join is the quadratic-risk stage its budgets guard) and the
+    # end-to-end curation pipeline (joins the four audited stage plans)
+    "winnow_pairs",
+    "curated_corpus",
 ]
 
 
