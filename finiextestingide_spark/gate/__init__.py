@@ -147,6 +147,8 @@ CURATED_ORDER: tuple[str, ...] = (
     # widened driver window picks them up in this order (round-5 VERDICT #8);
     # round-11 rotated-out veterans go to the back of this queue
     "winnow_fingerprints",
+    "winnow_containment_dedup",
+    "source_quality_rollup",
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",

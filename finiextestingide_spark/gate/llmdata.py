@@ -2869,6 +2869,102 @@ JOIN decon d USING (doc_id)
 """
 
 
+# --- span-containment dedup: the keep-policy over winnowing pairs ---
+
+_CONT_MIN = 0.8
+
+
+def winnow_containment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = wn.winnow_fingerprints(_docs(spark, sf_dir), _WIN_K, _WIN_W)
+    pairs = wn.winnow_candidate_pairs(fps, _WIN_MIN_SHARED, max_doc_freq=_WIN_MAX_DF)
+    out = wn.containment_dedup(fps, pairs, _CONT_MIN)
+    return out.select("doc_id", "n_fps", "is_dropped", "dropped_into")
+
+
+WINNOW_CONTAINMENT_SQL = f"""
+WITH {_WINNOW_FPS_CTE},
+capped AS (
+  SELECT * FROM wfps
+  WHERE fp NOT IN (
+    SELECT fp FROM wfps GROUP BY 1 HAVING count(DISTINCT doc_id) > {_WIN_MAX_DF}
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {_WIN_MIN_SHARED}
+),
+scored AS (
+  SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b,
+         CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+),
+directed AS (
+  SELECT CASE WHEN n_a < n_b OR (n_a = n_b AND id_a > id_b) THEN id_a ELSE id_b END AS small_id,
+         CASE WHEN n_a < n_b OR (n_a = n_b AND id_a > id_b) THEN id_b ELSE id_a END AS big_id,
+         CASE WHEN n_a < n_b OR (n_a = n_b AND id_a > id_b) THEN n_b ELSE n_a END AS big_n
+  FROM scored WHERE containment >= {_CONT_MIN}
+),
+drops AS (
+  SELECT small_id, big_id AS dropped_into
+  FROM (SELECT *, row_number() OVER (PARTITION BY small_id
+          ORDER BY big_n DESC, big_id ASC) AS r FROM directed)
+  WHERE r = 1
+),
+allsizes AS (SELECT doc_id, count(*) AS n_fps FROM wfps GROUP BY 1)
+SELECT s.doc_id, CAST(s.n_fps AS BIGINT) AS n_fps,
+       d.dropped_into IS NOT NULL AS is_dropped,
+       d.dropped_into
+FROM allsizes s LEFT JOIN drops d ON d.small_id = s.doc_id
+"""
+
+
+# --- per-source curation scorecard ---
+
+
+def source_quality_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation as cu
+
+    return cu.source_quality_rollup(
+        _docs(spark, sf_dir), min_words=_CUR_MIN_WORDS, min_stop_hits=_CUR_MIN_STOPS
+    )
+
+
+# Gopher CTE names (n/s/m) are reused verbatim from _gopher_sql; the
+# per-doc quality score is the rounded _QUALITY_EXPR_SQL so the decimal
+# sum is exact on both engines.
+SOURCE_QUALITY_ROLLUP_SQL = f"""
+WITH g AS (
+  {_gopher_sql(_CUR_MIN_WORDS, _CUR_MIN_STOPS)}
+),
+per_doc AS (
+  SELECT d.doc_id, d.source,
+         (CASE WHEN trim(d.text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END) AS tokens,
+         CAST({_QUALITY_EXPR_SQL} AS DECIMAL(18,6)) AS q,
+         g.keep AS gopher_keep
+  FROM documents d JOIN g ON g.doc_id = d.doc_id
+),
+dups AS (
+  SELECT doc_id,
+         doc_id <> min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS is_duplicate
+  FROM documents
+)
+SELECT p.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.tokens) AS BIGINT) AS n_tokens,
+       round(CAST(sum(p.q) AS DOUBLE) / count(*), 6) AS avg_quality,
+       round(CAST(sum(CASE WHEN u.is_duplicate THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_rate,
+       round(CAST(sum(CASE WHEN p.gopher_keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS gopher_keep_rate
+FROM per_doc p JOIN dups u ON u.doc_id = p.doc_id
+GROUP BY p.source
+ORDER BY p.source
+"""
+
+
+
 QUERIES: dict[str, Query] = {
     "winnow_fingerprints": Query(
         winnow_fps_gate, WINNOW_FPS_SQL, "winnowing (MOSS) substring fingerprints"
@@ -2885,6 +2981,16 @@ QUERIES: dict[str, Query] = {
         curated_corpus_gate,
         CURATED_CORPUS_SQL,
         "end-to-end curation decision table (dedup x near-dup x quality x decontamination)",
+    ),
+    "winnow_containment_dedup": Query(
+        winnow_containment_gate,
+        WINNOW_CONTAINMENT_SQL,
+        "span-containment keep-policy over winnowing pairs",
+    ),
+    "source_quality_rollup": Query(
+        source_quality_rollup_gate,
+        SOURCE_QUALITY_ROLLUP_SQL,
+        "per-source curation scorecard (docs, tokens, quality, dup rate, keep rate)",
     ),
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via content hash"),
     "dedup_keep_best": Query(

@@ -31,8 +31,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from .dedup import exact_dedup_keep_best, neardup_dedup_keep_best, word_shingles
-from .text import decontaminate, gopher_quality_flags, quality_score
+from .dedup import exact_dedup, exact_dedup_keep_best, neardup_dedup_keep_best, word_shingles
+from .text import (
+    decontaminate,
+    gopher_quality_flags,
+    quality_score,
+    whitespace_token_count,
+)
 
 
 def curate_corpus(
@@ -114,4 +119,65 @@ def curate_corpus(
             "is_contaminated",
             "kept",
         )
+    )
+
+
+def source_quality_rollup(
+    docs: DataFrame,
+    *,
+    min_words: int = 50,
+    min_stop_hits: int = 2,
+    id_col: str = "doc_id",
+    text: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source curation scorecard: the roll-up a corpus owner reads to
+    decide which SOURCES to keep, reweight, or recrawl — doc count, token
+    mass, mean quality, corpus-wide exact-dup rate attributed to the
+    source, and the Gopher keep rate.
+
+    ``dup_rate`` counts a source's docs that are non-canonical members of a
+    CORPUS-WIDE content group (which sources bring copies of material that
+    exists elsewhere) — per-source-only dedup would hide cross-source
+    mirroring, the common case.
+
+    Scale shape: one linear scan computes tokens/quality/keep per doc; the
+    exact-dedup hash groupBy is the only other exchange; the roll-up is a
+    map-side-combined aggregate keyed by source (cardinality = number of
+    sources, tiny). Output one row per source, ordered by source."""
+    t = F.col(text)
+    g = gopher_quality_flags(t, min_words=min_words, min_stop_hits=min_stop_hits)
+    per_doc = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        whitespace_token_count(t).cast("long").alias("__tokens"),
+        F.round(quality_score(t), 6).alias("__quality"),
+        g["keep"].alias("__gopher_keep"),
+    )
+    dups = exact_dedup(docs, id_col=id_col, text=text).select(
+        F.col(id_col), F.col("is_duplicate")
+    )
+    # mean quality via an EXACT decimal sum (order-independent) divided as
+    # double — the cross-engine determinism rule for float aggregates
+    return (
+        per_doc.join(dups, id_col)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__tokens").cast("long").alias("n_tokens"),
+            F.sum(F.col("__quality").cast("decimal(18,6)")).alias("__qsum"),
+            F.sum(F.col("is_duplicate").cast("long")).alias("__dups"),
+            F.sum(F.col("__gopher_keep").cast("long")).alias("__keeps"),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("__qsum").cast("double") / F.col("n_docs"), 6).alias("avg_quality"),
+            F.round(F.col("__dups").cast("double") / F.col("n_docs"), 6).alias("dup_rate"),
+            F.round(F.col("__keeps").cast("double") / F.col("n_docs"), 6).alias(
+                "gopher_keep_rate"
+            ),
+        )
+        .orderBy(source_col)
     )

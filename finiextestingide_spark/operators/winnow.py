@@ -162,3 +162,56 @@ def winnow_candidate_pairs(
         .withColumn("containment", F.col("shared") / F.least("n_a", "n_b"))
         .select("id_a", "id_b", "shared", "n_a", "n_b", "containment")
     )
+
+
+def containment_dedup(
+    fps: DataFrame,
+    pairs: DataFrame,
+    min_containment: float = 0.8,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-containment keep-policy: drop every document whose winnowing
+    fingerprints are >= ``min_containment`` contained in a LARGER document
+    (more fingerprints; ties to the smaller id) — the decision rule for
+    quote-inclusion dups, where the small doc is redundant but whole-doc
+    Jaccard never fires.
+
+    Deliberately a GREEDY single pass, not iterative set cover: a doc is
+    dropped when ANY containment edge points to a bigger doc, even if that
+    bigger doc is itself dropped by a yet-bigger one — the chain's maximal
+    document always survives (its edges all point downward), so coverage is
+    preserved; intermediate links are dropped as redundant, which is the
+    aggressive-but-safe curation choice and keeps the operator one
+    aggregation instead of an iterative fixpoint (the
+    `connected_components` cost this rule exists to avoid).
+
+    Output: (id_col, n_fps, is_dropped, dropped_into) — one row per doc in
+    ``fps`` (the `winnow_fingerprints` output; a doc too short to
+    fingerprint has nothing to be contained in and is trivially kept by
+    omission). ``dropped_into`` is the largest containing doc (null if
+    kept). Shuffle profile: one count aggregate for sizes + one max_by
+    aggregation over the directed edge list; ``pairs`` comes from
+    ``winnow_candidate_pairs`` (already budget-guarded)."""
+    edges = pairs.where(F.col("containment") >= min_containment)
+    # direct each qualifying edge small -> big (bigger fp set wins; tie to
+    # smaller id), then keep the single biggest target per dropped doc
+    small_is_a = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("id_a") > F.col("id_b"))
+    )
+    directed = edges.select(
+        F.when(small_is_a, F.col("id_a")).otherwise(F.col("id_b")).alias("small_id"),
+        F.when(small_is_a, F.col("id_b")).otherwise(F.col("id_a")).alias("big_id"),
+        F.when(small_is_a, F.col("n_b")).otherwise(F.col("n_a")).alias("big_n"),
+    )
+    drops = directed.groupBy("small_id").agg(
+        F.max_by(F.col("big_id"), F.struct(F.col("big_n"), (-F.col("big_id")).alias("nid"))).alias(
+            "dropped_into"
+        )
+    )
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_fps"))
+    return (
+        sizes.join(drops.withColumnRenamed("small_id", id_col), id_col, "left")
+        .withColumn("is_dropped", F.col("dropped_into").isNotNull())
+        .select(id_col, "n_fps", "is_dropped", "dropped_into")
+    )

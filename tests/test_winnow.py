@@ -157,3 +157,51 @@ def test_gopher_line_rules(spark):
     }
     assert rows[1].bullet == pytest.approx(1.0)
     assert rows[2].ellipsis == pytest.approx(1.0)
+
+
+def test_containment_dedup_drops_contained_doc(spark):
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(
+        spark,
+        [
+            (1, span),  # wholly contained in 2
+            (2, f"one two three {span} four five six seven eight nine"),
+            (3, "red green blue cyan magenta white black grey pink tan"),
+        ],
+    )
+    fps = wn.winnow_fingerprints(docs, K, W)
+    pairs = wn.winnow_candidate_pairs(fps, 1)
+    out = {r.doc_id: r for r in wn.containment_dedup(fps, pairs, 0.8).collect()}
+    assert out[1].is_dropped and out[1].dropped_into == 2
+    assert not out[2].is_dropped and out[2].dropped_into is None
+    assert not out[3].is_dropped
+    assert out[1].n_fps > 0 and out[2].n_fps >= out[1].n_fps
+
+
+def test_containment_dedup_chain_keeps_maximal(spark):
+    # 1 ⊂ 2 ⊂ 3: greedy drops 1 and 2, keeps the maximal 3 (coverage held)
+    s1 = "alpha beta gamma delta epsilon zeta eta theta"
+    s2 = f"pre1 pre2 pre3 {s1} mid1 mid2 mid3"
+    s3 = f"top1 top2 top3 {s2} end1 end2 end3"
+    docs = _docs(spark, [(1, s1), (2, s2), (3, s3)])
+    fps = wn.winnow_fingerprints(docs, K, W)
+    pairs = wn.winnow_candidate_pairs(fps, 1)
+    out = {r.doc_id: r for r in wn.containment_dedup(fps, pairs, 0.8).collect()}
+    assert out[1].is_dropped and out[2].is_dropped and not out[3].is_dropped
+    assert out[2].dropped_into == 3
+
+
+def test_source_quality_rollup(spark):
+    from finiextestingide_spark.operators.curation import source_quality_rollup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again", "a"),
+        (2, "the quick brown fox jumps over the lazy dog again", "b"),  # dup of 1
+        (3, "completely different words entirely here now folks", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in source_quality_rollup(docs, min_words=5, min_stop_hits=1).collect()}
+    assert out["a"].n_docs == 1 and out["a"].dup_rate == 0.0
+    assert out["b"].n_docs == 2 and out["b"].dup_rate == 0.5  # doc 2 is the non-canonical copy
+    assert out["a"].n_tokens == 10
+    assert out["a"].gopher_keep_rate == 1.0
