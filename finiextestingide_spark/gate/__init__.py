@@ -149,6 +149,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "winnow_fingerprints",
     "winnow_containment_dedup",
     "source_quality_rollup",
+    "unigram_perplexity",
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",

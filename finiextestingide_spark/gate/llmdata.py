@@ -2869,6 +2869,39 @@ JOIN decon d USING (doc_id)
 """
 
 
+# --- corpus-trained unigram LM score (CCNet-recipe perplexity signal) ---
+
+
+def unigram_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.unigram_logprob_scores(_docs(spark, sf_dir))
+
+
+UNIGRAM_PERPLEXITY_SQL = """
+WITH w AS (
+  SELECT doc_id, u.w AS w
+  FROM (SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        FROM documents), UNNEST(words) AS u(w)
+  WHERE u.w <> ''
+),
+model AS (SELECT w, count(*) AS cnt FROM w GROUP BY 1),
+n AS (SELECT count(*) AS total FROM w),
+scored AS (
+  SELECT w.doc_id,
+         CAST(round(ln(CAST(m.cnt AS DOUBLE) / n.total), 6) AS DECIMAL(28,6)) AS lp
+  FROM w JOIN model m USING (w), n
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, sum(lp) AS lpsum
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_words,
+       round(CAST(lpsum AS DOUBLE) / n_words, 6) AS avg_logprob,
+       round(exp(-round(CAST(lpsum AS DOUBLE) / n_words, 6)), 6) AS pseudo_ppl
+FROM agg
+"""
+
+
 # --- span-containment dedup: the keep-policy over winnowing pairs ---
 
 _CONT_MIN = 0.8
@@ -2991,6 +3024,11 @@ QUERIES: dict[str, Query] = {
         source_quality_rollup_gate,
         SOURCE_QUALITY_ROLLUP_SQL,
         "per-source curation scorecard (docs, tokens, quality, dup rate, keep rate)",
+    ),
+    "unigram_perplexity": Query(
+        unigram_perplexity_gate,
+        UNIGRAM_PERPLEXITY_SQL,
+        "corpus-trained unigram LM score (CCNet-recipe perplexity signal)",
     ),
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via content hash"),
     "dedup_keep_best": Query(

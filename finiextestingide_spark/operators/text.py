@@ -235,6 +235,64 @@ def repetition_stats(text: Column) -> dict[str, Column]:
     }
 
 
+def unigram_logprob_scores(
+    docs: DataFrame, *, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — the
+    perplexity-style quality signal of the CCNet/KenLM filtering recipe,
+    reduced to the unigram model so it trains from the corpus itself in one
+    aggregation (no external model artifact): a document of globally-rare
+    words scores low (boilerplate of common words scores high), and
+    pipelines keep the middle quantiles.
+
+    avg_logprob = mean over token OCCURRENCES of ln(count(word)/N), with N
+    the corpus token count; pseudo_ppl = exp(-avg_logprob).
+
+    Cross-engine determinism: each per-word ln is rounded to 6 decimals and
+    summed as DECIMAL(28,6) (exact, order-independent — a raw double sum
+    differs in the last ulp between engines' summation orders), then the
+    mean divides as double and rounds. Scale shape: one word-keyed groupBy
+    (map-side combined) for the model, a broadcast join of the model back
+    onto the exploded stream (vocabulary << corpus), and one doc-keyed
+    aggregate; bodies never shuffle."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(F.col(text)), " ")).alias("w"),
+    ).where(F.col("w") != "")
+    model = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    n_total = words.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        words.join(F.broadcast(model), "w")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col(id_col),
+            F.round(F.log(F.col("cnt") / F.col("__n")), 6)
+            .cast("decimal(28,6)")
+            .alias("__lp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("__lp").alias("__lpsum"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            F.round(F.col("__lpsum").cast("double") / F.col("n_words"), 6).alias(
+                "avg_logprob"
+            ),
+            F.round(
+                F.exp(
+                    -F.round(F.col("__lpsum").cast("double") / F.col("n_words"), 6)
+                ),
+                6,
+            ).alias("pseudo_ppl"),
+        )
+    )
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

@@ -205,3 +205,19 @@ def test_source_quality_rollup(spark):
     assert out["b"].n_docs == 2 and out["b"].dup_rate == 0.5  # doc 2 is the non-canonical copy
     assert out["a"].n_tokens == 10
     assert out["a"].gopher_keep_rate == 1.0
+
+
+def test_unigram_logprob_scores(spark):
+    import math
+
+    # corpus: 'a' x3, 'b' x2, 'c' x1 -> N=6
+    docs = _docs(spark, [(1, "a a b"), (2, "a b c")])
+    out = {r.doc_id: r for r in tx.unigram_logprob_scores(docs).collect()}
+    lp = {w: round(math.log(c / 6), 6) for w, c in {"a": 3, "b": 2, "c": 1}.items()}
+    exp1 = round((2 * lp["a"] + lp["b"]) / 3, 6)
+    exp2 = round((lp["a"] + lp["b"] + lp["c"]) / 3, 6)
+    assert out[1].n_words == 3 and out[1].avg_logprob == pytest.approx(exp1)
+    assert out[2].n_words == 3 and out[2].avg_logprob == pytest.approx(exp2)
+    # rare words -> lower logprob -> higher pseudo perplexity
+    assert out[2].avg_logprob < out[1].avg_logprob
+    assert out[2].pseudo_ppl > out[1].pseudo_ppl
