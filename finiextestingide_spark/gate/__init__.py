@@ -150,6 +150,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "winnow_containment_dedup",
     "source_quality_rollup",
     "unigram_perplexity",
+    "pq_adc_topk_10",
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",

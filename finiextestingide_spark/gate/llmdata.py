@@ -2869,6 +2869,85 @@ JOIN decon d USING (doc_id)
 """
 
 
+# --- product quantization: encode + asymmetric-distance top-k ---
+#
+# m=8 subspaces x 8 dims; codebooks = the slices of the first 8
+# embeddings (deterministic, the ivf_topk_5 seeding convention). The ADC
+# lookup tables are 6-rounded and summed as exact DECIMALs on both sides,
+# so the ranking is summation-order independent.
+
+_PQ_M = 8
+_PQ_SUB = 8  # dims per subspace (64-dim embeddings)
+_PQ_CODES = 8
+_PQ_K = 10
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    emb = _emb(spark, sf_dir)
+    rows = (
+        emb.where(F.col("vec_id") < _PQ_CODES)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    full = [[float(x) for x in r["embedding"]] for r in rows]
+    return [
+        [v[j * _PQ_SUB : (j + 1) * _PQ_SUB] for v in full] for j in range(_PQ_M)
+    ]
+
+
+def pq_adc_topk_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    books = _pq_codebooks(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    codes = sim.pq_encode(emb, books)
+    query = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return sim.pq_adc_topk(codes, books, query, _PQ_K)
+
+
+PQ_ADC_TOPK_10_SQL = f"""
+WITH cents AS (SELECT vec_id AS code, embedding AS cvec FROM embeddings
+               WHERE vec_id < {_PQ_CODES}),
+dims AS (
+  SELECT e.vec_id, c.code, CAST((t.i - 1) // {_PQ_SUB} AS INT) AS j,
+         power(CAST(e.embedding[t.i] AS DOUBLE) - CAST(c.cvec[t.i] AS DOUBLE), 2) AS sq
+  FROM embeddings e
+  CROSS JOIN cents c
+  CROSS JOIN UNNEST(generate_series(1, {_PQ_M * _PQ_SUB})) AS t(i)
+),
+subd AS (SELECT vec_id, code, j, sum(sq) AS d FROM dims GROUP BY 1, 2, 3),
+best AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, code ASC) AS r
+    FROM subd)
+  WHERE r = 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+lutdims AS (
+  SELECT c.code, CAST((t.i - 1) // {_PQ_SUB} AS INT) AS j,
+         power(CAST(q.qv[t.i] AS DOUBLE) - CAST(c.cvec[t.i] AS DOUBLE), 2) AS sq
+  FROM q CROSS JOIN cents c
+  CROSS JOIN UNNEST(generate_series(1, {_PQ_M * _PQ_SUB})) AS t(i)
+),
+lut AS (
+  SELECT code, j, CAST(round(sum(sq), 6) AS DECIMAL(18,6)) AS d
+  FROM lutdims GROUP BY 1, 2
+),
+scored AS (
+  SELECT b.vec_id, round(CAST(sum(l.d) AS DOUBLE), 6) AS adc_dist
+  FROM best b JOIN lut l ON l.j = b.j AND l.code = b.code
+  GROUP BY 1
+)
+SELECT vec_id, adc_dist, rank FROM (
+  SELECT vec_id, adc_dist,
+         row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {_PQ_K}
+"""
+
+
 # --- corpus-trained unigram LM score (CCNet-recipe perplexity signal) ---
 
 
@@ -3029,6 +3108,11 @@ QUERIES: dict[str, Query] = {
         unigram_perplexity_gate,
         UNIGRAM_PERPLEXITY_SQL,
         "corpus-trained unigram LM score (CCNet-recipe perplexity signal)",
+    ),
+    "pq_adc_topk_10": Query(
+        pq_adc_topk_10,
+        PQ_ADC_TOPK_10_SQL,
+        "product-quantization ADC top-k (codes-only scan, decimal-exact ranking)",
     ),
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via content hash"),
     "dedup_keep_best": Query(

@@ -602,6 +602,105 @@ def assign_centroids_rowlocal(
     return vectors.withColumn(centroid_id, (-best["n"]).cast("long"))
 
 
+def pq_encode(
+    vectors: DataFrame,
+    sub_centroids: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    code_prefix: str = "pq",
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into m contiguous
+    subspaces and store, per subspace, the index of the nearest (squared-L2)
+    sub-centroid — the memory-compression half of IVF-PQ, the standard
+    billion-vector ANN layout: a 64-dim float vector (256 B) becomes m
+    small codes (m bytes at 256 codes), so the index fits in RAM at corpus
+    sizes where raw vectors cannot.
+
+    ``sub_centroids[j]`` is the codebook of subspace j (list of
+    sub-vectors, all of the subspace's width). Codebooks are literals —
+    k*dim doubles, the same driver-bounded posture as
+    ``assign_centroids_rowlocal`` — so encoding is a stateless narrow map
+    (no join, no shuffle; streams encode at source parallelism). Ties
+    break to the LOWEST code index (deterministic cross-engine). Output
+    adds one int column per subspace: ``{code_prefix}0..{code_prefix}{m-1}``
+    (scalar columns, not an array — columnar parquet then stores each code
+    stream contiguously, the layout ADC scans want)."""
+    vd = _as_double(F.col(vec_col))
+    out_cols = []
+    offset = 0
+    for j, book in enumerate(sub_centroids):
+        if not book:
+            raise ValueError(f"pq_encode: empty codebook for subspace {j}")
+        width = len(book[0])
+        cands = []
+        for code, cvec in enumerate(book):
+            if len(cvec) != width:
+                raise ValueError(f"pq_encode: ragged codebook in subspace {j}")
+            d = None
+            for t, cval in enumerate(cvec):
+                diff = F.element_at(vd, offset + t + 1) - F.lit(float(cval))
+                term = diff * diff
+                d = term if d is None else d + term
+            # min distance, tie to lowest code: maximize (-d, -code)
+            cands.append(
+                F.struct((-d).alias("nd"), F.lit(-code).alias("nc"))
+            )
+        best = F.array_max(F.array(*cands))
+        out_cols.append((-best["nc"]).cast("int").alias(f"{code_prefix}{j}"))
+        offset += width
+    return vectors.select("*", *out_cols)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    sub_centroids: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    code_prefix: str = "pq",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: approximate squared-L2 of
+    (query, vector) as the sum over subspaces of ||q_j - codebook_j[code_j]||²
+    — the query stays un-quantized (asymmetric), the database side is its
+    codes only.
+
+    The per-subspace lookup tables are computed DRIVER-SIDE (m * k_codes
+    floats) and compiled into a CASE-chain per code column, so the scan
+    reads ONLY the code columns (the raw vectors never load — the entire
+    point of PQ), does per-row constant-time lookups, and feeds
+    TakeOrderedAndProject (per-partition k-row heap, no global sort).
+    Ties break to the smaller id. Lookup entries are rounded to 6 decimals
+    and summed as exact DECIMALs — summation-order independent, so any
+    engine reproduces the ranking bit-for-bit."""
+    tables = []
+    offset = 0
+    for j, book in enumerate(sub_centroids):
+        width = len(book[0])
+        qj = query_vec[offset : offset + width]
+        lut = [
+            round(sum((float(q) - float(c)) ** 2 for q, c in zip(qj, cvec)), 6)
+            for cvec in book
+        ]
+        expr = F.lit(None).cast("decimal(18,6)")
+        for code, dist in enumerate(lut):
+            expr = F.when(
+                F.col(f"{code_prefix}{j}") == code,
+                F.lit(f"{dist:.6f}").cast("decimal(18,6)"),
+            ).otherwise(expr)
+        tables.append(expr)
+        offset += width
+    total = tables[0]
+    for t in tables[1:]:
+        total = total + t
+    scored = codes.select(
+        F.col(id_col), F.round(total.cast("double"), 6).alias("adc_dist")
+    )
+    top = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def lloyd_centroids(
     vectors: DataFrame,
     k: int = 8,

@@ -94,3 +94,38 @@ def test_streaming_assign_rejects_batch_frame(spark):
     _, rows = _centroids(spark, vectors)
     with pytest.raises(ValueError, match="streaming"):
         streaming_ivf_assign(vectors, rows)
+
+
+def test_pq_encode_and_adc(spark):
+    from finiextestingide_spark.operators.similarity import pq_adc_topk, pq_encode
+
+    # 2 subspaces x 2 dims, 2 codes each
+    books = [
+        [[0.0, 0.0], [10.0, 10.0]],
+        [[1.0, 1.0], [-1.0, -1.0]],
+    ]
+    rows = [
+        (1, [0.1, 0.1, 1.0, 1.0]),     # codes (0, 0)
+        (2, [9.5, 9.5, -1.2, -0.8]),   # codes (1, 1)
+        (3, [10.0, 10.0, 1.0, 1.0]),   # codes (1, 0) — exact centroids
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes = pq_encode(vecs, books)
+    got = {r.vec_id: (r.pq0, r.pq1) for r in codes.collect()}
+    assert got == {1: (0, 0), 2: (1, 1), 3: (1, 0)}
+
+    # ADC with a query equal to doc 3's reconstruction -> its dist is 0
+    out = pq_adc_topk(codes, books, [10.0, 10.0, 1.0, 1.0], 3).collect()
+    assert out[0].vec_id == 3 and out[0].adc_dist == 0.0 and out[0].rank == 1
+    # doc 1 reconstructs to (0,0,1,1): dist = 100+100+0+0 = 200
+    d = {r.vec_id: r.adc_dist for r in out}
+    assert d[1] == 200.0
+
+
+def test_pq_encode_tie_lowest_code(spark):
+    from finiextestingide_spark.operators.similarity import pq_encode
+
+    books = [[[1.0], [1.0]]]  # identical codes -> exact tie
+    vecs = spark.createDataFrame([(1, [5.0])], "vec_id long, embedding array<double>")
+    (r,) = pq_encode(vecs, books).collect()
+    assert r.pq0 == 0
