@@ -76,6 +76,10 @@ TARGETS = [
     # end-to-end curation pipeline (joins the four audited stage plans)
     "winnow_pairs",
     "curated_corpus",
+    "winnow_containment_dedup",
+    "source_quality_rollup",
+    "unigram_perplexity",
+    "pq_adc_topk_10",
 ]
 
 
