@@ -96,7 +96,10 @@ HEADLINE = [
     # pipeline a curation job actually ships). streaming_ivf_assign is
     # deliberately NOT benched — drain-settle-dominated, the same
     # misleading-row shape streaming_minhash_lsh is excluded for; its
-    # scale story is the stateless-map argument in PLANS.md.
+    # scale story is the stateless-map argument in PLANS.md. Same for
+    # pq_adc_topk_10: at sf0.1 its wall is fixed job overhead (SCALE.md
+    # measured 1.05x for 10x vectors at sf10 — near-constant by design),
+    # so a bench row would time the harness, not the operator.
     "winnow_pairs",
     "curated_corpus",
 ]
