@@ -151,6 +151,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "source_quality_rollup",
     "unigram_perplexity",
     "pq_adc_topk_10",
+    "pq_recall_audit",
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",

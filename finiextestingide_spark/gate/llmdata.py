@@ -2948,6 +2948,93 @@ WHERE rank <= {_PQ_K}
 """
 
 
+_PQ_RECALL_NQ = 20
+
+
+def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ-ADC path vs exact squared-L2 ground truth (the
+    ANN-surface audit pattern of ivf_recall_audit, applied to the
+    compressed index)."""
+    books = _pq_codebooks(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    codes = sim.pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") < _PQ_RECALL_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.pq_recall(emb, codes, books, queries, _PQ_K)
+
+
+_L2_ORACLE = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> power(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE), 2)), (x, y) -> x + y)"
+)
+
+PQ_RECALL_AUDIT_SQL = f"""
+WITH cents AS (SELECT vec_id AS code, embedding AS cvec FROM embeddings
+               WHERE vec_id < {_PQ_CODES}),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {_PQ_RECALL_NQ}),
+dims AS (
+  SELECT e.vec_id, c.code, CAST((t.i - 1) // {_PQ_SUB} AS INT) AS j,
+         power(CAST(e.embedding[t.i] AS DOUBLE) - CAST(c.cvec[t.i] AS DOUBLE), 2) AS sq
+  FROM embeddings e
+  CROSS JOIN cents c
+  CROSS JOIN UNNEST(generate_series(1, {_PQ_M * _PQ_SUB})) AS t(i)
+),
+subd AS (SELECT vec_id, code, j, sum(sq) AS d FROM dims GROUP BY 1, 2, 3),
+best AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, code ASC) AS r
+    FROM subd)
+  WHERE r = 1
+),
+lutdims AS (
+  SELECT q.query_id, c.code, CAST((t.i - 1) // {_PQ_SUB} AS INT) AS j,
+         power(CAST(q.qv[t.i] AS DOUBLE) - CAST(c.cvec[t.i] AS DOUBLE), 2) AS sq
+  FROM q CROSS JOIN cents c
+  CROSS JOIN UNNEST(generate_series(1, {_PQ_M * _PQ_SUB})) AS t(i)
+),
+lut AS (
+  SELECT query_id, code, j, CAST(round(sum(sq), 6) AS DECIMAL(18,6)) AS d
+  FROM lutdims GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT l.query_id, b.vec_id, round(CAST(sum(l.d) AS DOUBLE), 6) AS adc_dist
+  FROM best b JOIN lut l ON l.j = b.j AND l.code = b.code
+  GROUP BY 1, 2
+),
+adc_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_dist ASC, vec_id ASC) AS r
+    FROM adc WHERE vec_id <> query_id)
+  WHERE r <= {_PQ_K}
+),
+truth AS (
+  SELECT q.query_id, e.vec_id,
+         round({_L2_ORACLE.format(a='e.embedding', b='q.qv')}, 6) AS l2
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+truth_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY l2 ASC, vec_id ASC) AS r
+    FROM truth)
+  WHERE r <= {_PQ_K}
+),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hits
+  FROM adc_top a JOIN truth_top t ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / {_PQ_K}, 6) AS recall
+FROM q LEFT JOIN hits h USING (query_id)
+"""
+
+
 # --- corpus-trained unigram LM score (CCNet-recipe perplexity signal) ---
 
 
@@ -3113,6 +3200,11 @@ QUERIES: dict[str, Query] = {
         pq_adc_topk_10,
         PQ_ADC_TOPK_10_SQL,
         "product-quantization ADC top-k (codes-only scan, decimal-exact ranking)",
+    ),
+    "pq_recall_audit": Query(
+        pq_recall_audit,
+        PQ_RECALL_AUDIT_SQL,
+        "PQ-ADC recall@k vs exact L2 ground truth",
     ),
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via content hash"),
     "dedup_keep_best": Query(

@@ -129,3 +129,26 @@ def test_pq_encode_tie_lowest_code(spark):
     vecs = spark.createDataFrame([(1, [5.0])], "vec_id long, embedding array<double>")
     (r,) = pq_encode(vecs, books).collect()
     assert r.pq0 == 0
+
+
+def test_pq_recall_exact_when_codebook_spans_corpus(spark):
+    from finiextestingide_spark.operators.similarity import pq_encode, pq_recall
+
+    # vectors sit exactly on codebook reconstructions -> ADC == exact L2
+    # -> recall@k is 1.0 for every query
+    books = [
+        [[0.0, 0.0], [4.0, 4.0]],
+        [[0.0, 0.0], [7.0, 7.0]],
+    ]
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [4.0, 4.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 7.0, 7.0]),
+        (3, [4.0, 4.0, 7.0, 7.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes = pq_encode(vecs, books)
+    queries = vecs.selectExpr("vec_id as query_id", "embedding")
+    out = pq_recall(vecs, codes, books, queries, 2).collect()
+    assert len(out) == 4
+    assert all(r.recall == 1.0 and r.n_hits == 2 for r in out)
