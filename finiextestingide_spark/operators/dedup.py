@@ -170,9 +170,14 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    # NO broadcast hint on the sizes side: sizes has one row per DOCUMENT,
+    # which at lake scale is billions of rows — forcing it into a broadcast
+    # fails regardless of how tight the pairs budget is. Unhinted, AQE
+    # broadcasts the small side it measures at runtime (the aggregated,
+    # threshold-filtered pairs table — bounded, while sizes is unbounded).
     out = (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.col("intersection") / (F.col("n_a") + F.col("n_b") - F.col("intersection")),

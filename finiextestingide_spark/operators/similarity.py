@@ -581,9 +581,17 @@ def assign_centroids_rowlocal(
     centroids, k*dim doubles — the output of ``lloyd_centroids``), so
     embedding it as literals is the streaming analogue of the batch form's
     ``F.broadcast``; at 1000 executors there is nothing to re-broadcast per
-    micro-batch and nothing in the state store. A zero vector (null cosine)
-    sorts below every real score and is only picked when ALL cosines are
-    null — same never-matched posture as the batch max_by.
+    micro-batch and nothing in the state store. Degenerate (zero) vectors:
+    the cosine is null against EVERY centroid, and all three forms of this
+    assignment agree on the result — the LOWEST centroid id. Here the
+    all-null structs compare equal on ``c`` and fall through to ``n``; in
+    the batch ``assign_centroids`` the max_by ordering struct is never
+    null (only its ``__cos`` field is), so nothing is skipped and the same
+    fall-through happens; and the DuckDB argmax oracle's
+    ``ORDER BY ccos DESC, centroid_id`` ranks the all-null group by id.
+    Verified empirically by test_rowlocal_zero_vector_matches_batch — a
+    degenerate vector gets the identical assignment whether it arrives in
+    the batch history or the streamed tail of a merged index.
 
     ``centroid_rows``: [(centroid_id, vector), ...] — collect them from the
     trained-quantizer frame; the caller owns keeping k bounded."""
@@ -696,8 +704,13 @@ def pq_adc_topk(
     scored = codes.select(
         F.col(id_col), F.round(total.cast("double"), 6).alias("adc_dist")
     )
-    top = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
-    w = Window.orderBy(F.asc("adc_dist"), F.asc(id_col))
+    # nulls LAST, not Spark's default nulls-first: a code value outside the
+    # supplied codebook produces a NULL lookup total (codes and codebooks
+    # are independent caller inputs, so a mismatch is reachable), and a
+    # nulls-first sort would silently seat those rows at the top of the
+    # top-k instead of excluding them.
+    top = scored.orderBy(F.asc_nulls_last("adc_dist"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.asc_nulls_last("adc_dist"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w))
 
 

@@ -252,9 +252,14 @@ def unigram_logprob_scores(
     summed as DECIMAL(28,6) (exact, order-independent — a raw double sum
     differs in the last ulp between engines' summation orders), then the
     mean divides as double and rounds. Scale shape: one word-keyed groupBy
-    (map-side combined) for the model, a broadcast join of the model back
-    onto the exploded stream (vocabulary << corpus), and one doc-keyed
-    aggregate; bodies never shuffle."""
+    (map-side combined) for the model, then the model joins back onto the
+    exploded stream WITHOUT a broadcast hint — vocabulary grows with the
+    corpus (Heaps' law: URLs, hashes, typos), so forcing a web-scale vocab
+    into a broadcast is a driver/executor memory wall. Unhinted, the join
+    keys on ``w`` — the exact partitioning the groupBy that built the model
+    just produced, so the model side's exchange is reused — and AQE still
+    broadcasts it at runtime when it measures small. One doc-keyed
+    aggregate closes; bodies never shuffle."""
     words = docs.select(
         F.col(id_col),
         F.explode(F.split(normalized_text(F.col(text)), " ")).alias("w"),
@@ -262,7 +267,7 @@ def unigram_logprob_scores(
     model = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     n_total = words.select(F.count(F.lit(1)).alias("__n"))
     scored = (
-        words.join(F.broadcast(model), "w")
+        words.join(model, "w")
         .crossJoin(F.broadcast(n_total))
         .select(
             F.col(id_col),

@@ -156,9 +156,11 @@ def winnow_candidate_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    # NO broadcast hint on sizes (one row per doc — unbounded at lake
+    # scale); AQE broadcasts the max_pairs-bounded pairs side at runtime.
     return (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn("containment", F.col("shared") / F.least("n_a", "n_b"))
         .select("id_a", "id_b", "shared", "n_a", "n_b", "containment")
     )
@@ -204,10 +206,14 @@ def containment_dedup(
         F.when(small_is_a, F.col("id_b")).otherwise(F.col("id_a")).alias("big_id"),
         F.when(small_is_a, F.col("n_b")).otherwise(F.col("n_a")).alias("big_n"),
     )
+    # min_by over (-big_n, big_id): largest fp-set wins, ties to the SMALLER
+    # big id — expressed as a minimization so the id field is used as-is
+    # (negating the id to phrase it as max_by breaks string doc ids, which
+    # winnow_fingerprints otherwise supports).
     drops = directed.groupBy("small_id").agg(
-        F.max_by(F.col("big_id"), F.struct(F.col("big_n"), (-F.col("big_id")).alias("nid"))).alias(
-            "dropped_into"
-        )
+        F.min_by(
+            F.col("big_id"), F.struct((-F.col("big_n")).alias("nn"), F.col("big_id"))
+        ).alias("dropped_into")
     )
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_fps"))
     return (

@@ -57,6 +57,35 @@ def test_rowlocal_tie_rule_lowest_centroid_wins(spark):
     assert r.centroid_id == 2
 
 
+def test_rowlocal_zero_vector_matches_batch(spark):
+    # a zero vector has null cosine against every centroid. All three
+    # assignment forms agree on LOWEST centroid id: batch max_by's ordering
+    # struct is never null (only its cosine field is) so nothing is
+    # skipped and the tie falls through to -id; the row-local array_max
+    # compares the all-null structs equal on cosine and falls through the
+    # same way; DuckDB's argmax oracle ranks the all-null group by
+    # centroid_id. Pins the r12-advisory question empirically: no
+    # batch/stream divergence for degenerate vectors in a merged index.
+    vectors = spark.createDataFrame(
+        [(10, [0.0, 0.0, 0.0]), (11, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    centroids = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [0.0, 1.0, 0.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    rows = [(1, [1.0, 2.0, 3.0]), (2, [0.0, 1.0, 0.0])]
+    batch = {
+        r.vec_id: r.centroid_id
+        for r in sim.assign_centroids(vectors, centroids).collect()
+    }
+    local = {
+        r.vec_id: r.centroid_id
+        for r in sim.assign_centroids_rowlocal(vectors, rows).collect()
+    }
+    assert batch[10] == 1 and local == batch
+
+
 def test_rowlocal_requires_centroids(spark):
     with pytest.raises(ValueError, match="no centroids"):
         sim.assign_centroids_rowlocal(_vectors(spark), [])
@@ -120,6 +149,24 @@ def test_pq_encode_and_adc(spark):
     # doc 1 reconstructs to (0,0,1,1): dist = 100+100+0+0 = 200
     d = {r.vec_id: r.adc_dist for r in out}
     assert d[1] == 200.0
+
+
+def test_pq_adc_unknown_code_sorts_last(spark):
+    from finiextestingide_spark.operators.similarity import pq_adc_topk
+
+    # a code value outside the supplied codebook (codes and codebooks are
+    # independent caller inputs, so a mismatch is reachable) produces a
+    # NULL lookup total — it must sink to the BOTTOM of the ranking, never
+    # silently occupy the top of the top-k (r12 advisory: Spark's default
+    # asc sort is nulls-first).
+    books = [[[0.0], [10.0]]]
+    codes = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 7)], "vec_id long, pq0 int"  # 7 not in codebook
+    )
+    out = pq_adc_topk(codes, books, [0.0], 3).collect()
+    assert [r.vec_id for r in out] == [1, 2, 3]
+    assert out[0].adc_dist == 0.0 and out[1].adc_dist == 100.0
+    assert out[2].adc_dist is None and out[2].rank == 3
 
 
 def test_pq_encode_tie_lowest_code(spark):

@@ -191,6 +191,43 @@ def test_containment_dedup_chain_keeps_maximal(spark):
     assert out[2].dropped_into == 3
 
 
+def test_containment_dedup_string_doc_ids(spark):
+    # winnow_fingerprints supports string doc ids; the keep-policy's
+    # biggest-target tiebreak must too (r12: the old max_by negated the id
+    # to break ties, which raises AnalysisException on strings).
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            ("doc-a", span),
+            ("doc-b", f"one two three {span} four five six seven eight nine"),
+            ("doc-c", "red green blue cyan magenta white black grey pink tan"),
+        ],
+        "doc_id string, text string",
+    )
+    fps = wn.winnow_fingerprints(docs, K, W)
+    pairs = wn.winnow_candidate_pairs(fps, 1)
+    out = {r.doc_id: r for r in wn.containment_dedup(fps, pairs, 0.8).collect()}
+    assert out["doc-a"].is_dropped and out["doc-a"].dropped_into == "doc-b"
+    assert not out["doc-b"].is_dropped and not out["doc-c"].is_dropped
+
+
+def test_containment_dedup_equal_size_tie_to_smaller_id(spark):
+    # equal fingerprint counts: the SMALLER id survives, the larger drops
+    # into it — pins the (big_n desc, big_id asc) tiebreak the min_by
+    # struct encodes.
+    fps = spark.createDataFrame(
+        [(1, "h1"), (1, "h2"), (2, "h1"), (2, "h2")],
+        "doc_id long, fp string",
+    ).select("doc_id", F.col("fp"), F.lit(0).alias("pos"))
+    pairs = spark.createDataFrame(
+        [(1, 2, 2, 2, 2, 1.0)],
+        "id_a long, id_b long, shared long, n_a long, n_b long, containment double",
+    )
+    out = {r.doc_id: r for r in wn.containment_dedup(fps, pairs, 0.8).collect()}
+    assert not out[1].is_dropped
+    assert out[2].is_dropped and out[2].dropped_into == 1
+
+
 def test_source_quality_rollup(spark):
     from finiextestingide_spark.operators.curation import source_quality_rollup
 
