@@ -335,6 +335,47 @@ def wait_for_idle(threshold: float = 8.0, max_wait_secs: float = 120.0) -> dict:
     }
 
 
+#: committed per-query idle bands on MIN-of-n (bench_certificates/
+#: idle_bands_sf{sf}.json). A headline row whose min lands OUTSIDE its
+#: band while the run shows contention (entry/end load above the idle
+#: threshold, a tainted or rejected sample on the row) is marked
+#: stale_pending_idle in the artifact — the discipline applied manually
+#: to replay_loadtest_40 in rounds 10-12 (VERDICT r12 What's-wrong #1),
+#: now structural. A breach on a CLEAN run is the opposite: a real
+#: signal, marked breach_idle so it is never read as noise.
+def _band_check(stats: dict, sf: str, idle_guard: dict, load_end: float,
+                threshold: float) -> dict:
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bench_certificates",
+        f"idle_bands_sf{sf}.json",
+    )
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        bands = json.load(f)["queries"]
+    contended_run = (
+        idle_guard.get("load1_at_start", 0.0) > threshold or load_end > threshold
+    )
+    out = {}
+    for name, s in stats.items():
+        band = bands.get(name)
+        if not band:
+            continue
+        lo, hi = band
+        row_dirty = (
+            contended_run or s.get("tainted_cotenant") or bool(s.get("rejected"))
+        )
+        if lo <= s["min"] <= hi:
+            status = "within"
+        elif row_dirty:
+            status = "stale_pending_idle"
+        else:
+            status = "breach_idle"
+        out[name] = {"band": [lo, hi], "min": s["min"], "status": status}
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     threshold = 8.0
@@ -354,9 +395,8 @@ def main() -> int:
         for r in s.get("rejected", ())
     ]
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
+    load_end = round(os.getloadavg()[0], 2)
+    artifact = {
                 "metric": "headline_queries_wall",
                 # Headline 'value' = sum of per-query MEDIANS of n=5 — the
                 # reference certificate's statistic ('3 runs, median
@@ -379,7 +419,13 @@ def main() -> int:
                 "value_min": round(sum(s["min"] for s in stats.values()), 4),
                 "queries_min": {name: s["min"] for name, s in stats.items()},
                 "idle_guard": idle_guard,
-                "load1_at_end": round(os.getloadavg()[0], 2),
+                "load1_at_end": load_end,
+                # committed-band audit (VERDICT r12 What's-wrong #1b): rows
+                # outside their idle band on a contended run are stale —
+                # re-measure before reading them as trends
+                "band_check": _band_check(
+                    stats, sf, idle_guard, load_end, threshold
+                ),
                 # per-SAMPLE rejections: samples discarded because non-
                 # our-tree processes burned >4 cores while they ran (empty
                 # = every recorded sample ran on an effectively idle box;
@@ -393,9 +439,18 @@ def main() -> int:
                     n for n, s in stats.items() if s.get("tainted_cotenant")
                 ],
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
+    }
+    line = json.dumps(artifact)
+    # ALSO persist the full stats to a file: BENCH_r12's driver artifact
+    # kept only a truncated stdout tail ("parsed": null) and lost the
+    # first ~14 rows' per-sample data — the committed file always parses
+    # (VERDICT r12 What's-wrong #1a).
+    stats_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_STATS.json"
     )
+    with open(stats_path, "w") as f:
+        f.write(line + "\n")
+    print(line)
     spark.stop()
     return 0
 

@@ -152,6 +152,10 @@ CURATED_ORDER: tuple[str, ...] = (
     "unigram_perplexity",
     "pq_adc_topk_10",
     "pq_recall_audit",
+    "pq_trained_codebooks",
+    "pq_trained_recall_audit",
+    "ivfpq_topk_10",
+    "bigram_perplexity",
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",

@@ -2814,12 +2814,20 @@ def curated_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_contamination=_DECON_MAX,
         min_words=_CUR_MIN_WORDS,
         min_stop_hits=_CUR_MIN_STOPS,
+        # fifth judgment (r13): span containment over winnowing
+        # fingerprints — the quoted-inclusion dup class MinHash passes
+        winnow_k=_WIN_K,
+        winnow_w=_WIN_W,
+        winnow_min_shared=_WIN_MIN_SHARED,
+        winnow_max_doc_freq=_WIN_MAX_DF,
+        min_containment=0.8,
     )
     return out.select(
         "doc_id",
         F.round("score", 6).alias("score"),
         "is_exact_dup",
         "is_near_dup",
+        "is_contained",
         "fails_quality",
         F.round("contamination", 6).alias("contamination"),
         "is_contaminated",
@@ -2852,20 +2860,46 @@ decon AS (
               ELSE 0.0 END AS contamination
   FROM (SELECT doc_id FROM documents) d
   LEFT JOIN shc USING (doc_id) LEFT JOIN hits h USING (doc_id)
-)
+),
+{_WINNOW_FPS_CTE},
+wcapped AS (
+  SELECT * FROM wfps
+  WHERE fp NOT IN (
+    SELECT fp FROM wfps GROUP BY 1 HAVING count(DISTINCT doc_id) > {_WIN_MAX_DF}
+  )
+),
+wsizes AS (SELECT doc_id, count(*) AS n FROM wcapped GROUP BY 1),
+wpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM wcapped a JOIN wcapped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {_WIN_MIN_SHARED}
+),
+wscored AS (
+  SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b,
+         CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+  FROM wpairs JOIN wsizes sa ON sa.doc_id = id_a JOIN wsizes sb ON sb.doc_id = id_b
+),
+wdirected AS (
+  SELECT CASE WHEN n_a < n_b OR (n_a = n_b AND id_a > id_b) THEN id_a ELSE id_b END AS small_id
+  FROM wscored WHERE containment >= 0.8
+),
+wdrops AS (SELECT DISTINCT small_id FROM wdirected)
 SELECT e.doc_id,
        round(e.score, 6) AS score,
        e.is_dropped AS is_exact_dup,
        n.is_dropped AS is_near_dup,
+       (w.small_id IS NOT NULL) AS is_contained,
        NOT g.keep AS fails_quality,
        round(d.contamination, 6) AS contamination,
        d.contamination > {_DECON_MAX} AS is_contaminated,
-       (NOT e.is_dropped AND NOT n.is_dropped AND g.keep
-        AND d.contamination <= {_DECON_MAX}) AS kept
+       (NOT e.is_dropped AND NOT n.is_dropped AND w.small_id IS NULL
+        AND g.keep AND d.contamination <= {_DECON_MAX}) AS kept
 FROM exact_side e
 JOIN near_side n USING (doc_id)
 JOIN gopher_side g USING (doc_id)
 JOIN decon d USING (doc_id)
+LEFT JOIN wdrops w ON w.small_id = e.doc_id
 """
 
 
@@ -3035,6 +3069,258 @@ FROM q LEFT JOIN hits h USING (query_id)
 """
 
 
+# --- TRAINED product quantization: per-subspace Lloyd codebooks (the
+#     production path — the seeded 8-code toy books above measure recall
+#     ≈ 0.18; training is what makes PQ usable). One grouped Lloyd trains
+#     all m codebooks in one plan; the oracle unrolls the same quantized
+#     trajectory per subspace. ---
+
+_PQT_CODES = 16
+_PQT_ITERS = 2
+
+
+def pq_trained_codebooks_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cb = sim.pq_train_codebooks(
+        _emb(spark, sf_dir), m=_PQ_M, k_codes=_PQT_CODES, iters=_PQT_ITERS
+    )
+    return cb.select(
+        "j", "code", F.posexplode("embedding").alias("pos", "value")
+    ).select("j", "code", "pos", F.round("value", 6).alias("value"))
+
+
+def _pqt_subs_sql() -> str:
+    w = _PQ_SUB
+    return f"""
+subs AS (
+  SELECT e.vec_id, CAST(s.j AS INTEGER) AS j,
+         list_transform(generate_series(1, {w}),
+                        i -> CAST(e.embedding[s.j * {w} + i] AS DOUBLE)) AS sv
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j) s
+),
+init AS (
+  SELECT j, CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INTEGER) AS code,
+         list_transform(sv, x -> round(x, 6)) AS cv
+  FROM (SELECT * FROM subs
+        QUALIFY row_number() OVER (PARTITION BY j ORDER BY vec_id) <= {_PQT_CODES})
+)"""
+
+
+def _pqt_iter_sql(i: int, prev: str) -> str:
+    w = _PQ_SUB
+    return f"""
+a{i} AS (
+  SELECT s.vec_id, s.j, s.sv, c.code,
+         list_reduce(list_transform(generate_series(1, {w}),
+                                    t -> power(s.sv[t] - c.cv[t], 2)),
+                     (x, y) -> x + y) AS l2
+  FROM subs s JOIN {prev} c ON c.j = s.j
+),
+b{i} AS (
+  SELECT vec_id, j, sv, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY j, vec_id ORDER BY l2, code) AS rn
+    FROM a{i}) WHERE rn = 1
+),
+m{i} AS (
+  SELECT j, code, t.pos - 1 AS pos, round(avg(sv[t.pos]), 6) AS mv
+  FROM b{i} b, UNNEST(generate_series(1, {w})) AS t(pos)
+  GROUP BY 1, 2, 3
+),
+c{i} AS (
+  SELECT p.j, p.code,
+         CASE WHEN count(m.pos) = 0 THEN p.cv
+              ELSE list(m.mv ORDER BY m.pos) END AS cv
+  FROM {prev} p LEFT JOIN m{i} m ON m.j = p.j AND m.code = p.code
+  GROUP BY p.j, p.code, p.cv
+)"""
+
+
+def _pqt_train_ctes() -> str:
+    return _pqt_subs_sql() + "," + ",".join(
+        _pqt_iter_sql(i, "init" if i == 1 else f"c{i - 1}")
+        for i in range(1, _PQT_ITERS + 1)
+    )
+
+
+PQ_TRAINED_CODEBOOKS_SQL = (
+    "WITH "
+    + _pqt_train_ctes()
+    + f"""
+SELECT j, code, CAST(t.pos - 1 AS INTEGER) AS pos,
+       round(CAST(c.cv[t.pos] AS DOUBLE), 6) AS value
+FROM c{_PQT_ITERS} c, UNNEST(generate_series(1, {_PQ_SUB})) AS t(pos)
+"""
+)
+
+
+def pq_trained_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the TRAINED-codebook PQ-ADC path vs exact squared-L2
+    ground truth — the production configuration of the compressed index
+    (16 Lloyd-trained codes/subspace vs the seeded 8-code toy books of
+    pq_recall_audit; measured curve on operators.similarity.pq_recall)."""
+    emb = _emb(spark, sf_dir)
+    cb = sim.pq_train_codebooks(
+        emb, m=_PQ_M, k_codes=_PQT_CODES, iters=_PQT_ITERS
+    )
+    books = sim.collect_codebooks(cb)
+    codes = sim.pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") < _PQ_RECALL_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.pq_recall(emb, codes, books, queries, _PQ_K)
+
+
+PQ_TRAINED_RECALL_AUDIT_SQL = (
+    "WITH "
+    + _pqt_train_ctes()
+    + f""",
+cb AS (SELECT j, code, cv FROM c{_PQT_ITERS}),
+dims AS (
+  SELECT e.vec_id, c.j, c.code,
+         list_reduce(list_transform(generate_series(1, {_PQ_SUB}),
+             t -> power(CAST(e.embedding[c.j * {_PQ_SUB} + t] AS DOUBLE) - c.cv[t], 2)),
+             (x, y) -> x + y) AS d
+  FROM embeddings e CROSS JOIN cb c
+),
+best AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, code ASC) AS r
+    FROM dims) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {_PQ_RECALL_NQ}),
+lut AS (
+  SELECT q.query_id, c.j, c.code,
+         CAST(round(list_reduce(list_transform(generate_series(1, {_PQ_SUB}),
+             t -> power(CAST(q.qv[c.j * {_PQ_SUB} + t] AS DOUBLE) - c.cv[t], 2)),
+             (x, y) -> x + y), 6) AS DECIMAL(18,6)) AS d
+  FROM q CROSS JOIN cb c
+),
+adc AS (
+  SELECT l.query_id, b.vec_id, round(CAST(sum(l.d) AS DOUBLE), 6) AS adc_dist
+  FROM best b JOIN lut l ON l.j = b.j AND l.code = b.code
+  GROUP BY 1, 2
+),
+adc_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_dist ASC, vec_id ASC) AS r
+    FROM adc WHERE vec_id <> query_id)
+  WHERE r <= {_PQ_K}
+),
+truth AS (
+  SELECT q.query_id, e.vec_id,
+         round({_L2_ORACLE.format(a='e.embedding', b='q.qv')}, 6) AS l2
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+truth_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY l2 ASC, vec_id ASC) AS r
+    FROM truth)
+  WHERE r <= {_PQ_K}
+),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hits
+  FROM adc_top a JOIN truth_top t ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / {_PQ_K}, 6) AS recall
+FROM q LEFT JOIN hits h USING (query_id)
+"""
+)
+
+
+# --- IVF-PQ: coarse IVF cell selection + trained-PQ ADC inside the probed
+#     cell — the composed billion-vector layout (cells prune the scan,
+#     codes compress what's left). ---
+
+
+def ivfpq_topk_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < _IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    cb = sim.pq_train_codebooks(
+        emb, m=_PQ_M, k_codes=_PQT_CODES, iters=_PQT_ITERS
+    )
+    books = sim.collect_codebooks(cb)
+    query = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    assigned = sim.assign_centroids(emb, centroids)
+    return sim.ivfpq_topk(
+        assigned, books, centroids, query, _PQ_K, nprobe=1, exclude_id=0
+    )
+
+
+IVFPQ_TOPK_10_SQL = (
+    "WITH "
+    + _pqt_train_ctes()
+    + f""",
+cb AS (SELECT j, code, cv FROM c{_PQT_ITERS}),
+cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+          WHERE vec_id < {_IVF_NCENTROIDS}),
+coarse AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_cos_sql('e.embedding', 'c.cvec')} AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, centroid_id) AS r
+    FROM coarse) WHERE r = 1
+),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT centroid_id
+  FROM (SELECT c.centroid_id, {_cos_sql('c.cvec', 'q.qv')} AS pcos
+        FROM cents c, qv q
+        ORDER BY pcos DESC, centroid_id LIMIT 1)
+),
+bucket AS (
+  SELECT a.vec_id, a.embedding FROM assigned a
+  JOIN probe p ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> 0
+),
+dims AS (
+  SELECT e.vec_id, c.j, c.code,
+         list_reduce(list_transform(generate_series(1, {_PQ_SUB}),
+             t -> power(CAST(e.embedding[c.j * {_PQ_SUB} + t] AS DOUBLE) - c.cv[t], 2)),
+             (x, y) -> x + y) AS d
+  FROM bucket e CROSS JOIN cb c
+),
+best AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, code ASC) AS r
+    FROM dims) WHERE r = 1
+),
+lut AS (
+  SELECT c.j, c.code,
+         CAST(round(list_reduce(list_transform(generate_series(1, {_PQ_SUB}),
+             t -> power(CAST(q.qv[c.j * {_PQ_SUB} + t] AS DOUBLE) - c.cv[t], 2)),
+             (x, y) -> x + y), 6) AS DECIMAL(18,6)) AS d
+  FROM qv q CROSS JOIN cb c
+),
+scored AS (
+  SELECT b.vec_id, round(CAST(sum(l.d) AS DOUBLE), 6) AS adc_dist
+  FROM best b JOIN lut l ON l.j = b.j AND l.code = b.code
+  GROUP BY 1
+)
+SELECT vec_id, adc_dist, rank FROM (
+  SELECT vec_id, adc_dist,
+         row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {_PQ_K}
+"""
+)
+
+
 # --- corpus-trained unigram LM score (CCNet-recipe perplexity signal) ---
 
 
@@ -3065,6 +3351,59 @@ SELECT doc_id, n_words,
        round(CAST(lpsum AS DOUBLE) / n_words, 6) AS avg_logprob,
        round(exp(-round(CAST(lpsum AS DOUBLE) / n_words, 6)), 6) AS pseudo_ppl
 FROM agg
+"""
+
+
+# --- corpus-trained interpolated unigram/bigram LM score (the next step
+#     toward the CCNet/KenLM recipe; delta to true KenLM documented on the
+#     operator). λ literals are embedded via repr() so BOTH engines parse
+#     the exact same doubles (1.0 - 0.3 != literal 0.7 in IEEE). ---
+
+_BG_LAM = 0.3
+
+
+def bigram_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.bigram_logprob_scores(_docs(spark, sf_dir), _BG_LAM)
+
+
+BIGRAM_PERPLEXITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+w AS (SELECT doc_id, u.w FROM t, UNNEST(ws) AS u(w)),
+uni AS (SELECT w, count(*) AS cw FROM w GROUP BY 1),
+n AS (SELECT count(*) AS total FROM w),
+pairs AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM t, UNNEST(generate_series(1, len(ws) - 1)) AS s(i)
+  WHERE len(ws) >= 2
+),
+bi AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+pre AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(ln({_BG_LAM!r} * CAST(u.cw AS DOUBLE) / n.total
+                       + {1.0 - _BG_LAM!r} * CAST(b.c12 AS DOUBLE) / pre.c1), 6)
+              AS DECIMAL(28,6)) AS lp
+  FROM pairs p
+  JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+  JOIN pre ON pre.w1 = p.w1
+  JOIN uni u ON u.w = p.w2, n
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions, sum(lp) AS lpsum
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_transitions, 0) AS BIGINT) AS n_transitions,
+       floor(CAST(a.lpsum AS DOUBLE) / a.n_transitions * 1000000.0 + 0.5) / 1000000.0
+         AS avg_logprob,
+       floor(exp(-(floor(CAST(a.lpsum AS DOUBLE) / a.n_transitions * 1000000.0 + 0.5)
+                   / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 AS pseudo_ppl
+FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
 """
 
 
@@ -3196,6 +3535,11 @@ QUERIES: dict[str, Query] = {
         UNIGRAM_PERPLEXITY_SQL,
         "corpus-trained unigram LM score (CCNet-recipe perplexity signal)",
     ),
+    "bigram_perplexity": Query(
+        bigram_perplexity_gate,
+        BIGRAM_PERPLEXITY_SQL,
+        "interpolated unigram/bigram LM score (toward the CCNet/KenLM recipe)",
+    ),
     "pq_adc_topk_10": Query(
         pq_adc_topk_10,
         PQ_ADC_TOPK_10_SQL,
@@ -3205,6 +3549,21 @@ QUERIES: dict[str, Query] = {
         pq_recall_audit,
         PQ_RECALL_AUDIT_SQL,
         "PQ-ADC recall@k vs exact L2 ground truth",
+    ),
+    "pq_trained_codebooks": Query(
+        pq_trained_codebooks_gate,
+        PQ_TRAINED_CODEBOOKS_SQL,
+        "per-subspace Lloyd-trained PQ codebooks (grouped quantized k-means)",
+    ),
+    "pq_trained_recall_audit": Query(
+        pq_trained_recall_audit,
+        PQ_TRAINED_RECALL_AUDIT_SQL,
+        "trained-codebook PQ-ADC recall@k vs exact L2 (production PQ config)",
+    ),
+    "ivfpq_topk_10": Query(
+        ivfpq_topk_10,
+        IVFPQ_TOPK_10_SQL,
+        "IVF-PQ: coarse cell probe + trained-PQ ADC top-k inside the cell",
     ),
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via content hash"),
     "dedup_keep_best": Query(

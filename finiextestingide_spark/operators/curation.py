@@ -38,6 +38,7 @@ from .text import (
     quality_score,
     whitespace_token_count,
 )
+from .winnow import containment_dedup, winnow_candidate_pairs, winnow_fingerprints
 
 
 def curate_corpus(
@@ -52,20 +53,35 @@ def curate_corpus(
     max_contamination: float = 0.1,
     min_words: int = 50,
     min_stop_hits: int = 2,
+    winnow_k: int | None = None,
+    winnow_w: int = 4,
+    winnow_min_shared: int = 2,
+    winnow_max_doc_freq: int | None = None,
+    min_containment: float = 0.8,
     id_col: str = "doc_id",
     text: str = "text",
 ) -> DataFrame:
     """Per-document curation decision table.
 
-    Output: (id_col, score, is_exact_dup, is_near_dup, fails_quality,
-    contamination, is_contaminated, kept) — one row per input document.
+    Output: (id_col, score, is_exact_dup, is_near_dup[, is_contained],
+    fails_quality, contamination, is_contaminated, kept) — one row per
+    input document.
 
     ``eval_docs`` is the held-out benchmark corpus; a document whose
     shingle overlap with it exceeds ``max_contamination`` is flagged (and a
     benchmark document that leaked into the input is ~fully contaminated,
     which is exactly the removal decontamination exists for). ``score``
     defaults to the engine's deterministic quality heuristic rounded to 6
-    decimals (cross-engine reproducible keep-best ties)."""
+    decimals (cross-engine reproducible keep-best ties).
+
+    ``winnow_k`` (opt-in) adds the FIFTH judgment — span containment: a
+    document whose winnowing fingerprints are >= ``min_containment``
+    contained in a larger document is flagged ``is_contained`` and dropped
+    (`winnow.containment_dedup`). This is the quoted-inclusion dup class
+    whole-doc MinHash never fires on: a short doc pasted inside a long one
+    has low whole-doc Jaccard but ~1.0 span containment. Independent like
+    the other four flags (computed over the full input); a doc too short
+    to fingerprint is trivially uncontained."""
     sc = score if score is not None else F.round(quality_score(F.col(text)), 6)
 
     exact = exact_dedup_keep_best(docs, sc, id_col=id_col, text=text).select(
@@ -98,28 +114,37 @@ def curate_corpus(
         F.col("contamination"),
         (~F.col("keep")).alias("is_contaminated"),
     )
-    return (
-        exact.join(near, id_col)
-        .join(quality, id_col)
-        .join(decon, id_col)
-        .withColumn(
-            "kept",
-            ~F.col("is_exact_dup")
-            & ~F.col("is_near_dup")
-            & ~F.col("fails_quality")
-            & ~F.col("is_contaminated"),
-        )
-        .select(
-            id_col,
-            "score",
-            "is_exact_dup",
-            "is_near_dup",
-            "fails_quality",
-            "contamination",
-            "is_contaminated",
-            "kept",
-        )
+    out = exact.join(near, id_col).join(quality, id_col).join(decon, id_col)
+    kept = (
+        ~F.col("is_exact_dup")
+        & ~F.col("is_near_dup")
+        & ~F.col("fails_quality")
+        & ~F.col("is_contaminated")
     )
+    cols = [
+        id_col,
+        "score",
+        "is_exact_dup",
+        "is_near_dup",
+        "fails_quality",
+        "contamination",
+        "is_contaminated",
+        "kept",
+    ]
+    if winnow_k is not None:
+        fps = winnow_fingerprints(docs, winnow_k, winnow_w, id_col=id_col, text=text)
+        pairs = winnow_candidate_pairs(
+            fps, winnow_min_shared, id_col=id_col, max_doc_freq=winnow_max_doc_freq
+        )
+        cont = containment_dedup(fps, pairs, min_containment, id_col=id_col).select(
+            F.col(id_col), F.col("is_dropped").alias("__contained")
+        )
+        out = out.join(cont, id_col, "left").withColumn(
+            "is_contained", F.coalesce(F.col("__contained"), F.lit(False))
+        )
+        kept = kept & ~F.col("is_contained")
+        cols.insert(4, "is_contained")
+    return out.withColumn("kept", kept).select(*cols)
 
 
 def source_quality_rollup(

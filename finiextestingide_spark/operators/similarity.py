@@ -892,3 +892,195 @@ def lloyd_centroids(
             .localCheckpoint()
         )
     return centroids
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 as the left-to-right double fold — the same evaluation
+    order as DuckDB's ``list_reduce(list_transform(...), (x,y) -> x+y)``,
+    so both engines produce bit-identical distances (the `pq_recall` truth
+    side already relies on this fold-order match)."""
+    ad, bd = _as_double(a), _as_double(b)
+    return F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_train_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """TRAIN product-quantization codebooks: deterministic quantized Lloyd
+    k-means run independently in each of the ``m`` contiguous subspaces —
+    the production path `pq_encode`'s docstring names (a seeded 8-code toy
+    book measured recall@10 ≈ 0.18 on the gate corpus; trained books are
+    how real PQ indexes reach useful recall, see the curve on `pq_recall`).
+
+    One GROUPED Lloyd instead of m driver-looped ones: vectors explode to
+    (subspace j, id, subvector) rows, and every training step carries ``j``
+    as a key, so all m codebooks train in the same three-job-per-iteration
+    plan — assignment is a broadcast join against the (m * k_codes)-row
+    codebook table (bounded by construction, the one legitimate broadcast
+    of this family) + a map-side-combined min_by per (j, id); means shuffle
+    keyed (j, code, dim position), skew bounded by m * k_codes * width.
+    Nothing here scales with corpus size except the two narrow passes over
+    the subvector stream.
+
+    Determinism mirrors ``lloyd_centroids`` exactly: seeds = the k_codes
+    smallest-id subvectors per subspace (re-coded 0..k-1 in id order,
+    rounded to ``round_dp``), squared-L2 assignment with ties to the
+    LOWEST code, per-round means QUANTIZED to ``round_dp`` decimals (the
+    rounding collapses both engines onto one trajectory — an unrounded
+    mean differs in the last ulp between summation orders and Lloyd
+    amplifies that into different assignments next round), empty clusters
+    keep their previous centroid, per-round localCheckpoint (m * k_codes
+    rows) to keep Catalyst analysis flat.
+
+    Returns (j int, code int, ``vec_col`` array<double>) — feed through
+    ``collect_codebooks`` into `pq_encode` / `pq_adc_topk` / `pq_recall`.
+    The vector width is read from one planning-time row (bounded scalar
+    collect, the `lloyd_centroids` posture)."""
+    first = vectors.select(F.size(_as_double(F.col(vec_col))).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_train_codebooks: empty vectors frame")
+    dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(f"pq_train_codebooks: dim {dim} not divisible by m={m}")
+    width = dim // m
+    vd = _as_double(F.col(vec_col))
+    subs = vectors.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(vd, j * width + 1, width).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("__s"),
+    ).select(id_col, F.col("__s.j").alias("j"), F.col("__s.sv").alias("sv"))
+
+    seed_w = Window.partitionBy("j").orderBy(F.col(id_col))
+    codebooks = (
+        subs.withColumn("__r", F.row_number().over(seed_w))
+        .where(F.col("__r") <= k_codes)
+        .select(
+            "j",
+            (F.col("__r") - 1).cast("int").alias("code"),
+            F.transform(F.col("sv"), lambda x: F.round(x, round_dp)).alias("cv"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        scored = subs.join(F.broadcast(codebooks), "j").select(
+            "j",
+            id_col,
+            "sv",
+            "code",
+            sq_l2(F.col("sv"), F.col("cv")).alias("__l2"),
+        )
+        assigned = (
+            scored.groupBy("j", id_col)
+            .agg(
+                F.min_by(
+                    F.struct("code", "sv"), F.struct(F.col("__l2"), F.col("code"))
+                ).alias("__b")
+            )
+            .select("j", F.col("__b.code").alias("code"), F.col("__b.sv").alias("sv"))
+        )
+        means = (
+            assigned.select("j", "code", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("j", "code", "pos")
+            .agg(F.round(F.avg("v"), round_dp).alias("mv"))
+            .groupBy("j", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda s: s["mv"],
+                ).alias("__new")
+            )
+        )
+        codebooks = (
+            codebooks.join(means, ["j", "code"], "left")
+            .select("j", "code", F.coalesce("__new", F.col("cv")).alias("cv"))
+            .localCheckpoint()
+        )
+    return codebooks.select("j", "code", F.col("cv").alias(vec_col))
+
+
+def collect_codebooks(codebooks: DataFrame, *, vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Materialize a trained codebook frame (j, code, vec) into the nested
+    list shape `pq_encode`/`pq_adc_topk`/`pq_recall` take. Bounded by
+    construction: m * k_codes rows (the trained quantizer — same driver
+    posture as `assign_centroids_rowlocal`'s centroid list)."""
+    rows = codebooks.select("j", "code", vec_col).collect()
+    if not rows:
+        raise ValueError("collect_codebooks: empty codebook frame")
+    m = max(int(r["j"]) for r in rows) + 1
+    books: list[dict[int, list[float]]] = [dict() for _ in range(m)]
+    for r in rows:
+        books[int(r["j"])][int(r["code"])] = [float(x) for x in r[vec_col]]
+    out = []
+    for j, d in enumerate(books):
+        if sorted(d) != list(range(len(d))):
+            raise ValueError(f"collect_codebooks: non-contiguous codes in subspace {j}")
+        out.append([d[c] for c in range(len(d))])
+    return out
+
+
+def ivfpq_topk(
+    assigned: DataFrame,
+    sub_centroids: list[list[list[float]]],
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    exclude_id=None,
+) -> DataFrame:
+    """IVF-PQ: coarse cell selection + asymmetric-distance top-k inside the
+    probed cells — the composed layout of billion-vector indexes (FAISS's
+    IVFADC): the coarse quantizer prunes the scan to nprobe/nlist of the
+    corpus, PQ codes compress what is left to m bytes per vector, and the
+    query stays un-quantized on both stages.
+
+    ``assigned`` is the `assign_centroids` output (vectors + cell id);
+    ``sub_centroids`` the trained codebooks (`pq_train_codebooks` through
+    `collect_codebooks`). Probe selection scores the bounded centroid table
+    against the literal query (cosine — the same coarse metric the
+    assignment used) and keeps the nprobe best; the ADC stage is
+    `pq_adc_topk`'s zero-exchange shape over only the probed cells' codes.
+
+    Encode-at-query here keeps the operator self-contained for the gate
+    corpus; the production layout runs `pq_encode` ONCE at ingest and
+    stores the code columns partitioned by cell id, so a query reads
+    nprobe/nlist of an m-bytes-per-vector table via partition pruning and
+    the raw vectors never load."""
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe = (
+        centroids.select(
+            F.col(centroid_id),
+            cosine(F.col(vec_col), qv).alias("__pcos"),
+        )
+        .orderBy(F.desc("__pcos"), F.asc(centroid_id))
+        .limit(nprobe)
+        .select(centroid_id)
+    )
+    bucket = assigned.join(F.broadcast(probe), centroid_id)
+    if exclude_id is not None:
+        bucket = bucket.where(F.col(id_col) != F.lit(exclude_id))
+    codes = pq_encode(bucket, sub_centroids, vec_col=vec_col)
+    return pq_adc_topk(codes, sub_centroids, query_vec, k, id_col=id_col)

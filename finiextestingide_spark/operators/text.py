@@ -298,6 +298,113 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    docs: DataFrame,
+    interp_uni: float = 0.3,
+    *,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Corpus-trained INTERPOLATED unigram/bigram language-model score per
+    document — the next step from `unigram_logprob_scores` toward the
+    CCNet/KenLM 5-gram filtering recipe, still trained from the corpus
+    itself in one pass (no external model artifact):
+
+        p(w_i | w_{i-1}) = interp_uni * count(w_i)/N
+                         + (1 - interp_uni) * count(w_{i-1} w_i)/prefix(w_{i-1})
+
+    with ``prefix(w)`` = occurrences of w as a bigram LEFT element (so the
+    bigram term is a proper conditional over observed transitions), and
+    avg_logprob = mean over a document's TRANSITIONS of ln(p). The unigram
+    interpolation is what makes the model useful as a filter: a rare
+    continuation after a common word scores low, but never -inf. Documents
+    with fewer than two tokens have no transitions: n_transitions = 0 and
+    null scores.
+
+    Remaining delta to true KenLM (documented, deliberate): order 2 vs 5,
+    fixed-weight interpolation vs modified-Kneser-Ney discounting, and no
+    out-of-corpus vocabulary — closing those requires an external trained
+    artifact, which this engine's oracle-verified posture excludes.
+
+    Determinism: each transition's ln(p) is computed from exact count
+    ratios in a fixed expression order (IEEE-deterministic cross-engine),
+    rounded to 6 decimals and summed as DECIMAL(28,6) — order-independent;
+    the only residual cross-engine risk is the documented libm ln()
+    last-ulp flip at a rounding boundary (same class as the unigram gate's
+    disclosed sf1 tolerance). The FINAL per-doc mean uses the floor form
+    ``floor(x*1e6 + 0.5)/1e6``, not round(): a decimal-exact sum divided
+    by an integer can land exactly on a half boundary (observed at sf0.01:
+    sum -141.918063 over 42 transitions = exactly -3.3790015), where
+    Spark's HALF_UP-on-BigDecimal and DuckDB's float-math round() disagree
+    — the floor form is bit-deterministic on both engines given identical
+    input doubles.
+
+    Scale shape: transitions are formed NARROW (adjacent-pair zip inside
+    each row's token array — no window, no shuffle); the three model
+    aggregations (unigram, bigram, prefix) are map-side combined; the
+    model joins back onto the transition stream carry NO broadcast hint
+    (vocabulary and bigram tables grow with the corpus — Heaps' law; AQE
+    broadcasts them only while they measure small, and the sort-merge
+    fallback keys match the aggregations' own partitioning); one doc-keyed
+    aggregate closes. Bodies never shuffle."""
+    ws = F.filter(
+        F.split(normalized_text(F.col(text)), " "), lambda x: x != ""
+    )
+    toks = docs.select(F.col(id_col), ws.alias("__ws"))
+    words = toks.select(F.explode("__ws").alias("w"))
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("__cw"))
+    n_total = words.select(F.count(F.lit(1)).alias("__n"))
+
+    pairs = toks.where(F.size("__ws") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(__ws, 1, size(__ws) - 1)"),
+                F.expr("slice(__ws, 2, size(__ws) - 1)"),
+            )
+        ).alias("__p"),
+    ).select(
+        id_col, F.col("__p.0").alias("w1"), F.col("__p.1").alias("w2")
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    prefix = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+
+    lam = float(interp_uni)
+    p = F.lit(lam) * F.col("__cw") / F.col("__n") + F.lit(1.0 - lam) * F.col(
+        "__c12"
+    ) / F.col("__c1")
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(prefix, ["w1"])
+        .join(uni.withColumnRenamed("w", "w2"), ["w2"])
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col(id_col),
+            F.round(F.log(p), 6).cast("decimal(28,6)").alias("__lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.sum("__lp").alias("__lpsum"),
+    )
+    def _floor6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    avg = _floor6(F.col("__lpsum").cast("double") / F.col("n_transitions"))
+    return (
+        docs.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_transitions"), F.lit(0)).cast("long").alias(
+                "n_transitions"
+            ),
+            avg.alias("avg_logprob"),
+            _floor6(F.exp(-avg)).alias("pseudo_ppl"),
+        )
+    )
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

@@ -59,3 +59,50 @@ def test_no_eval_overlap_keeps_clean_docs(spark):
     }
     assert out[1].kept and out[5].kept
     assert all(not r.is_contaminated for r in out.values())
+
+
+def test_span_containment_fifth_judgment(spark):
+    # A short doc quoted wholesale inside a much longer one: whole-doc
+    # Jaccard is LOW (the long doc has many extra shingles) so MinHash
+    # alone keeps it — only the span-containment judgment catches it.
+    quote = (
+        "the ancient library on the hill kept scrolls of maps and letters "
+        "from distant lands over many long years of quiet study"
+    )
+    filler1 = (
+        "morning light drifts across the valley while farmers tend their "
+        "quiet fields and rivers move beneath old wooden bridges toward the sea"
+    )
+    filler2 = (
+        "evening shadows settle over the town as lanterns glow along narrow "
+        "streets and travelers rest beside warm fires until dawn arrives"
+    )
+    rows = [
+        (1, quote),                            # wholly contained in 2
+        (2, f"{filler1} {quote} {filler2}"),   # the containing doc
+        (3, "totally unrelated clean text about rivers mountains valleys "
+            "and the weather patterns of the northern hemisphere today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(99, "separate benchmark corpus with its own words entirely")],
+        "doc_id long, text string",
+    )
+    base = dict(min_words=5, min_stop_hits=1, min_jaccard=0.5)
+    # without the winnow judgment: doc 1 passes (not an exact or near dup)
+    plain = {
+        r.doc_id: r for r in curate_corpus(docs, ev, **base).collect()
+    }
+    assert not plain[1].is_near_dup and plain[1].kept
+    assert "is_contained" not in plain[1].asDict()
+    # with it: doc 1 is flagged contained and dropped; 2 and 3 survive
+    spans = {
+        r.doc_id: r
+        for r in curate_corpus(
+            docs, ev, winnow_k=3, winnow_w=4, winnow_min_shared=2, **base
+        ).collect()
+    }
+    assert spans[1].is_contained and not spans[1].is_near_dup
+    assert not spans[1].kept
+    assert spans[2].kept and spans[3].kept
+    assert not spans[2].is_contained and not spans[3].is_contained

@@ -258,3 +258,27 @@ def test_unigram_logprob_scores(spark):
     # rare words -> lower logprob -> higher pseudo perplexity
     assert out[2].avg_logprob < out[1].avg_logprob
     assert out[2].pseudo_ppl > out[1].pseudo_ppl
+
+
+def test_bigram_logprob_scores(spark):
+    # hand-computed on a 2-doc corpus: doc 1 = "a b a b", doc 2 = "a".
+    # unigrams: a:3, b:2, N=5; bigrams: (a,b):2, (b,a):1; prefix: a:2, b:1
+    # p(a->b) = .3*(2/5) + .7*1 = .82 ; p(b->a) = .3*(3/5) + .7*1 = .88
+    # doc 1 transitions: (a,b),(b,a),(a,b) ->
+    #   avg = (2*round(ln .82, 6) + round(ln .88, 6)) / 3, floor-6 form
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a"), (3, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in tx.bigram_logprob_scores(docs, 0.3).collect()}
+    lp_ab = round(math.log(0.3 * (2 / 5) + (1.0 - 0.3) * 1.0), 6)
+    lp_ba = round(math.log(0.3 * (3 / 5) + (1.0 - 0.3) * 1.0), 6)
+    want = math.floor((2 * lp_ab + lp_ba) / 3 * 1e6 + 0.5) / 1e6
+    assert out[1].n_transitions == 3
+    assert out[1].avg_logprob == want
+    assert out[1].pseudo_ppl == math.floor(math.exp(-want) * 1e6 + 0.5) / 1e6
+    # a one-token or empty doc has no transitions and null scores
+    for d in (2, 3):
+        assert out[d].n_transitions == 0
+        assert out[d].avg_logprob is None and out[d].pseudo_ppl is None
