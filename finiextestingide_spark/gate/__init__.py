@@ -84,10 +84,30 @@ from ._util import Query  # noqa: F401
 # and OUT live_clipping_report (family kept by clipping_ledger_roundtrip)
 # for the NEW curated_corpus — the end-to-end curation decision table
 # whose oracle composes the verified stage oracles.
+#
+# Round-13 rotation (VERDICT r12 #4, rotation round 6): IN the six r12
+# gates the driver has never verified — winnow_fingerprints,
+# winnow_containment_dedup, source_quality_rollup, unigram_perplexity,
+# pq_adc_topk_10, pq_recall_audit — plus the four NEW round-13 gates:
+# pq_trained_codebooks + pq_trained_recall_audit (Lloyd-trained PQ, the
+# production config VERDICT r12 #2 asked for), ivfpq_topk_10 (the
+# composed IVF-PQ layout), bigram_perplexity (the interpolated LM step
+# toward CCNet/KenLM, VERDICT r12 #7). OUT 10 multi-round veterans, each
+# family still represented in-window and all kept green by check_gate +
+# pytest: top_unshipped_orders (relational kept by order_reconciliation/
+# drift_audit; O2 pinned by rank_runs pytest), sweep_sensitivity (A11
+# kept by priority_sensitivity at 51+ & sweep pytest golden),
+# dedup_keep_best (exact-dedup family kept by curated_corpus's exact
+# side + streaming_dedup_exact), lsh_ann_topk_5 + lsh_ann_multiprobe_8
+# (ANN family keeps ivf_recall_audit + the whole PQ block),
+# contamination_3gram + decontaminated_train (decon is a verified side
+# of curated_corpus), token_budget_mix (greedy variant stays),
+# sample_deterministic_30 (stratified_sample_audit stays), and
+# multimodal_frames (codec family keeps 4 in-window gates incl. both
+# frame surfaces' shared decode path).
 CURATED_ORDER: tuple[str, ...] = (
     # relational core
     "winnow_pairs",
-    "top_unshipped_orders",
     "order_reconciliation",
     "streaming_reconcile_restart",
     "merged_reconcile_view",
@@ -105,8 +125,6 @@ CURATED_ORDER: tuple[str, ...] = (
     "replay_limit_oracle",
     "replay_pyramid_oracle",
     "replay_modify_oracle",
-    # sweeps
-    "sweep_sensitivity",
     # streaming (incl. the LIVE session paths)
     "streaming_incremental_bars_1h",
     "streaming_live_limit",
@@ -115,47 +133,40 @@ CURATED_ORDER: tuple[str, ...] = (
     "streaming_dedup_exact",
     "merged_dedup_view",
     "bus_decode_ticks",
-    # LLM-data dedup / ANN core
-    "dedup_keep_best",
-    "lsh_ann_topk_5",
-    "lsh_ann_multiprobe_8",
+    # LLM-data dedup / ANN core (r13: + trained PQ, IVF-PQ, winnowing
+    # containment, source scorecard, the two LM perplexity signals)
+    "winnow_fingerprints",
+    "winnow_containment_dedup",
+    "source_quality_rollup",
+    "unigram_perplexity",
+    "bigram_perplexity",
+    "pq_adc_topk_10",
+    "pq_recall_audit",
+    "pq_trained_codebooks",
+    "pq_trained_recall_audit",
+    "ivfpq_topk_10",
     "ivf_recall_audit",
     "embedding_neardup_lsh",
     "embedding_neardup_lsh_recall",
     "embedding_neardup_clusters",
     "streaming_minhash_lsh",
     "streaming_lsh_backfill",
-    "contamination_3gram",
-    "decontaminated_train",
     "jaccard_pairs_dfcap",
     "neardup_keep_best",
     "streaming_ivf_assign",
     "repetition_stats",
     "quality_quantile_40",
     "token_budget_mix_greedy",
-    "token_budget_mix",
-    "sample_deterministic_30",
     "stratified_sample_audit",
     # multimodal codec seam: native PNG + native JPEG + frame surfaces
     "multimodal_decode_compressed",
     "multimodal_decode_jpeg",
-    "multimodal_frames",
     "multimodal_audio_frames",
     "multimodal_chunks",
     # --- driver window cutoff (first 50 above) ---
     # positions 51+: highest-information out-of-window entries first, so a
     # widened driver window picks them up in this order (round-5 VERDICT #8);
     # round-11 rotated-out veterans go to the back of this queue
-    "winnow_fingerprints",
-    "winnow_containment_dedup",
-    "source_quality_rollup",
-    "unigram_perplexity",
-    "pq_adc_topk_10",
-    "pq_recall_audit",
-    "pq_trained_codebooks",
-    "pq_trained_recall_audit",
-    "ivfpq_topk_10",
-    "bigram_perplexity",
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",
@@ -207,6 +218,17 @@ CURATED_ORDER: tuple[str, ...] = (
     "quality_check_ticks",
     "tfidf_topterms_3",
     "live_clipping_report",
+    # round-13 rotated-out veterans
+    "top_unshipped_orders",
+    "sweep_sensitivity",
+    "dedup_keep_best",
+    "lsh_ann_topk_5",
+    "lsh_ann_multiprobe_8",
+    "contamination_3gram",
+    "decontaminated_train",
+    "token_budget_mix",
+    "sample_deterministic_30",
+    "multimodal_frames",
 )
 
 

@@ -739,13 +739,24 @@ def pq_recall(
     STACKED code columns, so the multi-query form stays one scan of the
     codes + one broadcast join, no CASE-chain blow-up.
 
-    Measured on the gate corpus (sf0.01, m=8 subspaces, EIGHT codes each
-    seeded from the first 8 vectors): avg recall@10 ≈ 0.18 — honest and
-    expectedly low; 8 codes per subspace is a toy codebook. Recall rises
-    with codebook size (production PQ uses 256 codes/subspace trained by
-    k-means — `lloyd_centroids` per subspace slice) and with an IVF
-    coarse stage in front (IVF-PQ); this audit exists so that tuning is
-    measured, not assumed."""
+    Measured recall@10 curve on the gate corpus (sf0.01, 500 near-
+    orthogonal synthetic 64-dim vectors, m=8 subspaces, 20 query points):
+
+        seeded 8 codes (first-8-vector slices)   0.180
+        TRAINED 8 codes  (pq_train_codebooks)    0.255
+        TRAINED 16 codes (the gate config)       0.305
+        TRAINED 32 codes                         0.305
+        TRAINED 64 codes                         0.405
+
+    Training (2 quantized Lloyd iterations per subspace) lifts recall ~40%
+    at equal codebook size and the curve keeps rising with codebook size —
+    the production point is 256 codes/subspace, beyond this corpus's 500
+    vectors. The ceiling here is the data: near-orthogonal random vectors
+    are PQ's worst case (no cluster structure for codebooks to exploit), so
+    read the curve's SHAPE, not its absolute level, and re-run this audit
+    on real embeddings before choosing m/k. An IVF coarse stage in front
+    (`ivfpq_topk`) prunes the scan without changing the ADC ranking inside
+    a cell. This audit exists so that tuning is measured, not assumed."""
     spark = vectors.sparkSession
     m = len(sub_centroids)
     qrows = queries.orderBy(query_id).collect()

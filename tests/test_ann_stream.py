@@ -199,3 +199,46 @@ def test_pq_recall_exact_when_codebook_spans_corpus(spark):
     out = pq_recall(vecs, codes, books, queries, 2).collect()
     assert len(out) == 4
     assert all(r.recall == 1.0 and r.n_hits == 2 for r in out)
+
+
+def test_pq_train_codebooks_converges_to_point_masses(spark):
+    from finiextestingide_spark.operators.similarity import (
+        collect_codebooks,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    # 2 subspaces x 2 dims; each subspace has exactly two point masses —
+    # Lloyd with k=2 must converge to them, and encoding must then
+    # reconstruct every vector exactly (code -> its point mass).
+    rows = [
+        (0, [0.0, 0.0, 5.0, 5.0]),
+        (1, [9.0, 9.0, 5.0, 5.0]),
+        (2, [0.0, 0.0, -5.0, -5.0]),
+        (3, [9.0, 9.0, -5.0, -5.0]),
+        (4, [0.0, 0.0, 5.0, 5.0]),
+        (5, [9.0, 9.0, -5.0, -5.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train_codebooks(vecs, m=2, k_codes=2, iters=2)
+    books = collect_codebooks(cb)
+    assert sorted(books[0]) == [[0.0, 0.0], [9.0, 9.0]]
+    assert sorted(books[1]) == [[-5.0, -5.0], [5.0, 5.0]]
+    got = {r.vec_id: (r.pq0, r.pq1) for r in pq_encode(vecs, books).collect()}
+    # same-subvector rows share a code; reconstruction is exact per subspace
+    assert got[0][0] == got[2][0] == got[4][0]
+    assert got[1][0] == got[3][0] == got[5][0]
+    assert got[0][1] == got[1][1] == got[4][1]
+    assert got[2][1] == got[3][1] == got[5][1]
+
+
+def test_pq_train_codebooks_validates_shape(spark):
+    import pytest as _pytest
+
+    from finiextestingide_spark.operators.similarity import pq_train_codebooks
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train_codebooks(vecs, m=2, k_codes=2)
