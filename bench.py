@@ -102,6 +102,14 @@ HEADLINE = [
     # so a bench row would time the harness, not the operator.
     "winnow_pairs",
     "curated_corpus",
+    # round-13: the interpolated unigram/bigram LM score — three map-side
+    # model aggregations + unhinted model joins over the narrow-formed
+    # transition stream, the heaviest pure-batch text surface. The new PQ
+    # gates are deliberately NOT benched: pq_trained_* wall is the
+    # fixed-size Lloyd training (corpus-independent driver-bounded work,
+    # the misleading-row class), and ivfpq/pq_adc at sf0.1 time job
+    # overhead (SCALE.md: ADC 1.05x for 10x vectors — near-constant).
+    "bigram_perplexity",
 ]
 
 

@@ -117,7 +117,8 @@ def read_kafka_ticks(
     (gates ``bus_decode_ticks``/``bus_decode_signals``), because the
     decoder never touches the source. THIS function is only the
     source-construction one-liner; it requires the spark-sql-kafka
-    package, which is absent in the development sandbox, so the
+    package, which is absent in the development sandbox (re-checked
+    round 13: no kafka jars in pyspark/jars, none resolvable), so the
     subscribe/load call itself has never executed here.
     ``tests/test_bus.py::test_read_kafka_ticks_boundary`` pins the
     split: with the package absent it asserts the loud
