@@ -105,6 +105,14 @@ from ._util import Query  # noqa: F401
 # sample_deterministic_30 (stratified_sample_audit stays), and
 # multimodal_frames (codec family keeps 4 in-window gates incl. both
 # frame surfaces' shared decode path).
+#
+# Round-13b (same round, second operator batch): OUT repetition_stats +
+# quality_quantile_40 (both driver-verified since r11; text/sampling
+# families keep gopher_quality, source_quality_rollup, the two LM gates,
+# token_budget_mix_greedy, stratified_sample_audit in-window) for the two
+# NEWEST gates: ivfpq_residual_topk_10 (true IVFADC — PQ trained on
+# coarse residuals, per-cell residual ADC) and streaming_pq_codes (live
+# ingest into the compressed index, merged vs the full-encode oracle).
 CURATED_ORDER: tuple[str, ...] = (
     # relational core
     "winnow_pairs",
@@ -145,6 +153,8 @@ CURATED_ORDER: tuple[str, ...] = (
     "pq_trained_codebooks",
     "pq_trained_recall_audit",
     "ivfpq_topk_10",
+    "ivfpq_residual_topk_10",
+    "streaming_pq_codes",
     "ivf_recall_audit",
     "embedding_neardup_lsh",
     "embedding_neardup_lsh_recall",
@@ -154,8 +164,6 @@ CURATED_ORDER: tuple[str, ...] = (
     "jaccard_pairs_dfcap",
     "neardup_keep_best",
     "streaming_ivf_assign",
-    "repetition_stats",
-    "quality_quantile_40",
     "token_budget_mix_greedy",
     "stratified_sample_audit",
     # multimodal codec seam: native PNG + native JPEG + frame surfaces
@@ -229,6 +237,8 @@ CURATED_ORDER: tuple[str, ...] = (
     "token_budget_mix",
     "sample_deterministic_30",
     "multimodal_frames",
+    "repetition_stats",
+    "quality_quantile_40",
 )
 
 

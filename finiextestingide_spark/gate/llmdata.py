@@ -3088,14 +3088,14 @@ def pq_trained_codebooks_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("j", "code", "pos", F.round("value", 6).alias("value"))
 
 
-def _pqt_subs_sql() -> str:
+def _pqt_subs_sql(src: str = "embeddings") -> str:
     w = _PQ_SUB
     return f"""
 subs AS (
   SELECT e.vec_id, CAST(s.j AS INTEGER) AS j,
          list_transform(generate_series(1, {w}),
                         i -> CAST(e.embedding[s.j * {w} + i] AS DOUBLE)) AS sv
-  FROM embeddings e
+  FROM {src} e
   CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j) s
 ),
 init AS (
@@ -3135,8 +3135,8 @@ c{i} AS (
 )"""
 
 
-def _pqt_train_ctes() -> str:
-    return _pqt_subs_sql() + "," + ",".join(
+def _pqt_train_ctes(src: str = "embeddings") -> str:
+    return _pqt_subs_sql(src) + "," + ",".join(
         _pqt_iter_sql(i, "init" if i == 1 else f"c{i - 1}")
         for i in range(1, _PQT_ITERS + 1)
     )
@@ -3354,6 +3354,163 @@ FROM agg
 """
 
 
+# --- residual IVF-PQ (true FAISS IVFADC): PQ trained on COARSE RESIDUALS
+#     v - centroid(v); query ranks by per-cell residual ADC. The oracle
+#     reruns the whole pipeline relationally: coarse argmax -> residual
+#     table -> unrolled Lloyd on residuals -> probe -> per-cell LUT. ---
+
+
+def ivfpq_residual_topk_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < _IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    centroid_rows = [
+        (int(r["centroid_id"]), [float(x) for x in r["embedding"]])
+        for r in centroids.collect()
+    ]
+    assigned = sim.assign_centroids(emb, centroids)
+    resid = sim.residual_vectors(assigned, centroids)
+    cb = sim.pq_train_codebooks(
+        resid, m=_PQ_M, k_codes=_PQT_CODES, iters=_PQT_ITERS, vec_col="residual"
+    )
+    books = sim.collect_codebooks(cb, vec_col="residual")
+    query = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return sim.ivfpq_residual_topk(
+        assigned, books, centroid_rows, query, _PQ_K, nprobe=1, exclude_id=0
+    )
+
+
+IVFPQ_RESIDUAL_TOPK_10_SQL = (
+    f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+               WHERE vec_id < {_IVF_NCENTROIDS}),
+coarse AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_cos_sql('e.embedding', 'c.cvec')} AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, centroid_id) AS r
+    FROM coarse) WHERE r = 1
+),
+resid AS (
+  SELECT a.vec_id, a.centroid_id,
+         list_transform(generate_series(1, {_PQ_M * _PQ_SUB}),
+             i -> CAST(a.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+           AS embedding
+  FROM assigned a JOIN cents c ON c.centroid_id = a.centroid_id
+),
+"""
+    + _pqt_train_ctes("resid")
+    + f""",
+cb AS (SELECT j, code, cv FROM c{_PQT_ITERS}),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT centroid_id, cvec
+  FROM (SELECT c.centroid_id, c.cvec, {_cos_sql('c.cvec', 'q.qv')} AS pcos
+        FROM cents c, qv q
+        ORDER BY pcos DESC, centroid_id LIMIT 1)
+),
+bucket AS (
+  SELECT r.vec_id, r.embedding FROM resid r
+  JOIN probe p ON r.centroid_id = p.centroid_id
+  WHERE r.vec_id <> 0
+),
+dims AS (
+  SELECT e.vec_id, c.j, c.code,
+         list_reduce(list_transform(generate_series(1, {_PQ_SUB}),
+             t -> power(e.embedding[c.j * {_PQ_SUB} + t] - c.cv[t], 2)),
+             (x, y) -> x + y) AS d
+  FROM bucket e CROSS JOIN cb c
+),
+best AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, code ASC) AS r
+    FROM dims) WHERE r = 1
+),
+qresid AS (
+  SELECT list_transform(generate_series(1, {_PQ_M * _PQ_SUB}),
+             i -> CAST(q.qv[i] AS DOUBLE) - CAST(p.cvec[i] AS DOUBLE)) AS qr
+  FROM qv q, probe p
+),
+lut AS (
+  SELECT c.j, c.code,
+         CAST(round(list_reduce(list_transform(generate_series(1, {_PQ_SUB}),
+             t -> power(q.qr[c.j * {_PQ_SUB} + t] - c.cv[t], 2)),
+             (x, y) -> x + y), 6) AS DECIMAL(18,6)) AS d
+  FROM qresid q CROSS JOIN cb c
+),
+scored AS (
+  SELECT b.vec_id, round(CAST(sum(l.d) AS DOUBLE), 6) AS adc_dist
+  FROM best b JOIN lut l ON l.j = b.j AND l.code = b.code
+  GROUP BY 1
+)
+SELECT vec_id, adc_dist, rank FROM (
+  SELECT vec_id, adc_dist,
+         row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {_PQ_K}
+"""
+)
+
+
+# --- streaming PQ encode: live ingest into the compressed index ---
+
+
+def streaming_pq_codes_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ann_stream import merged_pq_codes, streaming_pq_encode
+    from ..streaming.incremental_bars import drain_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    books = _pq_codebooks(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    hist = sim.pq_encode(emb.where(F.col("vec_id") % 10 != 3), books)
+
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    tail = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/embeddings.parque*")
+        .where(F.col("vec_id") % 10 == 3)
+    )
+    out = streaming_pq_encode(tail, books)
+    name = "gate_streaming_pq_codes"
+    drain_to_memory(out, name, settle_secs=2.0)
+    code_cols = [f"pq{j}" for j in range(_PQ_M)]
+    merged = merged_pq_codes(
+        hist.select("vec_id", *code_cols),
+        spark.table(name).select("vec_id", *code_cols),
+    )
+    stack_args = ", ".join(f"{j}, pq{j}" for j in range(_PQ_M))
+    return merged.select(
+        "vec_id", F.expr(f"stack({_PQ_M}, {stack_args}) as (j, code)")
+    )
+
+
+STREAMING_PQ_CODES_SQL = f"""
+WITH cents AS (SELECT vec_id AS code, embedding AS cvec FROM embeddings
+               WHERE vec_id < {_PQ_CODES}),
+dims AS (
+  SELECT e.vec_id, c.code, CAST((t.i - 1) // {_PQ_SUB} AS INT) AS j,
+         power(CAST(e.embedding[t.i] AS DOUBLE) - CAST(c.cvec[t.i] AS DOUBLE), 2) AS sq
+  FROM embeddings e
+  CROSS JOIN cents c
+  CROSS JOIN UNNEST(generate_series(1, {_PQ_M * _PQ_SUB})) AS t(i)
+),
+subd AS (SELECT vec_id, code, j, sum(sq) AS d FROM dims GROUP BY 1, 2, 3)
+SELECT vec_id, j, code FROM (
+  SELECT vec_id, j, code,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, code ASC) AS r
+  FROM subd)
+WHERE r = 1
+"""
+
+
 # --- corpus-trained interpolated unigram/bigram LM score (the next step
 #     toward the CCNet/KenLM recipe; delta to true KenLM documented on the
 #     operator). λ literals are embedded via repr() so BOTH engines parse
@@ -3564,6 +3721,16 @@ QUERIES: dict[str, Query] = {
         ivfpq_topk_10,
         IVFPQ_TOPK_10_SQL,
         "IVF-PQ: coarse cell probe + trained-PQ ADC top-k inside the cell",
+    ),
+    "ivfpq_residual_topk_10": Query(
+        ivfpq_residual_topk_10,
+        IVFPQ_RESIDUAL_TOPK_10_SQL,
+        "residual IVF-PQ (true IVFADC): PQ trained on coarse residuals, per-cell residual ADC",
+    ),
+    "streaming_pq_codes": Query(
+        streaming_pq_codes_gate,
+        STREAMING_PQ_CODES_SQL,
+        "streaming PQ encode: live ingest into the compressed index, merged vs full-encode oracle",
     ),
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via content hash"),
     "dedup_keep_best": Query(

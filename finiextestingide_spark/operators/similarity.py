@@ -1095,3 +1095,139 @@ def ivfpq_topk(
         bucket = bucket.where(F.col(id_col) != F.lit(exclude_id))
     codes = pq_encode(bucket, sub_centroids, vec_col=vec_col)
     return pq_adc_topk(codes, sub_centroids, query_vec, k, id_col=id_col)
+
+
+def residual_vectors(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    out_col: str = "residual",
+) -> DataFrame:
+    """Per-vector coarse residual r = v - centroid(v) — the quantity real
+    IVFADC (FAISS IVF-PQ) compresses: residuals concentrate near the origin
+    inside each cell, so a shared PQ codebook spends its codes on the
+    within-cell displacement instead of re-encoding the cell's absolute
+    position, which is what makes PQ-on-residuals materially more accurate
+    than PQ-on-raw-vectors at equal bits.
+
+    One broadcast join against the bounded centroid table + an element-wise
+    zip_with subtract — narrow, no shuffle beyond the broadcast; exact IEEE
+    doubles on both engines (cast then subtract), so the downstream trained
+    codebooks walk identical trajectories."""
+    c = centroids.select(
+        F.col(centroid_id), _as_double(F.col(vec_col)).alias("__cvec")
+    )
+    vd = _as_double(F.col(vec_col))
+    return (
+        assigned.join(F.broadcast(c), centroid_id)
+        .withColumn(out_col, F.zip_with(vd, F.col("__cvec"), lambda x, y: x - y))
+        .drop("__cvec")
+    )
+
+
+def ivfpq_residual_topk(
+    assigned: DataFrame,
+    sub_centroids: list[list[list[float]]],
+    centroid_rows: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    exclude_id=None,
+) -> DataFrame:
+    """Residual IVF-PQ search — the full FAISS IVFADC query path: probe the
+    nprobe coarse cells nearest the query, form the QUERY residual
+    q - centroid_c PER CELL, and rank by asymmetric distance between that
+    residual and the cells' residual-PQ codes. Approximates
+    ||q - v||^2 = ||(q - c) - (v - c)||^2 per cell with both sides in
+    residual space, so the coarse term cancels exactly and the codebook
+    only ever measures within-cell displacement.
+
+    ``sub_centroids`` must be TRAINED ON RESIDUALS (`residual_vectors` ->
+    `pq_train_codebooks`); ``centroid_rows`` is the driver-collected coarse
+    quantizer (k rows — the `assign_centroids_rowlocal` posture), needed
+    row-side because each probed cell has its own query residual and LUT.
+    Probe order: max cosine(q, c), ties to the lowest centroid id — the
+    same rule as `assign_centroids`. Per-cell ADC plans are unioned;
+    global top-k stays TakeOrderedAndProject; final ties break to the
+    smaller id across cells.
+
+    Encode-at-query keeps the gate self-contained; production encodes
+    residuals once at ingest and stores code columns partitioned by cell,
+    so a query reads nprobe/nlist of an m-bytes-per-vector table."""
+    if not centroid_rows:
+        raise ValueError("ivfpq_residual_topk: no centroids supplied")
+
+    import math
+
+    def _cos(q, c):
+        # mirrors the engine fold exactly: left-to-right sums from 0.0
+        # (Python sum == F.aggregate == DuckDB list_reduce) and libm sqrt
+        num = sum(float(a) * float(b) for a, b in zip(q, c))
+        nq = math.sqrt(sum(float(a) * float(a) for a in q))
+        nc = math.sqrt(sum(float(b) * float(b) for b in c))
+        den = nq * nc
+        return None if den <= 0 else num / den
+
+    scored = []
+    for cid, cvec in centroid_rows:
+        cos = _cos(query_vec, cvec)
+        if cos is not None:
+            scored.append((-cos, cid, cvec))
+    scored.sort()
+    probes = scored[:nprobe]
+
+    plans = []
+    for _, cid, cvec in probes:
+        q_resid = [float(q) - float(c) for q, c in zip(query_vec, cvec)]
+        bucket = assigned.where(F.col(centroid_id) == int(cid))
+        if exclude_id is not None:
+            bucket = bucket.where(F.col(id_col) != F.lit(exclude_id))
+        resid = bucket.withColumn(
+            "__resid",
+            F.zip_with(
+                _as_double(F.col(vec_col)),
+                F.array(*[F.lit(float(c)) for c in cvec]),
+                lambda x, y: x - y,
+            ),
+        )
+        codes = pq_encode(resid, sub_centroids, vec_col="__resid")
+        tables = []
+        offset = 0
+        for j, book in enumerate(sub_centroids):
+            width = len(book[0])
+            qj = q_resid[offset : offset + width]
+            lut = [
+                round(sum((float(q) - float(c)) ** 2 for q, c in zip(qj, cv)), 6)
+                for cv in book
+            ]
+            expr = F.lit(None).cast("decimal(18,6)")
+            for code, dist in enumerate(lut):
+                expr = F.when(
+                    F.col(f"pq{j}") == code,
+                    F.lit(f"{dist:.6f}").cast("decimal(18,6)"),
+                ).otherwise(expr)
+            tables.append(expr)
+            offset += width
+        total = tables[0]
+        for t in tables[1:]:
+            total = total + t
+        plans.append(
+            codes.select(
+                F.col(id_col), F.round(total.cast("double"), 6).alias("adc_dist")
+            )
+        )
+    scored_df = plans[0]
+    for p in plans[1:]:
+        scored_df = scored_df.unionByName(p)
+    top = scored_df.orderBy(
+        F.asc_nulls_last("adc_dist"), F.asc(id_col)
+    ).limit(k)
+    w = Window.orderBy(F.asc_nulls_last("adc_dist"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w))

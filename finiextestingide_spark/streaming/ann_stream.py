@@ -61,3 +61,38 @@ def merged_ivf_index(batch_assigned: DataFrame, streamed_assigned: DataFrame) ->
     UNION the streamed tail. Stateless assignment means this is a plain
     union by name — no reconciliation column, no create-only ledger."""
     return batch_assigned.unionByName(streamed_assigned)
+
+
+def streaming_pq_encode(
+    stream: DataFrame,
+    sub_centroids: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode a STREAM of embeddings against trained codebooks — live
+    ingest into the COMPRESSED index (the m-bytes-per-vector layout
+    `pq_adc_topk` queries), completing the streaming ANN story: coarse
+    cell assignment (`streaming_ivf_assign`) and code compression both
+    happen as vectors land, so the billion-vector index grows continuously
+    with no batch re-encode.
+
+    Same stateless posture as the assignment stream (module docstring):
+    codes depend only on the vector and the frozen codebooks (driver
+    literals, m * k_codes sub-vectors — `pq_train_codebooks` output), so
+    restart is idempotent, backfill is the batch `pq_encode` + a plain
+    union (`merged_pq_codes`), and #355 is satisfied with no state at all.
+    Compose with `streaming_ivf_assign` on the same stream and sink
+    ``partitionBy(centroid_id)`` for the partition-pruned IVF-PQ layout.
+    Codebook retraining is a batch concern and a restart boundary, exactly
+    like quantizer bumps."""
+    if not stream.isStreaming:
+        raise ValueError("streaming_pq_encode expects a streaming DataFrame")
+    from ..operators.similarity import pq_encode
+
+    return pq_encode(stream, sub_centroids, vec_col=vec_col)
+
+
+def merged_pq_codes(batch_codes: DataFrame, streamed_codes: DataFrame) -> DataFrame:
+    """Read view of the growing code table: batch-encoded history UNION the
+    streamed tail — stateless encode, plain union by name."""
+    return batch_codes.unionByName(streamed_codes)

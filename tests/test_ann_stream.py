@@ -242,3 +242,99 @@ def test_pq_train_codebooks_validates_shape(spark):
     )
     with _pytest.raises(ValueError, match="not divisible"):
         pq_train_codebooks(vecs, m=2, k_codes=2)
+
+
+def test_streaming_pq_encode_parity_and_merge(spark, tmp_path):
+    from finiextestingide_spark.operators.similarity import pq_encode
+    from finiextestingide_spark.streaming.ann_stream import (
+        merged_pq_codes,
+        streaming_pq_encode,
+    )
+
+    vectors = _vectors(spark)
+    books = [
+        [[0.0, 0.0], [4.0, 4.0]],
+        [[-2.0, -2.0], [2.0, 2.0]],
+    ]
+    pq = str(tmp_path / "emb")
+    vectors.write.parquet(pq)
+    tail = (
+        spark.readStream.schema(vectors.schema)
+        .parquet(pq)
+        .where(F.col("vec_id") % 2 == 1)
+    )
+    out = streaming_pq_encode(tail, books).select("vec_id", "pq0", "pq1")
+    drain_to_memory(out, "t_pq_stream", settle_secs=1.0)
+    hist = pq_encode(vectors.where(F.col("vec_id") % 2 == 0), books).select(
+        "vec_id", "pq0", "pq1"
+    )
+    merged = {
+        r.vec_id: (r.pq0, r.pq1)
+        for r in merged_pq_codes(hist, spark.table("t_pq_stream")).collect()
+    }
+    full = {
+        r.vec_id: (r.pq0, r.pq1) for r in pq_encode(vectors, books).collect()
+    }
+    assert merged == full and len(full) == 24
+
+
+def test_streaming_pq_encode_rejects_batch_frame(spark):
+    from finiextestingide_spark.streaming.ann_stream import streaming_pq_encode
+
+    with pytest.raises(ValueError, match="streaming"):
+        streaming_pq_encode(_vectors(spark), [[[0.0]]])
+
+
+def test_residual_vectors_arithmetic(spark):
+    vectors = spark.createDataFrame(
+        [(1, [3.0, 4.0], 0), (2, [1.0, -1.0], 1)],
+        "vec_id long, embedding array<double>, centroid_id int",
+    )
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [2.0, 0.0])],
+        "centroid_id int, embedding array<double>",
+    )
+    out = {
+        r.vec_id: list(r.residual)
+        for r in sim.residual_vectors(vectors, centroids).collect()
+    }
+    assert out == {1: [2.0, 3.0], 2: [-1.0, -1.0]}
+
+
+def test_ivfpq_residual_exact_when_books_span_residuals(spark):
+    # Two cells separated by ANGLE (the coarse metric is cosine); within
+    # each cell, vectors sit exactly on centroid + residual-codebook
+    # reconstructions -> per-cell residual ADC equals exact ||q - v||^2.
+    centroids = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    cent_df = spark.createDataFrame(
+        centroids, "centroid_id long, embedding array<double>"
+    )
+    rows = [
+        (1, [10.0, 1.0]),   # cell 0, residual (9, 1)
+        (2, [8.0, 0.0]),    # cell 0, residual (7, 0)
+        (3, [1.0, 12.0]),   # cell 1, residual (1, 11)
+        (4, [0.0, 9.0]),    # cell 1, residual (0, 8)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = sim.assign_centroids(vecs, cent_df)
+    books = [
+        [[9.0], [7.0], [1.0], [0.0]],
+        [[1.0], [0.0], [11.0], [8.0]],
+    ]  # span every residual component in both cells
+    cent_rows = [(c, v) for c, v in centroids]
+    out = sim.ivfpq_residual_topk(
+        assigned, books, cent_rows, [10.0, 1.0], 2, nprobe=1, exclude_id=1
+    ).collect()
+    # query = vec 1 (excluded); probe -> cell 0; only vec 2 remains there
+    assert [r.vec_id for r in out] == [2]
+    # exact: ||(10,1)-(8,0)||^2 = 4 + 1 = 5
+    assert out[0].adc_dist == 5.0 and out[0].rank == 1
+    # nprobe=2 reaches the other cell too; distances stay exact L2
+    out2 = sim.ivfpq_residual_topk(
+        assigned, books, cent_rows, [10.0, 1.0], 3, nprobe=2, exclude_id=1
+    ).collect()
+    d = {r.vec_id: r.adc_dist for r in out2}
+    assert set(d) == {2, 3, 4}
+    assert d[2] == 5.0
+    assert d[3] == (10.0 - 1.0) ** 2 + (1.0 - 12.0) ** 2
+    assert d[4] == (10.0 - 0.0) ** 2 + (1.0 - 9.0) ** 2
