@@ -1160,7 +1160,24 @@ def ivfpq_residual_topk(
 
     Encode-at-query keeps the gate self-contained; production encodes
     residuals once at ingest and stores code columns partitioned by cell,
-    so a query reads nprobe/nlist of an m-bytes-per-vector table."""
+    so a query reads nprobe/nlist of an m-bytes-per-vector table.
+
+    MEASURED quality caveat (sf0.01 gate corpus, 500 near-orthogonal
+    synthetic vectors, 8 cells, m=8, 16 trained codes, 20 queries,
+    recall@10): raw-vector IVF-PQ (`ivfpq_topk`) 0.250/0.315 at
+    nprobe 1/2; THIS residual path 0.200 FLAT across nprobe — extra
+    probes never contribute. Mechanism, verified on the per-cell ADC
+    distributions: with only 16 codes over 8-dim near-orthogonal
+    residuals, quantized reconstructions collapse toward the cell's mean
+    residual (~0), so the ADC estimate degenerates to ≈ ||q - c_cell||²
+    — a per-cell CONSTANT (own cell: ADC median 0.77 vs true 1.66;
+    neighbor cell: 1.67 vs 2.00) — and the nearest cell's candidates
+    always outrank every other probe's. This is the textbook
+    undertrained-PQ failure, amplified in residual space; the residual
+    layout only pays off when codebooks preserve residual energy
+    (FAISS-scale: 256 codes/subspace) AND cells have real cluster
+    structure. Re-run this audit (scripts pattern: pq_recall) on real
+    embeddings before preferring the residual path over `ivfpq_topk`."""
     if not centroid_rows:
         raise ValueError("ivfpq_residual_topk: no centroids supplied")
 
