@@ -80,6 +80,17 @@ TARGETS = [
     "source_quality_rollup",
     "unigram_perplexity",
     "pq_adc_topk_10",
+    # round-13 new operators: the interpolated bigram LM (three model
+    # aggregations over the narrow transition stream), the grouped
+    # residual-free PQ TRAINING cost (write-once index build), and the
+    # trained-recall audit. curated_corpus re-measures with the fifth
+    # (span-containment) judgment. ivfpq_* are deliberately absent:
+    # their wall is the training subtree already measured by
+    # pq_trained_codebooks (the misleading-row class); streaming_pq_codes
+    # is drain-settle-dominated like the other streaming rows.
+    "bigram_perplexity",
+    "pq_trained_codebooks",
+    "pq_trained_recall_audit",
 ]
 
 
