@@ -174,7 +174,10 @@ CURATED_ORDER: tuple[str, ...] = (
     # --- driver window cutoff (first 50 above) ---
     # positions 51+: highest-information out-of-window entries first, so a
     # widened driver window picks them up in this order (round-5 VERDICT #8);
-    # round-11 rotated-out veterans go to the back of this queue
+    # round-11 rotated-out veterans go to the back of this queue.
+    # Queue head (r13c, never driver-verified — rotation round 7 material):
+    "kneser_ney_perplexity",
+    "streaming_gopher_quality",
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",

@@ -3564,6 +3564,82 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
 """
 
 
+# --- Kneser-Ney bigram LM score: the published smoothing of the KenLM
+#     recipe, at bigram order (absolute discount + continuation prob) ---
+
+_KN_D = 0.75
+
+
+def kneser_ney_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.kneser_ney_logprob_scores(_docs(spark, sf_dir), _KN_D)
+
+
+KNESER_NEY_PERPLEXITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM t, UNNEST(generate_series(1, len(ws) - 1)) AS s(i)
+  WHERE len(ws) >= 2
+),
+bi AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1f
+        FROM bi GROUP BY 1),
+rgt AS (SELECT w2, count(*) AS n1b FROM bi GROUP BY 1),
+nt AS (SELECT count(*) AS nt FROM bi),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(ln((b.c12 - {_KN_D!r}) / l.c1
+                       + ({_KN_D!r} * l.n1f / l.c1) * (CAST(r.n1b AS DOUBLE) / nt.nt)),
+                    6) AS DECIMAL(28,6)) AS lp
+  FROM pairs p
+  JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+  JOIN lft l ON l.w1 = p.w1
+  JOIN rgt r ON r.w2 = p.w2, nt
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions, sum(lp) AS lpsum
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_transitions, 0) AS BIGINT) AS n_transitions,
+       floor(CAST(a.lpsum AS DOUBLE) / a.n_transitions * 1000000.0 + 0.5) / 1000000.0
+         AS avg_logprob,
+       floor(exp(-(floor(CAST(a.lpsum AS DOUBLE) / a.n_transitions * 1000000.0 + 0.5)
+                   / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 AS pseudo_ppl
+FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# --- streaming Gopher quality: the quality judgment on INGEST ---
+
+
+def streaming_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.incremental_bars import drain_to_memory
+    from ..streaming.quality_stream import (
+        merged_quality_flags,
+        streaming_quality_flags,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    hist = gopher_quality_gate(spark, sf_dir).where(F.col("doc_id") % 10 != 3)
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    tail = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/documents.parque*")
+        .where(F.col("doc_id") % 10 == 3)
+    )
+    out = streaming_quality_flags(tail)
+    name = "gate_streaming_gopher"
+    drain_to_memory(out, name, settle_secs=2.0)
+    return merged_quality_flags(hist, spark.table(name))
+
+
 # --- span-containment dedup: the keep-policy over winnowing pairs ---
 
 _CONT_MIN = 0.8
@@ -3696,6 +3772,16 @@ QUERIES: dict[str, Query] = {
         bigram_perplexity_gate,
         BIGRAM_PERPLEXITY_SQL,
         "interpolated unigram/bigram LM score (toward the CCNet/KenLM recipe)",
+    ),
+    "kneser_ney_perplexity": Query(
+        kneser_ney_perplexity_gate,
+        KNESER_NEY_PERPLEXITY_SQL,
+        "Kneser-Ney bigram LM score (absolute discount + continuation prob — the KenLM smoothing)",
+    ),
+    "streaming_gopher_quality": Query(
+        streaming_gopher_quality_gate,
+        GOPHER_QUALITY_SQL,
+        "Gopher quality rules on INGEST: streamed tail + batch history vs the full-corpus oracle",
     ),
     "pq_adc_topk_10": Query(
         pq_adc_topk_10,

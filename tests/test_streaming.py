@@ -390,3 +390,65 @@ def test_asof_stream_staleness_flip(spark, tmp_path):
     assert [r["is_stale"] for r in rows] == [False, False, False, True, True]
     # the snapshot itself never changed — only its age did
     assert len({r["sig_ts"] for r in rows}) == 1
+
+
+def test_streaming_quality_flags_match_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from finiextestingide_spark.operators.text import gopher_quality_flags
+    from finiextestingide_spark.streaming.incremental_bars import drain_to_memory
+    from finiextestingide_spark.streaming.quality_stream import (
+        merged_quality_flags,
+        streaming_quality_flags,
+    )
+
+    rows = [
+        (1, " ".join(["the quick brown fox jumps over lazy dogs with style"] * 6)),
+        (2, "too short"),
+        (3, "- bullet\n- bullet\n- bullet\n- bullet"),
+        (4, " ".join(f"w{i}" for i in range(80)) + " the and of"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pq = str(tmp_path / "docs")
+    docs.write.parquet(pq)
+
+    tail = (
+        spark.readStream.schema(docs.schema)
+        .parquet(pq)
+        .where(F.col("doc_id") % 2 == 1)
+    )
+    out = streaming_quality_flags(tail, min_words=10, min_stop_hits=1)
+    drain_to_memory(out, "t_quality_stream", settle_secs=1.0)
+
+    g = gopher_quality_flags(F.col("text"), min_words=10, min_stop_hits=1)
+    flags_cols = [
+        "doc_id",
+        g["n_words"].alias("n_words"),
+        F.round(g["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(g["symbol_word_ratio"], 6).alias("symbol_word_ratio"),
+        F.round(g["bullet_line_frac"], 6).alias("bullet_line_frac"),
+        F.round(g["ellipsis_line_frac"], 6).alias("ellipsis_line_frac"),
+        F.round(g["alpha_word_frac"], 6).alias("alpha_word_frac"),
+        g["stop_hits"].alias("stop_hits"),
+        g["keep"].alias("keep"),
+    ]
+    hist = docs.where(F.col("doc_id") % 2 == 0).select(*flags_cols)
+    merged = {
+        r.doc_id: r
+        for r in merged_quality_flags(hist, spark.table("t_quality_stream")).collect()
+    }
+    full = {r.doc_id: r for r in docs.select(*flags_cols).collect()}
+    assert merged == full and len(full) == 4
+    assert full[1].keep and not full[2].keep
+
+
+def test_streaming_quality_flags_rejects_batch_frame(spark):
+    import pytest as _pytest
+
+    from finiextestingide_spark.streaming.quality_stream import (
+        streaming_quality_flags,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="streaming"):
+        streaming_quality_flags(docs)

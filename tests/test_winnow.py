@@ -282,3 +282,43 @@ def test_bigram_logprob_scores(spark):
     for d in (2, 3):
         assert out[d].n_transitions == 0
         assert out[d].avg_logprob is None and out[d].pseudo_ppl is None
+
+
+def test_kneser_ney_logprob_scores(spark):
+    # hand-computed on doc 1 = "a b a b", doc 2 = "a", D = 0.75:
+    # bigrams (a,b):2, (b,a):1; types=2; left a:(c1=2,n1f=1) b:(1,1);
+    # right b:n1b=1, a:n1b=1
+    # p(a->b) = (2-.75)/2 + (.75*1/2)*(1/2) = 0.8125
+    # p(b->a) = (1-.75)/1 + (.75*1/1)*(1/2) = 0.625
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in tx.kneser_ney_logprob_scores(docs, 0.75).collect()}
+    lp_ab = round(math.log(0.8125), 6)
+    lp_ba = round(math.log(0.625), 6)
+    want = math.floor((2 * lp_ab + lp_ba) / 3 * 1e6 + 0.5) / 1e6
+    assert out[1].n_transitions == 3 and out[1].avg_logprob == want
+    assert out[2].n_transitions == 0 and out[2].avg_logprob is None
+
+
+def test_kneser_ney_continuation_weight(spark):
+    # KN's point: a word frequent in ONE context gets a small continuation
+    # probability. Corpus: "x f" repeated 5 times in one doc (f always
+    # follows x) vs "a b", "c b", "d b" (b follows three distinct words).
+    # p_cont(f) = 1/types, p_cont(b) = 3/types -> for a novel-ish context
+    # the continuation term favors b 3:1.
+    docs = spark.createDataFrame(
+        [(1, "x f x f x f x f x f"), (2, "a b"), (3, "c b"), (4, "d b")],
+        "doc_id long, text string",
+    )
+    # extract the model arithmetic through the score of the single-pair docs:
+    # doc 2 ("a b"): c12=1, c1=1, n1f=1, n1b(b)=3,
+    # types = 5 (xf, fx, ab, cb, db — doc 1 also yields (f,x) transitions)
+    import math
+
+    out = {r.doc_id: r for r in tx.kneser_ney_logprob_scores(docs, 0.75).collect()}
+    p_ab = (1 - 0.75) / 1 + (0.75 * 1 / 1) * (3 / 5)
+    want = math.floor(round(math.log(p_ab), 6) * 1e6 + 0.5) / 1e6
+    assert out[2].avg_logprob == want
