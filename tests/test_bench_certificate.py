@@ -128,3 +128,50 @@ def test_wait_for_idle_guard(monkeypatch):
     monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 0, 0))
     out = bench.wait_for_idle()
     assert out["waited_secs"] == 0.0 and out["load1_at_start"] == 0.5
+
+
+def test_band_check_statuses(tmp_path, monkeypatch):
+    # the r13 stale/breach rule: outside band + contended run -> stale
+    # (never read as a trend); outside band + CLEAN run -> breach (a real
+    # signal); inside band -> within; rows without a band are skipped.
+    import json
+    import os
+
+    import bench
+
+    bands = {
+        "queries": {
+            "q_in": [1.0, 2.0],
+            "q_out": [1.0, 2.0],
+            "q_breach": [1.0, 2.0],
+        }
+    }
+    bdir = tmp_path / "bench_certificates"
+    bdir.mkdir()
+    (bdir / "idle_bands_sf9.9.json").write_text(json.dumps(bands))
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(tmp_path)
+    )
+    stats = {
+        "q_in": {"min": 1.5},
+        "q_out": {"min": 2.5, "rejected": [{"secs": 9.9}]},  # dirty row
+        "q_breach": {"min": 2.5},                            # clean row
+        "q_nob": {"min": 7.0},                               # no band
+    }
+    out = bench._band_check(
+        stats, "9.9", {"load1_at_start": 0.5}, load_end=0.5, threshold=8.0
+    )
+    assert out["q_in"]["status"] == "within"
+    assert out["q_out"]["status"] == "stale_pending_idle"
+    assert out["q_breach"]["status"] == "breach_idle"
+    assert "q_nob" not in out
+
+    # a contended RUN (entry or end load above threshold) makes every
+    # out-of-band row stale, even with clean per-row samples
+    out2 = bench._band_check(
+        stats, "9.9", {"load1_at_start": 0.5}, load_end=15.0, threshold=8.0
+    )
+    assert out2["q_breach"]["status"] == "stale_pending_idle"
+
+    # no bands file for this sf -> empty dict (bench still emits)
+    assert bench._band_check(stats, "0.31337", {}, 0.0, 8.0) == {}
