@@ -350,7 +350,10 @@ def wait_for_idle(threshold: float = 8.0, max_wait_secs: float = 120.0) -> dict:
 #: stale_pending_idle in the artifact — the discipline applied manually
 #: to replay_loadtest_40 in rounds 10-12 (VERDICT r12 What's-wrong #1),
 #: now structural. A breach on a CLEAN run is the opposite: a real
-#: signal, marked breach_idle so it is never read as noise.
+#: signal — and it is DIRECTIONAL (ADVICE r13): breach_slow means a
+#: regression to triage; breach_fast means an improvement (or a band
+#: built on a slower box profile) and should trigger a band rebuild,
+#: not a rollback. Both carry the signed distance from the band.
 def _band_check(stats: dict, sf: str, idle_guard: dict, load_end: float,
                 threshold: float) -> dict:
     path = os.path.join(
@@ -374,13 +377,22 @@ def _band_check(stats: dict, sf: str, idle_guard: dict, load_end: float,
         row_dirty = (
             contended_run or s.get("tainted_cotenant") or bool(s.get("rejected"))
         )
+        delta = 0.0
         if lo <= s["min"] <= hi:
             status = "within"
         elif row_dirty:
             status = "stale_pending_idle"
+            delta = round(s["min"] - (hi if s["min"] > hi else lo), 4)
+        elif s["min"] > hi:
+            status = "breach_slow"
+            delta = round(s["min"] - hi, 4)
         else:
-            status = "breach_idle"
-        out[name] = {"band": [lo, hi], "min": s["min"], "status": status}
+            status = "breach_fast"
+            delta = round(s["min"] - lo, 4)
+        row = {"band": [lo, hi], "min": s["min"], "status": status}
+        if delta:
+            row["band_delta"] = delta
+        out[name] = row
     return out
 
 

@@ -3321,6 +3321,49 @@ WHERE rank <= {_PQ_K}
 )
 
 
+# --- IVF-PQ CODES LAKE: pq_encode once at ingest, codes persisted
+#     partitionBy(cell id); the query reads nprobe/nlist of the code
+#     columns via directory pruning — raw vectors never load at query
+#     time (VERDICT r13 #1, the production layout ivfpq_topk names).
+#     Ranking is identical to ivfpq_topk over the same books/corpus, so
+#     the lake gate shares IVFPQ_TOPK_10_SQL as its oracle: the hash
+#     match proves encode-at-ingest == encode-at-query. ---
+
+
+def ivfpq_lake_topk_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < _IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    centroid_rows = [
+        (int(r["centroid_id"]), [float(x) for x in r["embedding"]])
+        for r in centroids.collect()
+    ]
+    cb = sim.pq_train_codebooks(
+        emb, m=_PQ_M, k_codes=_PQT_CODES, iters=_PQT_ITERS
+    )
+    books = sim.collect_codebooks(cb)
+    query = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    # ingest half: encode once, persist codes partitioned by cell. The
+    # lake is rebuilt per call (deterministic content — overwrite mode),
+    # keyed by sf_dir so concurrent SFs never collide.
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    lake = os.path.join(tempfile.gettempdir(), f"finiex_gate_pqlake_{key}")
+    assigned = sim.assign_centroids(emb, centroids)
+    sim.write_pq_lake(assigned, books, lake)
+    # query half: literal-probed, partition-pruned ADC over codes only
+    return sim.ivfpq_lake_topk(
+        spark, lake, books, centroid_rows, query, _PQ_K, nprobe=1, exclude_id=0
+    )
+
+
 # --- corpus-trained unigram LM score (CCNet-recipe perplexity signal) ---
 
 
@@ -3807,6 +3850,11 @@ QUERIES: dict[str, Query] = {
         ivfpq_topk_10,
         IVFPQ_TOPK_10_SQL,
         "IVF-PQ: coarse cell probe + trained-PQ ADC top-k inside the cell",
+    ),
+    "ivfpq_lake_topk_10": Query(
+        ivfpq_lake_topk_10,
+        IVFPQ_TOPK_10_SQL,
+        "IVF-PQ codes lake: encode-at-ingest, partition-pruned probe (same oracle as ivfpq_topk_10 — proves lake == in-place ranking)",
     ),
     "ivfpq_residual_topk_10": Query(
         ivfpq_residual_topk_10,

@@ -57,6 +57,7 @@ def curate_corpus(
     winnow_w: int = 4,
     winnow_min_shared: int = 2,
     winnow_max_doc_freq: int | None = None,
+    winnow_max_pairs: int | None = 25_000_000,
     min_containment: float = 0.8,
     id_col: str = "doc_id",
     text: str = "text",
@@ -81,7 +82,16 @@ def curate_corpus(
     whole-doc MinHash never fires on: a short doc pasted inside a long one
     has low whole-doc Jaccard but ~1.0 span containment. Independent like
     the other four flags (computed over the full input); a doc too short
-    to fingerprint is trivially uncontained."""
+    to fingerprint is trivially uncontained.
+
+    EAGER caveat (ADVICE r13): with ``winnow_k`` set and
+    ``winnow_max_pairs`` not None, the candidate-pair budget check runs a
+    planning-time Spark action (one column-pruned count over the
+    fingerprint frame) inside this otherwise-lazy builder — the fail-loud
+    guard `winnow.winnow_candidate_pairs` documents. Pass
+    ``winnow_max_pairs=None`` to keep the builder fully lazy when the
+    fingerprint density is already tuned (the count is then also not
+    computed twice)."""
     sc = score if score is not None else F.round(quality_score(F.col(text)), 6)
 
     exact = exact_dedup_keep_best(docs, sc, id_col=id_col, text=text).select(
@@ -134,7 +144,11 @@ def curate_corpus(
     if winnow_k is not None:
         fps = winnow_fingerprints(docs, winnow_k, winnow_w, id_col=id_col, text=text)
         pairs = winnow_candidate_pairs(
-            fps, winnow_min_shared, id_col=id_col, max_doc_freq=winnow_max_doc_freq
+            fps,
+            winnow_min_shared,
+            id_col=id_col,
+            max_doc_freq=winnow_max_doc_freq,
+            max_pairs=winnow_max_pairs,
         )
         cont = containment_dedup(fps, pairs, min_containment, id_col=id_col).select(
             F.col(id_col), F.col("is_dropped").alias("__contained")

@@ -954,6 +954,18 @@ def pq_train_codebooks(
     keep their previous centroid, per-round localCheckpoint (m * k_codes
     rows) to keep Catalyst analysis flat.
 
+    DISCLOSED residual tolerance (ADVICE r13, same class as
+    `lloyd_centroids`): the per-round mean is ``round(avg(raw doubles))``
+    — the double avg is summation-order dependent, so a mean landing
+    EXACTLY on a ``round_dp`` rounding boundary can round differently
+    between partitionings/engines and fork the trained trajectory from
+    that round on. An order-independent mean would require 6-dp-quantized
+    INPUTS (the gate embeddings are full-precision floats, so that changes
+    the trained books) or DECIMAL division (engine-divergent scale rules);
+    the exposure is one boundary landing per (j, code, dim, round), has
+    never been observed across 3 SFs + sf1 on the four consuming gates,
+    and is accepted as the trained-PQ gate family's disclosed tolerance.
+
     Returns (j int, code int, ``vec_col`` array<double>) — feed through
     ``collect_codebooks`` into `pq_encode` / `pq_adc_topk` / `pq_recall`.
     The vector width is read from one planning-time row (bounded scalar
@@ -1097,6 +1109,53 @@ def ivfpq_topk(
     return pq_adc_topk(codes, sub_centroids, query_vec, k, id_col=id_col)
 
 
+def coarse_probes(
+    centroid_rows: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    nprobe: int,
+    *,
+    op: str = "coarse_probes",
+) -> list[tuple[int, list[float]]]:
+    """Driver-side coarse probe selection over the bounded quantizer: the
+    ``nprobe`` centroids with max cosine(query, centroid), ties to the
+    LOWEST centroid id — the same rule as `assign_centroids`. Shared by
+    `ivfpq_residual_topk` (needs the centroid vector per probe for the
+    query residual) and `ivfpq_lake_topk` (needs LITERAL cell ids so the
+    probe becomes a partition filter on the codes lake — a DataFrame-side
+    probe would be a join, not a prune).
+
+    The cosine mirrors the engine fold exactly: left-to-right sums from
+    0.0 (Python sum == F.aggregate == DuckDB list_reduce) and libm sqrt.
+    Raises (ADVICE r13, named loud) when no centroid is probeable — a
+    zero/degenerate query or all-zero centroid set leaves every coarse
+    cosine undefined and the query cannot be routed."""
+    import math
+
+    if not centroid_rows:
+        raise ValueError(f"{op}: no centroids supplied")
+
+    def _cos(q, c):
+        num = sum(float(a) * float(b) for a, b in zip(q, c))
+        nq = math.sqrt(sum(float(a) * float(a) for a in q))
+        nc = math.sqrt(sum(float(b) * float(b) for b in c))
+        den = nq * nc
+        return None if den <= 0 else num / den
+
+    scored = []
+    for cid, cvec in centroid_rows:
+        cos = _cos(query_vec, cvec)
+        if cos is not None:
+            scored.append((-cos, cid, cvec))
+    scored.sort(key=lambda t: (t[0], t[1]))
+    if not scored:
+        raise ValueError(
+            f"{op}: no probeable centroid for query "
+            "(all coarse cosines undefined — zero/degenerate query vector "
+            "or centroid set)"
+        )
+    return [(cid, cvec) for _, cid, cvec in scored[:nprobe]]
+
+
 def residual_vectors(
     assigned: DataFrame,
     centroids: DataFrame,
@@ -1178,30 +1237,12 @@ def ivfpq_residual_topk(
     (FAISS-scale: 256 codes/subspace) AND cells have real cluster
     structure. Re-run this audit (scripts pattern: pq_recall) on real
     embeddings before preferring the residual path over `ivfpq_topk`."""
-    if not centroid_rows:
-        raise ValueError("ivfpq_residual_topk: no centroids supplied")
-
-    import math
-
-    def _cos(q, c):
-        # mirrors the engine fold exactly: left-to-right sums from 0.0
-        # (Python sum == F.aggregate == DuckDB list_reduce) and libm sqrt
-        num = sum(float(a) * float(b) for a, b in zip(q, c))
-        nq = math.sqrt(sum(float(a) * float(a) for a in q))
-        nc = math.sqrt(sum(float(b) * float(b) for b in c))
-        den = nq * nc
-        return None if den <= 0 else num / den
-
-    scored = []
-    for cid, cvec in centroid_rows:
-        cos = _cos(query_vec, cvec)
-        if cos is not None:
-            scored.append((-cos, cid, cvec))
-    scored.sort()
-    probes = scored[:nprobe]
+    probes = coarse_probes(
+        centroid_rows, query_vec, nprobe, op="ivfpq_residual_topk"
+    )
 
     plans = []
-    for _, cid, cvec in probes:
+    for cid, cvec in probes:
         q_resid = [float(q) - float(c) for q, c in zip(query_vec, cvec)]
         bucket = assigned.where(F.col(centroid_id) == int(cid))
         if exclude_id is not None:
@@ -1248,3 +1289,85 @@ def ivfpq_residual_topk(
     ).limit(k)
     w = Window.orderBy(F.asc_nulls_last("adc_dist"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def write_pq_lake(
+    assigned: DataFrame,
+    sub_centroids: list[list[list[float]]],
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    code_prefix: str = "pq",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF-PQ CODES LAKE — the production layout
+    `ivfpq_topk`'s docstring names: `pq_encode` runs ONCE at ingest, and
+    what is persisted is ONLY (id, m code columns), parquet-partitioned by
+    coarse cell id. Raw vectors never reach the lake: at 100 TB of
+    float32 embeddings the codes lake is m bytes/vector (a ~32× shrink at
+    m=8 on 64-dim floats), and every query that follows reads
+    nprobe/nlist of THAT via directory-level partition pruning
+    (`ivfpq_lake_topk`).
+
+    ``assigned`` is `assign_centroids` output (vectors + cell id);
+    ``sub_centroids`` the trained codebooks (train on the SAME layout the
+    query will use — raw vectors here; see `ivfpq_residual_topk`'s
+    measured caveat before choosing residual books). Encoding is a
+    stateless narrow map, so the write runs at source parallelism with no
+    shuffle; per-cell directories keep each posting list's code streams
+    contiguous (the scan shape ADC wants). Streaming ingest appends with
+    the same layout via `streaming.ann_stream.streaming_pq_encode` +
+    partitionBy on the writeStream."""
+    m = len(sub_centroids)
+    codes = pq_encode(assigned, sub_centroids, vec_col=vec_col,
+                      code_prefix=code_prefix)
+    cols = [id_col, centroid_id] + [f"{code_prefix}{j}" for j in range(m)]
+    codes.select(*cols).write.mode(mode).partitionBy(centroid_id).parquet(path)
+
+
+def ivfpq_lake_topk(
+    spark: SparkSession,
+    path: str,
+    sub_centroids: list[list[list[float]]],
+    centroid_rows: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    code_prefix: str = "pq",
+    exclude_id=None,
+) -> DataFrame:
+    """IVF-PQ top-k over the persisted codes lake (`write_pq_lake`) — the
+    query path of the production layout: probe selection runs DRIVER-SIDE
+    over the bounded coarse quantizer (`coarse_probes`, the
+    `assign_centroids_rowlocal` posture) so the probed cells arrive as
+    LITERAL ids; the literal `centroid_id IN (...)` lands in the parquet
+    scan's PartitionFilters (directory pruning — unprobed cells are never
+    listed, let alone read), the scan's ReadSchema is id + code columns
+    only (no vector column exists in the lake to mistakenly load), and
+    scoring is `pq_adc_topk`'s zero-exchange shape: driver-built LUT
+    CASE-chains per code column into TakeOrderedAndProject.
+
+    Per query the work is nprobe/nlist of an m-bytes-per-vector table —
+    at 1B vectors, nlist=65536, nprobe=8: ~122k rows of m small ints per
+    query, no re-encode, no join, no shuffle. Ranking is IDENTICAL to
+    `ivfpq_topk` over the same books/corpus (same LUT, same 6-dp DECIMAL
+    sum, same tiebreak), so the two share one oracle; the gate pins that
+    equality, and `tests/test_lake.py`-style plan tests pin the pruning."""
+    probes = coarse_probes(
+        centroid_rows, query_vec, nprobe, op="ivfpq_lake_topk"
+    )
+    probe_ids = [int(cid) for cid, _ in probes]
+    lake = spark.read.parquet(path).where(
+        F.col(centroid_id).isin(probe_ids)
+    )
+    if exclude_id is not None:
+        lake = lake.where(F.col(id_col) != F.lit(exclude_id))
+    return pq_adc_topk(
+        lake, sub_centroids, query_vec, k, id_col=id_col,
+        code_prefix=code_prefix,
+    )

@@ -338,3 +338,24 @@ def test_ivfpq_residual_exact_when_books_span_residuals(spark):
     assert d[2] == 5.0
     assert d[3] == (10.0 - 1.0) ** 2 + (1.0 - 12.0) ** 2
     assert d[4] == (10.0 - 0.0) ** 2 + (1.0 - 9.0) ** 2
+
+
+def test_ivfpq_residual_zero_query_fails_loud(spark):
+    # ADVICE r13: a zero query vector makes every coarse cosine undefined;
+    # the operator must raise a named error, not IndexError on plans[0].
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cent_df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "centroid_id long, embedding array<double>"
+    )
+    assigned = sim.assign_centroids(vecs, cent_df)
+    with pytest.raises(ValueError, match="no probeable centroid"):
+        sim.ivfpq_residual_topk(
+            assigned, [[[0.0], [1.0]], [[0.0], [1.0]]],
+            [(0, [1.0, 0.0])], [0.0, 0.0], 2,
+        )
+    with pytest.raises(ValueError, match="no centroids"):
+        sim.ivfpq_residual_topk(
+            assigned, [[[0.0]]], [], [1.0, 0.0], 2,
+        )

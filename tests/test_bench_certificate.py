@@ -134,6 +134,9 @@ def test_band_check_statuses(tmp_path, monkeypatch):
     # the r13 stale/breach rule: outside band + contended run -> stale
     # (never read as a trend); outside band + CLEAN run -> breach (a real
     # signal); inside band -> within; rows without a band are skipped.
+    # r14 (ADVICE r13): breaches are directional — slower than the band is
+    # breach_slow (regression), faster is breach_fast (improvement / band
+    # built on a slower box), each with the signed distance from the band.
     import json
     import os
 
@@ -144,6 +147,7 @@ def test_band_check_statuses(tmp_path, monkeypatch):
             "q_in": [1.0, 2.0],
             "q_out": [1.0, 2.0],
             "q_breach": [1.0, 2.0],
+            "q_fast": [1.0, 2.0],
         }
     }
     bdir = tmp_path / "bench_certificates"
@@ -155,7 +159,8 @@ def test_band_check_statuses(tmp_path, monkeypatch):
     stats = {
         "q_in": {"min": 1.5},
         "q_out": {"min": 2.5, "rejected": [{"secs": 9.9}]},  # dirty row
-        "q_breach": {"min": 2.5},                            # clean row
+        "q_breach": {"min": 2.5},                            # clean, slow
+        "q_fast": {"min": 0.6},                              # clean, fast
         "q_nob": {"min": 7.0},                               # no band
     }
     out = bench._band_check(
@@ -163,7 +168,11 @@ def test_band_check_statuses(tmp_path, monkeypatch):
     )
     assert out["q_in"]["status"] == "within"
     assert out["q_out"]["status"] == "stale_pending_idle"
-    assert out["q_breach"]["status"] == "breach_idle"
+    assert out["q_out"]["band_delta"] == 0.5
+    assert out["q_breach"]["status"] == "breach_slow"
+    assert out["q_breach"]["band_delta"] == 0.5
+    assert out["q_fast"]["status"] == "breach_fast"
+    assert out["q_fast"]["band_delta"] == -0.4
     assert "q_nob" not in out
 
     # a contended RUN (entry or end load above threshold) makes every

@@ -106,3 +106,49 @@ def test_span_containment_fifth_judgment(spark):
     assert not spans[1].kept
     assert spans[2].kept and spans[3].kept
     assert not spans[2].is_contained and not spans[3].is_contained
+
+
+def test_winnow_max_pairs_none_skips_budget_action(spark, monkeypatch):
+    # ADVICE r13: the default pair budget runs a planning-time collect()
+    # inside winnow_candidate_pairs; max_pairs=None must build the pair
+    # frame without launching a single Spark job, and curate_corpus must
+    # forward its winnow_max_pairs passthrough so callers can opt out.
+    # (curate_corpus itself stays eager regardless — connected_components
+    # is iterative — so the laziness assertion targets the winnow stage.)
+    from finiextestingide_spark.operators import curation, winnow
+
+    fps = spark.createDataFrame(
+        [(1, 11), (1, 12), (2, 11), (2, 12)], "doc_id long, fp long"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    lazy = winnow.winnow_candidate_pairs(fps, 2, max_pairs=None)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "max_pairs=None still launched a budget job"
+    assert {"id_a", "id_b", "containment"} <= set(lazy.columns)
+    # the default budget DOES run a job (the documented eager guard)
+    winnow.winnow_candidate_pairs(fps, 2)
+    assert len(tracker.getJobIdsForGroup(None) or []) > after
+
+    # passthrough: curate_corpus hands winnow_max_pairs to the pair stage
+    seen = {}
+    real = winnow.winnow_candidate_pairs
+
+    def spy(fps_, min_shared, **kw):
+        seen.update(kw)
+        return real(fps_, min_shared, **kw)
+
+    monkeypatch.setattr(curation, "winnow_candidate_pairs", spy)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(9, "unrelated benchmark words only here")], "doc_id long, text string"
+    )
+    df = curation.curate_corpus(
+        docs, ev, min_words=2, min_stop_hits=0, winnow_k=3,
+        winnow_max_pairs=None,
+    )
+    assert seen.get("max_pairs", "unset") is None
+    assert "is_contained" in df.columns  # still the five-judgment shape
