@@ -3658,6 +3658,80 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
 """
 
 
+# --- MODIFIED Kneser-Ney (Chen & Goodman three-discount form — the
+#     discount KenLM ships; VERDICT r13 #5): D1/D2/D3+ estimated from the
+#     bigram count-of-counts in one extra bounded aggregate; the oracle
+#     mirrors the exact discount parenthesization textually. ---
+
+
+def modified_kn_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.modified_kneser_ney_logprob_scores(_docs(spark, sf_dir))
+
+
+MODIFIED_KN_PERPLEXITY_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM t, UNNEST(generate_series(1, len(ws) - 1)) AS s(i)
+  WHERE len(ws) >= 2
+),
+bi AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+               CAST(sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+               CAST(sum(CASE WHEN c12 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS nn3p
+        FROM bi GROUP BY 1),
+rgt AS (SELECT w2, count(*) AS n1b FROM bi GROUP BY 1),
+cc0 AS (SELECT
+          CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+          CAST(sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+          CAST(sum(CASE WHEN c12 = 3 THEN 1 ELSE 0 END) AS DOUBLE) AS n3,
+          CAST(sum(CASE WHEN c12 = 4 THEN 1 ELSE 0 END) AS DOUBLE) AS n4,
+          CAST(count(*) AS DOUBLE) AS nt
+        FROM bi),
+ccy AS (SELECT *, CASE WHEN n1 + 2.0 * n2 > 0 THEN n1 / (n1 + 2.0 * n2)
+                       ELSE 0.0 END AS y
+        FROM cc0),
+disc AS (SELECT nt,
+           CASE WHEN n1 > 0 THEN 1.0 - ((2.0 * y) * n2) / n1 ELSE 0.0 END AS d1,
+           CASE WHEN n2 > 0 THEN 2.0 - ((3.0 * y) * n3) / n2 ELSE 0.0 END AS d2,
+           CASE WHEN n3 > 0 THEN 3.0 - ((4.0 * y) * n4) / n3 ELSE 0.0 END AS d3
+         FROM ccy),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(ln(
+             (CAST(b.c12 AS DOUBLE)
+              - (CASE WHEN b.c12 = 1 THEN d.d1
+                      WHEN b.c12 = 2 THEN d.d2
+                      ELSE d.d3 END)) / CAST(l.c1 AS DOUBLE)
+             + ((d.d1 * l.nn1 + d.d2 * l.nn2 + d.d3 * l.nn3p)
+                / CAST(l.c1 AS DOUBLE))
+               * (CAST(r.n1b AS DOUBLE) / d.nt)
+           ), 6) AS DECIMAL(28,6)) AS lp
+  FROM pairs p
+  JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+  JOIN lft l ON l.w1 = p.w1
+  JOIN rgt r ON r.w2 = p.w2, disc d
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions, sum(lp) AS lpsum
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_transitions, 0) AS BIGINT) AS n_transitions,
+       floor(CAST(a.lpsum AS DOUBLE) / a.n_transitions * 1000000.0 + 0.5) / 1000000.0
+         AS avg_logprob,
+       floor(exp(-(floor(CAST(a.lpsum AS DOUBLE) / a.n_transitions * 1000000.0 + 0.5)
+                   / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 AS pseudo_ppl
+FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # --- streaming Gopher quality: the quality judgment on INGEST ---
 
 
@@ -3681,6 +3755,77 @@ def streaming_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     name = "gate_streaming_gopher"
     drain_to_memory(out, name, settle_secs=2.0)
     return merged_quality_flags(hist, spark.table(name))
+
+
+# --- STREAMING curation decision table (VERDICT r13 #6): the quality
+#     judgment arrives from the LIVE stream for the tail of the corpus
+#     (doc_id % 10 == 3) and from batch history for the rest; the merged
+#     flags feed curate_corpus via its quality_flags injection point.
+#     Oracle = CURATED_CORPUS_SQL verbatim — the hash match proves
+#     quality-on-ingest composes into the decision table bit-for-bit
+#     (the #355 posture applied to the whole curation pipeline). ---
+
+
+def streaming_curated_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation as cu
+    from ..streaming.incremental_bars import drain_to_memory
+    from ..streaming.quality_stream import (
+        merged_quality_flags,
+        streaming_quality_flags,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _docs(spark, sf_dir)
+    # batch-flagged history (curation thresholds, not the published 50/2 —
+    # see the curated_corpus block comment)
+    g = tx.gopher_quality_flags(
+        F.col("text"), min_words=_CUR_MIN_WORDS, min_stop_hits=_CUR_MIN_STOPS
+    )
+    hist = docs.where(F.col("doc_id") % 10 != 3).select(
+        "doc_id", g["keep"].alias("keep")
+    )
+    # live tail: the same rule set applied on INGEST
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    tail = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/documents.parque*")
+        .where(F.col("doc_id") % 10 == 3)
+    )
+    flags = streaming_quality_flags(
+        tail, min_words=_CUR_MIN_WORDS, min_stop_hits=_CUR_MIN_STOPS
+    )
+    name = "gate_streaming_curated"
+    drain_to_memory(flags, name, settle_secs=2.0)
+    merged = merged_quality_flags(
+        hist, spark.table(name).select("doc_id", "keep")
+    )
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    out = cu.curate_corpus(
+        docs,
+        ev,
+        shingle_n=3,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        min_jaccard=0.0,
+        max_contamination=_DECON_MAX,
+        winnow_k=_WIN_K,
+        winnow_w=_WIN_W,
+        winnow_min_shared=_WIN_MIN_SHARED,
+        winnow_max_doc_freq=_WIN_MAX_DF,
+        min_containment=0.8,
+        quality_flags=merged,
+    )
+    return out.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "is_exact_dup",
+        "is_near_dup",
+        "is_contained",
+        "fails_quality",
+        F.round("contamination", 6).alias("contamination"),
+        "is_contaminated",
+        "kept",
+    )
 
 
 # --- span-containment dedup: the keep-policy over winnowing pairs ---
@@ -3796,6 +3941,11 @@ QUERIES: dict[str, Query] = {
         CURATED_CORPUS_SQL,
         "end-to-end curation decision table (dedup x near-dup x quality x decontamination)",
     ),
+    "streaming_curated_corpus": Query(
+        streaming_curated_corpus_gate,
+        CURATED_CORPUS_SQL,
+        "quality-on-ingest composed into the decision table: streamed-tail + batch-history flags through curate_corpus == the full-batch oracle",
+    ),
     "winnow_containment_dedup": Query(
         winnow_containment_gate,
         WINNOW_CONTAINMENT_SQL,
@@ -3815,6 +3965,11 @@ QUERIES: dict[str, Query] = {
         bigram_perplexity_gate,
         BIGRAM_PERPLEXITY_SQL,
         "interpolated unigram/bigram LM score (toward the CCNet/KenLM recipe)",
+    ),
+    "modified_kn_perplexity": Query(
+        modified_kn_perplexity_gate,
+        MODIFIED_KN_PERPLEXITY_SQL,
+        "modified Kneser-Ney bigram score (Chen-Goodman three-discount, counts-of-counts-estimated)",
     ),
     "kneser_ney_perplexity": Query(
         kneser_ney_perplexity_gate,

@@ -59,6 +59,7 @@ def curate_corpus(
     winnow_max_doc_freq: int | None = None,
     winnow_max_pairs: int | None = 25_000_000,
     min_containment: float = 0.8,
+    quality_flags: DataFrame | None = None,
     id_col: str = "doc_id",
     text: str = "text",
 ) -> DataFrame:
@@ -91,7 +92,19 @@ def curate_corpus(
     guard `winnow.winnow_candidate_pairs` documents. Pass
     ``winnow_max_pairs=None`` to keep the builder fully lazy when the
     fingerprint density is already tuned (the count is then also not
-    computed twice)."""
+    computed twice).
+
+    ``quality_flags`` (opt-in) injects PRECOMPUTED per-document Gopher
+    verdicts — a (``id_col``, keep boolean) frame, e.g. the
+    batch-history + streamed-tail merged view from
+    `streaming.quality_stream` — in place of recomputing
+    `gopher_quality_flags` here. This is how quality-on-ingest composes
+    into the decision table: documents arrive pre-judged by the stream,
+    and curation consumes the judgments unchanged (the flags are pure
+    functions of the document, so streamed == batch bit-for-bit; the
+    streaming_curated_corpus gate pins that against the full-batch
+    oracle). The frame must cover every input document; ``min_words`` /
+    ``min_stop_hits`` are ignored when it is supplied."""
     sc = score if score is not None else F.round(quality_score(F.col(text)), 6)
 
     exact = exact_dedup_keep_best(docs, sc, id_col=id_col, text=text).select(
@@ -109,10 +122,15 @@ def curate_corpus(
         id_col=id_col,
         text=text,
     ).select(F.col(id_col), F.col("is_dropped").alias("is_near_dup"))
-    g = gopher_quality_flags(
-        F.col(text), min_words=min_words, min_stop_hits=min_stop_hits
-    )
-    quality = docs.select(F.col(id_col), (~g["keep"]).alias("fails_quality"))
+    if quality_flags is not None:
+        quality = quality_flags.select(
+            F.col(id_col), (~F.col("keep")).alias("fails_quality")
+        )
+    else:
+        g = gopher_quality_flags(
+            F.col(text), min_words=min_words, min_stop_hits=min_stop_hits
+        )
+        quality = docs.select(F.col(id_col), (~g["keep"]).alias("fails_quality"))
     decon = decontaminate(
         word_shingles(docs, shingle_n, id_col=id_col, text=text),
         word_shingles(eval_docs, shingle_n, id_col=id_col, text=text),

@@ -627,3 +627,144 @@ def kneser_ney_logprob_scores(
             _floor6(F.exp(-avg)).alias("pseudo_ppl"),
         )
     )
+
+
+def modified_kneser_ney_logprob_scores(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Corpus-trained MODIFIED Kneser-Ney bigram score per document — the
+    Chen & Goodman (1998) three-discount refinement KenLM actually ships,
+    closing the discount-form delta `kneser_ney_logprob_scores` discloses
+    (remaining delta to true KenLM after this: n-gram ORDER only, 2 vs 5).
+    Instead of one fixed discount D, three discounts are ESTIMATED FROM
+    THE CORPUS via the count-of-counts n_k = |{bigrams with count k}|:
+
+        Y   = n1 / (n1 + 2*n2)
+        D1  = 1 - 2*Y*n2/n1       (applied to transitions seen once)
+        D2  = 2 - 3*Y*n3/n2       (seen twice)
+        D3+ = 3 - 4*Y*n4/n3       (seen three or more times)
+
+        p_MKN(w2|w1) = (c(w1 w2) - D(c(w1 w2))) / c(w1·)  +  gamma(w1) * p_cont(w2)
+        gamma(w1)    = (D1*N1(w1·) + D2*N2(w1·) + D3+*N3+(w1·)) / c(w1·)
+        p_cont(w2)   = N1+(· w2) / |distinct bigram types|
+
+    where N_k(w1·) counts distinct followers of w1 seen exactly k (or 3+)
+    times. gamma redistributes EXACTLY the mass the discounts removed, so
+    the model stays a proper distribution per context. Degenerate-corpus
+    guard: if some n_k = 0 the corresponding D is defined as 0 — when
+    n1/n2 = 0 the discount class is empty (D multiplies an everywhere-zero
+    N_k and never scores a transition), and when n3 = 0 with 4+-count
+    bigrams still present the textbook estimator is undefined, so those
+    transitions take no discount rather than an arbitrary one (KenLM
+    refuses such corpora outright; a quality SCORE should not).
+
+    Determinism (the `kneser_ney_logprob_scores` contract, extended): all
+    inputs to the discounts are integer counts; Y/D1/D2/D3 are evaluated
+    in ONE fixed parenthesization of IEEE double ops — ((k*Y)*n)/m — that
+    the oracle mirrors textually, so both engines compute bit-identical
+    discounts; per-transition ln rounds to 6 decimals into an exact
+    DECIMAL(28,6) sum; the final mean uses the floor form. Scale shape
+    identical to single-discount KN plus ONE more bounded aggregate: the
+    count-of-counts frame is FOUR numbers (broadcast by construction) and
+    the per-context N_k columns ride the existing w1-keyed roll-up —
+    no new shuffle, no new scan."""
+    ws = F.filter(
+        F.split(normalized_text(F.col(text)), " "), lambda x: x != ""
+    )
+    toks = docs.select(F.col(id_col), ws.alias("__ws"))
+    pairs = toks.where(F.size("__ws") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(__ws, 1, size(__ws) - 1)"),
+                F.expr("slice(__ws, 2, size(__ws) - 1)"),
+            )
+        ).alias("__p"),
+    ).select(
+        id_col, F.col("__p.0").alias("w1"), F.col("__p.1").alias("w2")
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    left = bi.groupBy("w1").agg(
+        F.sum("__c12").alias("__c1"),
+        F.sum(F.when(F.col("__c12") == 1, 1).otherwise(0)).alias("__nn1"),
+        F.sum(F.when(F.col("__c12") == 2, 1).otherwise(0)).alias("__nn2"),
+        F.sum(F.when(F.col("__c12") >= 3, 1).otherwise(0)).alias("__nn3p"),
+    )
+    right = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("__n1b"))
+    # count-of-counts: four numbers + the type total — bounded by
+    # construction, rides a broadcast crossJoin like __nt in plain KN
+    cc = bi.agg(
+        F.sum(F.when(F.col("__c12") == 1, 1).otherwise(0))
+        .cast("double").alias("__n1"),
+        F.sum(F.when(F.col("__c12") == 2, 1).otherwise(0))
+        .cast("double").alias("__n2"),
+        F.sum(F.when(F.col("__c12") == 3, 1).otherwise(0))
+        .cast("double").alias("__n3"),
+        F.sum(F.when(F.col("__c12") == 4, 1).otherwise(0))
+        .cast("double").alias("__n4"),
+        F.count(F.lit(1)).cast("double").alias("__nt"),
+    )
+    n1, n2 = F.col("__n1"), F.col("__n2")
+    n3, n4 = F.col("__n3"), F.col("__n4")
+    y = F.when(n1 + F.lit(2.0) * n2 > 0, n1 / (n1 + F.lit(2.0) * n2)).otherwise(
+        F.lit(0.0)
+    )
+    cc = cc.withColumn("__y", y)
+    yc = F.col("__y")
+    cc = cc.select(
+        "*",
+        F.when(n1 > 0, F.lit(1.0) - ((F.lit(2.0) * yc) * n2) / n1)
+        .otherwise(F.lit(0.0)).alias("__d1"),
+        F.when(n2 > 0, F.lit(2.0) - ((F.lit(3.0) * yc) * n3) / n2)
+        .otherwise(F.lit(0.0)).alias("__d2"),
+        F.when(n3 > 0, F.lit(3.0) - ((F.lit(4.0) * yc) * n4) / n3)
+        .otherwise(F.lit(0.0)).alias("__d3"),
+    ).select("__nt", "__d1", "__d2", "__d3")
+
+    c12 = F.col("__c12").cast("double")
+    d_of_c = (
+        F.when(F.col("__c12") == 1, F.col("__d1"))
+        .when(F.col("__c12") == 2, F.col("__d2"))
+        .otherwise(F.col("__d3"))
+    )
+    c1 = F.col("__c1").cast("double")
+    gamma = (
+        (F.col("__d1") * F.col("__nn1"))
+        + (F.col("__d2") * F.col("__nn2"))
+        + (F.col("__d3") * F.col("__nn3p"))
+    ) / c1
+    p = (c12 - d_of_c) / c1 + gamma * (F.col("__n1b") / F.col("__nt"))
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(left, ["w1"])
+        .join(right, ["w2"])
+        .crossJoin(F.broadcast(cc))
+        .select(
+            F.col(id_col),
+            F.round(F.log(p), 6).cast("decimal(28,6)").alias("__lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.sum("__lp").alias("__lpsum"),
+    )
+
+    def _floor6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    avg = _floor6(F.col("__lpsum").cast("double") / F.col("n_transitions"))
+    return (
+        docs.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_transitions"), F.lit(0)).cast("long").alias(
+                "n_transitions"
+            ),
+            avg.alias("avg_logprob"),
+            _floor6(F.exp(-avg)).alias("pseudo_ppl"),
+        )
+    )

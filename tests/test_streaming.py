@@ -452,3 +452,64 @@ def test_streaming_quality_flags_rejects_batch_frame(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="streaming"):
         streaming_quality_flags(docs)
+
+
+def test_streaming_quality_flags_compose_into_curation(spark, tmp_path):
+    """VERDICT r13 #6 parity pin: batch-history + streamed-tail Gopher
+    verdicts injected through curate_corpus(quality_flags=...) must produce
+    the SAME decision table as the all-batch path — quality-on-ingest
+    composes end-to-end, not just at the flags level."""
+    import pyspark.sql.functions as F
+
+    from finiextestingide_spark.operators.curation import curate_corpus
+    from finiextestingide_spark.operators.text import gopher_quality_flags
+    from finiextestingide_spark.streaming.incremental_bars import drain_to_memory
+    from finiextestingide_spark.streaming.quality_stream import (
+        merged_quality_flags,
+        streaming_quality_flags,
+    )
+
+    rows = [
+        (1, " ".join(["the quick brown fox jumps over the lazy dog today"] * 3)),
+        (2, " ".join(["the quick brown fox jumps over the lazy dog today"] * 3)),
+        (3, "too short"),
+        (4, "rivers and mountains hold the evening light for all of us to see"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(99, "held out benchmark text with its own vocabulary")],
+        "doc_id long, text string",
+    )
+    pq = str(tmp_path / "docs")
+    docs.write.parquet(pq)
+
+    tail = (
+        spark.readStream.schema(docs.schema)
+        .parquet(pq)
+        .where(F.col("doc_id") % 2 == 1)
+    )
+    out = streaming_quality_flags(tail, min_words=5, min_stop_hits=1)
+    drain_to_memory(out, "t_quality_curation", settle_secs=1.0)
+    g = gopher_quality_flags(F.col("text"), min_words=5, min_stop_hits=1)
+    hist = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", g["keep"].alias("keep")
+    )
+    merged = merged_quality_flags(
+        hist, spark.table("t_quality_curation").select("doc_id", "keep")
+    )
+
+    kw = dict(min_jaccard=0.5)
+    streamed = {
+        r.doc_id: r
+        for r in curate_corpus(docs, ev, quality_flags=merged, **kw).collect()
+    }
+    batch = {
+        r.doc_id: r
+        for r in curate_corpus(
+            docs, ev, min_words=5, min_stop_hits=1, **kw
+        ).collect()
+    }
+    assert streamed == batch and len(batch) == 4
+    # the judgments themselves are non-trivial on this corpus: one exact
+    # dup pair, one quality failure, one clean keep
+    assert batch[2].is_exact_dup and batch[3].fails_quality and batch[4].kept

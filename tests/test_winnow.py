@@ -322,3 +322,73 @@ def test_kneser_ney_continuation_weight(spark):
     p_ab = (1 - 0.75) / 1 + (0.75 * 1 / 1) * (3 / 5)
     want = math.floor(round(math.log(p_ab), 6) * 1e6 + 0.5) / 1e6
     assert out[2].avg_logprob == want
+
+
+def test_modified_kneser_ney_three_discounts(spark):
+    # Corpus engineered so the count-of-counts are n1=n2=n3=n4=1 and each
+    # discount class scores exactly one transition. Single-transition docs
+    # keep every hand computation one line:
+    #   bi: (p,q):1 (r,s):2 (t,u):3 (v,w):4; nt=4; pcont = 1/4 each.
+    #   Y = 1/3; D1 = 1 - 2Y = 1/3; D2 = 2 - 3Y = 1; D3+ = 3 - 4Y = 5/3.
+    import math
+
+    rows = (
+        [(1, "p q")]
+        + [(i, "r s") for i in (2, 3)]
+        + [(i, "t u") for i in (4, 5, 6)]
+        + [(i, "v w") for i in (7, 8, 9, 10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in tx.modified_kneser_ney_logprob_scores(docs).collect()
+    }
+    y = 1.0 / (1.0 + 2.0 * 1.0)
+    d1 = 1.0 - ((2.0 * y) * 1.0) / 1.0
+    d2 = 2.0 - ((3.0 * y) * 1.0) / 1.0
+    d3 = 3.0 - ((4.0 * y) * 1.0) / 1.0
+    pc = 1.0 / 4.0
+
+    def lp(c12, c1, nn, p_):
+        return math.floor(round(math.log(p_), 6) * 1e6 + 0.5) / 1e6
+
+    p_pq = (1.0 - d1) / 1.0 + ((d1 * 1 + d2 * 0 + d3 * 0) / 1.0) * pc
+    p_rs = (2.0 - d2) / 2.0 + ((d1 * 0 + d2 * 1 + d3 * 0) / 2.0) * pc
+    p_tu = (3.0 - d3) / 3.0 + ((d1 * 0 + d2 * 0 + d3 * 1) / 3.0) * pc
+    p_vw = (4.0 - d3) / 4.0 + ((d1 * 0 + d2 * 0 + d3 * 1) / 4.0) * pc
+    assert abs(p_pq - 3 / 4) < 1e-12 and abs(p_rs - 5 / 8) < 1e-12
+    assert abs(p_tu - 7 / 12) < 1e-12 and abs(p_vw - 11 / 16) < 1e-12
+    assert out[1].avg_logprob == lp(1, 1, 1, p_pq)
+    assert out[2].avg_logprob == lp(2, 2, 1, p_rs)
+    assert out[4].avg_logprob == lp(3, 3, 1, p_tu)
+    assert out[7].avg_logprob == lp(4, 4, 1, p_vw)
+    # the discounted mass is fully redistributed: each context's total
+    # probability over its observed followers + gamma*unseen stays a
+    # proper distribution; spot-check context v: p(v->w) + gamma_v * (3/4
+    # remaining continuation mass) == 1
+    gamma_v = (d3 * 1) / 4.0
+    assert abs(p_vw + gamma_v * (3 * pc) - 1.0) < 1e-12
+
+
+def test_modified_kneser_ney_degenerate_counts(spark):
+    # n3 = 0 with a 4-count bigram present: the textbook D3+ estimator is
+    # undefined; the operator's documented fallback D3+ = 0 leaves those
+    # transitions undiscounted (p = c/c1 + 0) instead of crashing.
+    import math
+
+    rows = (
+        [(1, "p q")]
+        + [(i, "r s") for i in (2, 3)]
+        + [(i, "v w") for i in (7, 8, 9, 10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in tx.modified_kneser_ney_logprob_scores(docs).collect()
+    }
+    # n1=1, n2=1, n3=0, n4=1, nt=3; Y=1/3; D1=1/3; D2 = 2 - 3Y*0/1 = 2; D3=0
+    # p(v->w) = (4-0)/4 + 0 = 1 -> ln = 0
+    assert out[7].avg_logprob == 0.0 and out[7].pseudo_ppl == 1.0
+    # p(r->s) = (2-2)/2 + ((d2*1)/2)*(1/3) = 1/3
+    want = math.floor(round(math.log(1 / 3), 6) * 1e6 + 0.5) / 1e6
+    assert out[2].avg_logprob == want
