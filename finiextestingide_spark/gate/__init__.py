@@ -113,9 +113,26 @@ from ._util import Query  # noqa: F401
 # NEWEST gates: ivfpq_residual_topk_10 (true IVFADC — PQ trained on
 # coarse residuals, per-cell residual ADC) and streaming_pq_codes (live
 # ingest into the compressed index, merged vs the full-encode oracle).
+#
+# Round-14 rotation (VERDICT r13 #4, rotation round 7): IN the two queue
+# heads the driver has never verified — kneser_ney_perplexity,
+# streaming_gopher_quality — plus the three NEW round-14 gates:
+# ivfpq_lake_topk_10 (the materialized codes lake: encode-at-ingest,
+# partition-pruned probe, VERDICT r13 #1), modified_kn_perplexity
+# (Chen-Goodman three-discount MKN, VERDICT r13 #5), and
+# streaming_curated_corpus (quality-on-ingest composed into the decision
+# table, VERDICT r13 #6). OUT 5 multi-round veterans, each family still
+# represented in-window and all kept green by check_gate + pytest:
+# winnow_pairs (winnow family keeps winnow_fingerprints +
+# winnow_containment_dedup), gopher_quality (quality family keeps
+# source_quality_rollup + both incoming streaming quality gates),
+# embedding_neardup_clusters (embedding family keeps embedding_neardup_lsh
+# + its recall audit), jaccard_pairs_dfcap (pair family keeps
+# neardup_keep_best + streaming_minhash_lsh), streaming_dedup_exact
+# (dedup family keeps merged_dedup_view, its backfill twin). Window stays
+# 50 and 100% oracle-backed.
 CURATED_ORDER: tuple[str, ...] = (
     # relational core
-    "winnow_pairs",
     "order_reconciliation",
     "streaming_reconcile_restart",
     "merged_reconcile_view",
@@ -123,7 +140,6 @@ CURATED_ORDER: tuple[str, ...] = (
     "reconcile_state_diff",
     # timeseries / indicators
     "atr_ewm_daily",
-    "gopher_quality",
     "trade_analytics_by_scenario",
     "bus_decode_signals",
     "curated_corpus",
@@ -138,7 +154,6 @@ CURATED_ORDER: tuple[str, ...] = (
     "streaming_live_limit",
     "streaming_live_replay",
     "streaming_live_signal",
-    "streaming_dedup_exact",
     "merged_dedup_view",
     "bus_decode_ticks",
     # LLM-data dedup / ANN core (r13: + trained PQ, IVF-PQ, winnowing
@@ -146,22 +161,25 @@ CURATED_ORDER: tuple[str, ...] = (
     "winnow_fingerprints",
     "winnow_containment_dedup",
     "source_quality_rollup",
+    "streaming_gopher_quality",
+    "streaming_curated_corpus",
     "unigram_perplexity",
+    "kneser_ney_perplexity",
+    "modified_kn_perplexity",
     "bigram_perplexity",
     "pq_adc_topk_10",
     "pq_recall_audit",
     "pq_trained_codebooks",
     "pq_trained_recall_audit",
     "ivfpq_topk_10",
+    "ivfpq_lake_topk_10",
     "ivfpq_residual_topk_10",
     "streaming_pq_codes",
     "ivf_recall_audit",
     "embedding_neardup_lsh",
     "embedding_neardup_lsh_recall",
-    "embedding_neardup_clusters",
     "streaming_minhash_lsh",
     "streaming_lsh_backfill",
-    "jaccard_pairs_dfcap",
     "neardup_keep_best",
     "streaming_ivf_assign",
     "token_budget_mix_greedy",
@@ -176,8 +194,6 @@ CURATED_ORDER: tuple[str, ...] = (
     # widened driver window picks them up in this order (round-5 VERDICT #8);
     # round-11 rotated-out veterans go to the back of this queue.
     # Queue head (r13c, never driver-verified — rotation round 7 material):
-    "kneser_ney_perplexity",
-    "streaming_gopher_quality",
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",
@@ -242,6 +258,12 @@ CURATED_ORDER: tuple[str, ...] = (
     "multimodal_frames",
     "repetition_stats",
     "quality_quantile_40",
+    # round-14 rotated-out veterans
+    "winnow_pairs",
+    "gopher_quality",
+    "embedding_neardup_clusters",
+    "jaccard_pairs_dfcap",
+    "streaming_dedup_exact",
 )
 
 
