@@ -110,6 +110,15 @@ HEADLINE = [
     # the misleading-row class), and ivfpq/pq_adc at sf0.1 time job
     # overhead (SCALE.md: ADC 1.05x for 10x vectors — near-constant).
     "bigram_perplexity",
+    # round-14: modified Kneser-Ney — the top of the LM ladder (adds the
+    # count-of-counts aggregate + per-context N_k columns to the bigram
+    # shape; the heaviest text row). The other r14 gates are deliberately
+    # NOT benched: ivfpq_lake_topk_10's wall is Lloyd training + the lake
+    # write (corpus-independent driver-bounded work + a write — its
+    # ingest-vs-query split is measured in SCALE.md instead), and
+    # streaming_curated_corpus is drain-settle-dominated (the excluded
+    # misleading-row class).
+    "modified_kn_perplexity",
 ]
 
 

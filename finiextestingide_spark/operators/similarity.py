@@ -1329,7 +1329,7 @@ def write_pq_lake(
 
 def ivfpq_lake_topk(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     sub_centroids: list[list[list[float]]],
     centroid_rows: list[tuple[int, list[float]]],
     query_vec: list[float],
@@ -1357,14 +1357,28 @@ def ivfpq_lake_topk(
     query, no re-encode, no join, no shuffle. Ranking is IDENTICAL to
     `ivfpq_topk` over the same books/corpus (same LUT, same 6-dp DECIMAL
     sum, same tiebreak), so the two share one oracle; the gate pins that
-    equality, and `tests/test_lake.py`-style plan tests pin the pruning."""
+    equality, and `tests/test_lake.py`-style plan tests pin the pruning.
+
+    ``path`` may be a LIST of lake roots — the growing-index layout:
+    batch history (`write_pq_lake`) + the streamed tail lake
+    (`streaming.ann_stream.streaming_pq_lake_ingest`), both
+    partitionBy(cell). Each root is scanned separately (its own partition
+    discovery — one multi-root relation would need a shared basePath) and
+    the probed slices union; every scan carries the same PartitionFilters,
+    so pruning holds per root. Read the merged view after the tail has
+    drained a trigger (the direct read lists files, bypassing the file
+    sink's _spark_metadata commit log); compaction of tail into history
+    is the codebook-rebuild boundary."""
     probes = coarse_probes(
         centroid_rows, query_vec, nprobe, op="ivfpq_lake_topk"
     )
     probe_ids = [int(cid) for cid, _ in probes]
-    lake = spark.read.parquet(path).where(
-        F.col(centroid_id).isin(probe_ids)
-    )
+    paths = [path] if isinstance(path, str) else list(path)
+    scans = [spark.read.parquet(p) for p in paths]
+    lake = scans[0]
+    for s in scans[1:]:
+        lake = lake.unionByName(s)
+    lake = lake.where(F.col(centroid_id).isin(probe_ids))
     if exclude_id is not None:
         lake = lake.where(F.col(id_col) != F.lit(exclude_id))
     return pq_adc_topk(

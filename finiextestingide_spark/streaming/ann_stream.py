@@ -96,3 +96,49 @@ def merged_pq_codes(batch_codes: DataFrame, streamed_codes: DataFrame) -> DataFr
     """Read view of the growing code table: batch-encoded history UNION the
     streamed tail — stateless encode, plain union by name."""
     return batch_codes.unionByName(streamed_codes)
+
+
+def streaming_pq_lake_ingest(
+    stream: DataFrame,
+    centroid_rows: list[tuple[int, list[float]]],
+    sub_centroids: list[list[list[float]]],
+    tail_path: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    code_prefix: str = "pq",
+):
+    """LIVE ingest into the IVF-PQ codes lake: arriving embeddings are
+    cell-assigned (`streaming_ivf_assign`) and PQ-encoded
+    (`streaming_pq_encode`) in one stateless narrow map, then appended —
+    exactly-once via the parquet file sink's commit log — to a TAIL lake
+    with the same layout as the batch lake (`write_pq_lake`): only
+    (id, code columns), partitionBy(cell id). Raw vectors are dropped at
+    the sink boundary, so the lake stays m bytes/vector while the index
+    grows continuously.
+
+    Returns the started StreamingQuery (trigger=availableNow, which
+    drains everything currently available then stops — callers running a
+    truly continuous ingest restart it per arrival window or swap the
+    trigger). Query path: `operators.similarity.ivfpq_lake_topk` with
+    ``path=[history_lake, tail_lake]`` — one multi-root partition-pruned
+    scan. Compacting the tail into history (a plain batch read+rewrite)
+    is the codebook-rebuild boundary, same as quantizer version bumps."""
+    assigned = streaming_ivf_assign(
+        stream, centroid_rows, vec_col=vec_col, centroid_id=centroid_id
+    )
+    codes = streaming_pq_encode(assigned, sub_centroids, vec_col=vec_col)
+    cols = [id_col, centroid_id] + [
+        f"{code_prefix}{j}" for j in range(len(sub_centroids))
+    ]
+    return (
+        codes.select(*cols)
+        .writeStream.format("parquet")
+        .option("path", tail_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy(centroid_id)
+        .trigger(availableNow=True)
+        .start()
+    )

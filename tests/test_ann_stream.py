@@ -12,6 +12,7 @@ from finiextestingide_spark.operators import similarity as sim
 from finiextestingide_spark.streaming.ann_stream import (
     merged_ivf_index,
     streaming_ivf_assign,
+    streaming_pq_lake_ingest,
 )
 from finiextestingide_spark.streaming.incremental_bars import drain_to_memory
 
@@ -359,3 +360,61 @@ def test_ivfpq_residual_zero_query_fails_loud(spark):
         sim.ivfpq_residual_topk(
             assigned, [[[0.0]]], [], [1.0, 0.0], 2,
         )
+
+
+def test_streaming_pq_lake_ingest_merges_with_batch_lake(spark, tmp_path):
+    """The growing-index layout: batch history via write_pq_lake + a
+    streamed tail via streaming_pq_lake_ingest (stateless assign+encode,
+    exactly-once file sink, partitionBy(cell)) must (a) land the tail in
+    the SAME codes-only partitioned layout, and (b) rank identically to
+    the all-batch lake over history+tail through the multi-root
+    ivfpq_lake_topk — with partition pruning still in the plan."""
+    crows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    cents = spark.createDataFrame(
+        crows, "centroid_id long, embedding array<double>"
+    )
+    books = [[[0.0], [2.0], [9.0]], [[0.0], [1.0], [8.0]]]
+    hist_rows = [(1, [9.0, 1.0]), (2, [2.0, 0.5]), (3, [0.5, 8.0])]
+    tail_rows = [(4, [8.0, 0.0]), (5, [1.0, 9.0]), (6, [2.0, 1.0])]
+    hist = spark.createDataFrame(hist_rows, "vec_id long, embedding array<double>")
+    tail = spark.createDataFrame(tail_rows, "vec_id long, embedding array<double>")
+
+    hist_lake = str(tmp_path / "hist")
+    sim.write_pq_lake(sim.assign_centroids(hist, cents), books, hist_lake)
+
+    staged = str(tmp_path / "staged")
+    tail.write.parquet(staged)
+    stream = spark.readStream.schema(tail.schema).parquet(staged)
+    tail_lake = str(tmp_path / "tail")
+    q = streaming_pq_lake_ingest(
+        stream, crows, books, tail_lake, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(60)
+
+    # (a) same layout: cell directories, codes-only schema
+    import os
+
+    cells = sorted(d for d in os.listdir(tail_lake) if d.startswith("centroid_id="))
+    assert cells and all(c.startswith("centroid_id=") for c in cells)
+    tail_schema = set(spark.read.parquet(tail_lake).schema.fieldNames())
+    assert "embedding" not in tail_schema
+    assert {"vec_id", "pq0", "pq1"} <= tail_schema
+
+    # (b) merged ranking == all-batch ranking, pruning intact
+    query_vec = [9.0, 0.5]
+    merged = sim.ivfpq_lake_topk(
+        spark, [hist_lake, tail_lake], books, crows, query_vec, 4, nprobe=1
+    )
+    all_lake = str(tmp_path / "all")
+    sim.write_pq_lake(
+        sim.assign_centroids(hist.unionByName(tail), cents), books, all_lake
+    )
+    want = sim.ivfpq_lake_topk(
+        spark, all_lake, books, crows, query_vec, 4, nprobe=1
+    )
+    got = [(r.vec_id, r.adc_dist, r.rank) for r in merged.collect()]
+    assert got == [(r.vec_id, r.adc_dist, r.rank) for r in want.collect()]
+    assert len(got) == 4  # cell 0 holds vecs 1, 2, 4, 6
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(centroid_id" in plan
+    assert "embedding" not in plan and "element_at" not in plan
