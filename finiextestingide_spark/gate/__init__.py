@@ -131,6 +131,13 @@ from ._util import Query  # noqa: F401
 # neardup_keep_best + streaming_minhash_lsh), streaming_dedup_exact
 # (dedup family keeps merged_dedup_view, its backfill twin). Window stays
 # 50 and 100% oracle-backed.
+#
+# Round-14b (same round, second batch): OUT neardup_keep_best (multi-round
+# veteran; its exact operator composes INSIDE curated_corpus's near side,
+# which stays in-window, plus embedding_neardup_lsh + streaming_minhash_lsh)
+# for the NEW ivfpq_lake_refined_10 — the FAISS refine stage (4k ADC
+# shortlist from the codes lake, exact-L2 re-rank of only those raw
+# vectors), never driver-verified.
 CURATED_ORDER: tuple[str, ...] = (
     # relational core
     "order_reconciliation",
@@ -173,6 +180,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "pq_trained_recall_audit",
     "ivfpq_topk_10",
     "ivfpq_lake_topk_10",
+    "ivfpq_lake_refined_10",
     "ivfpq_residual_topk_10",
     "streaming_pq_codes",
     "ivf_recall_audit",
@@ -180,7 +188,6 @@ CURATED_ORDER: tuple[str, ...] = (
     "embedding_neardup_lsh_recall",
     "streaming_minhash_lsh",
     "streaming_lsh_backfill",
-    "neardup_keep_best",
     "streaming_ivf_assign",
     "token_budget_mix_greedy",
     "stratified_sample_audit",
@@ -264,6 +271,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "embedding_neardup_clusters",
     "jaccard_pairs_dfcap",
     "streaming_dedup_exact",
+    "neardup_keep_best",
 )
 
 

