@@ -1093,6 +1093,10 @@ def ivfpq_topk(
     nprobe/nlist of an m-bytes-per-vector table via partition pruning and
     the raw vectors never load."""
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    # probe selection sorts the CENTROID table, bounded by nlist (65k at
+    # FAISS scale — one tiny TakeOrderedAndProject, never corpus-sized);
+    # the codes-lake path (`ivfpq_lake_topk`) moves even this driver-side
+    # so the probed cells become literal partition filters.
     probe = (
         centroids.select(
             F.col(centroid_id),
@@ -1422,6 +1426,12 @@ def refine_topk(
     vectors are touched ONLY for the shortlist — the full-corpus scan
     stays codes-only. Ties break to the smaller id; distances round to 6
     decimals (cross-engine exact: same fold, same doubles).
+
+    MEASURED lift (scripts/ivfpq_recall_audit.py --refine 4, full table
+    in SCALE.md §9): +0.15-0.23 absolute recall@10 on the worst-case
+    near-orthogonal corpus, and near-perfect on clustered data — the
+    production point (residual books, 64 codes, nprobe 1, refine 4x)
+    measures 0.995 recall@10 vs 0.555 for ADC alone.
 
     Output: (id_col, l2_dist, rank), rank 1..k."""
     qv = F.array(*[F.lit(float(x)) for x in query_vec])

@@ -154,12 +154,14 @@ def mirror_adc_topk(books, code_map, ids, q_for_cell, probe_cells, k,
     return {vid for _, vid in scored[:k]}
 
 
-def audit(spark, emb, ids, X, cent_rows, k_codes, nprobes, layout):
+def audit(spark, emb, ids, X, cent_rows, k_codes, nprobes, layout,
+          refine_mult=0):
     books, code_map = spark_artifacts(spark, emb, cent_rows, k_codes, layout)
     qids = [int(i) for i in ids[:N_QUERIES]]
-    out = {}
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    out, out_ref = {}, {}
     for nprobe in nprobes:
-        hits = 0
+        hits = hits_ref = 0
         for qid in qids:
             qi = int(np.where(ids == qid)[0][0])
             q = X[qi]
@@ -168,12 +170,25 @@ def audit(spark, emb, ids, X, cent_rows, k_codes, nprobes, layout):
                 probe_cells = [(cid, q - cv) for cid, cv in probes]
             else:
                 probe_cells = [(cid, q) for cid, _ in probes]
+            want = exact_topk(X, ids, qi, K)
             got = mirror_adc_topk(
                 books, code_map, ids, q, probe_cells, K, exclude_id=qid
             )
-            hits += len(got & exact_topk(X, ids, qi, K))
+            hits += len(got & want)
+            if refine_mult:
+                short = mirror_adc_topk(
+                    books, code_map, ids, q, probe_cells, refine_mult * K,
+                    exclude_id=qid,
+                )
+                # refine_topk semantics: exact L2 rerank of ONLY the
+                # shortlist, ties to the smaller id
+                rer = sorted(
+                    (float(((X[idx_of[v]] - q) ** 2).sum()), v) for v in short
+                )
+                hits_ref += len({v for _, v in rer[:K]} & want)
         out[nprobe] = hits / (len(qids) * K)
-    return out
+        out_ref[nprobe] = hits_ref / (len(qids) * K)
+    return (out, out_ref) if refine_mult else (out, None)
 
 
 def main():
@@ -183,6 +198,9 @@ def main():
     ap.add_argument("--nprobe", type=int, nargs="+", default=[1, 2])
     ap.add_argument("--sigma", type=float, default=0.15)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--refine", type=int, default=0, metavar="MULT",
+                    help="also report recall after exact-L2 refine of a "
+                         "MULT*k ADC shortlist (refine_topk semantics)")
     args = ap.parse_args()
 
     spark = (
@@ -202,9 +220,14 @@ def main():
           + (f" sigma={args.sigma}" if args.corpus == "clustered" else ""))
     for k_codes in args.codes:
         for layout in ("raw", "residual"):
-            r = audit(spark, emb, ids, X, cents, k_codes, args.nprobe, layout)
+            r, rr = audit(spark, emb, ids, X, cents, k_codes, args.nprobe,
+                          layout, refine_mult=args.refine)
             row = " ".join(f"nprobe{p}={r[p]:.3f}" for p in args.nprobe)
             print(f"codes={k_codes:3d} layout={layout:8s} {row}", flush=True)
+            if rr is not None:
+                row = " ".join(f"nprobe{p}={rr[p]:.3f}" for p in args.nprobe)
+                print(f"codes={k_codes:3d}   +refine{args.refine}x {row}",
+                      flush=True)
 
 
 if __name__ == "__main__":
