@@ -91,6 +91,14 @@ TARGETS = [
     "bigram_perplexity",
     "pq_trained_codebooks",
     "pq_trained_recall_audit",
+    # round-14 new operators: modified KN (the heaviest LM row — the
+    # count-of-counts aggregate + per-context N_k ride the bigram shape)
+    # and the composed streaming curation table. ivfpq_lake_* are
+    # deliberately absent: their wall is training + the one-time lake
+    # write (the misleading-row class; the ingest-vs-query split is
+    # scripts/pq_lake_cost.py's row in SCALE.md instead).
+    "modified_kn_perplexity",
+    "streaming_curated_corpus",
 ]
 
 
