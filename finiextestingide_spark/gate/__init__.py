@@ -137,7 +137,12 @@ from ._util import Query  # noqa: F401
 # which stays in-window, plus embedding_neardup_lsh + streaming_minhash_lsh)
 # for the NEW ivfpq_lake_refined_10 — the FAISS refine stage (4k ADC
 # shortlist from the codes lake, exact-L2 re-rank of only those raw
-# vectors), never driver-verified.
+# vectors), never driver-verified. And OUT embedding_neardup_lsh_recall
+# (multi-round; the recall-audit family keeps ivf_recall_audit +
+# pq_recall_audit + pq_trained_recall_audit, and embedding_neardup_lsh
+# itself stays) for the NEW ivfpq_residual_lake_topk_10 — the measured
+# production point (residual books) served from the partition-pruned
+# codes lake, sharing the residual IVFADC oracle.
 CURATED_ORDER: tuple[str, ...] = (
     # relational core
     "order_reconciliation",
@@ -182,10 +187,10 @@ CURATED_ORDER: tuple[str, ...] = (
     "ivfpq_lake_topk_10",
     "ivfpq_lake_refined_10",
     "ivfpq_residual_topk_10",
+    "ivfpq_residual_lake_topk_10",
     "streaming_pq_codes",
     "ivf_recall_audit",
     "embedding_neardup_lsh",
-    "embedding_neardup_lsh_recall",
     "streaming_minhash_lsh",
     "streaming_lsh_backfill",
     "streaming_ivf_assign",
@@ -272,6 +277,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "jaccard_pairs_dfcap",
     "streaming_dedup_exact",
     "neardup_keep_best",
+    "embedding_neardup_lsh_recall",
 )
 
 

@@ -3419,6 +3419,44 @@ def ivfpq_lake_refined_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.refine_topk(shortlist, emb, query, _PQ_K)
 
 
+# --- RESIDUAL codes lake: the measured production point (SCALE.md §9 —
+#     residual books win on clustered data; + refine -> ~0.995 recall)
+#     served from the partition-pruned lake layout. Shares the residual
+#     IVFADC oracle: hash proves residual-encode-at-ingest == the
+#     self-contained residual query path. ---
+
+
+def ivfpq_residual_lake_topk_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < _IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    centroid_rows = [
+        (int(r["centroid_id"]), [float(x) for x in r["embedding"]])
+        for r in centroids.collect()
+    ]
+    assigned = sim.assign_centroids(emb, centroids)
+    resid = sim.residual_vectors(assigned, centroids)
+    cb = sim.pq_train_codebooks(
+        resid, m=_PQ_M, k_codes=_PQT_CODES, iters=_PQT_ITERS, vec_col="residual"
+    )
+    books = sim.collect_codebooks(cb, vec_col="residual")
+    query = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    lake = os.path.join(tempfile.gettempdir(), f"finiex_gate_pqrlake_{key}")
+    sim.write_pq_lake(resid, books, lake, vec_col="residual")
+    return sim.ivfpq_residual_lake_topk(
+        spark, lake, books, centroid_rows, query, _PQ_K, nprobe=1, exclude_id=0
+    )
+
+
 # --- corpus-trained unigram LM score (CCNet-recipe perplexity signal) ---
 
 
@@ -4075,6 +4113,11 @@ QUERIES: dict[str, Query] = {
         ivfpq_residual_topk_10,
         IVFPQ_RESIDUAL_TOPK_10_SQL,
         "residual IVF-PQ (true IVFADC): PQ trained on coarse residuals, per-cell residual ADC",
+    ),
+    "ivfpq_residual_lake_topk_10": Query(
+        ivfpq_residual_lake_topk_10,
+        IVFPQ_RESIDUAL_TOPK_10_SQL,
+        "residual codes lake: residual-encode-at-ingest, per-cell partition-pruned LUT (same oracle as ivfpq_residual_topk_10)",
     ),
     "streaming_pq_codes": Query(
         streaming_pq_codes_gate,

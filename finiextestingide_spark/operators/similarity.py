@@ -1443,3 +1443,88 @@ def refine_topk(
     top = cand.orderBy(F.asc("l2_dist"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.asc("l2_dist"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def ivfpq_residual_lake_topk(
+    spark: SparkSession,
+    path: str | list[str],
+    sub_centroids: list[list[list[float]]],
+    centroid_rows: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    code_prefix: str = "pq",
+    exclude_id=None,
+) -> DataFrame:
+    """Residual IVFADC over the persisted codes lake — the MEASURED
+    production point served from the production layout (SCALE.md §9: on
+    clustered corpora residual books beat raw and the refine stage lifts
+    this configuration to ~0.995 recall@10). The lake holds RESIDUAL
+    codes: build it with
+    ``write_pq_lake(residual_vectors(assigned, centroids), books, path,
+    vec_col="residual")`` — encode once at ingest, codes partitioned by
+    cell, raw vectors and residuals never persisted.
+
+    Query path mirrors `ivfpq_residual_topk` with the encode removed:
+    driver-side probe selection (`coarse_probes`), PER-CELL query
+    residual q - c and per-cell LUT (each probed cell has its own lookup
+    table — the reason the scan is per cell, not one isin), each cell a
+    partition-pruned codes-only scan scored by the decimal CASE chain,
+    unioned into one nulls-last TakeOrderedAndProject. Ties to the
+    smaller id across cells. Multi-root ``path`` as in `ivfpq_lake_topk`
+    (history + streamed tail; `streaming_pq_lake_ingest` with a
+    residual-books encode writes the tail)."""
+    probes = coarse_probes(
+        centroid_rows, query_vec, nprobe, op="ivfpq_residual_lake_topk"
+    )
+    paths = [path] if isinstance(path, str) else list(path)
+
+    def _cell_scan():
+        scans = [spark.read.parquet(p) for p in paths]
+        out = scans[0]
+        for s in scans[1:]:
+            out = out.unionByName(s)
+        return out
+
+    plans = []
+    for cid, cvec in probes:
+        q_resid = [float(q) - float(c) for q, c in zip(query_vec, cvec)]
+        bucket = _cell_scan().where(F.col(centroid_id) == int(cid))
+        if exclude_id is not None:
+            bucket = bucket.where(F.col(id_col) != F.lit(exclude_id))
+        tables = []
+        offset = 0
+        for j, book in enumerate(sub_centroids):
+            width = len(book[0])
+            qj = q_resid[offset : offset + width]
+            lut = [
+                round(sum((float(q) - float(c)) ** 2 for q, c in zip(qj, cv)), 6)
+                for cv in book
+            ]
+            expr = F.lit(None).cast("decimal(18,6)")
+            for code, dist in enumerate(lut):
+                expr = F.when(
+                    F.col(f"{code_prefix}{j}") == code,
+                    F.lit(f"{dist:.6f}").cast("decimal(18,6)"),
+                ).otherwise(expr)
+            tables.append(expr)
+            offset += width
+        total = tables[0]
+        for t in tables[1:]:
+            total = total + t
+        plans.append(
+            bucket.select(
+                F.col(id_col), F.round(total.cast("double"), 6).alias("adc_dist")
+            )
+        )
+    scored_df = plans[0]
+    for p in plans[1:]:
+        scored_df = scored_df.unionByName(p)
+    top = scored_df.orderBy(
+        F.asc_nulls_last("adc_dist"), F.asc(id_col)
+    ).limit(k)
+    w = Window.orderBy(F.asc_nulls_last("adc_dist"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -167,3 +167,53 @@ def test_pq_codes_lake_partition_pruned_probe(spark, tmp_path):
     # degenerate query fails loud at probe selection (shared guard)
     with pytest.raises(ValueError, match="no probeable centroid"):
         sim.ivfpq_lake_topk(spark, lake, books, crows, [0.0] * 4, 5)
+
+
+def test_residual_codes_lake_per_cell_pruned(spark, tmp_path):
+    """Residual IVFADC served from the lake: residual codes persisted
+    partitionBy(cell) (`write_pq_lake(..., vec_col="residual")`), queried
+    by `ivfpq_residual_lake_topk` — each probed cell is its own
+    partition-pruned codes-only scan (per-cell LUT), no residual or
+    embedding column in the plan, ranking identical to the self-contained
+    `ivfpq_residual_topk` (they share one gate oracle)."""
+    from finiextestingide_spark.operators import similarity as sim
+
+    crows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    cents = spark.createDataFrame(
+        crows, "centroid_id long, embedding array<double>"
+    )
+    rows = [
+        (1, [10.0, 1.0]), (2, [8.0, 0.0]),   # cell 0
+        (3, [1.0, 12.0]), (4, [0.0, 9.0]),   # cell 1
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = sim.assign_centroids(vecs, cents)
+    resid = sim.residual_vectors(assigned, cents)
+    books = [
+        [[9.0], [7.0], [1.0], [0.0]],
+        [[1.0], [0.0], [11.0], [8.0]],
+    ]
+    lake = str(tmp_path / "rlake")
+    sim.write_pq_lake(resid, books, lake, vec_col="residual")
+    lake_schema = set(spark.read.parquet(lake).schema.fieldNames())
+    assert "residual" not in lake_schema and "embedding" not in lake_schema
+
+    q = [10.0, 1.0]
+    for nprobe in (1, 2):
+        got_df = sim.ivfpq_residual_lake_topk(
+            spark, lake, books, crows, q, 3, nprobe=nprobe, exclude_id=1
+        )
+        want = sim.ivfpq_residual_topk(
+            assigned, books, crows, q, 3, nprobe=nprobe, exclude_id=1
+        ).collect()
+        got = got_df.collect()
+        assert [(r.vec_id, r.adc_dist, r.rank) for r in got] == [
+            (r.vec_id, r.adc_dist, r.rank) for r in want
+        ]
+    plan = _plan(got_df)
+    assert "PartitionFilters: [isnotnull(centroid_id" in plan, plan
+    # codes-only scan: no residual/embedding COLUMN anywhere in the plan
+    # (bare substring would match the tmp dir name in the scan location)
+    assert "residual#" not in plan and "embedding#" not in plan
+    assert "ReadSchema: struct<vec_id:bigint,pq0:int,pq1:int>" in plan
+    assert "element_at" not in plan and "zip_with" not in plan
