@@ -205,7 +205,9 @@ CURATED_ORDER: tuple[str, ...] = (
     # positions 51+: highest-information out-of-window entries first, so a
     # widened driver window picks them up in this order (round-5 VERDICT #8);
     # round-11 rotated-out veterans go to the back of this queue.
-    # Queue head (r13c, never driver-verified — rotation round 7 material):
+    # Queue head (never driver-verified — rotation round 8 material):
+    "trigram_mkn_perplexity",
+    # (r13c queue heads rotated in-window in round 14)
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",

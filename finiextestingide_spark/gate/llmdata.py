@@ -3825,6 +3825,105 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
 """
 
 
+# --- TRIGRAM modified Kneser-Ney: order 3 with CONTINUATION-count
+#     backoff (the Chen-Goodman detail real KenLM ships — lower orders
+#     count distinct preceding contexts, not raw occurrences). Both
+#     layers' discounts estimated from their own count-of-counts; the
+#     oracle mirrors every discount parenthesization textually. ---
+
+
+def trigram_mkn_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.trigram_mkn_logprob_scores(_docs(spark, sf_dir))
+
+
+def _mkn_disc_sql(src: str, cnt: str, prefix: str) -> str:
+    return f"""
+{prefix}cc0 AS (SELECT
+    CAST(sum(CASE WHEN {cnt} = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+    CAST(sum(CASE WHEN {cnt} = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+    CAST(sum(CASE WHEN {cnt} = 3 THEN 1 ELSE 0 END) AS DOUBLE) AS n3,
+    CAST(sum(CASE WHEN {cnt} = 4 THEN 1 ELSE 0 END) AS DOUBLE) AS n4,
+    CAST(count(*) AS DOUBLE) AS nt
+  FROM {src}),
+{prefix}ccy AS (SELECT *, CASE WHEN n1 + 2.0 * n2 > 0 THEN n1 / (n1 + 2.0 * n2)
+                               ELSE 0.0 END AS y
+                FROM {prefix}cc0),
+{prefix}disc AS (SELECT nt,
+    CASE WHEN n1 > 0 THEN 1.0 - ((2.0 * y) * n2) / n1 ELSE 0.0 END AS d1,
+    CASE WHEN n2 > 0 THEN 2.0 - ((3.0 * y) * n3) / n2 ELSE 0.0 END AS d2,
+    CASE WHEN n3 > 0 THEN 3.0 - ((4.0 * y) * n4) / n3 ELSE 0.0 END AS d3
+  FROM {prefix}ccy)"""
+
+
+TRIGRAM_MKN_PERPLEXITY_SQL = (
+    """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+trips AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+  FROM t, UNNEST(generate_series(1, len(ws) - 2)) AS s(i)
+  WHERE len(ws) >= 3
+),
+tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM trips GROUP BY 1, 2, 3),
+h AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS htot,
+             CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hn1,
+             CAST(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS hn2,
+             CAST(sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hn3p
+      FROM tri GROUP BY 1, 2),
+cc2 AS (SELECT w2, w3, count(*) AS cc2 FROM tri GROUP BY 1, 2),
+w2r AS (SELECT w2, CAST(sum(cc2) AS BIGINT) AS t2,
+               CAST(sum(CASE WHEN cc2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS wn1,
+               CAST(sum(CASE WHEN cc2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS wn2,
+               CAST(sum(CASE WHEN cc2 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS wn3p
+        FROM cc2 GROUP BY 1),
+ctx1 AS (SELECT w3, count(*) AS c1b FROM cc2 GROUP BY 1),"""
+    + _mkn_disc_sql("tri", "c3", "a")
+    + ","
+    + _mkn_disc_sql("cc2", "cc2", "b")
+    + """,
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(ln(
+             (CAST(r.c3 AS DOUBLE)
+              - (CASE WHEN r.c3 = 1 THEN da.d1
+                      WHEN r.c3 = 2 THEN da.d2
+                      ELSE da.d3 END)) / CAST(hh.htot AS DOUBLE)
+             + ((da.d1 * hh.hn1 + da.d2 * hh.hn2 + da.d3 * hh.hn3p)
+                / CAST(hh.htot AS DOUBLE))
+               * ((CAST(c.cc2 AS DOUBLE)
+                   - (CASE WHEN c.cc2 = 1 THEN db.d1
+                           WHEN c.cc2 = 2 THEN db.d2
+                           ELSE db.d3 END)) / CAST(w.t2 AS DOUBLE)
+                  + ((db.d1 * w.wn1 + db.d2 * w.wn2 + db.d3 * w.wn3p)
+                     / CAST(w.t2 AS DOUBLE))
+                    * (CAST(x.c1b AS DOUBLE) / db.nt))
+           ), 6) AS DECIMAL(28,6)) AS lp
+  FROM trips p
+  JOIN tri r ON r.w1 = p.w1 AND r.w2 = p.w2 AND r.w3 = p.w3
+  JOIN h hh ON hh.w1 = p.w1 AND hh.w2 = p.w2
+  JOIN cc2 c ON c.w2 = p.w2 AND c.w3 = p.w3
+  JOIN w2r w ON w.w2 = p.w2
+  JOIN ctx1 x ON x.w3 = p.w3, adisc da, bdisc db
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions, sum(lp) AS lpsum
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_transitions, 0) AS BIGINT) AS n_transitions,
+       floor(CAST(a.lpsum AS DOUBLE) / a.n_transitions * 1000000.0 + 0.5) / 1000000.0
+         AS avg_logprob,
+       floor(exp(-(floor(CAST(a.lpsum AS DOUBLE) / a.n_transitions * 1000000.0 + 0.5)
+                   / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 AS pseudo_ppl
+FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+"""
+)
+
+
 # --- streaming Gopher quality: the quality judgment on INGEST ---
 
 
@@ -4063,6 +4162,11 @@ QUERIES: dict[str, Query] = {
         modified_kn_perplexity_gate,
         MODIFIED_KN_PERPLEXITY_SQL,
         "modified Kneser-Ney bigram score (Chen-Goodman three-discount, counts-of-counts-estimated)",
+    ),
+    "trigram_mkn_perplexity": Query(
+        trigram_mkn_perplexity_gate,
+        TRIGRAM_MKN_PERPLEXITY_SQL,
+        "trigram modified KN with continuation-count backoff (order-3 KenLM recurrence)",
     ),
     "kneser_ney_perplexity": Query(
         kneser_ney_perplexity_gate,

@@ -392,3 +392,55 @@ def test_modified_kneser_ney_degenerate_counts(spark):
     # p(r->s) = (2-2)/2 + ((d2*1)/2)*(1/3) = 1/3
     want = math.floor(round(math.log(1 / 3), 6) * 1e6 + 0.5) / 1e6
     assert out[2].avg_logprob == want
+
+
+def test_trigram_mkn_continuation_backoff(spark):
+    # Corpus engineered so BOTH layers' count-of-counts are hand-checkable:
+    # four single-trigram docs with trigram counts 1,2,3,4 (n1..n4 = 1 at
+    # the trigram layer) and every (w2,w3) preceded by exactly one w1
+    # (continuation counts all 1 -> backoff layer n1=4, D1_b=1, so the
+    # backoff collapses to gamma2 * p1c = 1/4 for every event).
+    import math
+
+    rows = (
+        [(1, "a b c")]
+        + [(i, "d e f") for i in (2, 3)]
+        + [(i, "g h i") for i in (4, 5, 6)]
+        + [(i, "j k l") for i in (7, 8, 9, 10)]
+        + [(11, "a b")]          # 2 tokens: no trigram, null score
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r for r in tx.trigram_mkn_logprob_scores(docs).collect()
+    }
+    # trigram-layer discounts (same arithmetic as the bigram MKN test)
+    y = 1.0 / (1.0 + 2.0 * 1.0)
+    a1 = 1.0 - ((2.0 * y) * 1.0) / 1.0
+    a2 = 2.0 - ((3.0 * y) * 1.0) / 1.0
+    a3 = 3.0 - ((4.0 * y) * 1.0) / 1.0
+    # backoff layer: all continuation counts are 1 -> D1_b = 1, so
+    # p2c = 0 + gamma2 * p1c = (1*1/1) * (1/4) = 1/4 for every event
+    p2c = (1.0 - 1.0) / 1.0 + ((1.0 * 1 + 0.0 * 0 + 0.0 * 0) / 1.0) * (1.0 / 4.0)
+    assert p2c == 0.25
+
+    def lp(p_):
+        return math.floor(round(math.log(p_), 6) * 1e6 + 0.5) / 1e6
+
+    p_abc = (1.0 - a1) / 1.0 + ((a1 * 1 + a2 * 0 + a3 * 0) / 1.0) * p2c
+    p_def = (2.0 - a2) / 2.0 + ((a1 * 0 + a2 * 1 + a3 * 0) / 2.0) * p2c
+    p_ghi = (3.0 - a3) / 3.0 + ((a1 * 0 + a2 * 0 + a3 * 1) / 3.0) * p2c
+    p_jkl = (4.0 - a3) / 4.0 + ((a1 * 0 + a2 * 0 + a3 * 1) / 4.0) * p2c
+    assert abs(p_abc - 3 / 4) < 1e-12 and abs(p_def - 5 / 8) < 1e-12
+    assert abs(p_ghi - 7 / 12) < 1e-12 and abs(p_jkl - 11 / 16) < 1e-12
+    assert out[1].avg_logprob == lp(p_abc)
+    assert out[1].n_transitions == 1
+    assert out[2].avg_logprob == lp(p_def)
+    assert out[4].avg_logprob == lp(p_ghi)
+    assert out[7].avg_logprob == lp(p_jkl)
+    # a 2-token doc has no trigram transitions
+    assert out[11].n_transitions == 0 and out[11].avg_logprob is None
+    # per-context proper distribution at the top layer: context (j,k) has
+    # one observed follower; discounted mass gamma3 covers the rest of the
+    # continuation space (total continuation mass = 1)
+    gamma3 = (a3 * 1) / 4.0
+    assert abs(p_jkl + gamma3 * (3 * 0.25) - 1.0) < 1e-12
