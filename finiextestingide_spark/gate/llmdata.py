@@ -3791,9 +3791,9 @@ ccy AS (SELECT *, CASE WHEN n1 + 2.0 * n2 > 0 THEN n1 / (n1 + 2.0 * n2)
                        ELSE 0.0 END AS y
         FROM cc0),
 disc AS (SELECT nt,
-           CASE WHEN n1 > 0 THEN 1.0 - ((2.0 * y) * n2) / n1 ELSE 0.0 END AS d1,
-           CASE WHEN n2 > 0 THEN 2.0 - ((3.0 * y) * n3) / n2 ELSE 0.0 END AS d2,
-           CASE WHEN n3 > 0 THEN 3.0 - ((4.0 * y) * n4) / n3 ELSE 0.0 END AS d3
+           CASE WHEN n1 > 0 THEN greatest(1.0 - ((2.0 * y) * n2) / n1, 0.0) ELSE 0.0 END AS d1,
+           CASE WHEN n2 > 0 THEN greatest(2.0 - ((3.0 * y) * n3) / n2, 0.0) ELSE 0.0 END AS d2,
+           CASE WHEN n3 > 0 THEN greatest(3.0 - ((4.0 * y) * n4) / n3, 0.0) ELSE 0.0 END AS d3
          FROM ccy),
 scored AS (
   SELECT p.doc_id,
@@ -3849,9 +3849,9 @@ def _mkn_disc_sql(src: str, cnt: str, prefix: str) -> str:
                                ELSE 0.0 END AS y
                 FROM {prefix}cc0),
 {prefix}disc AS (SELECT nt,
-    CASE WHEN n1 > 0 THEN 1.0 - ((2.0 * y) * n2) / n1 ELSE 0.0 END AS d1,
-    CASE WHEN n2 > 0 THEN 2.0 - ((3.0 * y) * n3) / n2 ELSE 0.0 END AS d2,
-    CASE WHEN n3 > 0 THEN 3.0 - ((4.0 * y) * n4) / n3 ELSE 0.0 END AS d3
+    CASE WHEN n1 > 0 THEN greatest(1.0 - ((2.0 * y) * n2) / n1, 0.0) ELSE 0.0 END AS d1,
+    CASE WHEN n2 > 0 THEN greatest(2.0 - ((3.0 * y) * n3) / n2, 0.0) ELSE 0.0 END AS d2,
+    CASE WHEN n3 > 0 THEN greatest(3.0 - ((4.0 * y) * n4) / n3, 0.0) ELSE 0.0 END AS d3
   FROM {prefix}ccy)"""
 
 

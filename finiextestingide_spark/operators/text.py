@@ -714,14 +714,24 @@ def modified_kneser_ney_logprob_scores(
     )
     cc = cc.withColumn("__y", y)
     yc = F.col("__y")
+    # greatest(..., 0): Chen-Goodman assumes the count-of-counts decay
+    # (n1 > n2 > n3 ...); on corpora that violate it a raw D_k can go
+    # NEGATIVE, which flips gamma's sign and can push p below zero (ln
+    # undefined — observed live on the trigram layer at sf0.1). KenLM
+    # refuses such corpora without --discount_fallback; a quality SCORE
+    # clamps instead (deterministic, mirrored in the oracle), keeping
+    # 0 <= D_k <= k so every numerator and every gamma stays >= 0.
     cc = cc.select(
         "*",
-        F.when(n1 > 0, F.lit(1.0) - ((F.lit(2.0) * yc) * n2) / n1)
-        .otherwise(F.lit(0.0)).alias("__d1"),
-        F.when(n2 > 0, F.lit(2.0) - ((F.lit(3.0) * yc) * n3) / n2)
-        .otherwise(F.lit(0.0)).alias("__d2"),
-        F.when(n3 > 0, F.lit(3.0) - ((F.lit(4.0) * yc) * n4) / n3)
-        .otherwise(F.lit(0.0)).alias("__d3"),
+        F.when(n1 > 0, F.greatest(
+            F.lit(1.0) - ((F.lit(2.0) * yc) * n2) / n1, F.lit(0.0)
+        )).otherwise(F.lit(0.0)).alias("__d1"),
+        F.when(n2 > 0, F.greatest(
+            F.lit(2.0) - ((F.lit(3.0) * yc) * n3) / n2, F.lit(0.0)
+        )).otherwise(F.lit(0.0)).alias("__d2"),
+        F.when(n3 > 0, F.greatest(
+            F.lit(3.0) - ((F.lit(4.0) * yc) * n4) / n3, F.lit(0.0)
+        )).otherwise(F.lit(0.0)).alias("__d3"),
     ).select("__nt", "__d1", "__d2", "__d3")
 
     c12 = F.col("__c12").cast("double")
@@ -863,14 +873,21 @@ def trigram_mkn_logprob_scores(
         ).otherwise(F.lit(0.0))
         cc = cc.withColumn("__y", y)
         yc = F.col("__y")
+        # greatest(..., 0): see modified_kneser_ney_logprob_scores — a raw
+        # D_k goes negative when the count-of-counts fail to decay, which
+        # flips gamma's sign and can push p below 0 (observed live at the
+        # trigram layer on sf0.1); clamping keeps both layers proper.
         return cc.select(
             F.col("__nt").alias(f"{prefix}nt"),
-            F.when(n1 > 0, F.lit(1.0) - ((F.lit(2.0) * yc) * n2) / n1)
-            .otherwise(F.lit(0.0)).alias(f"{prefix}d1"),
-            F.when(n2 > 0, F.lit(2.0) - ((F.lit(3.0) * yc) * n3) / n2)
-            .otherwise(F.lit(0.0)).alias(f"{prefix}d2"),
-            F.when(n3 > 0, F.lit(3.0) - ((F.lit(4.0) * yc) * n4) / n3)
-            .otherwise(F.lit(0.0)).alias(f"{prefix}d3"),
+            F.when(n1 > 0, F.greatest(
+                F.lit(1.0) - ((F.lit(2.0) * yc) * n2) / n1, F.lit(0.0)
+            )).otherwise(F.lit(0.0)).alias(f"{prefix}d1"),
+            F.when(n2 > 0, F.greatest(
+                F.lit(2.0) - ((F.lit(3.0) * yc) * n3) / n2, F.lit(0.0)
+            )).otherwise(F.lit(0.0)).alias(f"{prefix}d2"),
+            F.when(n3 > 0, F.greatest(
+                F.lit(3.0) - ((F.lit(4.0) * yc) * n4) / n3, F.lit(0.0)
+            )).otherwise(F.lit(0.0)).alias(f"{prefix}d3"),
         )
 
     d3 = _discounts(tri, "__c3", "__a")       # trigram-layer discounts

@@ -444,3 +444,31 @@ def test_trigram_mkn_continuation_backoff(spark):
     # continuation space (total continuation mass = 1)
     gamma3 = (a3 * 1) / 4.0
     assert abs(p_jkl + gamma3 * (3 * 0.25) - 1.0) < 1e-12
+
+
+def test_modified_kneser_ney_clamps_negative_discounts(spark):
+    # Count-of-counts that FAIL to decay (n4 >> n3) push the raw
+    # Chen-Goodman D3+ negative (here 3 - (4/3)*10 ≈ -10.3), which would
+    # flip gamma's sign and drive p below zero (ln undefined — observed
+    # live at the trigram layer on sf0.1). The clamp keeps D3+ = 0: the
+    # count-3 and count-4 transitions take no discount, gamma for their
+    # contexts is 0, and p = c/c1 = 1 exactly (lp = 0).
+    rows = (
+        [(1, "p q")]
+        + [(i, "r s") for i in (2, 3)]
+        + [(i, "t u") for i in (4, 5, 6)]
+    )
+    nxt = 7
+    for b in range(10):  # ten distinct count-4 bigrams -> n4 = 10
+        for _ in range(4):
+            rows.append((nxt, f"x{b} y{b}"))
+            nxt += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in tx.modified_kneser_ney_logprob_scores(docs).collect()
+    }
+    assert out[4].avg_logprob == 0.0 and out[4].pseudo_ppl == 1.0
+    assert out[7].avg_logprob == 0.0
+    # the decaying classes still carry their textbook discounts
+    assert out[1].avg_logprob is not None and out[1].avg_logprob < 0.0
