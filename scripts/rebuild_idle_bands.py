@@ -9,6 +9,16 @@ rows, +/-30% for sub-second rows (scheduler jitter dominates those).
 
     python scripts/rebuild_idle_bands.py                # from BENCH_STATS.json
     python scripts/rebuild_idle_bands.py --stats /tmp/bench_out.json
+    python scripts/rebuild_idle_bands.py --per-row      # see below
+
+``--per-row``: on a box with frequent co-tenant bursts a ~15-minute run
+rarely finishes globally clean, but the PER-SAMPLE co-tenant guard (r10)
+certifies each row individually — a row whose kept samples are all
+untainted and un-rejected is trustworthy regardless of what happened
+during other rows' windows. Per-row mode rebuilds bands ONLY for such
+rows and carries the previous band forward for flagged ones (dropping a
+flagged row's band entirely if it never had one), recording which rows
+were carried in the file's note.
 
 Bands are THIS box's envelope for bench.py's in-run stale/breach check;
 cross-round regressions are judged by the SCALE.md committed history,
@@ -30,6 +40,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--stats", default=os.path.join(repo, "BENCH_STATS.json"))
     ap.add_argument("--threshold", type=float, default=8.0)
+    ap.add_argument("--per-row", action="store_true")
     args = ap.parse_args()
 
     with open(args.stats) as f:
@@ -53,17 +64,42 @@ def main() -> int:
     tainted = [n for n, s in stats.items() if s.get("tainted_cotenant")]
     if tainted:
         problems.append(f"tainted rows: {tainted}")
-    if problems:
+    if problems and not args.per_row:
         print("REFUSING to rebuild bands from a contended run: "
-              + "; ".join(problems), file=sys.stderr)
+              + "; ".join(problems) + " (use --per-row to rebuild only "
+              "the rows whose kept samples are individually clean)",
+              file=sys.stderr)
         return 1
 
-    bands = {}
+    flagged = set(tainted)
+    for r in art.get("rejected_samples", []):
+        flagged.add(r if isinstance(r, str) else r.get("query"))
+
+    prev = {}
+    path = os.path.join(repo, "bench_certificates", f"idle_bands_sf{sf}.json")
+    if args.per_row and os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f).get("queries", {})
+
+    bands, carried = {}, []
     for name, s in stats.items():
+        if args.per_row and name in flagged:
+            if name in prev:
+                bands[name] = prev[name]
+                carried.append(name)
+            continue
         m = float(s["min"])
         width = 0.30 if m < 1.0 else 0.15
         bands[name] = [round(m * (1 - width), 4), round(m * (1 + width), 4)]
 
+    mode_note = ""
+    if args.per_row:
+        mode_note = (
+            f" PER-ROW rebuild: rows flagged by the per-sample guard in the "
+            f"source run ({sorted(flagged)}) did not get fresh bands — "
+            f"carried forward: {sorted(carried)}; flagged rows with no "
+            f"prior band are simply absent (the band check skips them)."
+        )
     out = {
         "created": date.today().isoformat(),
         "sf": sf,
@@ -78,7 +114,7 @@ def main() -> int:
             "history, never by this file (box profiles shift between "
             "rounds — r13 measured a uniform +15-28% host slowdown). "
             "breach_fast on a future run = improvement or slower-box "
-            "band; rebuild here, don't roll back."
+            "band; rebuild here, don't roll back." + mode_note
         ),
         "queries": bands,
     }
