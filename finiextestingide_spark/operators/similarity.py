@@ -1528,3 +1528,42 @@ def ivfpq_residual_lake_topk(
     ).limit(k)
     w = Window.orderBy(F.asc_nulls_last("adc_dist"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def compact_pq_lake(
+    spark: SparkSession,
+    paths: list[str],
+    out_path: str,
+    *,
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+) -> None:
+    """Fold the streamed TAIL lake(s) back into one history lake — the
+    codebook-rebuild-boundary maintenance step the lake docstrings name:
+    read every root (each with its own partition discovery, the
+    `ivfpq_lake_topk` multi-root rule), union, and rewrite ONE
+    partitionBy(cell) lake. Codes are immutable facts about (vector,
+    codebook), so compaction is a pure re-layout: no dedup logic beyond
+    dropping exact duplicate ids (a tail replayed into a fresh checkpoint
+    after an at-least-once recovery; duplicate rows are BIT-IDENTICAL —
+    the same vector through the same frozen books gives the same cell and
+    codes — so any survivor is the right one). Run it when tails
+    accumulate (many small files per cell slow the probe's directory
+    listing) or at a codebook version bump (where the lake is re-encoded
+    wholesale anyway).
+
+    The rewrite is one id-keyed exchange at scan parallelism — the same
+    cost class as the original ingest; do NOT compact per query."""
+    if not paths:
+        raise ValueError("compact_pq_lake: no source lakes supplied")
+    if out_path in paths:
+        raise ValueError(
+            "compact_pq_lake: out_path must not be a source lake "
+            "(the rewrite would read its own partial output)"
+        )
+    scans = [spark.read.parquet(p) for p in paths]
+    lake = scans[0]
+    for s in scans[1:]:
+        lake = lake.unionByName(s)
+    merged = lake.dropDuplicates([id_col])
+    merged.write.mode("overwrite").partitionBy(centroid_id).parquet(out_path)

@@ -217,3 +217,52 @@ def test_residual_codes_lake_per_cell_pruned(spark, tmp_path):
     assert "residual#" not in plan and "embedding#" not in plan
     assert "ReadSchema: struct<vec_id:bigint,pq0:int,pq1:int>" in plan
     assert "element_at" not in plan and "zip_with" not in plan
+
+
+def test_compact_pq_lake_folds_tail_into_history(spark, tmp_path):
+    """The codebook-rebuild-boundary maintenance step: history + streamed
+    tail (with one replayed duplicate) compact into ONE partitioned lake;
+    queries against the compacted lake rank identically to the multi-root
+    read, and the duplicate id appears once."""
+    from finiextestingide_spark.operators import similarity as sim
+
+    crows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    books = [[[0.0], [2.0], [9.0]], [[0.0], [1.0], [8.0]]]
+    cents = spark.createDataFrame(
+        crows, "centroid_id long, embedding array<double>"
+    )
+    hist = spark.createDataFrame(
+        [(1, [9.0, 1.0]), (2, [2.0, 0.5])], "vec_id long, embedding array<double>"
+    )
+    # tail REPLAYS id 2 (at-least-once recovery) and adds id 3
+    tail = spark.createDataFrame(
+        [(2, [2.0, 0.5]), (3, [0.5, 8.0])], "vec_id long, embedding array<double>"
+    )
+    hl, tl, cl = (str(tmp_path / d) for d in ("hist", "tail", "compact"))
+    sim.write_pq_lake(sim.assign_centroids(hist, cents), books, hl)
+    sim.write_pq_lake(sim.assign_centroids(tail, cents), books, tl)
+
+    with pytest.raises(ValueError, match="no source lakes"):
+        sim.compact_pq_lake(spark, [], cl)
+    with pytest.raises(ValueError, match="must not be a source"):
+        sim.compact_pq_lake(spark, [hl, tl], tl)
+
+    sim.compact_pq_lake(spark, [hl, tl], cl)
+    rows = spark.read.parquet(cl).collect()
+    assert sorted(r.vec_id for r in rows) == [1, 2, 3]  # duplicate folded
+    import os
+
+    assert sorted(d for d in os.listdir(cl) if d.startswith("centroid_id="))
+
+    q = [9.0, 0.5]
+    a = sim.ivfpq_lake_topk(spark, cl, books, crows, q, 3, nprobe=2)
+    # ranking equals an all-batch lake over the DISTINCT vector set (the
+    # multi-root pre-compaction read would surface the replayed id twice —
+    # exactly the small-files + dup debt compaction retires)
+    al = str(tmp_path / "all")
+    allv = hist.unionByName(tail).dropDuplicates(["vec_id"])
+    sim.write_pq_lake(sim.assign_centroids(allv, cents), books, al)
+    want = sim.ivfpq_lake_topk(spark, al, books, crows, q, 3, nprobe=2)
+    assert [(r.vec_id, r.adc_dist, r.rank) for r in a.collect()] == [
+        (r.vec_id, r.adc_dist, r.rank) for r in want.collect()
+    ]
