@@ -207,6 +207,7 @@ CURATED_ORDER: tuple[str, ...] = (
     # round-11 rotated-out veterans go to the back of this queue.
     # Queue head (never driver-verified — rotation round 8 material):
     "trigram_mkn_perplexity",
+    "ivfpq_residual_lake_refined_10",
     # (r13c queue heads rotated in-window in round 14)
     "volatility_profile",
     "ma_trend_daily",

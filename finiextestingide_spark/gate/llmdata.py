@@ -3596,6 +3596,76 @@ WHERE rank <= {_PQ_K}
 )
 
 
+# --- residual lake + REFINE: the full measured production point as one
+#     gate (SCALE.md §9: residual books + refine = 0.995 recall@10 on
+#     clustered data) — 4k residual-ADC shortlist from the partition-
+#     pruned lake, exact-L2 re-rank of only those raw vectors. Oracle =
+#     the residual IVFADC scored CTE, shortlisted, re-ranked. ---
+
+_IVFPQ_RESIDUAL_SCORED_CTES = IVFPQ_RESIDUAL_TOPK_10_SQL[
+    : IVFPQ_RESIDUAL_TOPK_10_SQL.rindex("SELECT vec_id, adc_dist, rank")
+]
+
+IVFPQ_RESIDUAL_LAKE_REFINED_10_SQL = (
+    _IVFPQ_RESIDUAL_SCORED_CTES
+    + f""", short AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS r
+    FROM scored)
+  WHERE r <= {_REFINE_SHORT}
+),
+rer AS (
+  SELECT e.vec_id,
+         round(list_reduce(list_transform(generate_series(1, {_PQ_M * _PQ_SUB}),
+             i -> power(CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE), 2)),
+             (x, y) -> x + y), 6) AS l2_dist
+  FROM embeddings e JOIN short s USING (vec_id), qv q
+)
+SELECT vec_id, l2_dist, rank FROM (
+  SELECT vec_id, l2_dist,
+         row_number() OVER (ORDER BY l2_dist ASC, vec_id ASC) AS rank
+  FROM rer)
+WHERE rank <= {_PQ_K}
+"""
+)
+
+
+def ivfpq_residual_lake_refined_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured production operating point end-to-end: residual codes
+    lake (encode-at-ingest) -> partition-pruned per-cell residual ADC
+    shortlist (k' = 4k) -> exact-L2 refine of only those raw vectors."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < _IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    centroid_rows = [
+        (int(r["centroid_id"]), [float(x) for x in r["embedding"]])
+        for r in centroids.collect()
+    ]
+    assigned = sim.assign_centroids(emb, centroids)
+    resid = sim.residual_vectors(assigned, centroids)
+    cb = sim.pq_train_codebooks(
+        resid, m=_PQ_M, k_codes=_PQT_CODES, iters=_PQT_ITERS, vec_col="residual"
+    )
+    books = sim.collect_codebooks(cb, vec_col="residual")
+    query = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    lake = os.path.join(tempfile.gettempdir(), f"finiex_gate_pqrlake_{key}")
+    sim.write_pq_lake(resid, books, lake, vec_col="residual")
+    shortlist = sim.ivfpq_residual_lake_topk(
+        spark, lake, books, centroid_rows, query, _REFINE_SHORT,
+        nprobe=1, exclude_id=0,
+    )
+    return sim.refine_topk(shortlist, emb, query, _PQ_K)
+
+
 # --- streaming PQ encode: live ingest into the compressed index ---
 
 
@@ -4222,6 +4292,11 @@ QUERIES: dict[str, Query] = {
         ivfpq_residual_lake_topk_10,
         IVFPQ_RESIDUAL_TOPK_10_SQL,
         "residual codes lake: residual-encode-at-ingest, per-cell partition-pruned LUT (same oracle as ivfpq_residual_topk_10)",
+    ),
+    "ivfpq_residual_lake_refined_10": Query(
+        ivfpq_residual_lake_refined_10,
+        IVFPQ_RESIDUAL_LAKE_REFINED_10_SQL,
+        "the measured production point end-to-end: residual lake shortlist (4k, pruned) + exact-L2 refine",
     ),
     "streaming_pq_codes": Query(
         streaming_pq_codes_gate,
