@@ -556,3 +556,78 @@ def test_image_codec_roundtrip_property(h, w, seed):
         decode_bmp(bmp[:-1])
     with pytest.raises(ValueError):
         decode_ppm(ppm[:-1])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_modified_kn_matches_direct_evaluation(spark, pairs):
+    """Property cross-check of the whole modified-KN plan (transition
+    stream, four model aggregates, count-of-counts, clamped discounts,
+    joins, rounding) against an INDEPENDENT direct Python evaluation over
+    random corpora of single-transition docs — plus the textbook
+    proper-distribution identity: per context, observed mass + gamma *
+    (unseen continuation mass) == 1 exactly, which holds for ANY clamped
+    discounts because gamma redistributes exactly what was discounted."""
+    import math
+    from collections import Counter
+
+    from finiextestingide_spark.operators.text import (
+        modified_kneser_ney_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"{a} {b}") for i, (a, b) in enumerate(pairs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.avg_logprob
+        for r in modified_kneser_ney_logprob_scores(docs).collect()
+    }
+
+    # direct evaluation, mirroring the engine's exact float ops
+    bi = Counter(pairs)
+    c1 = Counter(); nn = {}
+    for (w1, w2), c in bi.items():
+        c1[w1] += c
+        d = nn.setdefault(w1, [0, 0, 0])
+        d[0 if c == 1 else 1 if c == 2 else 2] += 1
+    n1b = Counter(w2 for (_, w2) in bi)
+    nt = float(len(bi))
+    cc = Counter(bi.values())
+    n1, n2 = float(cc.get(1, 0)), float(cc.get(2, 0))
+    n3, n4 = float(cc.get(3, 0)), float(cc.get(4, 0))
+    y = n1 / (n1 + 2.0 * n2) if n1 + 2.0 * n2 > 0 else 0.0
+    d1 = max(1.0 - ((2.0 * y) * n2) / n1, 0.0) if n1 > 0 else 0.0
+    d2 = max(2.0 - ((3.0 * y) * n3) / n2, 0.0) if n2 > 0 else 0.0
+    d3 = max(3.0 - ((4.0 * y) * n4) / n3, 0.0) if n3 > 0 else 0.0
+
+    def p_of(w1, w2):
+        c = bi[(w1, w2)]
+        d_c = d1 if c == 1 else d2 if c == 2 else d3
+        g = ((d1 * nn[w1][0]) + (d2 * nn[w1][1]) + (d3 * nn[w1][2])) / float(
+            c1[w1]
+        )
+        return (float(c) - d_c) / float(c1[w1]) + g * (n1b[w2] / nt)
+
+    for i, (a, b) in enumerate(pairs):
+        want = math.floor(round(math.log(p_of(a, b)), 6) * 1e6 + 0.5) / 1e6
+        assert got[i] == want, (a, b, got[i], want)
+
+    # proper-distribution identity per context
+    for w1 in c1:
+        followers = [w2 for (x, w2) in bi if x == w1]
+        observed = sum(p_of(w1, w2) for w2 in followers)
+        g = ((d1 * nn[w1][0]) + (d2 * nn[w1][1]) + (d3 * nn[w1][2])) / float(
+            c1[w1]
+        )
+        unseen_cont = 1.0 - sum(n1b[w2] / nt for w2 in followers)
+        assert abs(observed + g * unseen_cont - 1.0) < 1e-9
