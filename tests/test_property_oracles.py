@@ -631,3 +631,57 @@ def test_modified_kn_matches_direct_evaluation(spark, pairs):
         )
         unseen_cont = 1.0 - sum(n1b[w2] / nt for w2 in followers)
         assert abs(observed + g * unseen_cont - 1.0) < 1e-9
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.data(),
+    n_vecs=st.integers(min_value=4, max_value=24),
+    n_cells=st.integers(min_value=1, max_value=3),
+    nprobe=st.integers(min_value=1, max_value=3),
+)
+def test_pq_lake_parity_random_corpora(spark, tmp_path_factory, data, n_vecs,
+                                       n_cells, nprobe):
+    """Property guard for the codes-lake contract: for RANDOM corpora,
+    centroids, codebooks, and nprobe, the partition-pruned lake query must
+    rank identically to the self-contained `ivfpq_topk` (the equality the
+    gate pins on one corpus — here randomized, including tie-heavy integer
+    vectors and cells that may end up empty)."""
+    from finiextestingide_spark.operators import similarity as sim
+
+    ints = st.integers(min_value=-3, max_value=3)
+    vec = st.tuples(ints, ints, ints, ints)
+    vecs_rows = [
+        (i, [float(x) for x in data.draw(vec)]) for i in range(n_vecs)
+    ]
+    crows = []
+    for c in range(n_cells):
+        v = [float(x) for x in data.draw(vec)]
+        if all(x == 0.0 for x in v):
+            v[c % 4] = 1.0  # keep the coarse quantizer probe-able
+        crows.append((c, v))
+    books = [
+        [[float(x)] for x in data.draw(
+            st.lists(ints, min_size=2, max_size=4))]
+        for _ in range(4)
+    ]
+    q = [float(x) for x in data.draw(vec)]
+    if all(x == 0.0 for x in q):
+        q[0] = 1.0
+
+    vecs = spark.createDataFrame(
+        vecs_rows, "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        crows, "centroid_id long, embedding array<double>"
+    )
+    assigned = sim.assign_centroids(vecs, cents)
+    lake = str(tmp_path_factory.mktemp("pqprop") / "lake")
+    sim.write_pq_lake(assigned, books, lake)
+    a = sim.ivfpq_lake_topk(
+        spark, lake, books, crows, q, 5, nprobe=nprobe
+    ).collect()
+    b = sim.ivfpq_topk(assigned, books, cents, q, 5, nprobe=nprobe).collect()
+    assert [(r.vec_id, r.adc_dist, r.rank) for r in a] == [
+        (r.vec_id, r.adc_dist, r.rank) for r in b
+    ]
