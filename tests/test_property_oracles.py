@@ -685,3 +685,79 @@ def test_pq_lake_parity_random_corpora(spark, tmp_path_factory, data, n_vecs,
     assert [(r.vec_id, r.adc_dist, r.rank) for r in a] == [
         (r.vec_id, r.adc_dist, r.rank) for r in b
     ]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    trips=st.lists(
+        st.tuples(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_trigram_mkn_matches_direct_evaluation(spark, trips):
+    """Two-layer property cross-check of the trigram MKN plan — trigram
+    counts, CONTINUATION counts, both layers' clamped discounts, the five
+    model joins — against an independent direct Python evaluation over
+    random corpora of single-trigram docs."""
+    import math
+    from collections import Counter
+
+    from finiextestingide_spark.operators.text import trigram_mkn_logprob_scores
+
+    docs = spark.createDataFrame(
+        [(i, f"{a} {b} {c}") for i, (a, b, c) in enumerate(trips)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.avg_logprob
+        for r in trigram_mkn_logprob_scores(docs).collect()
+    }
+
+    tri = Counter(trips)
+    h = Counter(); hn = {}
+    for (w1, w2, w3), c in tri.items():
+        h[(w1, w2)] += c
+        d = hn.setdefault((w1, w2), [0, 0, 0])
+        d[0 if c == 1 else 1 if c == 2 else 2] += 1
+    cc2 = Counter((w2, w3) for (w1, w2, w3) in tri)  # distinct w1 per (w2,w3)
+    t2 = Counter(); wn = {}
+    for (w2, w3), c in cc2.items():
+        t2[w2] += c
+        d = wn.setdefault(w2, [0, 0, 0])
+        d[0 if c == 1 else 1 if c == 2 else 2] += 1
+    ctx1 = Counter(w3 for (w2, w3) in cc2)
+    nt2 = float(len(cc2))
+
+    def discounts(counter):
+        cc = Counter(counter.values())
+        n1, n2 = float(cc.get(1, 0)), float(cc.get(2, 0))
+        n3, n4 = float(cc.get(3, 0)), float(cc.get(4, 0))
+        y = n1 / (n1 + 2.0 * n2) if n1 + 2.0 * n2 > 0 else 0.0
+        da = max(1.0 - ((2.0 * y) * n2) / n1, 0.0) if n1 > 0 else 0.0
+        db = max(2.0 - ((3.0 * y) * n3) / n2, 0.0) if n2 > 0 else 0.0
+        dc = max(3.0 - ((4.0 * y) * n4) / n3, 0.0) if n3 > 0 else 0.0
+        return da, db, dc
+
+    a1, a2, a3 = discounts(tri)
+    b1, b2, b3 = discounts(cc2)
+
+    for i, (w1, w2, w3) in enumerate(trips):
+        c3 = tri[(w1, w2, w3)]
+        da = a1 if c3 == 1 else a2 if c3 == 2 else a3
+        hh = float(h[(w1, w2)])
+        g3 = ((a1 * hn[(w1, w2)][0]) + (a2 * hn[(w1, w2)][1])
+              + (a3 * hn[(w1, w2)][2])) / hh
+        cc = cc2[(w2, w3)]
+        db = b1 if cc == 1 else b2 if cc == 2 else b3
+        tt = float(t2[w2])
+        g2 = ((b1 * wn[w2][0]) + (b2 * wn[w2][1]) + (b3 * wn[w2][2])) / tt
+        p1 = ctx1[w3] / nt2
+        p2 = (float(cc) - db) / tt + g2 * p1
+        p = (float(c3) - da) / hh + g3 * p2
+        want = math.floor(round(math.log(p), 6) * 1e6 + 0.5) / 1e6
+        assert got[i] == want, (trips[i], got[i], want)
