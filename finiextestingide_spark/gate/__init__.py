@@ -208,6 +208,7 @@ CURATED_ORDER: tuple[str, ...] = (
     # Queue head (never driver-verified — rotation round 8 material):
     "trigram_mkn_perplexity",
     "ivfpq_residual_lake_refined_10",
+    "ivfpq_lake_batch_topk_20",
     # (r13c queue heads rotated in-window in round 14)
     "volatility_profile",
     "ma_trend_daily",

@@ -3457,6 +3457,95 @@ def ivfpq_residual_lake_topk_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BATCHED lake query: a 20-query set amortizes one pruned scan (the
+#     serving-throughput shape). Oracle: full-corpus encode (best) once,
+#     per-query probe + LUT joins — the relational mirror of the batch
+#     plan; per-query rows hash against it directly. ---
+
+_BATCH_Q = 20
+_BATCH_K = 5
+
+
+def ivfpq_lake_batch_topk_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, books, centroid_rows, lake, _ = _pq_lake_parts(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < _BATCH_Q).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivfpq_lake_batch_topk(
+        spark, lake, books, centroid_rows, queries, _BATCH_K,
+        nprobe=1, exclude_self=True,
+    )
+
+
+IVFPQ_LAKE_BATCH_TOPK_20_SQL = (
+    "WITH "
+    + _pqt_train_ctes()
+    + f""",
+cb AS (SELECT j, code, cv FROM c{_PQT_ITERS}),
+cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+          WHERE vec_id < {_IVF_NCENTROIDS}),
+coarse AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_cos_sql('e.embedding', 'c.cvec')} AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, centroid_id) AS r
+    FROM coarse) WHERE r = 1
+),
+dims AS (
+  SELECT e.vec_id, c.j, c.code,
+         list_reduce(list_transform(generate_series(1, {_PQ_SUB}),
+             t -> power(CAST(e.embedding[c.j * {_PQ_SUB} + t] AS DOUBLE) - c.cv[t], 2)),
+             (x, y) -> x + y) AS d
+  FROM assigned e CROSS JOIN cb c
+),
+best AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, code ASC) AS r
+    FROM dims) WHERE r = 1
+),
+qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       WHERE vec_id < {_BATCH_Q}),
+probe AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos_sql('c.cvec', 'q.qv')} DESC,
+                                       c.centroid_id) AS r
+    FROM cents c CROSS JOIN qs q) WHERE r <= 1
+),
+lut AS (
+  SELECT q.query_id, c.j, c.code,
+         CAST(round(list_reduce(list_transform(generate_series(1, {_PQ_SUB}),
+             t -> power(CAST(q.qv[c.j * {_PQ_SUB} + t] AS DOUBLE) - c.cv[t], 2)),
+             (x, y) -> x + y), 6) AS DECIMAL(18,6)) AS d
+  FROM qs q CROSS JOIN cb c
+),
+cand AS (
+  SELECT p.query_id, a.vec_id FROM assigned a
+  JOIN probe p ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id, round(CAST(sum(l.d) AS DOUBLE), 6) AS adc_dist
+  FROM cand c
+  JOIN best b ON b.vec_id = c.vec_id
+  JOIN lut l ON l.query_id = c.query_id AND l.j = b.j AND l.code = b.code
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adc_dist, rank FROM (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {_BATCH_K}
+"""
+)
+
+
 # --- corpus-trained unigram LM score (CCNet-recipe perplexity signal) ---
 
 
@@ -4282,6 +4371,11 @@ QUERIES: dict[str, Query] = {
         ivfpq_lake_refined_10,
         IVFPQ_LAKE_REFINED_10_SQL,
         "refine stage (FAISS IndexRefineFlat): 4k ADC shortlist from the codes lake, exact-L2 re-rank of only those raw vectors",
+    ),
+    "ivfpq_lake_batch_topk_20": Query(
+        ivfpq_lake_batch_topk_20,
+        IVFPQ_LAKE_BATCH_TOPK_20_SQL,
+        "batched lake query: 20-query set amortizes one pruned scan (broadcast probe + LUT joins, per-query window top-k)",
     ),
     "ivfpq_residual_topk_10": Query(
         ivfpq_residual_topk_10,

@@ -1567,3 +1567,117 @@ def compact_pq_lake(
         lake = lake.unionByName(s)
     merged = lake.dropDuplicates([id_col])
     merged.write.mode("overwrite").partitionBy(centroid_id).parquet(out_path)
+
+
+def ivfpq_lake_batch_topk(
+    spark: SparkSession,
+    path: str | list[str],
+    sub_centroids: list[list[list[float]]],
+    centroid_rows: list[tuple[int, list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    query_id: str = "query_id",
+    code_prefix: str = "pq",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """BATCHED IVF-PQ over the codes lake — the throughput path: a QUERY
+    SET amortizes one pruned scan instead of paying a plan per query
+    (the production serving shape; `ivfpq_lake_topk` is the single-query
+    form and the per-query parity pin).
+
+    The query batch is collected driver-side (the bounded audit-sample
+    posture of `pq_recall` — a serving tier feeds batches of
+    hundreds/thousands; an unbounded stream is chunked into such batches
+    upstream). Per query the driver builds the coarse probes
+    (`coarse_probes`, same rule everywhere) and the decimal ADC lookup
+    table; both become SMALL broadcast tables:
+
+    - probe table (query_id, cell): joined to the lake on the partition
+      column, restricting each query to its probed cells;
+    - the scan itself is STATICALLY pruned to the UNION of all probed
+      cells via a literal isin PartitionFilter (at nlist=65k and a
+      1k-query batch with nprobe=8 that union is still <=8k of 65k
+      directories — the batch never un-prunes the scan);
+    - LUT table (query_id, j, code, decimal d): joined to the STACKED
+      code columns, then one (query, vector)-keyed exact DECIMAL sum —
+      map-side combined, m rows in, one row out.
+
+    Ranking per query: window top-k over the probed candidates (nulls
+    last — codebook/codes mismatch sinks, as in `pq_adc_topk`), ties to
+    the smaller id. Output (query_id, id_col, adc_dist, rank); identical
+    per query to `ivfpq_lake_topk` (parity pinned by property test).
+    ``exclude_self`` drops candidates whose id equals the query id (the
+    audit convention when queries are corpus members)."""
+    m = len(sub_centroids)
+    qrows = queries.orderBy(query_id).collect()
+    if not qrows:
+        raise ValueError("ivfpq_lake_batch_topk: empty query batch")
+    probe_rows, lut_rows = [], []
+    for qr in qrows:
+        qid = int(qr[query_id])
+        qv = [float(x) for x in qr[vec_col]]
+        for cid, _ in coarse_probes(
+            centroid_rows, qv, nprobe, op="ivfpq_lake_batch_topk"
+        ):
+            probe_rows.append((qid, int(cid)))
+        offset = 0
+        for j, book in enumerate(sub_centroids):
+            width = len(book[0])
+            qj = qv[offset : offset + width]
+            for code, cvec in enumerate(book):
+                d = round(sum((q - c) ** 2 for q, c in zip(qj, cvec)), 6)
+                lut_rows.append((qid, j, code, f"{d:.6f}"))
+            offset += width
+    probes = spark.createDataFrame(
+        probe_rows, f"{query_id} long, {centroid_id} long"
+    )
+    lut = spark.createDataFrame(
+        lut_rows, f"{query_id} long, j int, code int, __d string"
+    ).select(
+        query_id, "j", "code", F.col("__d").cast("decimal(18,6)").alias("__d")
+    )
+
+    all_cells = sorted({c for _, c in probe_rows})
+    paths = [path] if isinstance(path, str) else list(path)
+    scans = [spark.read.parquet(p) for p in paths]
+    lake = scans[0]
+    for s in scans[1:]:
+        lake = lake.unionByName(s)
+    lake = lake.where(F.col(centroid_id).isin(all_cells))
+
+    cand = lake.join(F.broadcast(probes), centroid_id)
+    if exclude_self:
+        cand = cand.where(F.col(id_col) != F.col(query_id))
+    stack_args = ", ".join(f"{j}, {code_prefix}{j}" for j in range(m))
+    codes_long = cand.select(
+        F.col(query_id),
+        F.col(id_col),
+        F.expr(f"stack({m}, {stack_args}) as (j, code)"),
+    )
+    # LEFT join + an m-row completeness check: a code value outside the
+    # codebook must NULL the whole distance (sinking nulls-last, exactly
+    # like pq_adc_topk's CASE chain) — an inner join would silently drop
+    # the subspace and UNDERSTATE the distance instead.
+    scored = (
+        codes_long.join(F.broadcast(lut), [query_id, "j", "code"], "left")
+        .groupBy(query_id, id_col)
+        .agg(
+            F.when(
+                F.count("__d") == m,
+                F.round(F.sum("__d").cast("double"), 6),
+            ).alias("adc_dist")
+        )
+    )
+    wq = Window.partitionBy(query_id).orderBy(
+        F.asc_nulls_last("adc_dist"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "adc_dist", "rank")
+    )

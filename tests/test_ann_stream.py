@@ -438,3 +438,66 @@ def test_refine_topk_repairs_adc_misordering(spark):
     assert [r.vec_id for r in adc.collect()] == [1, 2]  # ADC order: wrong
     refined = sim.refine_topk(adc, vecs, q, 1).collect()
     assert [(r.vec_id, r.l2_dist, r.rank) for r in refined] == [(2, 0.36, 1)]
+
+
+def test_batched_lake_topk_matches_single_query(spark, tmp_path):
+    """Per-query parity pin for the batched throughput path: for every
+    query in the batch, ivfpq_lake_batch_topk's rows equal the
+    single-query ivfpq_lake_topk over the same lake/books/nprobe — and an
+    unknown code value NULLs the whole distance and sinks (the
+    pq_adc_topk posture), never understates it."""
+    rows = [
+        (i, [float(i % 7 + 1), float(i % 3), float((i * i) % 5), float(i % 2)])
+        for i in range(1, 31)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    crows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.5, 0.0]),
+             (2, [0.0, 0.0, 1.0, 1.0])]
+    cents = spark.createDataFrame(
+        crows, "centroid_id long, embedding array<double>"
+    )
+    books = [
+        [[1.0], [3.0], [6.0]],
+        [[0.0], [1.0], [2.0]],
+        [[0.0], [2.0], [4.0]],
+        [[0.0], [1.0]],
+    ]
+    lake = str(tmp_path / "lake")
+    sim.write_pq_lake(sim.assign_centroids(vecs, cents), books, lake)
+    queries = vecs.where(F.col("vec_id") <= 6).selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    for nprobe in (1, 2):
+        batch = sim.ivfpq_lake_batch_topk(
+            spark, lake, books, crows, queries, 4,
+            nprobe=nprobe, exclude_self=True,
+        ).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r.query_id, []).append(
+                (r.vec_id, r.adc_dist, r.rank)
+            )
+        for qr in queries.collect():
+            single = sim.ivfpq_lake_topk(
+                spark, lake, books, crows, [float(x) for x in qr.embedding],
+                4, nprobe=nprobe, exclude_id=qr.query_id,
+            ).collect()
+            assert by_q.get(qr.query_id, []) == [
+                (r.vec_id, r.adc_dist, r.rank) for r in single
+            ], qr.query_id
+
+    # unknown-code sinking: corrupt one vector's pq0 beyond the codebook
+    bad_lake = str(tmp_path / "bad")
+    codes = spark.read.parquet(lake)
+    codes.withColumn(
+        "pq0", F.when(F.col("vec_id") == 1, F.lit(99)).otherwise(F.col("pq0"))
+    ).write.partitionBy("centroid_id").parquet(bad_lake)
+    q1 = vecs.where(F.col("vec_id") == 1).selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    out = sim.ivfpq_lake_batch_topk(
+        spark, bad_lake, books, crows, q1, 50, nprobe=3
+    ).collect()
+    d = {r.vec_id: r.adc_dist for r in out}
+    assert d[1] is None
+    assert out[-1].vec_id == 1  # nulls sink to the bottom, never top
