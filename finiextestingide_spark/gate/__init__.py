@@ -209,6 +209,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "trigram_mkn_perplexity",
     "ivfpq_residual_lake_refined_10",
     "ivfpq_lake_batch_topk_20",
+    "ivfpq_lake_batch_refined_20",
     # (r13c queue heads rotated in-window in round 14)
     "volatility_profile",
     "ma_trend_daily",

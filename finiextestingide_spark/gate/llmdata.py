@@ -3546,6 +3546,59 @@ WHERE rank <= {_BATCH_K}
 )
 
 
+# --- batched refine: the complete serving path (batch shortlist from
+#     the pruned lake + one-plan exact rerank) as a gate. Oracle = the
+#     batch scored CTE, per-query shortlisted, exact-L2 re-ranked. ---
+
+_BATCH_SHORT = 4 * _BATCH_K
+
+_IVFPQ_BATCH_SCORED_CTES = IVFPQ_LAKE_BATCH_TOPK_20_SQL[
+    : IVFPQ_LAKE_BATCH_TOPK_20_SQL.rindex("SELECT query_id, vec_id, adc_dist, rank")
+]
+
+IVFPQ_LAKE_BATCH_REFINED_20_SQL = (
+    _IVFPQ_BATCH_SCORED_CTES
+    + f""", short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist ASC, vec_id ASC) AS r
+    FROM scored)
+  WHERE r <= {_BATCH_SHORT}
+),
+rer AS (
+  SELECT s.query_id, s.vec_id,
+         round(list_reduce(list_transform(generate_series(1, {_PQ_M * _PQ_SUB}),
+             i -> power(CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE), 2)),
+             (x, y) -> x + y), 6) AS l2_dist
+  FROM short s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN qs q ON q.query_id = s.query_id
+)
+SELECT query_id, vec_id, l2_dist, rank FROM (
+  SELECT query_id, vec_id, l2_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY l2_dist ASC, vec_id ASC) AS rank
+  FROM rer)
+WHERE rank <= {_BATCH_K}
+"""
+)
+
+
+def ivfpq_lake_batch_refined_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete serving path: 20-query batch -> one pruned codes scan
+    -> per-query 4k ADC shortlist -> ONE-plan exact-L2 refine."""
+    emb, books, centroid_rows, lake, _ = _pq_lake_parts(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < _BATCH_Q).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    short = sim.ivfpq_lake_batch_topk(
+        spark, lake, books, centroid_rows, queries, _BATCH_SHORT,
+        nprobe=1, exclude_self=True,
+    )
+    return sim.refine_batch_topk(short, emb, queries, _BATCH_K)
+
+
 # --- corpus-trained unigram LM score (CCNet-recipe perplexity signal) ---
 
 
@@ -4376,6 +4429,11 @@ QUERIES: dict[str, Query] = {
         ivfpq_lake_batch_topk_20,
         IVFPQ_LAKE_BATCH_TOPK_20_SQL,
         "batched lake query: 20-query set amortizes one pruned scan (broadcast probe + LUT joins, per-query window top-k)",
+    ),
+    "ivfpq_lake_batch_refined_20": Query(
+        ivfpq_lake_batch_refined_20,
+        IVFPQ_LAKE_BATCH_REFINED_20_SQL,
+        "the complete serving path: batch shortlist from the pruned lake + one-plan exact-L2 refine",
     ),
     "ivfpq_residual_topk_10": Query(
         ivfpq_residual_topk_10,

@@ -1681,3 +1681,49 @@ def ivfpq_lake_batch_topk(
         .where(F.col("rank") <= k)
         .select(query_id, id_col, "adc_dist", "rank")
     )
+
+
+def refine_batch_topk(
+    shortlists: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Batched refine — the second half of the serving path: re-rank every
+    query's ADC shortlist (`ivfpq_lake_batch_topk` output, or any
+    (query_id, id) candidate frame) by EXACT squared L2 in ONE plan. The
+    shortlist union is k' x |batch| ids (bounded by construction) and
+    broadcasts onto the raw-vector table — one semi-join fetches every
+    needed vector exactly once even when queries share candidates; the
+    query vectors join back by id (the batch is the small side) and the
+    exact distance is the deterministic `sq_l2` fold; per-query window
+    top-k closes. Raw vectors are touched ONLY for shortlisted ids — the
+    full-corpus scan upstream stayed codes-only.
+
+    Output: (query_id, id_col, l2_dist, rank), rank 1..k per query —
+    per query identical to the single-query `refine_topk` (parity pinned
+    by pytest)."""
+    pairs = shortlists.select(query_id, id_col)
+    fetched = vectors.join(
+        F.broadcast(pairs.select(id_col).distinct()), id_col
+    ).select(F.col(id_col), F.col(vec_col).alias("__vv"))
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
+    scored = (
+        pairs.join(fetched, id_col)
+        .join(F.broadcast(q), query_id)
+        .select(
+            query_id,
+            id_col,
+            F.round(sq_l2(F.col("__vv"), F.col("__qv")), 6).alias("l2_dist"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("l2_dist"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "l2_dist", "rank")
+    )

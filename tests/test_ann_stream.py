@@ -501,3 +501,47 @@ def test_batched_lake_topk_matches_single_query(spark, tmp_path):
     d = {r.vec_id: r.adc_dist for r in out}
     assert d[1] is None
     assert out[-1].vec_id == 1  # nulls sink to the bottom, never top
+
+
+def test_batched_refine_matches_single_query(spark, tmp_path):
+    """Per-query parity for the batched refine: batch shortlist ->
+    refine_batch_topk equals the single-query refine_topk chain for every
+    query in the batch (shared candidates fetched once, per-query exact
+    rerank)."""
+    rows = [
+        (i, [float(i % 7 + 1), float(i % 3), float((i * i) % 5), float(i % 2)])
+        for i in range(1, 31)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    crows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.5, 0.0]),
+             (2, [0.0, 0.0, 1.0, 1.0])]
+    cents = spark.createDataFrame(
+        crows, "centroid_id long, embedding array<double>"
+    )
+    books = [
+        [[1.0], [3.0], [6.0]],
+        [[0.0], [1.0], [2.0]],
+        [[0.0], [2.0], [4.0]],
+        [[0.0], [1.0]],
+    ]
+    lake = str(tmp_path / "lake")
+    sim.write_pq_lake(sim.assign_centroids(vecs, cents), books, lake)
+    queries = vecs.where(F.col("vec_id") <= 5).selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    short = sim.ivfpq_lake_batch_topk(
+        spark, lake, books, crows, queries, 8, nprobe=2, exclude_self=True
+    )
+    refined = sim.refine_batch_topk(short, vecs, queries, 3)
+    by_q = {}
+    for r in refined.collect():
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.l2_dist, r.rank))
+    for qr in queries.collect():
+        qv = [float(x) for x in qr.embedding]
+        s1 = sim.ivfpq_lake_topk(
+            spark, lake, books, crows, qv, 8, nprobe=2, exclude_id=qr.query_id
+        )
+        want = sim.refine_topk(s1, vecs, qv, 3).collect()
+        assert by_q.get(qr.query_id, []) == [
+            (r.vec_id, r.l2_dist, r.rank) for r in want
+        ], qr.query_id
