@@ -399,7 +399,11 @@ def _band_check(stats: dict, sf: str, idle_guard: dict, load_end: float,
             status = "breach_fast"
             delta = round(s["min"] - lo, 4)
         row = {"band": [lo, hi], "min": s["min"], "status": status}
-        if delta:
+        # Unconditional for every non-within status (ADVICE r14): a
+        # breach whose signed distance rounds to exactly 0.0 must still
+        # carry the documented band_delta key — consumers read the
+        # artifact shape, not the float's truthiness.
+        if status != "within":
             row["band_delta"] = delta
         out[name] = row
     return out

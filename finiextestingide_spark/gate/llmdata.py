@@ -3392,8 +3392,13 @@ def _pq_lake_parts(spark: SparkSession, sf_dir: str):
     ]
     # ingest half: encode once, persist codes partitioned by cell. The
     # lake is rebuilt per call (deterministic content — overwrite mode),
-    # keyed by sf_dir so concurrent SFs never collide.
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    # keyed by (sf_dir, pid) so concurrent SFs never collide AND two
+    # concurrent processes gating the same sf_dir (parallel pytest
+    # workers, concurrent check_gate runs) never race on one path
+    # (ADVICE r14): each process overwrites only its own lake.
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{os.getpid()}".encode()
+    ).hexdigest()[:16]
     lake = os.path.join(tempfile.gettempdir(), f"finiex_gate_pqlake_{key}")
     assigned = sim.assign_centroids(emb, centroids)
     sim.write_pq_lake(assigned, books, lake)
@@ -3449,7 +3454,9 @@ def ivfpq_residual_lake_topk_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     ]
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{os.getpid()}".encode()
+    ).hexdigest()[:16]
     lake = os.path.join(tempfile.gettempdir(), f"finiex_gate_pqrlake_{key}")
     sim.write_pq_lake(resid, books, lake, vec_col="residual")
     return sim.ivfpq_residual_lake_topk(
@@ -3798,7 +3805,9 @@ def ivfpq_residual_lake_refined_10(spark: SparkSession, sf_dir: str) -> DataFram
         float(x)
         for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     ]
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{os.getpid()}".encode()
+    ).hexdigest()[:16]
     lake = os.path.join(tempfile.gettempdir(), f"finiex_gate_pqrlake_{key}")
     sim.write_pq_lake(resid, books, lake, vec_col="residual")
     shortlist = sim.ivfpq_residual_lake_topk(

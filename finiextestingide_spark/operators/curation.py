@@ -104,7 +104,14 @@ def curate_corpus(
     functions of the document, so streamed == batch bit-for-bit; the
     streaming_curated_corpus gate pins that against the full-batch
     oracle). The frame must cover every input document; ``min_words`` /
-    ``min_stop_hits`` are ignored when it is supplied."""
+    ``min_stop_hits`` are ignored when it is supplied. The coverage
+    requirement is ENFORCED, not assumed (ADVICE r14): exact replayed
+    rows (the at-least-once streamed-tail recovery case) collapse via a
+    map-side-combined per-id fold, a document missing from the frame
+    raises at execution time (naming the id) instead of silently
+    vanishing from the output, and two rows that DISAGREE about one
+    document also raise (a replay never disagrees; disagreement means
+    the caller merged flags from two different rule versions)."""
     sc = score if score is not None else F.round(quality_score(F.col(text)), 6)
 
     exact = exact_dedup_keep_best(docs, sc, id_col=id_col, text=text).select(
@@ -123,8 +130,53 @@ def curate_corpus(
         text=text,
     ).select(F.col(id_col), F.col("is_dropped").alias("is_near_dup"))
     if quality_flags is not None:
-        quality = quality_flags.select(
-            F.col(id_col), (~F.col("keep")).alias("fails_quality")
+        # Fail-loud injection (ADVICE r14). Replayed identical rows fold
+        # to one (min==max); conflicting verdicts or a missing document
+        # raise at execution time rather than silently dropping /
+        # duplicating decision rows. The fold is a plain map-side-
+        # combinable aggregate (no window), so the guard costs one
+        # narrow-shuffle pass over the flags frame at scale.
+        folded = quality_flags.groupBy(id_col).agg(
+            F.min((~F.col("keep")).cast("int")).alias("__fq_min"),
+            F.max((~F.col("keep")).cast("int")).alias("__fq_max"),
+        )
+        flags = folded.select(
+            F.col(id_col),
+            F.when(
+                F.col("__fq_min") != F.col("__fq_max"),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "curate_corpus: conflicting quality_flags rows for "
+                            "document "
+                        ),
+                        F.col(id_col).cast("string"),
+                    )
+                ).cast("boolean"),
+            )
+            .otherwise(F.col("__fq_max") == 1)
+            .alias("fails_quality"),
+        )
+        quality = (
+            docs.select(F.col(id_col))
+            .join(flags, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.when(
+                    F.col("fails_quality").isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "curate_corpus: quality_flags is missing "
+                                "document "
+                            ),
+                            F.col(id_col).cast("string"),
+                        )
+                    ).cast("boolean"),
+                )
+                .otherwise(F.col("fails_quality"))
+                .alias("fails_quality"),
+            )
         )
     else:
         g = gopher_quality_flags(

@@ -1433,12 +1433,39 @@ def refine_topk(
     production point (residual books, 64 codes, nprobe 1, refine 4x)
     measures 0.995 recall@10 vs 0.555 for ADC alone.
 
+    Fail-loud contract (ADVICE r14): a shortlisted id ABSENT from the
+    raw-vector table (lake/vector-table drift after compaction, a partial
+    backfill) raises at execution time naming the id, instead of silently
+    returning fewer than k repaired rows. The check is in-plan: the
+    k'-bounded fetch broadcasts back onto the authoritative shortlist as
+    a left join, so the vector table is still scanned exactly once; the
+    shortlist SUB-PLAN appears twice in the final plan (once to prune the
+    fetch, once as the join's left side) — both k'-row evaluations;
+    callers re-ranking an expensive shortlist many times can .persist()
+    it first.
+
     Output: (id_col, l2_dist, rank), rank 1..k."""
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     ids = shortlist.select(id_col)
-    cand = vectors.join(F.broadcast(ids), id_col).select(
+    fetched = vectors.join(F.broadcast(ids), id_col).select(
+        F.col(id_col), F.col(vec_col).alias("__vv")
+    )
+    cand = ids.join(F.broadcast(fetched), id_col, "left").select(
         F.col(id_col),
-        F.round(sq_l2(F.col(vec_col), qv), 6).alias("l2_dist"),
+        F.when(
+            F.col("__vv").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "refine_topk: shortlisted id absent from the "
+                        "raw-vector table (lake/vector drift): "
+                    ),
+                    F.col(id_col).cast("string"),
+                )
+            ).cast("double"),
+        )
+        .otherwise(F.round(sq_l2(F.col("__vv"), qv), 6))
+        .alias("l2_dist"),
     )
     top = cand.orderBy(F.asc("l2_dist"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.asc("l2_dist"), F.asc(id_col))
@@ -1554,9 +1581,19 @@ def compact_pq_lake(
 
     The rewrite is one id-keyed exchange at scan parallelism — the same
     cost class as the original ingest; do NOT compact per query."""
+    import os
+
     if not paths:
         raise ValueError("compact_pq_lake: no source lakes supplied")
-    if out_path in paths:
+    # Normalize before comparing (ADVICE r14): raw string equality lets a
+    # trailing slash, a relative spelling, or a symlink of the same
+    # directory bypass the guard — and overwrite mode would then clobber
+    # a source lake mid-read. realpath resolves symlinks and dot
+    # segments; rstrip removes trailing separators.
+    def _norm(p: str) -> str:
+        return os.path.realpath(os.path.abspath(p)).rstrip(os.sep)
+
+    if _norm(out_path) in {_norm(p) for p in paths}:
         raise ValueError(
             "compact_pq_lake: out_path must not be a source lake "
             "(the rewrite would read its own partial output)"
@@ -1704,6 +1741,12 @@ def refine_batch_topk(
     top-k closes. Raw vectors are touched ONLY for shortlisted ids — the
     full-corpus scan upstream stayed codes-only.
 
+    Fail-loud contract (ADVICE r14, same as `refine_topk`): a
+    shortlisted id with no raw vector raises at execution time naming
+    the id — the fetch broadcasts back onto the pair frame as a left
+    join (both sides k'x|batch|-bounded), so an incomplete repair can
+    never silently return short.
+
     Output: (query_id, id_col, l2_dist, rank), rank 1..k per query —
     per query identical to the single-query `refine_topk` (parity pinned
     by pytest)."""
@@ -1713,12 +1756,26 @@ def refine_batch_topk(
     ).select(F.col(id_col), F.col(vec_col).alias("__vv"))
     q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
     scored = (
-        pairs.join(fetched, id_col)
+        pairs.join(F.broadcast(fetched), id_col, "left")
         .join(F.broadcast(q), query_id)
         .select(
             query_id,
             id_col,
-            F.round(sq_l2(F.col("__vv"), F.col("__qv")), 6).alias("l2_dist"),
+            F.when(
+                F.col("__vv").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "refine_batch_topk: shortlisted id absent "
+                            "from the raw-vector table (lake/vector "
+                            "drift): "
+                        ),
+                        F.col(id_col).cast("string"),
+                    )
+                ).cast("double"),
+            )
+            .otherwise(F.round(sq_l2(F.col("__vv"), F.col("__qv")), 6))
+            .alias("l2_dist"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.asc("l2_dist"), F.asc(id_col))

@@ -545,3 +545,29 @@ def test_batched_refine_matches_single_query(spark, tmp_path):
         assert by_q.get(qr.query_id, []) == [
             (r.vec_id, r.l2_dist, r.rank) for r in want
         ], qr.query_id
+
+
+def test_refine_missing_raw_vector_fails_loud(spark):
+    """ADVICE r14: a shortlisted id with no raw vector (lake/vector drift
+    after compaction, a partial backfill) must raise naming the id — not
+    silently return fewer than k repaired rows. Both serving shapes."""
+    vecs = spark.createDataFrame(
+        [(1, [4.0]), (2, [2.4])], "vec_id long, embedding array<double>"
+    )
+    short = spark.createDataFrame(
+        [(1, 0.1), (2, 0.2), (7, 0.3)], "vec_id long, adc_dist double"
+    )
+    with pytest.raises(Exception, match="absent from the raw-vector table"):
+        sim.refine_topk(short, vecs, [3.0], 3).collect()
+
+    bshort = short.withColumn("query_id", F.lit(0))
+    queries = spark.createDataFrame(
+        [(0, [3.0])], "query_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="absent from the raw-vector table"):
+        sim.refine_batch_topk(bshort, vecs, queries, 3).collect()
+
+    # complete shortlists still refine (the guard is inert when coverage
+    # holds)
+    ok = sim.refine_topk(short.where(F.col("vec_id") != 7), vecs, [3.0], 2)
+    assert [r.vec_id for r in ok.collect()] == [2, 1]

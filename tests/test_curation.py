@@ -152,3 +152,50 @@ def test_winnow_max_pairs_none_skips_budget_action(spark, monkeypatch):
     )
     assert seen.get("max_pairs", "unset") is None
     assert "is_contained" in df.columns  # still the five-judgment shape
+
+
+def test_quality_flags_replayed_rows_fold(spark):
+    # At-least-once recovery replays identical flag rows; the per-id fold
+    # collapses them so the decision table stays one-row-per-doc
+    # (ADVICE r14: an inner join used to duplicate decision rows).
+    docs = _corpus(spark)
+    ev = docs.where(F.col("doc_id") == 99)  # empty eval set
+    flags = spark.createDataFrame(
+        [(i, i != 4) for i in (1, 2, 3, 4, 5)] + [(4, False), (5, True)],
+        "doc_id long, keep boolean",
+    )
+    out = {
+        r.doc_id: r
+        for r in curate_corpus(docs, ev, quality_flags=flags).collect()
+    }
+    assert len(out) == 5
+    assert out[4].fails_quality and not out[5].fails_quality
+
+
+def test_quality_flags_missing_doc_raises(spark):
+    # A document absent from the injected flags used to vanish silently
+    # from the output; now the left-join guard raises naming the id.
+    import pytest
+
+    docs = _corpus(spark)
+    ev = docs.where(F.col("doc_id") == 99)
+    flags = spark.createDataFrame(
+        [(i, True) for i in (1, 2, 3, 5)], "doc_id long, keep boolean"
+    )
+    with pytest.raises(Exception, match="quality_flags is missing document"):
+        curate_corpus(docs, ev, quality_flags=flags).collect()
+
+
+def test_quality_flags_conflicting_rows_raise(spark):
+    # Two rows that DISAGREE about one document mean merged flags from
+    # different rule versions — fail loud, never pick one arbitrarily.
+    import pytest
+
+    docs = _corpus(spark)
+    ev = docs.where(F.col("doc_id") == 99)
+    flags = spark.createDataFrame(
+        [(i, True) for i in (1, 2, 3, 4, 5)] + [(4, False)],
+        "doc_id long, keep boolean",
+    )
+    with pytest.raises(Exception, match="conflicting quality_flags"):
+        curate_corpus(docs, ev, quality_flags=flags).collect()

@@ -266,3 +266,36 @@ def test_compact_pq_lake_folds_tail_into_history(spark, tmp_path):
     assert [(r.vec_id, r.adc_dist, r.rank) for r in a.collect()] == [
         (r.vec_id, r.adc_dist, r.rank) for r in want.collect()
     ]
+
+
+def test_compact_guard_normalizes_paths(spark, tmp_path):
+    """ADVICE r14: the read-own-output guard must compare NORMALIZED
+    paths — a trailing slash, a dot segment, or a symlink of a source
+    lake would otherwise slip past string equality and overwrite mode
+    would clobber the source mid-read."""
+    import os
+
+    from finiextestingide_spark.operators import similarity as sim
+
+    crows = [(0, [1.0, 0.0])]
+    books = [[[0.0]], [[0.0]]]
+    cents = spark.createDataFrame(
+        crows, "centroid_id long, embedding array<double>"
+    )
+    vecs = spark.createDataFrame(
+        [(1, [0.5, 0.1])], "vec_id long, embedding array<double>"
+    )
+    src = str(tmp_path / "lake")
+    sim.write_pq_lake(sim.assign_centroids(vecs, cents), books, src)
+
+    link = str(tmp_path / "lake_link")
+    os.symlink(src, link)
+    for alias in (
+        src + os.sep,                                   # trailing slash
+        str(tmp_path / "." / "lake"),                   # dot segment
+        link,                                           # symlink
+    ):
+        with pytest.raises(ValueError, match="must not be a source"):
+            sim.compact_pq_lake(spark, [src], alias)
+        with pytest.raises(ValueError, match="must not be a source"):
+            sim.compact_pq_lake(spark, [alias], src)
