@@ -143,6 +143,22 @@ from ._util import Query  # noqa: F401
 # itself stays) for the NEW ivfpq_residual_lake_topk_10 — the measured
 # production point (residual books) served from the partition-pruned
 # codes lake, sharing the residual IVFADC oracle.
+#
+# Round-15 rotation (VERDICT r14 #2, rotation round 8): IN the four queue
+# heads the driver has never verified — trigram_mkn_perplexity (the
+# order-3 MKN ladder rung), ivfpq_residual_lake_refined_10 (the FULL
+# production ANN operating point: residual lake + refine, measured 0.995
+# recall@10), ivfpq_lake_batch_topk_20 + ivfpq_lake_batch_refined_20
+# (the batched serving path: one pruned scan + one refine plan per query
+# SET). OUT 4 multi-round veterans, each family still represented
+# in-window and all kept green by check_gate + pytest:
+# bigram_perplexity (LM family keeps unigram/kneser_ney/modified_kn +
+# the incoming trigram MKN), streaming_lsh_backfill (LSH-stream family
+# keeps streaming_minhash_lsh; the backfill protocol stays pinned by its
+# pytest), stratified_sample_audit (sampling family keeps
+# token_budget_mix_greedy), multimodal_chunks (codec family keeps the
+# three native decode/frames gates in-window). Window stays 50 and 100%
+# oracle-backed.
 CURATED_ORDER: tuple[str, ...] = (
     # relational core
     "order_reconciliation",
@@ -178,7 +194,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "unigram_perplexity",
     "kneser_ney_perplexity",
     "modified_kn_perplexity",
-    "bigram_perplexity",
+    "trigram_mkn_perplexity",
     "pq_adc_topk_10",
     "pq_recall_audit",
     "pq_trained_codebooks",
@@ -188,29 +204,24 @@ CURATED_ORDER: tuple[str, ...] = (
     "ivfpq_lake_refined_10",
     "ivfpq_residual_topk_10",
     "ivfpq_residual_lake_topk_10",
+    "ivfpq_residual_lake_refined_10",
     "streaming_pq_codes",
     "ivf_recall_audit",
     "embedding_neardup_lsh",
     "streaming_minhash_lsh",
-    "streaming_lsh_backfill",
     "streaming_ivf_assign",
     "token_budget_mix_greedy",
-    "stratified_sample_audit",
+    "ivfpq_lake_batch_topk_20",
+    "ivfpq_lake_batch_refined_20",
     # multimodal codec seam: native PNG + native JPEG + frame surfaces
     "multimodal_decode_compressed",
     "multimodal_decode_jpeg",
     "multimodal_audio_frames",
-    "multimodal_chunks",
     # --- driver window cutoff (first 50 above) ---
     # positions 51+: highest-information out-of-window entries first, so a
     # widened driver window picks them up in this order (round-5 VERDICT #8);
     # round-11 rotated-out veterans go to the back of this queue.
-    # Queue head (never driver-verified — rotation round 8 material):
-    "trigram_mkn_perplexity",
-    "ivfpq_residual_lake_refined_10",
-    "ivfpq_lake_batch_topk_20",
-    "ivfpq_lake_batch_refined_20",
-    # (r13c queue heads rotated in-window in round 14)
+    # (rotation-round-8 queue heads rotated in-window in round 15)
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",
@@ -283,6 +294,11 @@ CURATED_ORDER: tuple[str, ...] = (
     "streaming_dedup_exact",
     "neardup_keep_best",
     "embedding_neardup_lsh_recall",
+    # round-15 rotated-out veterans
+    "bigram_perplexity",
+    "streaming_lsh_backfill",
+    "stratified_sample_audit",
+    "multimodal_chunks",
 )
 
 
