@@ -159,6 +159,13 @@ from ._util import Query  # noqa: F401
 # token_budget_mix_greedy), multimodal_chunks (codec family keeps the
 # three native decode/frames gates in-window). Window stays 50 and 100%
 # oracle-backed.
+#
+# Round-15b (same round, new operator): OUT pq_adc_topk_10 (driver-
+# verified r13+r14; the PQ/ANN family keeps pq_recall_audit,
+# pq_trained_codebooks, pq_trained_recall_audit and six ivfpq_* gates
+# in-window) for the NEW ngram_mkn_perplexity — the order-5 modified-KN
+# recurrence with <unk> vocabulary pruning (the full CCNet/KenLM
+# filter, VERDICT r14 #1), never driver-verified.
 CURATED_ORDER: tuple[str, ...] = (
     # relational core
     "order_reconciliation",
@@ -195,7 +202,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "kneser_ney_perplexity",
     "modified_kn_perplexity",
     "trigram_mkn_perplexity",
-    "pq_adc_topk_10",
+    "ngram_mkn_perplexity",
     "pq_recall_audit",
     "pq_trained_codebooks",
     "pq_trained_recall_audit",
@@ -221,7 +228,10 @@ CURATED_ORDER: tuple[str, ...] = (
     # positions 51+: highest-information out-of-window entries first, so a
     # widened driver window picks them up in this order (round-5 VERDICT #8);
     # round-11 rotated-out veterans go to the back of this queue.
-    # (rotation-round-8 queue heads rotated in-window in round 15)
+    # (rotation-round-8 queue heads rotated in-window in round 15;
+    # pq_adc_topk_10 is the round-15b rotated-out veteran, driver-verified
+    # r13+r14)
+    "pq_adc_topk_10",
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",

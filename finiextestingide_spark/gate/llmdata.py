@@ -4145,6 +4145,131 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
 )
 
 
+# --- order-5 modified KN with vocabulary pruning: the FULL KenLM
+#     recurrence (VERDICT r14 #1 — the CCNet-recipe 5-gram perplexity
+#     filter). The oracle below is GENERATED by the same loop shape that
+#     builds the Spark expression tree, so every level's discount CASE,
+#     gamma sum, and interpolation nesting is textually mirrored; the
+#     count-threshold <unk> remap happens on the positional token stream
+#     in both engines before any n-gram exists. ---
+
+_NGRAM_ORDER = 5
+_NGRAM_MIN_WC = 2
+
+
+def ngram_mkn_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.ngram_mkn_logprob_scores(
+        _docs(spark, sf_dir), order=_NGRAM_ORDER, min_word_count=_NGRAM_MIN_WC
+    )
+
+
+def _ngram_mkn_sql(order: int, min_word_count: int | None) -> str:
+    n = order
+    wc = [f"w{j + 1}" for j in range(n)]
+    parts = ["""WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i, ws[i] AS w
+  FROM t, UNNEST(generate_series(1, len(ws))) AS s(i)
+  WHERE len(ws) >= 1
+)"""]
+    src = "pos"
+    if min_word_count is not None and min_word_count > 1:
+        parts.append(f"""vc AS (SELECT w, count(*) AS wc FROM pos GROUP BY 1),
+mp AS (SELECT p.doc_id, p.i,
+              CASE WHEN v.wc < {min_word_count} THEN '<unk>' ELSE p.w END AS w
+       FROM pos p JOIN vc v USING (w))""")
+        src = "mp"
+    leads = ",\n         ".join(
+        f"lead(w, {j}) OVER (PARTITION BY doc_id ORDER BY i) AS {wc[j]}"
+        for j in range(1, n)
+    )
+    parts.append(f"""gr0 AS (
+  SELECT doc_id, w AS w1,
+         {leads}
+  FROM {src}
+),
+grams AS (SELECT * FROM gr0 WHERE {wc[-1]} IS NOT NULL)""")
+    # level tables: raw top counts, then distinct-left-extension folds
+    parts.append(
+        f"g{n} AS (SELECT {', '.join(wc)}, count(*) AS c{n} FROM grams "
+        f"GROUP BY {', '.join(str(i + 1) for i in range(n))})"
+    )
+    for k in range(n - 1, 1, -1):
+        sub = wc[n - k:]
+        parts.append(
+            f"g{k} AS (SELECT {', '.join(sub)}, count(*) AS c{k} FROM g{k + 1} "
+            f"GROUP BY {', '.join(str(i + 1) for i in range(len(sub)))})"
+        )
+    parts.append(f"ctx1 AS (SELECT {wc[-1]}, count(*) AS c1b FROM g2 GROUP BY 1)")
+    for k in range(2, n + 1):
+        ctx = wc[n - k:-1]
+        parts.append(
+            f"""x{k} AS (SELECT {', '.join(ctx)}, CAST(sum(c{k}) AS BIGINT) AS t{k},
+        CAST(sum(CASE WHEN c{k} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m{k}n1,
+        CAST(sum(CASE WHEN c{k} = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m{k}n2,
+        CAST(sum(CASE WHEN c{k} >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS m{k}n3p
+  FROM g{k} GROUP BY {', '.join(str(i + 1) for i in range(len(ctx)))})"""
+        )
+    for k in range(2, n + 1):
+        parts.append(_mkn_disc_sql(f"g{k}", f"c{k}", f"q{k}").lstrip("\n"))
+    # the recurrence, nested bottom-up with the Spark parenthesization
+    p = "(CAST(x.c1b AS DOUBLE) / q2disc.nt)"
+    for k in range(2, n + 1):
+        g, x, d = f"g{k}", f"x{k}", f"q{k}disc"
+        p = (
+            f"((CAST({g}.c{k} AS DOUBLE)\n"
+            f"    - (CASE WHEN {g}.c{k} = 1 THEN {d}.d1\n"
+            f"            WHEN {g}.c{k} = 2 THEN {d}.d2\n"
+            f"            ELSE {d}.d3 END)) / CAST({x}.t{k} AS DOUBLE)\n"
+            f"  + (({d}.d1 * {x}.m{k}n1 + {d}.d2 * {x}.m{k}n2 + {d}.d3 * {x}.m{k}n3p)\n"
+            f"     / CAST({x}.t{k} AS DOUBLE)) * {p})"
+        )
+    joins = [
+        f"JOIN g{n} ON " + " AND ".join(f"g{n}.{c} = p.{c}" for c in wc),
+        f"JOIN x{n} ON " + " AND ".join(f"x{n}.{c} = p.{c}" for c in wc[:-1]),
+    ]
+    for k in range(n - 1, 1, -1):
+        joins.append(
+            f"JOIN g{k} ON " + " AND ".join(f"g{k}.{c} = p.{c}" for c in wc[n - k:])
+        )
+        joins.append(
+            f"JOIN x{k} ON "
+            + " AND ".join(f"x{k}.{c} = p.{c}" for c in wc[n - k:-1])
+        )
+    joins.append(f"JOIN ctx1 x ON x.{wc[-1]} = p.{wc[-1]}")
+    crosses = ", ".join(f"q{k}disc" for k in range(n, 1, -1))
+    parts.append(
+        f"""scored AS (
+  SELECT p.doc_id,
+         CAST(round(ln({p}), 6) AS DECIMAL(28,6)) AS lp
+  FROM grams p
+  {chr(10).join('  ' + j for j in joins).strip()}, {crosses}
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions, sum(lp) AS lpsum
+  FROM scored GROUP BY 1
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT d.doc_id,
+       CAST(coalesce(a.n_transitions, 0) AS BIGINT) AS n_transitions,
+       floor(CAST(a.lpsum AS DOUBLE) / a.n_transitions * 1000000.0 + 0.5) / 1000000.0
+         AS avg_logprob,
+       floor(exp(-(floor(CAST(a.lpsum AS DOUBLE) / a.n_transitions * 1000000.0 + 0.5)
+                   / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 AS pseudo_ppl
+FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+NGRAM_MKN_PERPLEXITY_SQL = _ngram_mkn_sql(_NGRAM_ORDER, _NGRAM_MIN_WC)
+
+
 # --- streaming Gopher quality: the quality judgment on INGEST ---
 
 
@@ -4388,6 +4513,11 @@ QUERIES: dict[str, Query] = {
         trigram_mkn_perplexity_gate,
         TRIGRAM_MKN_PERPLEXITY_SQL,
         "trigram modified KN with continuation-count backoff (order-3 KenLM recurrence)",
+    ),
+    "ngram_mkn_perplexity": Query(
+        ngram_mkn_perplexity_gate,
+        NGRAM_MKN_PERPLEXITY_SQL,
+        "order-5 modified KN with <unk> vocabulary pruning (the full CCNet/KenLM recurrence)",
     ),
     "kneser_ney_perplexity": Query(
         kneser_ney_perplexity_gate,

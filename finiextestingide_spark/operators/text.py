@@ -954,3 +954,240 @@ def trigram_mkn_logprob_scores(
             _floor6(F.exp(-avg)).alias("pseudo_ppl"),
         )
     )
+
+
+def ngram_mkn_logprob_scores(
+    docs: DataFrame,
+    *,
+    order: int = 5,
+    min_word_count: int | None = None,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Corpus-trained order-N MODIFIED Kneser-Ney score per document — the
+    full KenLM recurrence (Chen & Goodman 1998) at arbitrary ``order``,
+    completing the LM ladder (reference parity target: the CCNet-recipe
+    5-gram KenLM perplexity filter; FiniexTestingIDE has no LM surface —
+    this extends the engine's quality-signal family the way
+    `trigram_mkn_logprob_scores` documents). ``order=2`` reproduces
+    `modified_kneser_ney_logprob_scores` and ``order=3``
+    `trigram_mkn_logprob_scores` BIT-FOR-BIT (property-pinned): the
+    recurrence below is the same expression tree those operators spell
+    out by hand.
+
+        p_k(w|ctx_k) = (a_k(ctx_k w) - D_k(a_k)) / t_k(ctx_k)
+                       + gamma_k(ctx_k) * p_{k-1}(w|ctx_{k-1})
+        p_1(w)       = N_{1+}(. w) / |distinct level-2 types|
+
+    where a_N = raw N-gram counts and each lower level's a_k is the
+    CONTINUATION count (distinct left-extensions of the level-(k+1)
+    support); D_k are that level's three Chen-Goodman discounts estimated
+    from ITS count-of-counts (clamped at 0 — see the trigram docstring
+    for the live sf0.1 lesson), and each gamma redistributes exactly the
+    mass its level discounted. Docs with < ``order`` tokens have no
+    transitions and null scores.
+
+    ``min_word_count`` (opt-in) adds count-threshold VOCABULARY PRUNING —
+    the preprocessing step real KenLM pipelines run before estimation:
+    words with corpus frequency < ``min_word_count`` collapse to a single
+    ``<unk>`` type BEFORE n-gram extraction (the normalizer strips
+    angle brackets from real text, so the sentinel cannot collide).
+    Estimation then proceeds over the mapped stream unchanged, exactly
+    as if the corpus had been written with <unk> in place.
+
+    Scale shape: without pruning, ONE N-gram-keyed aggregate over the
+    narrow zipped transition stream is the only corpus-proportional
+    pass; every model table is a roll-up OF that aggregate (each level's
+    continuation table folds the level above — map-side combined), the
+    N-1 count-of-counts frames are four broadcast doubles each, and
+    model joins are unhinted (AQE picks build sides). Pruning adds TWO
+    corpus-proportional exchanges — the vocabulary count (word-keyed,
+    map-side combined) and the rare-word remap join + per-doc array
+    rebuild (the rare set is Zipf-heavy and NOT broadcastable at corpus
+    scale, so the remap is a shuffle join on the token stream; KenLM
+    pays the same extra pass) — after which the unpruned shape resumes.
+
+    Physical-reuse caveat (the trigram operator shares it): the lazy DAG
+    re-derives the shared upstream (tokenize / remap / top-level count)
+    once per model-table branch — Spark only collapses identical
+    EXCHANGES, not identical aggregates. The per-branch recompute is the
+    same single pass each time, so scaling stays linear (SCALE.md
+    measures it), but a production 100 TB estimation job should
+    ``.persist()`` the level-N count table (and, when pruning, the
+    remapped token frame) before building the model — every lower level
+    then folds ~types-sized data only.
+    """
+    if order < 2:
+        raise ValueError("ngram_mkn_logprob_scores: order must be >= 2")
+    ws = F.filter(
+        F.split(normalized_text(F.col(text)), " "), lambda x: x != ""
+    )
+    toks = docs.select(F.col(id_col), ws.alias("__ws"))
+    if min_word_count is not None and min_word_count > 1:
+        pos = toks.select(
+            F.col(id_col), F.posexplode("__ws").alias("__i", "__w")
+        )
+        rare = (
+            pos.groupBy("__w")
+            .agg(F.count(F.lit(1)).alias("__wc"))
+            .where(F.col("__wc") < F.lit(min_word_count))
+            .select("__w", F.lit(True).alias("__rare"))
+        )
+        mapped = pos.join(rare, "__w", "left").select(
+            F.col(id_col),
+            F.col("__i"),
+            F.when(F.col("__rare"), F.lit("<unk>"))
+            .otherwise(F.col("__w"))
+            .alias("__w"),
+        )
+        toks = mapped.groupBy(id_col).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__i", "__w"))),
+                lambda s: s["__w"],
+            ).alias("__ws")
+        )
+    wcols = [f"w{j + 1}" for j in range(order)]
+    grams = (
+        toks.where(F.size("__ws") >= order)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    *[
+                        F.expr(f"slice(__ws, {j + 1}, size(__ws) - {order - 1})")
+                        for j in range(order)
+                    ]
+                )
+            ).alias("__g"),
+        )
+        .select(
+            id_col, *[F.col(f"__g.{j}").alias(wcols[j]) for j in range(order)]
+        )
+    )
+    # level-N raw counts: THE corpus-proportional aggregate; every level
+    # below is a distinct-left-extension fold of the level above (rows of
+    # lvl[k+1] are distinct (k+1)-gram types, so count(*) per k-suffix IS
+    # the continuation count)
+    lvl: dict[int, DataFrame] = {
+        order: grams.groupBy(*wcols).agg(
+            F.count(F.lit(1)).alias(f"__c{order}")
+        )
+    }
+    for k in range(order - 1, 1, -1):
+        lvl[k] = (
+            lvl[k + 1]
+            .groupBy(*wcols[order - k:])
+            .agg(F.count(F.lit(1)).alias(f"__c{k}"))
+        )
+    ctx1 = lvl[2].groupBy(wcols[-1]).agg(F.count(F.lit(1)).alias("__c1b"))
+    # per-context totals + N_k columns, one roll-up per level
+    ctxs: dict[int, DataFrame] = {}
+    for k in range(2, order + 1):
+        ck = f"__c{k}"
+        ctxs[k] = (
+            lvl[k]
+            .groupBy(*wcols[order - k:-1])
+            .agg(
+                F.sum(ck).alias(f"__t{k}"),
+                F.sum(F.when(F.col(ck) == 1, 1).otherwise(0)).alias(
+                    f"__m{k}n1"
+                ),
+                F.sum(F.when(F.col(ck) == 2, 1).otherwise(0)).alias(
+                    f"__m{k}n2"
+                ),
+                F.sum(F.when(F.col(ck) >= 3, 1).otherwise(0)).alias(
+                    f"__m{k}n3p"
+                ),
+            )
+        )
+
+    def _discounts(counts: DataFrame, cnt_col: str, prefix: str) -> DataFrame:
+        cc = counts.agg(
+            F.sum(F.when(F.col(cnt_col) == 1, 1).otherwise(0))
+            .cast("double").alias("__n1"),
+            F.sum(F.when(F.col(cnt_col) == 2, 1).otherwise(0))
+            .cast("double").alias("__n2"),
+            F.sum(F.when(F.col(cnt_col) == 3, 1).otherwise(0))
+            .cast("double").alias("__n3"),
+            F.sum(F.when(F.col(cnt_col) == 4, 1).otherwise(0))
+            .cast("double").alias("__n4"),
+            F.count(F.lit(1)).cast("double").alias("__nt"),
+        )
+        n1, n2 = F.col("__n1"), F.col("__n2")
+        n3, n4 = F.col("__n3"), F.col("__n4")
+        y = F.when(
+            n1 + F.lit(2.0) * n2 > 0, n1 / (n1 + F.lit(2.0) * n2)
+        ).otherwise(F.lit(0.0))
+        cc = cc.withColumn("__y", y)
+        yc = F.col("__y")
+        # greatest(..., 0): the count-of-counts decay clamp — see
+        # modified_kneser_ney_logprob_scores
+        return cc.select(
+            F.col("__nt").alias(f"{prefix}nt"),
+            F.when(n1 > 0, F.greatest(
+                F.lit(1.0) - ((F.lit(2.0) * yc) * n2) / n1, F.lit(0.0)
+            )).otherwise(F.lit(0.0)).alias(f"{prefix}d1"),
+            F.when(n2 > 0, F.greatest(
+                F.lit(2.0) - ((F.lit(3.0) * yc) * n3) / n2, F.lit(0.0)
+            )).otherwise(F.lit(0.0)).alias(f"{prefix}d2"),
+            F.when(n3 > 0, F.greatest(
+                F.lit(3.0) - ((F.lit(4.0) * yc) * n4) / n3, F.lit(0.0)
+            )).otherwise(F.lit(0.0)).alias(f"{prefix}d3"),
+        )
+
+    discs = {
+        k: _discounts(lvl[k], f"__c{k}", f"__p{k}") for k in range(2, order + 1)
+    }
+
+    joined = grams.join(lvl[order], wcols).join(ctxs[order], wcols[:-1])
+    for k in range(order - 1, 1, -1):
+        joined = joined.join(lvl[k], wcols[order - k:]).join(
+            ctxs[k], wcols[order - k:-1]
+        )
+    joined = joined.join(ctx1, wcols[-1])
+    for k in range(order, 1, -1):
+        joined = joined.crossJoin(F.broadcast(discs[k]))
+
+    # the recurrence, built bottom-up — ONE fixed parenthesization the
+    # oracle mirrors textually (the trigram determinism contract)
+    p = F.col("__c1b") / F.col("__p2nt")
+    for k in range(2, order + 1):
+        ck = F.col(f"__c{k}").cast("double")
+        d_of = (
+            F.when(F.col(f"__c{k}") == 1, F.col(f"__p{k}d1"))
+            .when(F.col(f"__c{k}") == 2, F.col(f"__p{k}d2"))
+            .otherwise(F.col(f"__p{k}d3"))
+        )
+        tk = F.col(f"__t{k}").cast("double")
+        gk = (
+            (F.col(f"__p{k}d1") * F.col(f"__m{k}n1"))
+            + (F.col(f"__p{k}d2") * F.col(f"__m{k}n2"))
+            + (F.col(f"__p{k}d3") * F.col(f"__m{k}n3p"))
+        ) / tk
+        p = (ck - d_of) / tk + gk * p
+
+    scored = joined.select(
+        F.col(id_col),
+        F.round(F.log(p), 6).cast("decimal(28,6)").alias("__lp"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.sum("__lp").alias("__lpsum"),
+    )
+
+    def _floor6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    avg = _floor6(F.col("__lpsum").cast("double") / F.col("n_transitions"))
+    return (
+        docs.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_transitions"), F.lit(0)).cast("long").alias(
+                "n_transitions"
+            ),
+            avg.alias("avg_logprob"),
+            _floor6(F.exp(-avg)).alias("pseudo_ppl"),
+        )
+    )

@@ -761,3 +761,149 @@ def test_trigram_mkn_matches_direct_evaluation(spark, trips):
         p = (float(c3) - da) / hh + g3 * p2
         want = math.floor(round(math.log(p), 6) * 1e6 + 0.5) / 1e6
         assert got[i] == want, (trips[i], got[i], want)
+
+
+def _ref_ngram_mkn(doc_words, order, min_wc=None):
+    """Independent direct evaluation of the order-N modified-KN recurrence
+    (continuation counts at every backoff level, per-level clamped
+    discounts, <unk> vocabulary pruning, decimal-exact per-doc fold)."""
+    import math
+    from collections import Counter
+
+    toks = dict(doc_words)
+    if min_wc and min_wc > 1:
+        wcnt = Counter(w for ws in toks.values() for w in ws)
+        toks = {
+            i: ["<unk>" if wcnt[w] < min_wc else w for w in ws]
+            for i, ws in toks.items()
+        }
+    grams = {
+        i: [tuple(ws[j:j + order]) for j in range(len(ws) - order + 1)]
+        for i, ws in toks.items()
+        if len(ws) >= order
+    }
+    lvl = {order: Counter(g for gs in grams.values() for g in gs)}
+    for k in range(order - 1, 1, -1):
+        lvl[k] = Counter(g[-k:] for g in lvl[k + 1])
+    ctx1 = Counter(g[-1] for g in lvl[2])
+    nt2 = float(len(lvl[2]))
+    ctxs = {}
+    for k in range(2, order + 1):
+        t, nk = Counter(), {}
+        for g, c in lvl[k].items():
+            t[g[:-1]] += c
+            d = nk.setdefault(g[:-1], [0, 0, 0])
+            d[0 if c == 1 else 1 if c == 2 else 2] += 1
+        ctxs[k] = (t, nk)
+
+    def discounts(counter):
+        cc = Counter(counter.values())
+        n1, n2 = float(cc.get(1, 0)), float(cc.get(2, 0))
+        n3, n4 = float(cc.get(3, 0)), float(cc.get(4, 0))
+        y = n1 / (n1 + 2.0 * n2) if n1 + 2.0 * n2 > 0 else 0.0
+        da = max(1.0 - ((2.0 * y) * n2) / n1, 0.0) if n1 > 0 else 0.0
+        db = max(2.0 - ((3.0 * y) * n3) / n2, 0.0) if n2 > 0 else 0.0
+        dc = max(3.0 - ((4.0 * y) * n4) / n3, 0.0) if n3 > 0 else 0.0
+        return da, db, dc
+
+    dk = {k: discounts(lvl[k]) for k in range(2, order + 1)}
+    out = {}
+    for i in doc_words:
+        gs = grams.get(i, [])
+        if not gs:
+            out[i] = (0, None, None)
+            continue
+        lp_micro = 0
+        for g in gs:
+            p = ctx1[g[-1]] / nt2
+            for k in range(2, order + 1):
+                sub = g[-k:]
+                c = lvl[k][sub]
+                d1, d2, d3 = dk[k]
+                d = d1 if c == 1 else d2 if c == 2 else d3
+                t, nk = ctxs[k]
+                tt = float(t[sub[:-1]])
+                nn = nk[sub[:-1]]
+                gk = ((d1 * nn[0]) + (d2 * nn[1]) + (d3 * nn[2])) / tt
+                p = (float(c) - d) / tt + gk * p
+            # nearest-int, not truncation: the float product can land at
+            # x.999999... for an exactly-representable 6-dp decimal
+            lp_micro += round(round(math.log(p), 6) * 1e6)
+        n = len(gs)
+        avg = math.floor(lp_micro / 1e6 / n * 1e6 + 0.5) / 1e6
+        ppl = math.floor(math.exp(-avg) * 1e6 + 0.5) / 1e6
+        out[i] = (n, avg, ppl)
+    return out
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=5,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_ngram_mkn_order5_pruned_matches_direct_evaluation(spark, docs):
+    """The FULL ladder rung: order-5 recurrence (four continuation levels,
+    four discount sets) WITH <unk> vocabulary pruning, against the
+    independent direct evaluation — multi-transition docs exercise the
+    decimal-exact sum + floor-form mean too."""
+    from finiextestingide_spark.operators.text import ngram_mkn_logprob_scores
+
+    dw = {i: ws for i, ws in enumerate(docs)}
+    sdf = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in dw.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_transitions, r.avg_logprob, r.pseudo_ppl)
+        for r in ngram_mkn_logprob_scores(
+            sdf, order=5, min_word_count=2
+        ).collect()
+    }
+    want = _ref_ngram_mkn(dw, 5, min_wc=2)
+    assert got == want
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=2, max_size=9
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_ngram_mkn_reproduces_dedicated_orders(spark, docs):
+    """ngram_mkn_logprob_scores(order=2) == modified_kneser_ney_logprob_
+    scores and (order=3) == trigram_mkn_logprob_scores BIT-FOR-BIT — the
+    generalized recurrence is the same expression tree the dedicated
+    operators spell out by hand."""
+    from finiextestingide_spark.operators.text import (
+        modified_kneser_ney_logprob_scores,
+        ngram_mkn_logprob_scores,
+        trigram_mkn_logprob_scores,
+    )
+
+    sdf = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+
+    def rows(df):
+        return sorted(
+            (r.doc_id, r.n_transitions, r.avg_logprob, r.pseudo_ppl)
+            for r in df.collect()
+        )
+
+    assert rows(ngram_mkn_logprob_scores(sdf, order=2)) == rows(
+        modified_kneser_ney_logprob_scores(sdf)
+    )
+    assert rows(ngram_mkn_logprob_scores(sdf, order=3)) == rows(
+        trigram_mkn_logprob_scores(sdf)
+    )
