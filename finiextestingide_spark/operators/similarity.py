@@ -1305,6 +1305,91 @@ def ivfpq_residual_topk(
     return top.withColumn("rank", F.row_number().over(w))
 
 
+_LAKE_MANIFEST = "_codebook_version.json"
+
+
+def codebook_fingerprint(sub_centroids: list[list[list[float]]]) -> str:
+    """Deterministic fingerprint of a trained codebook set: md5 over the
+    shortest-round-trip JSON of the nested float lists (json.dumps uses
+    repr-style floats, which round-trip IEEE doubles exactly), truncated
+    to 16 hex chars. Codes are only meaningful relative to the books that
+    produced them, so this IS the lake's schema version."""
+    import hashlib
+    import json
+
+    canon = json.dumps(
+        [[[float(x) for x in cent] for cent in sub] for sub in sub_centroids]
+    )
+    return hashlib.md5(canon.encode()).hexdigest()[:16]
+
+
+def _lake_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(path, _LAKE_MANIFEST)
+    return jvm, hp, hp.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def write_lake_manifest(
+    spark: SparkSession, path: str, sub_centroids: list[list[list[float]]]
+) -> None:
+    """Stamp ``path`` with its codebook fingerprint (sidecar
+    ``_codebook_version.json`` — underscore-prefixed, so every parquet
+    scan ignores it and the lake's data schema is untouched). Uses the
+    Hadoop FileSystem API, so the stamp works on whatever storage the
+    lake lives on (local in tests, HDFS/S3 at scale)."""
+    import json
+
+    jvm, hp, fs = _lake_fs(spark, path)
+    payload = {
+        "fingerprint": codebook_fingerprint(sub_centroids),
+        "m": len(sub_centroids),
+    }
+    out = fs.create(hp, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode()))
+    finally:
+        out.close()
+
+
+def read_lake_manifest(spark: SparkSession, path: str) -> dict | None:
+    """Read a lake root's codebook manifest; None for a pre-stamp lake."""
+    import json
+
+    jvm, hp, fs = _lake_fs(spark, path)
+    if not fs.exists(hp):
+        return None
+    stream = fs.open(hp)
+    try:
+        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(txt)
+
+
+def _verify_lake_codebooks(
+    spark: SparkSession,
+    paths: list[str],
+    sub_centroids: list[list[list[float]]],
+    op: str,
+) -> None:
+    """Fail loud when a stamped lake root was encoded by DIFFERENT books
+    than the ones handed to the query/compaction (VERDICT r14 #4): a
+    version-mismatched read would otherwise silently NULL-sink every row
+    (query) or merge incompatible codes (compaction). Unstamped roots
+    (pre-stamp lakes) pass unchecked — stamping is forward-looking."""
+    want = codebook_fingerprint(sub_centroids)
+    for p in paths:
+        manifest = read_lake_manifest(spark, p)
+        if manifest is not None and manifest.get("fingerprint") != want:
+            raise ValueError(
+                f"{op}: codes lake at {p!r} was encoded with codebook "
+                f"version {manifest.get('fingerprint')}, but the supplied "
+                f"books fingerprint as {want} — refusing to decode codes "
+                "against the wrong codebooks (re-encode the lake or pass "
+                "the books that built it)"
+            )
+
+
 def write_pq_lake(
     assigned: DataFrame,
     sub_centroids: list[list[list[float]]],
@@ -1335,10 +1420,19 @@ def write_pq_lake(
     the same layout via `streaming.ann_stream.streaming_pq_encode` +
     partitionBy on the writeStream."""
     m = len(sub_centroids)
+    spark = assigned.sparkSession
+    if mode == "append":
+        # appending codes from DIFFERENT books to a stamped lake would
+        # silently mix incompatible code spaces — the mismatch the
+        # version stamp exists to catch (VERDICT r14 #4)
+        _verify_lake_codebooks(spark, [path], sub_centroids, "write_pq_lake")
     codes = pq_encode(assigned, sub_centroids, vec_col=vec_col,
                       code_prefix=code_prefix)
     cols = [id_col, centroid_id] + [f"{code_prefix}{j}" for j in range(m)]
     codes.select(*cols).write.mode(mode).partitionBy(centroid_id).parquet(path)
+    # stamp AFTER the write: overwrite mode deletes the whole directory,
+    # manifest included
+    write_lake_manifest(spark, path, sub_centroids)
 
 
 def ivfpq_lake_topk(
@@ -1388,6 +1482,7 @@ def ivfpq_lake_topk(
     )
     probe_ids = [int(cid) for cid, _ in probes]
     paths = [path] if isinstance(path, str) else list(path)
+    _verify_lake_codebooks(spark, paths, sub_centroids, "ivfpq_lake_topk")
     scans = [spark.read.parquet(p) for p in paths]
     lake = scans[0]
     for s in scans[1:]:
@@ -1508,6 +1603,9 @@ def ivfpq_residual_lake_topk(
         centroid_rows, query_vec, nprobe, op="ivfpq_residual_lake_topk"
     )
     paths = [path] if isinstance(path, str) else list(path)
+    _verify_lake_codebooks(
+        spark, paths, sub_centroids, "ivfpq_residual_lake_topk"
+    )
 
     def _cell_scan():
         scans = [spark.read.parquet(p) for p in paths]
@@ -1562,6 +1660,7 @@ def compact_pq_lake(
     paths: list[str],
     out_path: str,
     *,
+    sub_centroids: list[list[list[float]]] | None = None,
     id_col: str = "vec_id",
     centroid_id: str = "centroid_id",
 ) -> None:
@@ -1580,7 +1679,14 @@ def compact_pq_lake(
     wholesale anyway).
 
     The rewrite is one id-keyed exchange at scan parallelism — the same
-    cost class as the original ingest; do NOT compact per query."""
+    cost class as the original ingest; do NOT compact per query.
+
+    Codebook-version safety (VERDICT r14 #4): when ``sub_centroids`` is
+    supplied, every STAMPED source must match its fingerprint; without
+    it, all stamped sources must agree with EACH OTHER — merging lakes
+    encoded by different books is exactly the silent corruption the
+    stamp exists to catch. The common manifest (or the supplied books')
+    propagates to the compacted output."""
     import os
 
     if not paths:
@@ -1598,12 +1704,42 @@ def compact_pq_lake(
             "compact_pq_lake: out_path must not be a source lake "
             "(the rewrite would read its own partial output)"
         )
+    if sub_centroids is not None:
+        _verify_lake_codebooks(spark, paths, sub_centroids, "compact_pq_lake")
+        out_manifest = {
+            "fingerprint": codebook_fingerprint(sub_centroids),
+            "m": len(sub_centroids),
+        }
+    else:
+        stamped = {
+            p: m for p in paths if (m := read_lake_manifest(spark, p))
+        }
+        prints = {m["fingerprint"] for m in stamped.values()}
+        if len(prints) > 1:
+            detail = ", ".join(
+                f"{p!r}={m['fingerprint']}" for p, m in stamped.items()
+            )
+            raise ValueError(
+                "compact_pq_lake: source lakes were encoded with DIFFERENT "
+                f"codebook versions ({detail}) — merging them would mix "
+                "incompatible code spaces; re-encode to one codebook first"
+            )
+        out_manifest = next(iter(stamped.values()), None)
     scans = [spark.read.parquet(p) for p in paths]
     lake = scans[0]
     for s in scans[1:]:
         lake = lake.unionByName(s)
     merged = lake.dropDuplicates([id_col])
     merged.write.mode("overwrite").partitionBy(centroid_id).parquet(out_path)
+    if out_manifest is not None:
+        import json as _json
+
+        jvm, hp, fs = _lake_fs(spark, out_path)
+        out = fs.create(hp, True)
+        try:
+            out.write(bytearray(_json.dumps(out_manifest).encode()))
+        finally:
+            out.close()
 
 
 def ivfpq_lake_batch_topk(
@@ -1681,6 +1817,9 @@ def ivfpq_lake_batch_topk(
 
     all_cells = sorted({c for _, c in probe_rows})
     paths = [path] if isinstance(path, str) else list(path)
+    _verify_lake_codebooks(
+        spark, paths, sub_centroids, "ivfpq_lake_batch_topk"
+    )
     scans = [spark.read.parquet(p) for p in paths]
     lake = scans[0]
     for s in scans[1:]:

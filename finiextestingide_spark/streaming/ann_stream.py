@@ -126,6 +126,19 @@ def streaming_pq_lake_ingest(
     ``path=[history_lake, tail_lake]`` — one multi-root partition-pruned
     scan. Compacting the tail into history (a plain batch read+rewrite)
     is the codebook-rebuild boundary, same as quantizer version bumps."""
+    from ..operators.similarity import (
+        _verify_lake_codebooks,
+        write_lake_manifest,
+    )
+
+    spark = stream.sparkSession
+    # stamp the tail BEFORE the stream starts (books are frozen for the
+    # stream's lifetime); an existing tail stamped by DIFFERENT books
+    # fails loud instead of appending incompatible codes (VERDICT r14 #4)
+    _verify_lake_codebooks(
+        spark, [tail_path], sub_centroids, "streaming_pq_lake_ingest"
+    )
+    write_lake_manifest(spark, tail_path, sub_centroids)
     assigned = streaming_ivf_assign(
         stream, centroid_rows, vec_col=vec_col, centroid_id=centroid_id
     )

@@ -299,3 +299,52 @@ def test_compact_guard_normalizes_paths(spark, tmp_path):
             sim.compact_pq_lake(spark, [src], alias)
         with pytest.raises(ValueError, match="must not be a source"):
             sim.compact_pq_lake(spark, [alias], src)
+
+
+def test_codebook_version_stamp_fails_loud(spark, tmp_path):
+    """VERDICT r14 #4: the lake carries its codebook fingerprint as a
+    sidecar manifest; querying or compacting with the WRONG books raises
+    instead of silently NULL-sinking every row (query) or merging
+    incompatible code spaces (compaction)."""
+    from finiextestingide_spark.operators import similarity as sim
+
+    crows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    books_a = [[[0.0], [2.0]], [[0.0], [1.0]]]
+    books_b = [[[0.5], [2.5]], [[0.5], [1.5]]]
+    cents = spark.createDataFrame(
+        crows, "centroid_id long, embedding array<double>"
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.9, 0.2]), (2, [0.1, 0.9])], "vec_id long, embedding array<double>"
+    )
+    assigned = sim.assign_centroids(vecs, cents)
+    la, lb, lc = (str(tmp_path / d) for d in ("lake_a", "lake_b", "compact"))
+    sim.write_pq_lake(assigned, books_a, la)
+
+    # manifest exists, fingerprints differ -> loud error on every reader
+    m = sim.read_lake_manifest(spark, la)
+    assert m and m["fingerprint"] == sim.codebook_fingerprint(books_a)
+    with pytest.raises(ValueError, match="codebook version"):
+        sim.ivfpq_lake_topk(spark, la, books_b, crows, [1.0, 0.1], 2)
+    with pytest.raises(ValueError, match="codebook version"):
+        sim.ivfpq_residual_lake_topk(spark, la, books_b, crows, [1.0, 0.1], 2)
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.1])], "query_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="codebook version"):
+        sim.ivfpq_lake_batch_topk(spark, la, books_b, crows, q, 2)
+    # appending with different books would mix code spaces
+    with pytest.raises(ValueError, match="codebook version"):
+        sim.write_pq_lake(assigned, books_b, la, mode="append")
+    # the RIGHT books still read
+    assert sim.ivfpq_lake_topk(spark, la, books_a, crows, [1.0, 0.1], 2).count() > 0
+
+    # compaction: mixed stamps refuse; matched stamps propagate
+    sim.write_pq_lake(assigned, books_b, lb)
+    with pytest.raises(ValueError, match="DIFFERENT codebook versions"):
+        sim.compact_pq_lake(spark, [la, lb], lc)
+    with pytest.raises(ValueError, match="codebook version"):
+        sim.compact_pq_lake(spark, [la], lc, sub_centroids=books_b)
+    sim.compact_pq_lake(spark, [la], lc, sub_centroids=books_a)
+    mc = sim.read_lake_manifest(spark, lc)
+    assert mc and mc["fingerprint"] == sim.codebook_fingerprint(books_a)
