@@ -1757,6 +1757,7 @@ def ivfpq_lake_batch_topk(
     query_id: str = "query_id",
     code_prefix: str = "pq",
     exclude_self: bool = False,
+    max_lut_rows: int | None = 4_000_000,
 ) -> DataFrame:
     """BATCHED IVF-PQ over the codes lake — the throughput path: a QUERY
     SET amortizes one pruned scan instead of paying a plan per query
@@ -1790,6 +1791,21 @@ def ivfpq_lake_batch_topk(
     qrows = queries.orderBy(query_id).collect()
     if not qrows:
         raise ValueError("ivfpq_lake_batch_topk: empty query batch")
+    # planning-time LUT budget (VERDICT r14 #5, the winnow_candidate_pairs
+    # budget posture): the driver materializes batch x sum(codes-per-book)
+    # LUT rows before anything distributed runs — an oversized batch must
+    # fail loud naming the knob, not OOM the driver mid-build
+    codes_per_query = sum(len(book) for book in sub_centroids)
+    lut_budget = len(qrows) * codes_per_query
+    if max_lut_rows is not None and lut_budget > max_lut_rows:
+        raise ValueError(
+            f"ivfpq_lake_batch_topk: the driver-built ADC LUT would hold "
+            f"{lut_budget} rows ({len(qrows)} queries x {codes_per_query} "
+            f"(m x codes) per query), exceeding max_lut_rows="
+            f"{max_lut_rows}. Chunk the query set into smaller batches "
+            "upstream, or raise max_lut_rows (pass None to disable) if "
+            "the driver has the memory."
+        )
     probe_rows, lut_rows = [], []
     for qr in qrows:
         qid = int(qr[query_id])

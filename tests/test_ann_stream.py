@@ -571,3 +571,19 @@ def test_refine_missing_raw_vector_fails_loud(spark):
     # holds)
     ok = sim.refine_topk(short.where(F.col("vec_id") != 7), vecs, [3.0], 2)
     assert [r.vec_id for r in ok.collect()] == [2, 1]
+
+
+def test_batched_lut_budget_fails_loud(spark):
+    """VERDICT r14 #5: the batched serving path's driver-built LUT is
+    budget-guarded at planning time — an oversized batch raises naming
+    the knob instead of OOMing the driver mid-build."""
+    books = [[[0.0], [5.0]]]
+    crows = [(0, [0.0])]
+    q = spark.createDataFrame(
+        [(i, [float(i)]) for i in range(4)],
+        "query_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="max_lut_rows"):
+        sim.ivfpq_lake_batch_topk(
+            spark, "/nonexistent", books, crows, q, 2, max_lut_rows=7
+        )
