@@ -166,6 +166,12 @@ from ._util import Query  # noqa: F401
 # in-window) for the NEW ngram_mkn_perplexity — the order-5 modified-KN
 # recurrence with <unk> vocabulary pruning (the full CCNet/KenLM
 # filter, VERDICT r14 #1), never driver-verified.
+#
+# Round-15c (same round, OPQ): OUT pq_recall_audit (driver-verified
+# r13+r14; the recall-audit family keeps ivf_recall_audit +
+# pq_trained_recall_audit in-window) for the NEW opq_adc_topk_10 — the
+# OPQ composition gate (literal orthogonal rotation -> trained PQ ->
+# ADC, VERDICT r14 #3), never driver-verified.
 CURATED_ORDER: tuple[str, ...] = (
     # relational core
     "order_reconciliation",
@@ -203,7 +209,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "modified_kn_perplexity",
     "trigram_mkn_perplexity",
     "ngram_mkn_perplexity",
-    "pq_recall_audit",
+    "opq_adc_topk_10",
     "pq_trained_codebooks",
     "pq_trained_recall_audit",
     "ivfpq_topk_10",
@@ -229,9 +235,10 @@ CURATED_ORDER: tuple[str, ...] = (
     # widened driver window picks them up in this order (round-5 VERDICT #8);
     # round-11 rotated-out veterans go to the back of this queue.
     # (rotation-round-8 queue heads rotated in-window in round 15;
-    # pq_adc_topk_10 is the round-15b rotated-out veteran, driver-verified
-    # r13+r14)
+    # pq_adc_topk_10 / pq_recall_audit are the round-15b/c rotated-out
+    # veterans, driver-verified r13+r14)
     "pq_adc_topk_10",
+    "pq_recall_audit",
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",

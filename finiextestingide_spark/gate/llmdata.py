@@ -3153,6 +3153,97 @@ FROM c{_PQT_ITERS} c, UNNEST(generate_series(1, {_PQ_SUB})) AS t(pos)
 )
 
 
+# --- OPQ: deterministic learned-rotation COMPOSITION gate (VERDICT r14
+#     #3). The rotation entering the pipeline is configuration (a dense
+#     orthogonal matrix from a fixed pure-Python Givens chain — bit-
+#     stable with no LAPACK in the path), embedded as LITERALS on both
+#     engine sides; everything downstream is the verified trained-PQ
+#     pipeline over the rotated corpus: grouped-Lloyd books, encode,
+#     single-query ADC. This pins the composition opq_rotate ->
+#     pq_train -> pq_encode -> pq_adc_topk cross-engine; the LEARNED
+#     rotation (opq_train_rotation, SVD in the loop) is run-stable but
+#     not SQL-expressible — pytest pins its orthogonality + error
+#     reduction, and scripts/ivfpq_recall_audit.py --opq measures its
+#     recall lift (SCALE.md section 9). ---
+
+_OPQ_ROT = sim.deterministic_rotation(_PQ_M * _PQ_SUB)
+
+
+def opq_adc_topk_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    rotated = sim.opq_rotate(emb, _OPQ_ROT)
+    cb = sim.pq_train_codebooks(
+        rotated, m=_PQ_M, k_codes=_PQT_CODES, iters=_PQT_ITERS
+    )
+    books = sim.collect_codebooks(cb)
+    codes = sim.pq_encode(rotated, books)
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return sim.pq_adc_topk(codes, books, sim.rotate_query(_OPQ_ROT, q), _PQ_K)
+
+
+def _opq_rot_sql() -> str:
+    rows = ",\n    ".join(
+        f"({i}, LIST_VALUE({', '.join(repr(float(x)) for x in row)}))"
+        for i, row in enumerate(_OPQ_ROT)
+    )
+    d = _PQ_M * _PQ_SUB
+    return f"""rot AS (SELECT * FROM (VALUES
+    {rows}) AS t(i, rv)),
+rotemb AS (
+  SELECT e.vec_id,
+         list(list_reduce(list_transform(generate_series(1, {d}),
+              t -> r.rv[t] * CAST(e.embedding[t] AS DOUBLE)),
+              (x, y) -> x + y) ORDER BY r.i) AS embedding
+  FROM embeddings e CROSS JOIN rot r
+  GROUP BY e.vec_id
+)"""
+
+
+OPQ_ADC_TOPK_10_SQL = (
+    "WITH "
+    + _opq_rot_sql()
+    + ","
+    + _pqt_train_ctes("rotemb")
+    + f""",
+cb AS (SELECT j, code, cv FROM c{_PQT_ITERS}),
+dims AS (
+  SELECT e.vec_id, c.j, c.code,
+         list_reduce(list_transform(generate_series(1, {_PQ_SUB}),
+             t -> power(CAST(e.embedding[c.j * {_PQ_SUB} + t] AS DOUBLE) - c.cv[t], 2)),
+             (x, y) -> x + y) AS d
+  FROM rotemb e CROSS JOIN cb c
+),
+best AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, code ASC) AS r
+    FROM dims) WHERE r = 1
+),
+q AS (SELECT embedding AS qv FROM rotemb WHERE vec_id = 0),
+lut AS (
+  SELECT c.j, c.code,
+         CAST(round(list_reduce(list_transform(generate_series(1, {_PQ_SUB}),
+             t -> power(CAST(q.qv[c.j * {_PQ_SUB} + t] AS DOUBLE) - c.cv[t], 2)),
+             (x, y) -> x + y), 6) AS DECIMAL(18,6)) AS d
+  FROM q CROSS JOIN cb c
+),
+scored AS (
+  SELECT b.vec_id, round(CAST(sum(l.d) AS DOUBLE), 6) AS adc_dist
+  FROM best b JOIN lut l ON l.j = b.j AND l.code = b.code
+  GROUP BY 1
+)
+SELECT vec_id, adc_dist, rank FROM (
+  SELECT vec_id, adc_dist,
+         row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {_PQ_K}
+"""
+)
+
+
+
 def pq_trained_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the TRAINED-codebook PQ-ADC path vs exact squared-L2
     ground truth — the production configuration of the compressed index
@@ -4513,6 +4604,11 @@ QUERIES: dict[str, Query] = {
         trigram_mkn_perplexity_gate,
         TRIGRAM_MKN_PERPLEXITY_SQL,
         "trigram modified KN with continuation-count backoff (order-3 KenLM recurrence)",
+    ),
+    "opq_adc_topk_10": Query(
+        opq_adc_topk_10,
+        OPQ_ADC_TOPK_10_SQL,
+        "OPQ composition: literal orthogonal rotation -> trained PQ -> ADC top-10",
     ),
     "ngram_mkn_perplexity": Query(
         ngram_mkn_perplexity_gate,

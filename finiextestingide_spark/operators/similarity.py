@@ -1939,3 +1939,195 @@ def refine_batch_topk(
         .where(F.col("rank") <= k)
         .select(query_id, id_col, "l2_dist", "rank")
     )
+
+
+# --- OPQ: learned rotation before product quantization (VERDICT r14 #3;
+#     Ge et al., "Optimized Product Quantization", CVPR 2013 — FAISS's
+#     default preprocessing for the codes-lake operating point). PQ
+#     quantizes contiguous subspaces independently, so it wastes budget
+#     when variance is unevenly spread or correlated ACROSS subspace
+#     boundaries; an orthogonal rotation R applied before encoding
+#     re-balances per-subspace energy. Compose as: opq_rotate -> the
+#     existing pq_train_codebooks / pq_encode / ADC pipeline unchanged
+#     (queries rotate by the same R before LUT construction). ---
+
+
+def opq_rotate(
+    vectors: DataFrame,
+    rotation: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> Column | DataFrame:
+    """Apply a LITERAL d x d rotation to a vector column: out[i] =
+    sum_j R[i][j] * v[j], each output dim the same left-to-right
+    `dot` fold the whole similarity family uses — so two engines given
+    the same literal matrix produce bit-identical rotated doubles (the
+    oracle unrolls the identical expression). The rotation is pure
+    narrow compute (no shuffle, no UDF); at d=64 the plan carries 64
+    codegen'd 64-term folds. For d in the thousands, swap in a
+    pandas_udf matmul — the call signature stays the same.
+
+    Returns ``vectors`` with ``out_col`` (default: ``vec_col`` replaced)
+    holding the rotated array<double>."""
+    d = len(rotation)
+    if any(len(r) != d for r in rotation):
+        raise ValueError("opq_rotate: rotation must be square")
+    vd = _as_double(F.col(vec_col))
+    rotated = F.array(
+        *[
+            dot(F.array(*[F.lit(float(x)) for x in row]), vd)
+            for row in rotation
+        ]
+    )
+    return vectors.withColumn(out_col or vec_col, rotated)
+
+
+def rotate_query(rotation: list[list[float]], query_vec: list[float]) -> list[float]:
+    """Driver-side mirror of `opq_rotate` for the query vector: the SAME
+    left-to-right fold (Python sum() == F.aggregate == list_reduce over
+    identical doubles), so the LUT built from the rotated query matches
+    the oracle's SQL-rotated query bit-for-bit."""
+    out = []
+    for row in rotation:
+        acc = 0.0
+        for r, q in zip(row, query_vec):
+            acc = acc + float(r) * float(q)
+        out.append(acc)
+    return out
+
+
+def deterministic_rotation(dim: int, n_givens: int | None = None) -> list[list[float]]:
+    """A CONFIG-GRADE dense orthogonal matrix built from a fixed chain of
+    Givens rotations in pure Python double arithmetic — bit-stable on
+    every platform (no LAPACK/BLAS in the path), so the gate can embed
+    it as literals on both engine sides. Angle/plane schedule is a fixed
+    function of the chain index; after ~2d rotations every coordinate
+    has mixed across subspace boundaries. This is the deterministic
+    stand-in the OPQ GATE uses; production training learns R with
+    `opq_train_rotation`."""
+    n = n_givens if n_givens is not None else 2 * dim
+    rot = [[1.0 if i == j else 0.0 for j in range(dim)] for i in range(dim)]
+    for k in range(n):
+        i = k % dim
+        j = (k * 7 + 3) % dim
+        if i == j:
+            continue
+        theta = 0.3 + 0.05 * (k % 13)
+        import math
+
+        c, s = math.cos(theta), math.sin(theta)
+        for col in range(dim):
+            a, b = rot[i][col], rot[j][col]
+            rot[i][col] = c * a - s * b
+            rot[j][col] = s * a + c * b
+    return rot
+
+
+def opq_train_rotation(
+    vectors: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    *,
+    iters: int = 3,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """LEARN the OPQ rotation by alternating minimization (the non-
+    parametric OPQ of Ge et al. / FAISS OPQMatrix): repeat
+    (1) train PQ codebooks on the rotated data (the existing
+    deterministic grouped-Lloyd `pq_train_codebooks`), (2) re-solve the
+    rotation as the orthogonal Procrustes optimum R = V U^T from
+    svd(M), M = X^T X_hat — X the raw vectors, X_hat the codebook
+    reconstruction of the rotated vectors. Returns (rotation, books)
+    ready for `opq_rotate` + `pq_encode`.
+
+    Scale shape: per alternation, PQ training's two narrow passes plus
+    ONE map-side-combined aggregate for M — vectors explode to (row,
+    out-dim) pairs (d rows per vector) and d per-dim sums accumulate the
+    d x d correlation; the d^2-double M collects to the driver (bounded
+    by construction) where numpy's d x d SVD runs in microseconds. Train
+    on a bounded sample (FAISS default ~100k vectors) — the learned R
+    generalizes; the full corpus only pays the narrow `opq_rotate` map
+    at encode time.
+
+    Determinism note: M's double sums are summation-order dependent, so
+    the LEARNED rotation is run-stable but not cross-engine-gateable;
+    the gate therefore exercises the rotation COMPOSITION with a
+    `deterministic_rotation`, and the learned path is covered by pytest
+    (orthogonality + quantization-error reduction) and the recall audit
+    (scripts/ivfpq_recall_audit.py --opq)."""
+    import numpy as np
+
+    first = vectors.select(F.size(_as_double(F.col(vec_col))).alias("d")).first()
+    if first is None:
+        raise ValueError("opq_train_rotation: empty vectors frame")
+    d = int(first["d"])
+    if d % m != 0:
+        raise ValueError(f"opq_train_rotation: dim {d} not divisible by m={m}")
+    rot = [[1.0 if i == j else 0.0 for j in range(d)] for i in range(d)]
+    books: list[list[list[float]]] = []
+    for _ in range(iters):
+        rotated = opq_rotate(vectors, rot, vec_col=vec_col, out_col="__rot")
+        cb = pq_train_codebooks(
+            rotated.select(F.col(id_col), F.col("__rot").alias(vec_col)),
+            m=m,
+            k_codes=k_codes,
+            iters=pq_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        books = collect_codebooks(cb)
+        codes = pq_encode(
+            rotated, books, vec_col="__rot", code_prefix="__opq"
+        )
+        width = d // m
+        recon_parts = []
+        for j, book in enumerate(books):
+            expr = F.array(*[F.lit(0.0)] * width)
+            for code, cvec in enumerate(book):
+                expr = (
+                    F.when(
+                        F.col(f"__opq{j}") == code,
+                        F.array(*[F.lit(float(x)) for x in cvec]),
+                    ).otherwise(expr)
+                )
+            recon_parts.append(expr)
+        recon = F.concat(*recon_parts)
+        vd = _as_double(F.col(vec_col))
+        pairs = codes.select(
+            vd.alias("__x"), recon.alias("__xh")
+        ).select(
+            F.posexplode("__x").alias("__i", "__xi"), F.col("__xh")
+        )
+        mrows = (
+            pairs.groupBy("__i")
+            .agg(
+                *[
+                    F.sum(
+                        F.col("__xi") * F.element_at(F.col("__xh"), j + 1)
+                    ).alias(f"__m{j}")
+                    for j in range(d)
+                ]
+            )
+            .collect()
+        )
+        M = np.zeros((d, d))
+        for r in mrows:
+            for j in range(d):
+                M[int(r["__i"])][j] = float(r[f"__m{j}"])
+        u, _s, vt = np.linalg.svd(M)
+        rot = (vt.T @ u.T).tolist()
+    # final books must pair with the FINAL rotation (each loop iteration
+    # updates R after training, so the in-loop books lag one alternation)
+    rotated = opq_rotate(vectors, rot, vec_col=vec_col, out_col="__rot")
+    cb = pq_train_codebooks(
+        rotated.select(F.col(id_col), F.col("__rot").alias(vec_col)),
+        m=m,
+        k_codes=k_codes,
+        iters=pq_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return rot, collect_codebooks(cb)

@@ -587,3 +587,67 @@ def test_batched_lut_budget_fails_loud(spark):
         sim.ivfpq_lake_batch_topk(
             spark, "/nonexistent", books, crows, q, 2, max_lut_rows=7
         )
+
+
+def test_opq_rotate_roundtrip_and_query_mirror(spark):
+    """opq_rotate by R then by R^T recovers the input (orthogonality in
+    the plan); rotate_query is the bit-exact driver-side mirror of the
+    Spark fold for the same literal matrix."""
+    import math
+
+    d = 8
+    rot = sim.deterministic_rotation(d)
+    # orthogonality of the config-grade matrix itself
+    for i in range(d):
+        for j in range(d):
+            dotv = sum(rot[i][t] * rot[j][t] for t in range(d))
+            assert abs(dotv - (1.0 if i == j else 0.0)) < 1e-12
+    vec = [float(v) for v in range(1, d + 1)]
+    vecs = spark.createDataFrame(
+        [(1, vec)], "vec_id long, embedding array<double>"
+    )
+    rotated = sim.opq_rotate(vecs, rot)
+    (r,) = rotated.collect()
+    assert r.embedding == sim.rotate_query(rot, vec)  # bit-exact mirror
+    back = sim.opq_rotate(
+        rotated, [list(col) for col in zip(*rot)]
+    ).collect()[0]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(back.embedding, vec))
+
+
+def test_opq_train_rotation_learns(spark):
+    """The alternating Procrustes loop returns an ORTHOGONAL rotation that
+    REDUCES total quantization error vs identity on an anisotropic
+    corpus whose energy is mixed across subspace boundaries — the regime
+    OPQ exists for (SCALE.md section 9 measures the recall lift)."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    n, d = 300, 8
+    x = rng.randn(n, d) * np.linspace(3, 0.2, d)
+    q, _ = np.linalg.qr(rng.randn(d, d))
+    x = x @ q.T
+    vecs = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def qerr(rot, books):
+        y = x @ np.array(rot).T
+        width = d // len(books)
+        return sum(
+            float(
+                ((y[:, j * width:(j + 1) * width][:, None, :]
+                  - np.array(b)[None]) ** 2).sum(-1).min(1).sum()
+            )
+            for j, b in enumerate(books)
+        )
+
+    ident = [[1.0 if i == j else 0.0 for j in range(d)] for i in range(d)]
+    books0 = sim.collect_codebooks(
+        sim.pq_train_codebooks(vecs, m=2, k_codes=4, iters=2)
+    )
+    rot, books = sim.opq_train_rotation(vecs, m=2, k_codes=4, iters=3)
+    r = np.array(rot)
+    assert float(np.abs(r @ r.T - np.eye(d)).max()) < 1e-9
+    assert qerr(rot, books) < qerr(ident, books0)
