@@ -172,6 +172,14 @@ from ._util import Query  # noqa: F401
 # pq_trained_recall_audit in-window) for the NEW opq_adc_topk_10 — the
 # OPQ composition gate (literal orthogonal rotation -> trained PQ ->
 # ADC, VERDICT r14 #3), never driver-verified.
+#
+# Round-15d (same round, streamed serving): OUT ivf_recall_audit
+# (driver-verified across r12-r14; the recall-audit family keeps
+# pq_trained_recall_audit in-window and the uncompressed-IVF family
+# keeps streaming_ivf_assign) for the NEW streaming_lake_serving_20 —
+# the micro-batch serving stream (foreachBatch batched lake query +
+# refine, VERDICT r14 #6), never driver-verified; shares the batch
+# refined oracle verbatim.
 CURATED_ORDER: tuple[str, ...] = (
     # relational core
     "order_reconciliation",
@@ -219,7 +227,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "ivfpq_residual_lake_topk_10",
     "ivfpq_residual_lake_refined_10",
     "streaming_pq_codes",
-    "ivf_recall_audit",
+    "streaming_lake_serving_20",
     "embedding_neardup_lsh",
     "streaming_minhash_lsh",
     "streaming_ivf_assign",
@@ -239,6 +247,7 @@ CURATED_ORDER: tuple[str, ...] = (
     # veterans, driver-verified r13+r14)
     "pq_adc_topk_10",
     "pq_recall_audit",
+    "ivf_recall_audit",
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",

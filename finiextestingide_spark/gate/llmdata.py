@@ -3697,6 +3697,49 @@ def ivfpq_lake_batch_refined_20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.refine_batch_topk(short, emb, queries, _BATCH_K)
 
 
+# --- STREAMED serving path (VERDICT r14 #6): the 20-query set arrives
+#     as a micro-batch STREAM; foreachBatch drives the batched lake
+#     query + one-plan refine per trigger and appends served results.
+#     Oracle = IVFPQ_LAKE_BATCH_REFINED_20_SQL verbatim — every query is
+#     independent, so the micro-batch boundary cannot change its rows;
+#     the hash match proves stream-served == batch-served bit-for-bit
+#     (the promotion every other streaming surface got). The forced
+#     multi-batch split is pinned by pytest
+#     (test_streaming_lake_serving_parity_across_batch_splits). ---
+
+
+def streaming_lake_serving_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.ann_stream import streaming_lake_serving
+
+    emb, books, centroid_rows, lake, _ = _pq_lake_parts(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < _BATCH_Q).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"finiex_gate_serving_{os.getpid()}"
+    )
+    qdir, out_dir, ckpt = (
+        os.path.join(base, d) for d in ("queries", "served", "ckpt")
+    )
+    shutil.rmtree(base, ignore_errors=True)  # fresh run per call (pid-keyed)
+    queries.write.parquet(qdir)
+    schema = spark.read.parquet(qdir).schema
+    qstream = spark.readStream.schema(schema).parquet(qdir)
+    q = streaming_lake_serving(
+        qstream, lake, books, centroid_rows, out_dir, ckpt, _BATCH_K,
+        nprobe=1, refine_vectors=emb, shortlist_k=_BATCH_SHORT,
+        exclude_self=True,
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir).select(
+        "query_id", "vec_id", "l2_dist", "rank"
+    )
+
+
 # --- corpus-trained unigram LM score (CCNet-recipe perplexity signal) ---
 
 
@@ -4669,6 +4712,11 @@ QUERIES: dict[str, Query] = {
         ivfpq_lake_batch_refined_20,
         IVFPQ_LAKE_BATCH_REFINED_20_SQL,
         "the complete serving path: batch shortlist from the pruned lake + one-plan exact-L2 refine",
+    ),
+    "streaming_lake_serving_20": Query(
+        streaming_lake_serving_gate,
+        IVFPQ_LAKE_BATCH_REFINED_20_SQL,
+        "the serving path STREAMED: micro-batch query stream -> foreachBatch batched lake query + refine; shares the batch oracle",
     ),
     "ivfpq_residual_topk_10": Query(
         ivfpq_residual_topk_10,

@@ -155,3 +155,87 @@ def streaming_pq_lake_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_lake_serving(
+    query_stream: DataFrame,
+    path: str | list[str],
+    sub_centroids: list[list[list[float]]],
+    centroid_rows: list[tuple[int, list[float]]],
+    out_path: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    *,
+    nprobe: int = 1,
+    refine_vectors: DataFrame | None = None,
+    shortlist_k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    query_id: str = "query_id",
+    code_prefix: str = "pq",
+    exclude_self: bool = False,
+    max_lut_rows: int | None = 4_000_000,
+):
+    """STREAM the serving path (VERDICT r14 #6): the batch IS the unit —
+    `ivfpq_lake_batch_topk`'s docstring says "an unbounded stream is
+    chunked into such batches upstream", and this operator makes that
+    real. Each micro-batch of arriving queries drives the batched lake
+    query (ONE statically-pruned codes scan per trigger) and, when
+    ``refine_vectors`` is supplied, the one-plan exact-L2
+    `refine_batch_topk` over the batch shortlist (``shortlist_k``
+    candidates per query, default 4k); results append to ``out_path``.
+
+    Per query the output is IDENTICAL to the batch form at a cut point
+    (every query is independent — the micro-batch boundary cannot change
+    its ranking), which is the same batch/stream promotion every other
+    streaming surface got; the parity pytest pins it across a forced
+    multi-batch split and the gate shares the batch oracle verbatim.
+
+    Delivery: foreachBatch + a batch parquet append is AT-LEAST-ONCE on
+    recovery (unlike the codes-lake ingest, which rides the file sink's
+    commit log) — but served results are PURE functions of (query, lake,
+    books), so a replayed trigger appends bit-identical rows; consumers
+    reading the result lake dedupe on (query_id, rank) or accept the
+    duplicates as idempotent facts. The LUT budget guard applies per
+    micro-batch (the stream's chunk size is the knob).
+
+    Returns the started StreamingQuery (trigger=availableNow)."""
+    if not query_stream.isStreaming:
+        raise ValueError("streaming_lake_serving expects a streaming DataFrame")
+    from ..operators.similarity import ivfpq_lake_batch_topk, refine_batch_topk
+
+    short_k = shortlist_k if shortlist_k is not None else 4 * k
+
+    def _serve(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if refine_vectors is not None:
+            short = ivfpq_lake_batch_topk(
+                spark, path, sub_centroids, centroid_rows, batch_df, short_k,
+                nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+                centroid_id=centroid_id, query_id=query_id,
+                code_prefix=code_prefix, exclude_self=exclude_self,
+                max_lut_rows=max_lut_rows,
+            )
+            out = refine_batch_topk(
+                short, refine_vectors, batch_df, k,
+                id_col=id_col, vec_col=vec_col, query_id=query_id,
+            )
+        else:
+            out = ivfpq_lake_batch_topk(
+                spark, path, sub_centroids, centroid_rows, batch_df, k,
+                nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+                centroid_id=centroid_id, query_id=query_id,
+                code_prefix=code_prefix, exclude_self=exclude_self,
+                max_lut_rows=max_lut_rows,
+            )
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        query_stream.writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
