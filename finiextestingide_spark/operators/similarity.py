@@ -2078,7 +2078,7 @@ def opq_train_rotation(
             id_col=id_col,
             vec_col=vec_col,
         )
-        books = collect_codebooks(cb)
+        books = collect_codebooks(cb, vec_col=vec_col)
         codes = pq_encode(
             rotated, books, vec_col="__rot", code_prefix="__opq"
         )
@@ -2130,4 +2130,4 @@ def opq_train_rotation(
         id_col=id_col,
         vec_col=vec_col,
     )
-    return rot, collect_codebooks(cb)
+    return rot, collect_codebooks(cb, vec_col=vec_col)

@@ -85,24 +85,42 @@ def exact_topk(X, ids, qi, k):
 
 
 def spark_artifacts(spark, emb, cent_rows, k_codes, layout):
-    """The REAL operator outputs: assignment, trained books, codes."""
+    """The REAL operator outputs: assignment, trained books, codes — and,
+    for the opq layouts, the LEARNED rotation (opq_train_rotation, the
+    alternating-Procrustes loop; r15). Coarse assignment is rotation-
+    invariant (orthogonal R preserves cosines), so the cells come from
+    the unrotated vectors for every layout and OPQ changes only the code
+    space, exactly like FAISS's OPQ pretransform over an IVF index."""
     cents_df = spark.createDataFrame(
         [(c, v) for c, v in cent_rows],
         "centroid_id long, embedding array<double>",
     )
     assigned = sim.assign_centroids(emb, cents_df).localCheckpoint()
-    if layout == "residual":
-        train_src = sim.residual_vectors(assigned, cents_df)
-        vec_col = "residual"
-        codes_src = train_src
+    rot = None
+    if layout in ("opq", "opq_residual"):
+        if layout == "opq_residual":
+            src = sim.residual_vectors(assigned, cents_df)
+            vec_col = "residual"
+        else:
+            src = assigned
+            vec_col = "embedding"
+        rot, books = sim.opq_train_rotation(
+            src, m=8, k_codes=k_codes, iters=3, pq_iters=2, vec_col=vec_col
+        )
+        codes_src = sim.opq_rotate(src, rot, vec_col=vec_col)
     else:
-        train_src = emb
-        vec_col = "embedding"
-        codes_src = assigned
-    cb = sim.pq_train_codebooks(
-        train_src, m=8, k_codes=k_codes, iters=2, vec_col=vec_col
-    )
-    books = sim.collect_codebooks(cb, vec_col=vec_col)
+        if layout == "residual":
+            train_src = sim.residual_vectors(assigned, cents_df)
+            vec_col = "residual"
+            codes_src = train_src
+        else:
+            train_src = emb
+            vec_col = "embedding"
+            codes_src = assigned
+        cb = sim.pq_train_codebooks(
+            train_src, m=8, k_codes=k_codes, iters=2, vec_col=vec_col
+        )
+        books = sim.collect_codebooks(cb, vec_col=vec_col)
     codes_df = sim.pq_encode(codes_src, books, vec_col=vec_col)
     m = len(books)
     rows = codes_df.select(
@@ -113,7 +131,7 @@ def spark_artifacts(spark, emb, cent_rows, k_codes, layout):
                            [int(r[f"pq{j}"]) for j in range(m)])
         for r in rows
     }
-    return books, code_map
+    return books, code_map, rot
 
 
 def mirror_probe(cent_rows, q, nprobe):
@@ -156,7 +174,10 @@ def mirror_adc_topk(books, code_map, ids, q_for_cell, probe_cells, k,
 
 def audit(spark, emb, ids, X, cent_rows, k_codes, nprobes, layout,
           refine_mult=0):
-    books, code_map = spark_artifacts(spark, emb, cent_rows, k_codes, layout)
+    books, code_map, rot = spark_artifacts(
+        spark, emb, cent_rows, k_codes, layout
+    )
+    R = np.array(rot) if rot is not None else None
     qids = [int(i) for i in ids[:N_QUERIES]]
     idx_of = {int(v): i for i, v in enumerate(ids)}
     out, out_ref = {}, {}
@@ -168,6 +189,10 @@ def audit(spark, emb, ids, X, cent_rows, k_codes, nprobes, layout,
             probes = mirror_probe(cent_rows, q, nprobe)
             if layout == "residual":
                 probe_cells = [(cid, q - cv) for cid, cv in probes]
+            elif layout == "opq_residual":
+                probe_cells = [(cid, R @ (q - cv)) for cid, cv in probes]
+            elif layout == "opq":
+                probe_cells = [(cid, R @ q) for cid, _ in probes]
             else:
                 probe_cells = [(cid, q) for cid, _ in probes]
             want = exact_topk(X, ids, qi, K)
@@ -198,6 +223,9 @@ def main():
     ap.add_argument("--nprobe", type=int, nargs="+", default=[1, 2])
     ap.add_argument("--sigma", type=float, default=0.15)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--layouts", nargs="+", default=None,
+                    choices=["raw", "residual", "opq", "opq_residual"],
+                    help="layouts to audit (default: all four)")
     ap.add_argument("--refine", type=int, default=0, metavar="MULT",
                     help="also report recall after exact-L2 refine of a "
                          "MULT*k ADC shortlist (refine_topk semantics)")
@@ -218,12 +246,15 @@ def main():
 
     print(f"corpus={args.corpus} n={len(ids)} queries={N_QUERIES} k={K}"
           + (f" sigma={args.sigma}" if args.corpus == "clustered" else ""))
+    layouts = ("raw", "residual", "opq", "opq_residual")
+    if args.layouts:
+        layouts = tuple(args.layouts)
     for k_codes in args.codes:
-        for layout in ("raw", "residual"):
+        for layout in layouts:
             r, rr = audit(spark, emb, ids, X, cents, k_codes, args.nprobe,
                           layout, refine_mult=args.refine)
             row = " ".join(f"nprobe{p}={r[p]:.3f}" for p in args.nprobe)
-            print(f"codes={k_codes:3d} layout={layout:8s} {row}", flush=True)
+            print(f"codes={k_codes:3d} layout={layout:12s} {row}", flush=True)
             if rr is not None:
                 row = " ".join(f"nprobe{p}={rr[p]:.3f}" for p in args.nprobe)
                 print(f"codes={k_codes:3d}   +refine{args.refine}x {row}",
