@@ -99,6 +99,17 @@ TARGETS = [
     # scripts/pq_lake_cost.py's row in SCALE.md instead).
     "modified_kn_perplexity",
     "streaming_curated_corpus",
+    # round-15 new operators: the full order-5 MKN with vocabulary
+    # pruning — now the heaviest LM row (adds the vocab count + remap
+    # shuffle + per-doc array rebuild and three more roll-up levels) —
+    # and trigram MKN (queued r14, measured here for the ladder's
+    # order-3 point of comparison). opq_adc_topk_10 and
+    # streaming_lake_serving_20 are deliberately absent: OPQ's wall is
+    # the Lloyd training subtree (misleading-row class) and the serving
+    # stream is trigger-cadence-dominated (its per-trigger plan IS the
+    # batched plan).
+    "ngram_mkn_perplexity",
+    "trigram_mkn_perplexity",
 ]
 
 
