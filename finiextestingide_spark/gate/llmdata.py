@@ -4292,8 +4292,14 @@ _NGRAM_MIN_WC = 2
 
 
 def ngram_mkn_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reuse_model=True is the production posture for a one-shot scoring
+    # job: the token frame + top count table persist on first
+    # materialization, every lower level folds cached types-sized data
+    # (bit-identical results — all model values derive from integer
+    # counts; measured 1.7x at sf0.1, equality pinned by pytest)
     return tx.ngram_mkn_logprob_scores(
-        _docs(spark, sf_dir), order=_NGRAM_ORDER, min_word_count=_NGRAM_MIN_WC
+        _docs(spark, sf_dir), order=_NGRAM_ORDER, min_word_count=_NGRAM_MIN_WC,
+        reuse_model=True,
     )
 
 

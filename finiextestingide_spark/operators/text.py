@@ -961,6 +961,7 @@ def ngram_mkn_logprob_scores(
     *,
     order: int = 5,
     min_word_count: int | None = None,
+    reuse_model: bool = False,
     id_col: str = "doc_id",
     text: str = "text",
 ) -> DataFrame:
@@ -1012,10 +1013,13 @@ def ngram_mkn_logprob_scores(
     once per model-table branch — Spark only collapses identical
     EXCHANGES, not identical aggregates. The per-branch recompute is the
     same single pass each time, so scaling stays linear (SCALE.md
-    measures it), but a production 100 TB estimation job should
-    ``.persist()`` the level-N count table (and, when pruning, the
-    remapped token frame) before building the model — every lower level
-    then folds ~types-sized data only.
+    measures it). ``reuse_model=True`` makes the production choice real:
+    the (remapped) token frame and the level-N count table persist
+    (MEMORY_AND_DISK) on first materialization, so every lower level
+    folds ~types-sized cached data only — bit-identical results (all
+    model values derive deterministically from integer counts;
+    equality pinned by pytest), at the cost of executor storage for the
+    count table until the session drops it.
     """
     if order < 2:
         raise ValueError("ngram_mkn_logprob_scores: order must be >= 2")
@@ -1046,6 +1050,10 @@ def ngram_mkn_logprob_scores(
                 lambda s: s["__w"],
             ).alias("__ws")
         )
+    if reuse_model:
+        from pyspark import StorageLevel
+
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     wcols = [f"w{j + 1}" for j in range(order)]
     grams = (
         toks.where(F.size("__ws") >= order)
@@ -1068,11 +1076,12 @@ def ngram_mkn_logprob_scores(
     # below is a distinct-left-extension fold of the level above (rows of
     # lvl[k+1] are distinct (k+1)-gram types, so count(*) per k-suffix IS
     # the continuation count)
-    lvl: dict[int, DataFrame] = {
-        order: grams.groupBy(*wcols).agg(
-            F.count(F.lit(1)).alias(f"__c{order}")
-        )
-    }
+    top = grams.groupBy(*wcols).agg(F.count(F.lit(1)).alias(f"__c{order}"))
+    if reuse_model:
+        from pyspark import StorageLevel
+
+        top = top.persist(StorageLevel.MEMORY_AND_DISK)
+    lvl: dict[int, DataFrame] = {order: top}
     for k in range(order - 1, 1, -1):
         lvl[k] = (
             lvl[k + 1]

@@ -907,3 +907,27 @@ def test_ngram_mkn_reproduces_dedicated_orders(spark, docs):
     assert rows(ngram_mkn_logprob_scores(sdf, order=3)) == rows(
         trigram_mkn_logprob_scores(sdf)
     )
+
+
+def test_ngram_mkn_reuse_model_identical(spark):
+    """reuse_model=True (persist the token frame + top count table) must
+    be a pure physical choice: bit-identical output to the lazy path."""
+    from finiextestingide_spark.operators.text import ngram_mkn_logprob_scores
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["aa", "bb", "cc", "dd", "aa", "bb"][: 4 + i % 3]))
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    def rows(df):
+        return sorted(
+            (r.doc_id, r.n_transitions, r.avg_logprob, r.pseudo_ppl)
+            for r in df.collect()
+        )
+    assert rows(
+        ngram_mkn_logprob_scores(docs, order=4, min_word_count=2)
+    ) == rows(
+        ngram_mkn_logprob_scores(
+            docs, order=4, min_word_count=2, reuse_model=True
+        )
+    )
