@@ -180,6 +180,13 @@ from ._util import Query  # noqa: F401
 # the micro-batch serving stream (foreachBatch batched lake query +
 # refine, VERDICT r14 #6), never driver-verified; shares the batch
 # refined oracle verbatim.
+#
+# Round-15e (same round, OPQ-lake composition): OUT streaming_minhash_lsh
+# (driver-verified r12-r14; the LSH family keeps embedding_neardup_lsh
+# in-window and the backfill protocol stays pytest-pinned) for the NEW
+# opq_lake_topk_10 — rotate-at-ingest codes lake with the rotation
+# stamped in the version manifest, sharing the OPQ ADC oracle (hash
+# proves rotate-at-ingest == rotate-in-place), never driver-verified.
 CURATED_ORDER: tuple[str, ...] = (
     # relational core
     "order_reconciliation",
@@ -229,7 +236,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "streaming_pq_codes",
     "streaming_lake_serving_20",
     "embedding_neardup_lsh",
-    "streaming_minhash_lsh",
+    "opq_lake_topk_10",
     "streaming_ivf_assign",
     "token_budget_mix_greedy",
     "ivfpq_lake_batch_topk_20",
@@ -248,6 +255,7 @@ CURATED_ORDER: tuple[str, ...] = (
     "pq_adc_topk_10",
     "pq_recall_audit",
     "ivf_recall_audit",
+    "streaming_minhash_lsh",
     "volatility_profile",
     "ma_trend_daily",
     "region_nation_revenue",

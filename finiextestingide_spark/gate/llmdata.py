@@ -3184,6 +3184,50 @@ def opq_adc_topk_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_adc_topk(codes, books, sim.rotate_query(_OPQ_ROT, q), _PQ_K)
 
 
+def opq_lake_topk_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ composed with the CODES LAKE (r15): rotate-at-ingest —
+    `write_pq_lake(..., rotation=R)` encodes the rotated vectors once
+    and stamps BOTH fingerprints in the manifest; the query probes with
+    the RAW vector (cells are rotation-invariant) and scores with the
+    rotated one (`ivfpq_lake_topk(..., rotation=R)`). Probing ALL cells
+    makes the ranking the full-corpus OPQ ADC, so this SHARES
+    OPQ_ADC_TOPK_10_SQL — the hash proves rotate-at-ingest ==
+    rotate-in-place, the same proof shape ivfpq_lake_topk_10 gave the
+    unrotated lake."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    rotated = sim.opq_rotate(emb, _OPQ_ROT)
+    cb = sim.pq_train_codebooks(
+        rotated, m=_PQ_M, k_codes=_PQT_CODES, iters=_PQT_ITERS
+    )
+    books = sim.collect_codebooks(cb)
+    cents = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    centroid_rows = [
+        (int(r["centroid_id"]), [float(x) for x in r["embedding"]])
+        for r in cents.collect()
+    ]
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{os.getpid()}".encode()
+    ).hexdigest()[:16]
+    lake = os.path.join(tempfile.gettempdir(), f"finiex_gate_opqlake_{key}")
+    sim.write_pq_lake(
+        sim.assign_centroids(emb, cents), books, lake, rotation=_OPQ_ROT
+    )
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return sim.ivfpq_lake_topk(
+        spark, lake, books, centroid_rows, q, _PQ_K, nprobe=2,
+        rotation=_OPQ_ROT,
+    )
+
+
 def _opq_rot_sql() -> str:
     rows = ",\n    ".join(
         f"({i}, LIST_VALUE({', '.join(repr(float(x)) for x in row)}))"
@@ -4658,6 +4702,11 @@ QUERIES: dict[str, Query] = {
         opq_adc_topk_10,
         OPQ_ADC_TOPK_10_SQL,
         "OPQ composition: literal orthogonal rotation -> trained PQ -> ADC top-10",
+    ),
+    "opq_lake_topk_10": Query(
+        opq_lake_topk_10,
+        OPQ_ADC_TOPK_10_SQL,
+        "OPQ rotate-at-ingest codes lake: rotation+books stamped, raw-probe/rotated-score; shares the OPQ ADC oracle",
     ),
     "ngram_mkn_perplexity": Query(
         ngram_mkn_perplexity_gate,

@@ -1323,6 +1323,18 @@ def codebook_fingerprint(sub_centroids: list[list[list[float]]]) -> str:
     return hashlib.md5(canon.encode()).hexdigest()[:16]
 
 
+def rotation_fingerprint(rotation: list[list[float]]) -> str:
+    """Deterministic fingerprint of an OPQ rotation matrix — same
+    md5-of-round-trip-JSON scheme as `codebook_fingerprint`: rotated
+    codes are only meaningful relative to (rotation, books), so a
+    rotate-at-ingest lake stamps BOTH."""
+    import hashlib
+    import json
+
+    canon = json.dumps([[float(x) for x in row] for row in rotation])
+    return hashlib.md5(canon.encode()).hexdigest()[:16]
+
+
 def _lake_fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hp = jvm.org.apache.hadoop.fs.Path(path, _LAKE_MANIFEST)
@@ -1330,7 +1342,11 @@ def _lake_fs(spark: SparkSession, path: str):
 
 
 def write_lake_manifest(
-    spark: SparkSession, path: str, sub_centroids: list[list[list[float]]]
+    spark: SparkSession,
+    path: str,
+    sub_centroids: list[list[list[float]]],
+    *,
+    rotation: list[list[float]] | None = None,
 ) -> None:
     """Stamp ``path`` with its codebook fingerprint (sidecar
     ``_codebook_version.json`` — underscore-prefixed, so every parquet
@@ -1344,6 +1360,8 @@ def write_lake_manifest(
         "fingerprint": codebook_fingerprint(sub_centroids),
         "m": len(sub_centroids),
     }
+    if rotation is not None:
+        payload["rotation"] = rotation_fingerprint(rotation)
     out = fs.create(hp, True)
     try:
         out.write(bytearray(json.dumps(payload).encode()))
@@ -1371,6 +1389,8 @@ def _verify_lake_codebooks(
     paths: list[str],
     sub_centroids: list[list[list[float]]],
     op: str,
+    *,
+    rotation: list[list[float]] | None = None,
 ) -> None:
     """Fail loud when a stamped lake root was encoded by DIFFERENT books
     than the ones handed to the query/compaction (VERDICT r14 #4): a
@@ -1378,15 +1398,26 @@ def _verify_lake_codebooks(
     (query) or merge incompatible codes (compaction). Unstamped roots
     (pre-stamp lakes) pass unchecked — stamping is forward-looking."""
     want = codebook_fingerprint(sub_centroids)
+    want_rot = rotation_fingerprint(rotation) if rotation is not None else None
     for p in paths:
         manifest = read_lake_manifest(spark, p)
-        if manifest is not None and manifest.get("fingerprint") != want:
+        if manifest is None:
+            continue
+        if manifest.get("fingerprint") != want:
             raise ValueError(
                 f"{op}: codes lake at {p!r} was encoded with codebook "
                 f"version {manifest.get('fingerprint')}, but the supplied "
                 f"books fingerprint as {want} — refusing to decode codes "
                 "against the wrong codebooks (re-encode the lake or pass "
                 "the books that built it)"
+            )
+        if manifest.get("rotation") != want_rot:
+            raise ValueError(
+                f"{op}: codes lake at {p!r} was encoded with OPQ rotation "
+                f"{manifest.get('rotation')}, but the caller supplied "
+                f"rotation {want_rot} — a rotate-at-ingest lake must be "
+                "queried with the SAME rotation (and an unrotated lake "
+                "with none)"
             )
 
 
@@ -1400,6 +1431,7 @@ def write_pq_lake(
     centroid_id: str = "centroid_id",
     code_prefix: str = "pq",
     mode: str = "overwrite",
+    rotation: list[list[float]] | None = None,
 ) -> None:
     """Materialize the IVF-PQ CODES LAKE — the production layout
     `ivfpq_topk`'s docstring names: `pq_encode` runs ONCE at ingest, and
@@ -1422,17 +1454,26 @@ def write_pq_lake(
     m = len(sub_centroids)
     spark = assigned.sparkSession
     if mode == "append":
-        # appending codes from DIFFERENT books to a stamped lake would
-        # silently mix incompatible code spaces — the mismatch the
-        # version stamp exists to catch (VERDICT r14 #4)
-        _verify_lake_codebooks(spark, [path], sub_centroids, "write_pq_lake")
-    codes = pq_encode(assigned, sub_centroids, vec_col=vec_col,
+        # appending codes from DIFFERENT books (or a different rotation)
+        # to a stamped lake would silently mix incompatible code spaces —
+        # the mismatch the version stamp exists to catch (VERDICT r14 #4)
+        _verify_lake_codebooks(
+            spark, [path], sub_centroids, "write_pq_lake", rotation=rotation
+        )
+    src = assigned
+    if rotation is not None:
+        # OPQ rotate-at-ingest: cells were assigned on the UNROTATED
+        # vectors (orthogonal R preserves cosines, so the cell layout is
+        # identical); only the code space rotates. The rotation rides
+        # the same narrow encode pass — zero extra exchange.
+        src = opq_rotate(assigned, rotation, vec_col=vec_col)
+    codes = pq_encode(src, sub_centroids, vec_col=vec_col,
                       code_prefix=code_prefix)
     cols = [id_col, centroid_id] + [f"{code_prefix}{j}" for j in range(m)]
     codes.select(*cols).write.mode(mode).partitionBy(centroid_id).parquet(path)
     # stamp AFTER the write: overwrite mode deletes the whole directory,
     # manifest included
-    write_lake_manifest(spark, path, sub_centroids)
+    write_lake_manifest(spark, path, sub_centroids, rotation=rotation)
 
 
 def ivfpq_lake_topk(
@@ -1448,6 +1489,7 @@ def ivfpq_lake_topk(
     centroid_id: str = "centroid_id",
     code_prefix: str = "pq",
     exclude_id=None,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-PQ top-k over the persisted codes lake (`write_pq_lake`) — the
     query path of the production layout: probe selection runs DRIVER-SIDE
@@ -1482,7 +1524,13 @@ def ivfpq_lake_topk(
     )
     probe_ids = [int(cid) for cid, _ in probes]
     paths = [path] if isinstance(path, str) else list(path)
-    _verify_lake_codebooks(spark, paths, sub_centroids, "ivfpq_lake_topk")
+    _verify_lake_codebooks(
+        spark, paths, sub_centroids, "ivfpq_lake_topk", rotation=rotation
+    )
+    if rotation is not None:
+        # probe with the RAW query (cells live in unrotated space); score
+        # with the rotated query (codes live in rotated space)
+        query_vec = rotate_query(rotation, query_vec)
     scans = [spark.read.parquet(p) for p in paths]
     lake = scans[0]
     for s in scans[1:]:
@@ -1661,6 +1709,7 @@ def compact_pq_lake(
     out_path: str,
     *,
     sub_centroids: list[list[list[float]]] | None = None,
+    rotation: list[list[float]] | None = None,
     id_col: str = "vec_id",
     centroid_id: str = "centroid_id",
 ) -> None:
@@ -1705,24 +1754,32 @@ def compact_pq_lake(
             "(the rewrite would read its own partial output)"
         )
     if sub_centroids is not None:
-        _verify_lake_codebooks(spark, paths, sub_centroids, "compact_pq_lake")
+        _verify_lake_codebooks(
+            spark, paths, sub_centroids, "compact_pq_lake", rotation=rotation
+        )
         out_manifest = {
             "fingerprint": codebook_fingerprint(sub_centroids),
             "m": len(sub_centroids),
         }
+        if rotation is not None:
+            out_manifest["rotation"] = rotation_fingerprint(rotation)
     else:
         stamped = {
             p: m for p in paths if (m := read_lake_manifest(spark, p))
         }
-        prints = {m["fingerprint"] for m in stamped.values()}
+        prints = {
+            (m["fingerprint"], m.get("rotation")) for m in stamped.values()
+        }
         if len(prints) > 1:
             detail = ", ".join(
-                f"{p!r}={m['fingerprint']}" for p, m in stamped.items()
+                f"{p!r}={m['fingerprint']}/{m.get('rotation')}"
+                for p, m in stamped.items()
             )
             raise ValueError(
                 "compact_pq_lake: source lakes were encoded with DIFFERENT "
-                f"codebook versions ({detail}) — merging them would mix "
-                "incompatible code spaces; re-encode to one codebook first"
+                f"codebook/rotation versions ({detail}) — merging them "
+                "would mix incompatible code spaces; re-encode to one "
+                "codebook first"
             )
         out_manifest = next(iter(stamped.values()), None)
     scans = [spark.read.parquet(p) for p in paths]

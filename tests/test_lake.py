@@ -341,10 +341,51 @@ def test_codebook_version_stamp_fails_loud(spark, tmp_path):
 
     # compaction: mixed stamps refuse; matched stamps propagate
     sim.write_pq_lake(assigned, books_b, lb)
-    with pytest.raises(ValueError, match="DIFFERENT codebook versions"):
+    with pytest.raises(ValueError, match="DIFFERENT codebook"):
         sim.compact_pq_lake(spark, [la, lb], lc)
     with pytest.raises(ValueError, match="codebook version"):
         sim.compact_pq_lake(spark, [la], lc, sub_centroids=books_b)
     sim.compact_pq_lake(spark, [la], lc, sub_centroids=books_a)
     mc = sim.read_lake_manifest(spark, lc)
     assert mc and mc["fingerprint"] == sim.codebook_fingerprint(books_a)
+
+
+def test_rotated_lake_rotation_stamp_fails_loud(spark, tmp_path):
+    """r15 OPQ-lake composition: a rotate-at-ingest lake stamps BOTH
+    fingerprints; querying it without the rotation (or with a different
+    one), querying an UNROTATED lake with a rotation, and compacting a
+    rotated lake with an unrotated one all raise."""
+    from finiextestingide_spark.operators import similarity as sim
+
+    crows = [(0, [1.0, 0.0])]
+    books = [[[0.0], [2.0]], [[0.0], [1.0]]]
+    cents = spark.createDataFrame(
+        crows, "centroid_id long, embedding array<double>"
+    )
+    vecs = spark.createDataFrame(
+        [(1, [0.5, 0.1]), (2, [1.5, 0.9])], "vec_id long, embedding array<double>"
+    )
+    rot = sim.deterministic_rotation(2)
+    assigned = sim.assign_centroids(vecs, cents)
+    lr, lu, lc = (str(tmp_path / d) for d in ("rot", "unrot", "compact"))
+    sim.write_pq_lake(assigned, books, lr, rotation=rot)
+    sim.write_pq_lake(assigned, books, lu)
+    m = sim.read_lake_manifest(spark, lr)
+    assert m["rotation"] == sim.rotation_fingerprint(rot)
+
+    q = [1.0, 0.2]
+    with pytest.raises(ValueError, match="OPQ rotation"):
+        sim.ivfpq_lake_topk(spark, lr, books, crows, q, 2)  # rotation omitted
+    other = sim.deterministic_rotation(2, n_givens=7)
+    with pytest.raises(ValueError, match="OPQ rotation"):
+        sim.ivfpq_lake_topk(spark, lr, books, crows, q, 2, rotation=other)
+    with pytest.raises(ValueError, match="OPQ rotation"):
+        sim.ivfpq_lake_topk(spark, lu, books, crows, q, 2, rotation=rot)
+    with pytest.raises(ValueError, match="DIFFERENT codebook"):
+        sim.compact_pq_lake(spark, [lr, lu], lc)
+    # the matched pair reads, and compaction propagates the rotation
+    assert sim.ivfpq_lake_topk(
+        spark, lr, books, crows, q, 2, rotation=rot
+    ).count() == 2
+    sim.compact_pq_lake(spark, [lr], lc, sub_centroids=books, rotation=rot)
+    assert sim.read_lake_manifest(spark, lc)["rotation"] == m["rotation"]
