@@ -484,6 +484,23 @@ def main() -> int:
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     line = json.dumps(artifact)
+    # The PRINTED line is the compact driver contract ONLY (metric/value/
+    # unit/queries/sf + the min secondary). Rounds 12-14 printed the full
+    # artifact (~8 KB with per-sample stats); the driver records only a
+    # bounded stdout tail, so the line was truncated mid-JSON and every
+    # BENCH_r{12,13,14}.json shows "parsed": null. Same numbers, same
+    # methodology — the full variance-aware artifact still lands in the
+    # stats file below (and in this module's return contract).
+    printed = json.dumps(
+        {
+            "metric": artifact["metric"],
+            "value": artifact["value"],
+            "unit": artifact["unit"],
+            "queries": artifact["queries"],
+            "value_min": artifact["value_min"],
+            "sf": artifact["sf"],
+        }
+    )
     # ALSO persist the full stats to a file: BENCH_r12's driver artifact
     # kept only a truncated stdout tail ("parsed": null) and lost the
     # first ~14 rows' per-sample data — the committed file always parses
@@ -503,7 +520,7 @@ def main() -> int:
     )
     with open(stats_path, "w") as f:
         f.write(line + "\n")
-    print(line)
+    print(printed)
     spark.stop()
     return 0
 

@@ -213,6 +213,17 @@ def curate_corpus(
     ]
     if winnow_k is not None:
         fps = winnow_fingerprints(docs, winnow_k, winnow_w, id_col=id_col, text=text)
+        if winnow_max_pairs is not None:
+            # r15: the pairs budget below runs an eager planning count
+            # over the fingerprints anyway; materializing them first
+            # (localCheckpoint — per-invocation, never shared across
+            # separately-built queries) lets that job double as the
+            # materialization, so the main job's containment sizes and
+            # pair-join sides read it rather than re-running the
+            # fingerprint construction (one full shingle window pass
+            # saved). max_pairs=None keeps the builder fully lazy
+            # (ADVICE r13 contract).
+            fps = fps.localCheckpoint()
         pairs = winnow_candidate_pairs(
             fps,
             winnow_min_shared,

@@ -374,33 +374,43 @@ def connected_components(
     )
     changed = -1
     for _ in range(max_iter):
+        # r15 round-shape optimization (guide §1.2/§2.4): one eager job per
+        # round instead of three. The intermediate `stepped` table is no
+        # longer checkpointed — its three references below are identical
+        # subtrees ending in the same exchange, which ReuseExchange computes
+        # once inside the single new_labels job — and the previous round's
+        # label rides through as `__old`, so convergence is read off the
+        # checkpointed result with a plain scan instead of a separate
+        # join-count job.
         neigh = (
             sym.join(labels, sym["b"] == labels["node"])
-            .select(F.col("a").alias("node"), F.col("label"))
+            .select(F.col("a").alias("node"), F.col("label"),
+                    F.lit(None).cast(labels.schema["label"].dataType).alias("__old"))
         )
         stepped = (
-            labels.select("node", "label")
+            labels.select("node", "label", F.col("label").alias("__old"))
             .union(neigh)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+            .agg(F.min("label").alias("label"), F.max("__old").alias("__old"))
+        )
         # pointer doubling: follow node -> label -> label(label); labels are
         # node ids, so the hop is a self-join of the stepped table
         hop = (
             stepped.alias("x")
             .join(stepped.alias("y"), F.col("x.label") == F.col("y.node"))
-            .select(F.col("x.node").alias("node"), F.col("y.label").alias("label"))
+            .select(F.col("x.node").alias("node"), F.col("y.label").alias("label"),
+                    F.lit(None).cast(labels.schema["label"].dataType).alias("__old"))
         )
-        new_labels = (
-            stepped.union(hop).groupBy("node").agg(F.min("label").alias("label"))
+        new_full = (
+            stepped.union(hop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"), F.max("__old").alias("__old"))
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # every node has exactly one prior-label row in the union, so __old
+        # is that prior label and the convergence probe is a narrow scan of
+        # the just-materialized checkpoint — no join, no extra pass
+        changed = new_full.where(F.col("label") != F.col("__old")).count()
+        labels = new_full.select("node", "label")
         if changed == 0:
             break
     sym.unpersist()

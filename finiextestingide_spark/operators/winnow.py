@@ -127,6 +127,17 @@ def winnow_candidate_pairs(
         )
         fps = fps.join(F.broadcast(hot), "fp", "left_anti")
     if max_pairs is not None:
+        # r15 optimization (guide §5 caching rule: reused AND expensive to
+        # recompute): the budget check below already pays an eager planning
+        # job over the full fingerprint construction; materializing the
+        # capped frame first (localCheckpoint, lineage cut) means that job
+        # doubles as the materialization and the main job's three consumers
+        # (both self-join sides + the sizes aggregate) read it instead of
+        # re-deriving the fingerprint pass a second time. A checkpoint —
+        # unlike a persist — is never plan-matched across separately-built
+        # queries, so repeated invocations each recompute from the parquet
+        # inputs. Disarmed budgets keep the builder fully lazy, unchanged.
+        fps = fps.localCheckpoint()
         total = (
             fps.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("df"))

@@ -65,16 +65,31 @@ def decode_bus_ticks(
     mapping. The result feeds every live operator directly
     (``live_backtest``/``incremental_bars``/``reconcile_stream``...)."""
     v = F.from_json(F.col("value").cast("string"), TICK_VALUE_DDL)
-    out = bus.select(
-        v.getField("symbol").alias("symbol"),
-        F.timestamp_millis(v.getField("time_msc")).alias("timestamp"),
-        v.getField("time_msc").alias("time_msc"),
+    # r15 optimization (guide §4.4's duplicated-evaluation lesson, JSON
+    # form): projecting v.getField(...) five times lets the optimizer's
+    # JSON pruning rewrite each access into its OWN single-field
+    # from_json, and predicate pushdown copies four more into the
+    # malformed filter below the project — the wire payload was parsed up
+    # to 9x per row. explode(array(v)) is a Generate producing exactly one
+    # row per input; generated attributes block both rewrites, so the
+    # payload is parsed ONCE and every field access is a plain struct
+    # read. Same expressions, same outputs for any input (well-formed or
+    # malformed), batch or streaming.
+    parsed = bus.select(
+        F.explode(F.array(v)).alias("__v"),
         # the BUS's append stamp (bus["timestamp"], not the event-time
-        # alias above) is the ingest clock
+        # alias below) is the ingest clock
         F.unix_millis(bus["timestamp"]).alias("collected_msc"),
-        v.getField("bid").alias("bid"),
-        v.getField("ask").alias("ask"),
         F.col("offset").alias("tick_seq"),
+    )
+    out = parsed.select(
+        F.col("__v.symbol").alias("symbol"),
+        F.timestamp_millis(F.col("__v.time_msc")).alias("timestamp"),
+        F.col("__v.time_msc").alias("time_msc"),
+        F.col("collected_msc"),
+        F.col("__v.bid").alias("bid"),
+        F.col("__v.ask").alias("ask"),
+        F.col("tick_seq"),
     )
     if drop_malformed:
         out = out.where(
@@ -89,11 +104,16 @@ def decode_bus_ticks(
 def decode_bus_signals(bus: DataFrame) -> DataFrame:
     """Kafka-wire rows -> W7 signal contract ``(symbol, sig_ts, score)``."""
     v = F.from_json(F.col("value").cast("string"), SIGNAL_VALUE_DDL)
-    return bus.select(
-        v.getField("symbol").alias("symbol"),
-        F.timestamp_millis(v.getField("sig_ts")).alias("sig_ts"),
-        v.getField("score").alias("score"),
-    ).where(F.col("symbol").isNotNull() & F.col("sig_ts").isNotNull())
+    # single-parse shape — see decode_bus_ticks
+    return (
+        bus.select(F.explode(F.array(v)).alias("__v"))
+        .select(
+            F.col("__v.symbol").alias("symbol"),
+            F.timestamp_millis(F.col("__v.sig_ts")).alias("sig_ts"),
+            F.col("__v.score").alias("score"),
+        )
+        .where(F.col("symbol").isNotNull() & F.col("sig_ts").isNotNull())
+    )
 
 
 def read_kafka_ticks(

@@ -335,6 +335,8 @@ def reconcile_stream(
         )
         src = src.unionByName(seed_src)
 
+    out_cols = [f.name for f in out_schema.fields]
+
     def run(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (k,) = key
         if state.hasTimedOut:
@@ -378,8 +380,7 @@ def reconcile_stream(
             state.setTimeoutDuration(state_ttl_ms)
         status, e_out, x_out = _classify(has_order, exp, executed, n_exec, tolerance)
         yield pd.DataFrame(
-            [(k, e_out, x_out, n_exec, status, revision)],
-            columns=[f.name for f in out_schema.fields],
+            [(k, e_out, x_out, n_exec, status, revision)], columns=out_cols
         )
 
     return (
