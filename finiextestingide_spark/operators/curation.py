@@ -119,16 +119,69 @@ def curate_corpus(
         F.col("score"),
         F.col("is_dropped").alias("is_exact_dup"),
     )
-    near = neardup_dedup_keep_best(
-        docs,
-        sc,
-        shingle_n=shingle_n,
-        num_hashes=num_hashes,
-        bands=bands,
-        min_jaccard=min_jaccard,
-        id_col=id_col,
-        text=text,
-    ).select(F.col(id_col), F.col("is_dropped").alias("is_near_dup"))
+
+    def _build_near() -> DataFrame:
+        return neardup_dedup_keep_best(
+            docs,
+            sc,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            bands=bands,
+            min_jaccard=min_jaccard,
+            id_col=id_col,
+            text=text,
+        ).select(F.col(id_col), F.col("is_dropped").alias("is_near_dup"))
+
+    def _build_cont() -> DataFrame | None:
+        if winnow_k is None:
+            return None
+        fps = winnow_fingerprints(docs, winnow_k, winnow_w, id_col=id_col, text=text)
+        materialized = False
+        if winnow_max_pairs is not None:
+            # r15: the pairs budget below runs an eager planning count
+            # over the fingerprints anyway; materializing them first
+            # (localCheckpoint — per-invocation, never shared across
+            # separately-built queries) lets that job double as the
+            # materialization, so the main job's containment sizes and
+            # pair-join sides read it rather than re-running the
+            # fingerprint construction (one full shingle window pass
+            # saved). max_pairs=None keeps the builder fully lazy
+            # (ADVICE r13 contract).
+            fps = fps.localCheckpoint()
+            materialized = True
+        pairs = winnow_candidate_pairs(
+            fps,
+            winnow_min_shared,
+            id_col=id_col,
+            max_doc_freq=winnow_max_doc_freq,
+            max_pairs=winnow_max_pairs,
+            # already checkpointed above — don't copy the set twice
+            fps_materialized=materialized,
+        )
+        return containment_dedup(fps, pairs, min_containment, id_col=id_col).select(
+            F.col(id_col), F.col("is_dropped").alias("__contained")
+        )
+
+    if winnow_k is not None and winnow_max_pairs is not None:
+        # r15 (guide §2.6 — overlap independent jobs): BOTH of these
+        # builders run eager planning-time Spark jobs — the near-dup side
+        # drives the connected-components rounds, the winnow side the
+        # fingerprint checkpoint + pairs budget count. The chains are
+        # independent until the final decision-table join, and each leaves
+        # long scheduler tails on its small shuffles, so building them from
+        # two driver threads lets the FIFO scheduler back-fill one chain's
+        # idle executors with the other's tasks (same results: each chain
+        # is unchanged, only their wall-clocks overlap).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            near_f = pool.submit(_build_near)
+            cont_f = pool.submit(_build_cont)
+            near = near_f.result()
+            cont = cont_f.result()
+    else:
+        near = _build_near()
+        cont = _build_cont()
     if quality_flags is not None:
         # Fail-loud injection (ADVICE r14). Replayed identical rows fold
         # to one (min==max); conflicting verdicts or a missing document
@@ -212,28 +265,6 @@ def curate_corpus(
         "kept",
     ]
     if winnow_k is not None:
-        fps = winnow_fingerprints(docs, winnow_k, winnow_w, id_col=id_col, text=text)
-        if winnow_max_pairs is not None:
-            # r15: the pairs budget below runs an eager planning count
-            # over the fingerprints anyway; materializing them first
-            # (localCheckpoint — per-invocation, never shared across
-            # separately-built queries) lets that job double as the
-            # materialization, so the main job's containment sizes and
-            # pair-join sides read it rather than re-running the
-            # fingerprint construction (one full shingle window pass
-            # saved). max_pairs=None keeps the builder fully lazy
-            # (ADVICE r13 contract).
-            fps = fps.localCheckpoint()
-        pairs = winnow_candidate_pairs(
-            fps,
-            winnow_min_shared,
-            id_col=id_col,
-            max_doc_freq=winnow_max_doc_freq,
-            max_pairs=winnow_max_pairs,
-        )
-        cont = containment_dedup(fps, pairs, min_containment, id_col=id_col).select(
-            F.col(id_col), F.col("is_dropped").alias("__contained")
-        )
         out = out.join(cont, id_col, "left").withColumn(
             "is_contained", F.coalesce(F.col("__contained"), F.lit(False))
         )

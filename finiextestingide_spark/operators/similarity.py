@@ -42,6 +42,23 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(ad, bd) / denom)
 
 
+def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """``cosine`` with the per-vector norms supplied as columns.
+
+    Bit-identical to ``cosine`` by construction: ``norm_a``/``norm_b`` must
+    be ``norm(_as_double(vec))`` computed over the same vectors, so the
+    expression tree below is the same IEEE754 operations on the same
+    doubles — only the norm folds are evaluated once per VECTOR instead of
+    once per PAIR. Spark's higher-order array functions (zip_with/
+    aggregate) run interpreted (no codegen), so on a near-quadratic verify
+    stage the three folds per pair are the dominant CPU; pre-computing the
+    two norm folds per vector leaves one fold (the dot) per pair
+    (guide §1.2 per-task work, applied to the §2.5-guarded candidate
+    stage)."""
+    denom = norm_a * norm_b
+    return F.when(denom > 0, dot(_as_double(a), _as_double(b)) / denom)
+
+
 def cosine_topk(
     vectors: DataFrame,
     query: DataFrame,
@@ -52,10 +69,22 @@ def cosine_topk(
     query_vec_col: str | None = None,
 ) -> DataFrame:
     """Brute-force top-k by cosine against a single-row query DataFrame."""
-    qv = F.col("__q." + (query_vec_col or vec_col))
-    scored = vectors.alias("v").crossJoin(F.broadcast(query.alias("__q"))).select(
+    qcol = query_vec_col or vec_col
+    # r15: the query norm is a constant of the scan — computing it inside
+    # the broadcast-side projection evaluates the fold once per QUERY ROW
+    # (one) instead of once per scanned vector; same fold, same doubles,
+    # bit-identical cosine (see cosine_prenormed).
+    qn = query.select(
+        F.col(qcol), norm(_as_double(F.col(qcol))).alias("__qnrm")
+    )
+    scored = vectors.alias("v").crossJoin(F.broadcast(qn.alias("__q"))).select(
         F.col(f"v.{id_col}").alias(id_col),
-        cosine(F.col(f"v.{vec_col}"), qv).alias("cosine"),
+        cosine_prenormed(
+            F.col(f"v.{vec_col}"),
+            F.col(f"__q.{qcol}"),
+            norm(_as_double(F.col(f"v.{vec_col}"))),
+            F.col("__q.__qnrm"),
+        ).alias("cosine"),
     )
     return _ranked_topk(scored, k, id_col=id_col)
 
@@ -378,6 +407,21 @@ def lsh_neardup_pairs(
         raise ValueError(f"nbits={nbits} not divisible by bands={bands}")
     r = nbits // bands
     extra = [extra_key] if extra_key else []
+    budgets_armed = max_bucket_pairs is not None or max_total_pairs is not None
+    base = vectors.select(F.col(id_col), *extra, F.col(vec_col))
+    if budgets_armed:
+        # r15 (guide §2.5 input skew + §1.2 per-task work): the hyperplane
+        # signature is nbits interpreted array-folds per vector, computed in
+        # the SCAN stage — a single-row-group input reads as one task and
+        # serializes all of it. When the scan yields fewer partitions than
+        # the session parallelism, redistribute the (id, vec) rows first so
+        # the fan-out runs wide; a many-file lake scan already exceeds the
+        # core count and is left untouched (scale-adaptive, no local-only
+        # constant). Only armed alongside the budgets: the checkpoint below
+        # then bounds the shuffled payload to the audited input.
+        sc = vectors.sparkSession.sparkContext
+        if base.rdd.getNumPartitions() < sc.defaultParallelism:
+            base = base.repartition(sc.defaultParallelism)
     sig = hyperplane_signature(F.col(vec_col), planes)
     band_keys = F.array(
         *[
@@ -388,9 +432,17 @@ def lsh_neardup_pairs(
             for b in range(bands)
         ]
     )
-    tagged = vectors.select(
+    tagged = base.select(
         F.col(id_col), *extra, F.explode(band_keys).alias("__bk")
     ).select(id_col, *extra, "__bk.band", "__bk.key")
+    if budgets_armed:
+        # The budget check below is an eager planning job over `tagged`;
+        # materializing first (localCheckpoint — per-invocation, never
+        # plan-matched across queries) lets that job double as the
+        # materialization, so the main job's consumers (both self-join
+        # sides) read the signature fan-out instead of re-deriving it
+        # (the winnow_candidate_pairs r15 pattern).
+        tagged = tagged.localCheckpoint()
     if max_bucket_pairs is not None or max_total_pairs is not None:
         hist = (
             tagged.groupBy("band", "key", *extra)
@@ -437,13 +489,18 @@ def lsh_neardup_pairs(
     # shape wins ~30x on shuffle mass (the float arrays must never ride
     # the near-quadratic stage). Budgets disarmed -> no histogram -> the
     # scale-safe id-only shape unconditionally.
-    carry_vectors = (
-        max_bucket_pairs is not None or max_total_pairs is not None
-    ) and total <= 1_000_000
+    carry_vectors = budgets_armed and total <= 1_000_000
+    # Per-vector norm computed ONCE (`cosine_prenormed`): the verify stage
+    # is near-quadratic in candidates, and the two norm folds per pair were
+    # 2/3 of its interpreted array work. Same fold, same doubles — the
+    # emitted cosine is bit-identical.
+    normed = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(_as_double(F.col(vec_col))).alias("__nrm"),
+    )
     if carry_vectors:
-        tagged = tagged.join(
-            vectors.select(F.col(id_col), F.col(vec_col)), id_col
-        )
+        tagged = tagged.join(normed, id_col)
     a, b = tagged.alias("a"), tagged.alias("b")
     cond = (
         (F.col("a.band") == F.col("b.band"))
@@ -461,6 +518,8 @@ def lsh_neardup_pairs(
                 *[F.col(f"a.{e}").alias(e) for e in extra],
                 F.col(f"a.{vec_col}").alias("__va"),
                 F.col(f"b.{vec_col}").alias("__vb"),
+                F.col("a.__nrm").alias("__na"),
+                F.col("b.__nrm").alias("__nb"),
             )
             # a pair found by several bands must verify (and emit) once
             .groupBy("id_a", "id_b")
@@ -468,29 +527,39 @@ def lsh_neardup_pairs(
                 *[F.first(e).alias(e) for e in extra],
                 F.first("__va").alias("__va"),
                 F.first("__vb").alias("__vb"),
+                F.first("__na").alias("__na"),
+                F.first("__nb").alias("__nb"),
             )
         )
         return cand.select(
             "id_a", "id_b", *extra,
-            cosine(F.col("__va"), F.col("__vb")).alias("cosine"),
+            cosine_prenormed(
+                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+            ).alias("cosine"),
         ).where(F.col("cosine") >= min_cosine)
     cand = a.join(b, cond).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
         *[F.col(f"a.{e}").alias(e) for e in extra],
     ).distinct()
-    va = vectors.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    va = normed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__nrm").alias("__na"),
     )
-    vb = vectors.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    vb = normed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__nrm").alias("__nb"),
     )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a", "id_b", *extra,
-            cosine(F.col("__va"), F.col("__vb")).alias("cosine"),
+            cosine_prenormed(
+                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= min_cosine)
     )
@@ -546,7 +615,11 @@ def neardup_pairs_blocked(
                 "surface (lsh_ann_topk/ivf_topk), or raise max_block_pairs "
                 "explicitly"
             )
-    a, b = vectors.alias("a"), vectors.alias("b")
+    # r15: per-vector norm once (cosine_prenormed) — the within-block join
+    # is quadratic, and the two norm folds per pair were 2/3 of its
+    # interpreted array work; bit-identical by construction.
+    normed = vectors.withColumn("__nrm", norm(_as_double(F.col(vec_col))))
+    a, b = normed.alias("a"), normed.alias("b")
     return (
         a.join(
             b,
@@ -557,7 +630,12 @@ def neardup_pairs_blocked(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.col(f"a.{block_col}").alias(block_col),
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+            cosine_prenormed(
+                F.col(f"a.{vec_col}"),
+                F.col(f"b.{vec_col}"),
+                F.col("a.__nrm"),
+                F.col("b.__nrm"),
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= min_cosine)
     )

@@ -1034,12 +1034,17 @@ def ngram_mkn_logprob_scores(
     EXCHANGES, not identical aggregates. The per-branch recompute is the
     same single pass each time, so scaling stays linear (SCALE.md
     measures it). ``reuse_model=True`` makes the production choice real:
-    the (remapped) token frame and the level-N count table persist
-    (MEMORY_AND_DISK) on first materialization, so every lower level
-    folds ~types-sized cached data only — bit-identical results (all
-    model values derive deterministically from integer counts;
-    equality pinned by pytest), at the cost of executor storage for the
-    count table until the session drops it.
+    the (remapped) token frame and the level-N count table are EAGERLY
+    materialized (``localCheckpoint`` — two up-front jobs at build time),
+    so every lower level folds ~types-sized materialized data only —
+    bit-identical results (all model values derive deterministically
+    from integer counts; equality pinned by pytest), at the cost of
+    executor storage until the frames are dropped. r15 note: this was a
+    lazy ``persist``, under which the concurrent model-table stages each
+    recomputed not-yet-cached partitions of the same corpus pass; the
+    eager checkpoint computes it exactly once, and is never plan-matched
+    across separately built queries (each invocation recomputes from the
+    parquet inputs).
     """
     if order < 2:
         raise ValueError("ngram_mkn_logprob_scores: order must be >= 2")
@@ -1071,9 +1076,22 @@ def ngram_mkn_logprob_scores(
             ).alias("__ws")
         )
     if reuse_model:
-        from pyspark import StorageLevel
-
-        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+        # r15 (guide §5 caching rule + §1.4 measurement honesty): was
+        # persist(MEMORY_AND_DISK). A lazy persist materializes DURING the
+        # one consuming job, where the model-table branches run as
+        # CONCURRENT stages — each stage that reaches an uncomputed cached
+        # partition computes it itself, so the corpus pass was re-run by
+        # several branches in parallel before the cache filled (measured:
+        # exec barely improved over reuse_model=False). An EAGER
+        # localCheckpoint materializes ONCE up front, every branch reads
+        # the checkpointed blocks, and — unlike persist — the RDD is never
+        # plan-matched by the CacheManager across separately-built queries,
+        # so repeated bench invocations each recompute from the parquet
+        # inputs (no cross-run result reuse) and the blocks are freed by GC
+        # when the frame is dropped (persist leaked across invocations
+        # until session end). Bit-identical: checkpointing stores the
+        # computed rows unchanged (the reuse-equality pytest pins it).
+        toks = toks.localCheckpoint()
     wcols = [f"w{j + 1}" for j in range(order)]
     grams = (
         toks.where(F.size("__ws") >= order)
@@ -1098,9 +1116,9 @@ def ngram_mkn_logprob_scores(
     # the continuation count)
     top = grams.groupBy(*wcols).agg(F.count(F.lit(1)).alias(f"__c{order}"))
     if reuse_model:
-        from pyspark import StorageLevel
-
-        top = top.persist(StorageLevel.MEMORY_AND_DISK)
+        # see the toks checkpoint above — same reasoning for the level-N
+        # count table every lower level and discount frame folds
+        top = top.localCheckpoint()
     lvl: dict[int, DataFrame] = {order: top}
     for k in range(order - 1, 1, -1):
         lvl[k] = (
@@ -1108,6 +1126,14 @@ def ngram_mkn_logprob_scores(
             .groupBy(*wcols[order - k:])
             .agg(F.count(F.lit(1)).alias(f"__c{k}"))
         )
+        if reuse_model:
+            # each lower level is read by FOUR consumers (its per-context
+            # roll-up, its discount frame, its model step, and the next
+            # fold down); un-materialized, the lazy DAG re-runs the fold
+            # chain from `top` once per consumer — O(order^2) type-table
+            # aggregates. One small eager job per level pins each fold to
+            # exactly one computation (same integer counts, bit-identical).
+            lvl[k] = lvl[k].localCheckpoint()
     ctx1 = lvl[2].groupBy(wcols[-1]).agg(F.count(F.lit(1)).alias("__c1b"))
     # per-context totals + N_k columns, one roll-up per level
     ctxs: dict[int, DataFrame] = {}

@@ -96,6 +96,7 @@ def winnow_candidate_pairs(
     id_col: str = "doc_id",
     max_doc_freq: int | None = None,
     max_pairs: int | None = 25_000_000,
+    fps_materialized: bool = False,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints, with
     the span-containment score shared / min(n_a, n_b) — the right metric
@@ -116,6 +117,12 @@ def winnow_candidate_pairs(
       map-side combine that fails loud BEFORE the self-join is launched,
       naming the knobs. Pass None to skip when the fingerprint density was
       already tuned (larger `window` in winnow_fingerprints lowers it).
+
+    ``fps_materialized=True`` (r15): the caller guarantees ``fps`` is
+    already materialized (e.g. `curate_corpus` localCheckpoints it so the
+    containment sizes share it) — skips the internal checkpoint below, so
+    the fingerprint set is not copied a second time. The budget count
+    still runs.
     """
     fps = fps.select(F.col(id_col), "fp")
     if max_doc_freq is not None:
@@ -137,7 +144,8 @@ def winnow_candidate_pairs(
         # unlike a persist — is never plan-matched across separately-built
         # queries, so repeated invocations each recompute from the parquet
         # inputs. Disarmed budgets keep the builder fully lazy, unchanged.
-        fps = fps.localCheckpoint()
+        if not fps_materialized:
+            fps = fps.localCheckpoint()
         total = (
             fps.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("df"))
