@@ -112,11 +112,25 @@ def assign_centroids(
     c = centroids.select(
         F.col(centroid_id), F.col(vec_col).alias("__cvec")
     )
-    scored = vectors.crossJoin(F.broadcast(c)).select(
-        id_col,
-        vec_col,
-        F.col(centroid_id),
-        cosine(F.col(vec_col), F.col("__cvec")).alias("__cos"),
+    # r15: hoist the row-vector norm out of the per-centroid expression —
+    # the crossJoin evaluates k cosines per row, and norm(vec) is the same
+    # fold each time; computing it once per row leaves one fold (the dot)
+    # plus the centroid norm per candidate. Bit-identical
+    # (cosine_prenormed).
+    scored = (
+        vectors.withColumn("__vnrm", norm(_as_double(F.col(vec_col))))
+        .crossJoin(F.broadcast(c))
+        .select(
+            id_col,
+            vec_col,
+            F.col(centroid_id),
+            cosine_prenormed(
+                F.col(vec_col),
+                F.col("__cvec"),
+                F.col("__vnrm"),
+                norm(_as_double(F.col("__cvec"))),
+            ).alias("__cos"),
+        )
     )
     best = scored.groupBy(id_col).agg(
         F.max_by(
@@ -675,17 +689,29 @@ def assign_centroids_rowlocal(
     trained-quantizer frame; the caller owns keeping k bounded."""
     if not centroid_rows:
         raise ValueError("assign_centroids_rowlocal: no centroids supplied")
+    # r15: the row-vector norm is the same fold for every centroid
+    # candidate — compute it once per row (cosine_prenormed); the centroid
+    # norms are folds over all-literal arrays, which ConstantFolding
+    # already evaluates at plan time. k folds per row remain (the dots),
+    # down from 3k. Bit-identical.
+    vn = F.col("__vnrm_rl")
     cands = []
     for cid, cvec in centroid_rows:
         cv = F.array(*[F.lit(float(x)) for x in cvec])
         cands.append(
             F.struct(
-                cosine(F.col(vec_col), cv).alias("c"),
+                cosine_prenormed(
+                    F.col(vec_col), cv, vn, norm(_as_double(cv))
+                ).alias("c"),
                 F.lit(-int(cid)).cast("long").alias("n"),
             )
         )
     best = F.array_max(F.array(*cands))
-    return vectors.withColumn(centroid_id, (-best["n"]).cast("long"))
+    return (
+        vectors.withColumn("__vnrm_rl", norm(_as_double(F.col(vec_col))))
+        .withColumn(centroid_id, (-best["n"]).cast("long"))
+        .drop("__vnrm_rl")
+    )
 
 
 def pq_encode(

@@ -70,14 +70,15 @@ from pyspark.sql.types import (
 )
 
 def _fold_events(has_order, exp, executed, n_exec, events):
-    """The per-key pairing fold — the exact code every micro-batch runs,
-    module-level so the Hypothesis sweep in tests/test_reconcile_stream.py
-    can fuzz arrival orders and batch slicings against the batch oracle
-    without a live stream. Events are (kind, expected, qty_text, seed_n,
-    seed_has) wire tuples: kind 0 = execution, 1 = order, 2 = snapshot
-    seed (commutative merge — see reconcile_stream's bootstrap contract).
-    The executed total accumulates as decimal.Decimal: exact and
-    associative, so ANY arrival order produces the same final total."""
+    """The REFERENCE per-key pairing fold, module-level so the Hypothesis
+    sweep in tests/test_reconcile_stream.py can fuzz arrival orders and
+    batch slicings against the batch oracle without a live stream. Events
+    are (kind, expected, qty_text, seed_n, seed_has) wire tuples: kind 0 =
+    execution, 1 = order, 2 = snapshot seed (commutative merge — see
+    reconcile_stream's bootstrap contract). The executed total accumulates
+    as decimal.Decimal: exact and associative, so ANY arrival order
+    produces the same final total. The live stream runs the packed-wire
+    form ``_fold_payloads`` (r15) — property-pinned equal to this fold."""
     for kind, e_amt, q, sn, sh in events:
         if kind == 1:  # order
             has_order = 1
@@ -91,6 +92,37 @@ def _fold_events(has_order, exp, executed, n_exec, events):
                 exp = float(e_amt)
             executed += Decimal(q)
             n_exec += int(sn)
+    return has_order, exp, executed, n_exec
+
+
+def _fold_payloads(has_order, exp, executed, n_exec, payloads):
+    """The packed-wire form of ``_fold_events`` (r15, guide §4.1 "pass only
+    the columns the function needs" applied to the state wire): the
+    per-key Python invocation cost of applyInPandasWithState scales with
+    the number of WIRE COLUMNS (each is sliced and converted per key), so
+    the five payload columns are packed into ONE string the JVM builds
+    with concat: ``"1" + expected`` (order), ``"0" + qty_text``
+    (execution), ``"2|expected|qty_text|n|has"`` (snapshot seed — empty
+    expected field = unknown). Numeric fidelity is exact: doubles cross as
+    Java's shortest round-trip repr (float() restores the same IEEE754
+    double), quantities as exact decimal text (same cast the unpacked wire
+    used). Equivalence with ``_fold_events`` is property-pinned by
+    tests/test_reconcile_stream.py::test_payload_fold_matches_tuple_fold."""
+    for p in payloads:
+        c = p[0]
+        if c == "1":  # order
+            has_order = 1
+            exp = float(p[1:])
+        elif c == "0":  # execution
+            executed += Decimal(p[1:])
+            n_exec += 1
+        else:  # snapshot seed: commutative merge (order-safe)
+            _, e_s, q_s, n_s, h_s = p.split("|")
+            has_order = max(has_order, int(h_s))
+            if exp is None and e_s:
+                exp = float(e_s)
+            executed += Decimal(q_s)
+            n_exec += int(n_s)
     return has_order, exp, executed, n_exec
 
 
@@ -294,32 +326,46 @@ def reconcile_stream(
         ]
     )
 
-    # wire kinds: 0 = execution, 1 = order, 2 = snapshot seed
+    # Packed wire (r15, guide §4.1): ONE payload string per event instead
+    # of five typed columns — applyInPandasWithState slices and converts
+    # every wire column per KEY on the Python side, so column count is a
+    # direct per-key cost (measured ~25%% of the stateful drive). First
+    # char = kind: 0 execution, 1 order, 2 snapshot seed. Doubles travel
+    # as Java's shortest round-trip repr (float() restores the identical
+    # IEEE754 bits); quantities as the same exact decimal text the
+    # unpacked wire carried. See _fold_payloads.
     o = orders.select(
         F.col(order_key).alias("__key"),
-        F.lit(1).alias("__kind"),
-        F.col(expected).cast("double").alias("__expected"),
-        F.lit(None).cast("string").alias("__qty"),
-        F.lit(None).cast("long").alias("__seed_n"),
-        F.lit(None).cast("int").alias("__seed_has"),
+        F.concat(
+            F.lit("1"),
+            F.coalesce(
+                F.col(expected).cast("double").cast("string"), F.lit("nan")
+            ),
+        ).alias("__ev"),
     )
     e = executions.select(
         F.col(order_key).alias("__key"),
-        F.lit(0).alias("__kind"),
-        F.lit(None).cast("double").alias("__expected"),
-        F.col(qty).cast("string").alias("__qty"),  # exact decimal transport
-        F.lit(None).cast("long").alias("__seed_n"),
-        F.lit(None).cast("int").alias("__seed_has"),
+        # exact decimal transport, same cast as the unpacked wire's __qty
+        F.concat(F.lit("0"), F.col(qty).cast("string")).alias("__ev"),
     )
     src = o.unionByName(e)
     if bootstrap is not None:
         seed_wire = bootstrap.select(
             F.col(order_key).alias("__key"),
-            F.lit(2).alias("__kind"),
-            F.col("expected").cast("double").alias("__expected"),
-            F.col("executed").cast("string").alias("__qty"),
-            F.col("n_exec").cast("long").alias("__seed_n"),
-            F.col("has_order").cast("int").alias("__seed_has"),
+            F.concat_ws(
+                "|",
+                F.lit("2"),
+                # empty field = unknown expected (seed merge fills only
+                # a known value; "" keeps the field count stable where
+                # concat_ws would silently drop a NULL)
+                F.coalesce(
+                    F.col("expected").cast("double").cast("string"),
+                    F.lit(""),
+                ),
+                F.col("executed").cast("string"),
+                F.col("n_exec").cast("long").cast("string"),
+                F.col("has_order").cast("int").cast("string"),
+            ).alias("__ev"),
         )
         # persist the snapshot (the durable ledger), then replay it as a
         # one-shot stream so it can union with the live feeds — a batch
@@ -366,12 +412,8 @@ def reconcile_stream(
             if not len(pdf):
                 continue
             changed = True
-            has_order, exp, executed, n_exec = _fold_events(
-                has_order, exp, executed, n_exec,
-                zip(
-                    pdf["__kind"], pdf["__expected"], pdf["__qty"],
-                    pdf["__seed_n"], pdf["__seed_has"],
-                ),
+            has_order, exp, executed, n_exec = _fold_payloads(
+                has_order, exp, executed, n_exec, pdf["__ev"]
             )
         if not changed:
             return

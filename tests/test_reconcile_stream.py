@@ -688,6 +688,42 @@ def test_bootstrap_cut_invariance(history, cut_seed):
     )
 
 
+@settings(max_examples=200, deadline=None)
+@given(_key_history(), st.integers(0, 20))
+def test_payload_fold_matches_tuple_fold(history, cut_seed):
+    """r15 packed-wire equivalence: the live stream folds ONE concatenated
+    payload string per event (_fold_payloads — wire columns are a per-key
+    Python cost in applyInPandasWithState); encoding any event multiset,
+    including a bootstrap seed with known/unknown expected, and folding
+    the strings must reproduce _fold_events bit-for-bit (decimal-exact
+    executed total, identical expected/has/count)."""
+    from finiextestingide_spark.streaming.reconcile_stream import _fold_payloads
+
+    events, _ = history
+    cut = cut_seed % (len(events) + 1)
+    hist, tail = events[:cut], events[cut:]
+    h_has, h_exp, h_exec, h_n = _fold_events(0, None, Decimal(0), 0, hist)
+    seed = (2, h_exp, str(h_exec), h_n, h_has)
+    mixed = [*tail[: len(tail) // 2], seed, *tail[len(tail) // 2:]]
+
+    def encode(ev):
+        kind, e_amt, q, sn, sh = ev
+        if kind == 1:
+            return "1" + (repr(float(e_amt)) if e_amt is not None else "nan")
+        if kind == 0:
+            return "0" + q
+        exp_s = "" if e_amt is None else repr(float(e_amt))
+        return f"2|{exp_s}|{q}|{int(sn)}|{int(sh)}"
+
+    tup = _fold_events(0, None, Decimal(0), 0, mixed)
+    packed = _fold_payloads(0, None, Decimal(0), 0, [encode(e) for e in mixed])
+    assert packed[0] == tup[0]
+    assert packed[1] == tup[1]
+    assert packed[2] == tup[2]  # bit-exact decimal
+    assert packed[3] == tup[3]
+    assert _classify(*packed, tolerance=1e-9) == _classify(*tup, tolerance=1e-9)
+
+
 def test_bootstrap_staleness_policy(spark, tmp_path):
     """Trading-day staleness on restore (round-9 item 6): a snapshot
     stamped with its event time via bootstrap_state(event_ts=...) is
