@@ -169,10 +169,19 @@ class TickFeedServer:
                 # per-line pacing for wall-clock-scripted replays (e.g. the
                 # as-of parity drive, where each signal must be on the wire
                 # before its dependent ticks, the arrival order a live feed
-                # delivers by construction)
+                # delivers by construction). The delay may also be a
+                # threading.Event: the line is withheld until the caller
+                # SETS it — the deterministic form of out-of-order scripting
+                # (a test releases the late line only after observing the
+                # state it must race against, instead of sleeping and hoping
+                # the first micro-batch beat the timer).
                 if isinstance(item, tuple):
                     delay, line = item
-                    if delay and self._stop.wait(delay):
+                    if isinstance(delay, threading.Event):
+                        while not delay.wait(0.1):
+                            if self._stop.is_set():
+                                return
+                    elif delay and self._stop.wait(delay):
                         return
                 else:
                     line = item

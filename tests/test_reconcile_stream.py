@@ -12,6 +12,7 @@ The final snapshot must equal the batch reconcile_orders classification.
 from __future__ import annotations
 
 import json
+import threading
 import time
 import uuid
 
@@ -54,13 +55,20 @@ FILLS = {
 
 def test_two_socket_reconciliation_out_of_order(spark):
     t0 = 1_767_225_600_000_000
-    # orders wire: order 5 is withheld for several seconds
+    # orders wire: order 5 is withheld until its fills are OBSERVED in the
+    # sink as an ORPHAN revision (event-gated line) — a fixed sleep raced
+    # the first micro-batch, which on a cold session can take longer than
+    # any reasonable pause and land the order in the same batch as its
+    # fills (first revision MATCHED, not ORPHAN)
+    release_late = threading.Event()
     early_orders = [
         _line(order_id=k, ts_us=t0 + k, expected=v)
         for k, v in ORDERS.items()
         if k != 5
     ]
-    late_order = [_line(order_id=5, ts_us=t0 + 500, expected=ORDERS[5])]
+    late_order = [
+        (release_late, _line(order_id=5, ts_us=t0 + 500, expected=ORDERS[5]))
+    ]
     fills = [
         _line(order_id=k, ts_us=t0 + 1000 + i, qty=q)
         for k, qs in FILLS.items()
@@ -71,10 +79,9 @@ def test_two_socket_reconciliation_out_of_order(spark):
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        with TickFeedServer(
-            early_orders + late_order, chunk_lines=len(early_orders),
-            chunk_pause_secs=4.0,
-        ) as o_srv, TickFeedServer(fills) as f_srv:
+        with TickFeedServer(early_orders + late_order) as o_srv, TickFeedServer(
+            fills
+        ) as f_srv:
             orders = parse_tick_lines(
                 read_socket_lines(spark, "127.0.0.1", o_srv.port),
                 wire_ddl=ORDER_WIRE_DDL,
@@ -100,6 +107,12 @@ def test_two_socket_reconciliation_out_of_order(spark):
                     by_key = {}
                     for r in sorted(rows, key=lambda r: r["revision"]):
                         by_key.setdefault(r["order_id"], []).append(r)
+                    # key 5's fills are in state as ORPHAN — NOW let the
+                    # late order onto the wire (deterministic out-of-order)
+                    if not release_late.is_set() and any(
+                        r["status"] == "ORPHAN" for r in by_key.get(5, [])
+                    ):
+                        release_late.set()
                     done = (
                         set(by_key) == set(range(1, 10))
                         and by_key[5][-1]["status"] == "MATCHED"
@@ -183,7 +196,13 @@ def test_state_ttl_expires_and_late_fill_resurfaces_as_orphan(spark):
     t0 = 1_767_225_600_000_000
     order = [_line(order_id=1, ts_us=t0, expected=10.0)]
     fill1 = [_line(order_id=1, ts_us=t0 + 1, qty=10.0)]
-    late_fill = [_line(order_id=1, ts_us=t0 + 2, qty=0.5)]
+    # the late fill is event-gated: released only once the MATCHED verdict
+    # is OBSERVED in the sink and the TTL has had 4x its duration to fire —
+    # a fixed pause after fill1's SEND raced the first micro-batch (a cold
+    # or loaded session can take longer than the pause to even ingest
+    # fill1, landing both fills in one batch as a silent merge)
+    release_fill = threading.Event()
+    late_fill = [(release_fill, _line(order_id=1, ts_us=t0 + 2, qty=0.5))]
 
     name = f"recon_ttl_{uuid.uuid4().hex[:8]}"
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -192,7 +211,7 @@ def test_state_ttl_expires_and_late_fill_resurfaces_as_orphan(spark):
         # feed: order+fill immediately, then a long idle (keepalive-free
         # sockets stay open), then the late fill after the TTL expired
         with TickFeedServer(order) as o_srv, TickFeedServer(
-            fill1 + late_fill, chunk_lines=1, chunk_pause_secs=6.0
+            fill1 + late_fill
         ) as f_srv:
             orders = parse_tick_lines(
                 read_socket_lines(spark, "127.0.0.1", o_srv.port),
@@ -216,11 +235,22 @@ def test_state_ttl_expires_and_late_fill_resurfaces_as_orphan(spark):
             try:
                 deadline = time.time() + 120.0
                 rows = []
+                matched_at = None
                 while time.time() < deadline:
                     rows = sorted(
                         spark.table(name).collect(),
                         key=lambda r: (r["revision"], r["n_executions"]),
                     )
+                    if matched_at is None and any(
+                        r["status"] == "MATCHED" for r in rows
+                    ):
+                        matched_at = time.time()
+                    if (
+                        matched_at is not None
+                        and not release_fill.is_set()
+                        and time.time() - matched_at > 6.0  # 4x the 1.5s TTL
+                    ):
+                        release_fill.set()
                     if any(
                         r["status"] == "ORPHAN" and r["n_executions"] == 1
                         and r["executed_amount"] == 0.5
