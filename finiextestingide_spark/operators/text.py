@@ -373,25 +373,17 @@ def bigram_logprob_scores(
     p = F.lit(lam) * F.col("__cw") / F.col("__n") + F.lit(1.0 - lam) * F.col(
         "__c12"
     ) / F.col("__c1")
-    # r15 (guide §2.3/§2.4): the model is assembled at TYPE level — the
-    # per-type logprob table folds bi/prefix/uni together over type-sized
-    # rows — and attaches to the occurrence stream ONCE, so the stream
-    # crosses one exchange instead of three (its three model joins each
-    # re-hashed the accumulating occurrence rows on a different key).
-    # __lp is a pure function of the (w1, w2) type, so scoring the type
-    # once and summing per occurrence is bit-identical to scoring each
-    # occurrence (decimal sum, order-independent).
-    typed = (
-        bi.join(prefix, ["w1"])
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(prefix, ["w1"])
         .join(uni.withColumnRenamed("w", "w2"), ["w2"])
         .crossJoin(F.broadcast(n_total))
         .select(
-            "w1",
-            "w2",
+            F.col(id_col),
             F.round(F.log(p), 6).cast("decimal(28,6)").alias("__lp"),
         )
     )
-    agg = pairs.join(typed, ["w1", "w2"]).groupBy(id_col).agg(
+    agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_transitions"),
         F.sum("__lp").alias("__lpsum"),
     )
@@ -604,20 +596,17 @@ def kneser_ney_logprob_scores(
     p = (F.col("__c12") - F.lit(d)) / F.col("__c1") + (
         F.lit(d) * F.col("__n1f") / F.col("__c1")
     ) * (F.col("__n1b") / F.col("__nt"))
-    # r15: model assembled at TYPE level, one stream attach instead of
-    # three — see bigram_logprob_scores; bit-identical (per-type __lp,
-    # exact decimal occurrence sum).
-    typed = (
-        bi.join(left, ["w1"])
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(left, ["w1"])
         .join(right, ["w2"])
         .crossJoin(F.broadcast(ntypes))
         .select(
-            "w1",
-            "w2",
+            F.col(id_col),
             F.round(F.log(p), 6).cast("decimal(28,6)").alias("__lp"),
         )
     )
-    agg = pairs.join(typed, ["w1", "w2"]).groupBy(id_col).agg(
+    agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_transitions"),
         F.sum("__lp").alias("__lpsum"),
     )
@@ -758,20 +747,17 @@ def modified_kneser_ney_logprob_scores(
         + (F.col("__d3") * F.col("__nn3p"))
     ) / c1
     p = (c12 - d_of_c) / c1 + gamma * (F.col("__n1b") / F.col("__nt"))
-    # r15: model assembled at TYPE level, one stream attach instead of
-    # three — see bigram_logprob_scores; bit-identical (per-type __lp,
-    # exact decimal occurrence sum).
-    typed = (
-        bi.join(left, ["w1"])
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(left, ["w1"])
         .join(right, ["w2"])
         .crossJoin(F.broadcast(cc))
         .select(
-            "w1",
-            "w2",
+            F.col(id_col),
             F.round(F.log(p), 6).cast("decimal(28,6)").alias("__lp"),
         )
     )
-    agg = pairs.join(typed, ["w1", "w2"]).groupBy(id_col).agg(
+    agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_transitions"),
         F.sum("__lp").alias("__lpsum"),
     )
@@ -934,26 +920,20 @@ def trigram_mkn_logprob_scores(
     p1 = F.col("__c1b") / F.col("__bnt")
     p2 = (cc2v - d2_of) / t2 + g2 * p1
     p = (c3 - d3_of) / hh + g3 * p2
-    # r15: model assembled at TYPE level — the five model tables fold
-    # together over trigram-type rows and the stream attaches ONCE (its
-    # five model joins each re-hashed the accumulating occurrence rows on
-    # a different suffix key); bit-identical (per-type __lp, exact
-    # decimal occurrence sum) — see bigram_logprob_scores.
-    typed = (
-        tri.join(h, ["w1", "w2"])
+    scored = (
+        trips.join(tri, ["w1", "w2", "w3"])
+        .join(h, ["w1", "w2"])
         .join(cc2, ["w2", "w3"])
         .join(w2r, ["w2"])
         .join(ctx1, ["w3"])
         .crossJoin(F.broadcast(d3))
         .crossJoin(F.broadcast(d2))
         .select(
-            "w1",
-            "w2",
-            "w3",
+            F.col(id_col),
             F.round(F.log(p), 6).cast("decimal(28,6)").alias("__lp"),
         )
     )
-    agg = trips.join(typed, ["w1", "w2", "w3"]).groupBy(id_col).agg(
+    agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_transitions"),
         F.sum("__lp").alias("__lpsum"),
     )
@@ -1034,17 +1014,17 @@ def ngram_mkn_logprob_scores(
     EXCHANGES, not identical aggregates. The per-branch recompute is the
     same single pass each time, so scaling stays linear (SCALE.md
     measures it). ``reuse_model=True`` makes the production choice real:
-    the (remapped) token frame and the level-N count table are EAGERLY
-    materialized (``localCheckpoint`` — two up-front jobs at build time),
-    so every lower level folds ~types-sized materialized data only —
-    bit-identical results (all model values derive deterministically
-    from integer counts; equality pinned by pytest), at the cost of
-    executor storage until the frames are dropped. r15 note: this was a
-    lazy ``persist``, under which the concurrent model-table stages each
-    recomputed not-yet-cached partitions of the same corpus pass; the
-    eager checkpoint computes it exactly once, and is never plan-matched
-    across separately built queries (each invocation recomputes from the
-    parquet inputs).
+    the (remapped) token frame, the level-N count table, and each lower
+    level's fold are EAGERLY materialized (``localCheckpoint`` — small
+    up-front jobs at build time), so every lower level folds
+    ~types-sized materialized data only — bit-identical results (all
+    model values derive deterministically from integer counts; equality
+    pinned by pytest), at the cost of executor storage until the frames
+    are dropped. r15 note: this was a lazy ``persist``, under which the
+    concurrent model-table stages each recomputed not-yet-cached
+    partitions of the same corpus pass; the eager checkpoint computes it
+    exactly once, and is never plan-matched across separately built
+    queries (each invocation recomputes from the parquet inputs).
     """
     if order < 2:
         raise ValueError("ngram_mkn_logprob_scores: order must be >= 2")
@@ -1194,29 +1174,19 @@ def ngram_mkn_logprob_scores(
         k: _discounts(lvl[k], f"__c{k}", f"__p{k}") for k in range(2, order + 1)
     }
 
-    # r15 (guide §2.3/§2.4): the recurrence folds bottom-up over the TYPE
-    # tables — level-k model values live on level-k types, and each step
-    # joins tables that SHRINK with k — producing one (N-gram type ->
-    # logprob) table that attaches to the occurrence stream exactly once.
-    # The former shape shipped the accumulating occurrence rows through
-    # all 2(N-1)+1 model joins (~2N corpus-proportional exchanges, each
-    # re-hashing on a different suffix key). The arithmetic is the SAME
-    # fixed parenthesization on the same double operands — staging
-    # p_{k-1} through a column does not change IEEE754 results — and the
-    # per-doc decimal fold is exact, so results are bit-identical
-    # (re-verified vs the unchanged oracle at 3 SFs).
-    p = F.col("__c1b") / F.col("__p2nt")
-    model: DataFrame | None = None
-    for k in range(2, order + 1):
-        keys = wcols[order - k:]
-        step = (
-            lvl[2].join(ctxs[2], keys[:-1]).join(ctx1, [wcols[-1]])
-            if k == 2
-            else lvl[k].join(ctxs[k], keys[:-1])
+    joined = grams.join(lvl[order], wcols).join(ctxs[order], wcols[:-1])
+    for k in range(order - 1, 1, -1):
+        joined = joined.join(lvl[k], wcols[order - k:]).join(
+            ctxs[k], wcols[order - k:-1]
         )
-        if model is not None:
-            step = step.join(model, keys[1:])
-        step = step.crossJoin(F.broadcast(discs[k]))
+    joined = joined.join(ctx1, wcols[-1])
+    for k in range(order, 1, -1):
+        joined = joined.crossJoin(F.broadcast(discs[k]))
+
+    # the recurrence, built bottom-up — ONE fixed parenthesization the
+    # oracle mirrors textually (the trigram determinism contract)
+    p = F.col("__c1b") / F.col("__p2nt")
+    for k in range(2, order + 1):
         ck = F.col(f"__c{k}").cast("double")
         d_of = (
             F.when(F.col(f"__c{k}") == 1, F.col(f"__p{k}d1"))
@@ -1229,21 +1199,15 @@ def ngram_mkn_logprob_scores(
             + (F.col(f"__p{k}d2") * F.col(f"__m{k}n2"))
             + (F.col(f"__p{k}d3") * F.col(f"__m{k}n3p"))
         ) / tk
-        pk = (ck - d_of) / tk + gk * p
-        model = step.select(*keys, pk.alias("__p"))
-        p = F.col("__p")
+        p = (ck - d_of) / tk + gk * p
 
-    agg = (
-        grams.join(model, wcols)
-        .select(
-            F.col(id_col),
-            F.round(F.log(F.col("__p")), 6).cast("decimal(28,6)").alias("__lp"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_transitions"),
-            F.sum("__lp").alias("__lpsum"),
-        )
+    scored = joined.select(
+        F.col(id_col),
+        F.round(F.log(p), 6).cast("decimal(28,6)").alias("__lp"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.sum("__lp").alias("__lpsum"),
     )
 
     def _floor6(col):
