@@ -1001,12 +1001,16 @@ def ngram_mkn_logprob_scores(
     pass; every model table is a roll-up OF that aggregate (each level's
     continuation table folds the level above — map-side combined), the
     N-1 count-of-counts frames are four broadcast doubles each, and
-    model joins are unhinted (AQE picks build sides). Pruning adds TWO
-    corpus-proportional exchanges — the vocabulary count (word-keyed,
-    map-side combined) and the rare-word remap join + per-doc array
-    rebuild (the rare set is Zipf-heavy and NOT broadcastable at corpus
-    scale, so the remap is a shuffle join on the token stream; KenLM
-    pays the same extra pass) — after which the unpruned shape resumes.
+    model joins are unhinted (AQE picks build sides). Pruning adds the
+    vocabulary count (word-keyed, map-side combined, narrow output) plus
+    a METADATA-weight remap (r15, guide §2.3): distinct (doc, word)
+    pairs meet the rare set, matched pairs fold to a per-doc rare list,
+    and token arrays are rewritten in place — the occurrence stream
+    itself never crosses an exchange for the remap (the former shape
+    shipped every occurrence through the rare join AND a collect_list
+    regroup; the rare set is Zipf-heavy and NOT broadcastable at corpus
+    scale, which is exactly why the occurrence stream must not be the
+    join side). After the remap the unpruned shape resumes.
 
     Physical-reuse caveat (the trigram operator shares it): the lazy DAG
     re-derives the shared upstream (tokenize / remap / top-level count)
@@ -1033,27 +1037,47 @@ def ngram_mkn_logprob_scores(
     )
     toks = docs.select(F.col(id_col), ws.alias("__ws"))
     if min_word_count is not None and min_word_count > 1:
-        pos = toks.select(
-            F.col(id_col), F.posexplode("__ws").alias("__i", "__w")
-        )
+        # r15 (guide §2.3 "shuffle keys and metadata instead of payloads"):
+        # the remap used to ship every token OCCURRENCE through two wide
+        # exchanges — posexplode -> join rare on word -> collect_list +
+        # array_sort regroup by doc — i.e. the whole token stream crossed
+        # the wire twice to rewrite the (usually few) rare words. Now only
+        # per-doc DISTINCT (doc, word) pairs meet the rare set, the
+        # matched pairs (sparse by construction: corpus-frequency <
+        # min_word_count words) fold to a per-doc rare list, and the token
+        # arrays are rewritten IN PLACE with a row-local transform — the
+        # occurrence stream itself never shuffles. The vocabulary count is
+        # unchanged (word-keyed, map-side combined, narrow output). Docs
+        # with no rare words skip the transform entirely (null branch),
+        # so a corpus the pruning does not touch pays only the count.
+        # Bit-identical: the same set of words (corpus frequency <
+        # min_word_count) maps to <unk> at the same positions; array
+        # order is the original order (no sort round-trip).
         rare = (
-            pos.groupBy("__w")
+            toks.select(F.explode("__ws").alias("__w"))
+            .groupBy("__w")
             .agg(F.count(F.lit(1)).alias("__wc"))
             .where(F.col("__wc") < F.lit(min_word_count))
-            .select("__w", F.lit(True).alias("__rare"))
+            .select("__w")
         )
-        mapped = pos.join(rare, "__w", "left").select(
+        doc_rare = (
+            toks.select(F.col(id_col), F.explode(F.array_distinct("__ws")).alias("__w"))
+            .join(rare, "__w")
+            .groupBy(id_col)
+            .agg(F.collect_set("__w").alias("__rares"))
+        )
+        toks = toks.join(doc_rare, id_col, "left").select(
             F.col(id_col),
-            F.col("__i"),
-            F.when(F.col("__rare"), F.lit("<unk>"))
-            .otherwise(F.col("__w"))
-            .alias("__w"),
-        )
-        toks = mapped.groupBy(id_col).agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__i", "__w"))),
-                lambda s: s["__w"],
-            ).alias("__ws")
+            F.when(F.col("__rares").isNull(), F.col("__ws"))
+            .otherwise(
+                F.transform(
+                    "__ws",
+                    lambda w: F.when(
+                        F.array_contains("__rares", w), F.lit("<unk>")
+                    ).otherwise(w),
+                )
+            )
+            .alias("__ws"),
         )
     if reuse_model:
         # r15 (guide §5 caching rule + §1.4 measurement honesty): was
