@@ -120,6 +120,27 @@ def curate_corpus(
         F.col("is_dropped").alias("is_exact_dup"),
     )
 
+    # r15 (guide §2.4/§5): the near-dup chain and the decontamination train
+    # side both consume the SAME word-shingle stream (near-dup aggregates
+    # the raw occurrences, decon its per-doc distinct view) — build it once
+    # here and hand it to both, instead of letting each stage re-tokenize
+    # the corpus. On the budget-armed (already-eager, see below) path the
+    # stream is materialized with one localCheckpoint job, so the corpus is
+    # tokenized+window-sorted exactly once for {near-dup, decon-hits,
+    # decon-sizes} (the exec plan formerly ran that pass three times);
+    # per-invocation, never shared across separately-built queries.
+    # Measured (interleaved same-box A/B, min of clean samples): sf0.1
+    # 7.99 -> 6.98 s (0.87x), synthetic sf1 33.9 -> 28.6 s (0.84x).
+    from .dedup import shingle_stream
+
+    sh_stream = shingle_stream(docs, shingle_n, id_col=id_col, text=text)
+    if winnow_k is not None and winnow_max_pairs is not None:
+        # the builder is already eager on this path (fps checkpoint + pairs
+        # budget below) — one more small up-front job; the lazy contract
+        # (winnow_max_pairs=None / no winnow) stays lazy: the shared frame
+        # is then only a common subtree, not a materialization.
+        sh_stream = sh_stream.localCheckpoint()
+
     def _build_near() -> DataFrame:
         return neardup_dedup_keep_best(
             docs,
@@ -130,6 +151,7 @@ def curate_corpus(
             min_jaccard=min_jaccard,
             id_col=id_col,
             text=text,
+            shingles=sh_stream,
         ).select(F.col(id_col), F.col("is_dropped").alias("is_near_dup"))
 
     def _build_cont() -> DataFrame | None:
@@ -237,7 +259,10 @@ def curate_corpus(
         )
         quality = docs.select(F.col(id_col), (~g["keep"]).alias("fails_quality"))
     decon = decontaminate(
-        word_shingles(docs, shingle_n, id_col=id_col, text=text),
+        # word_shingles(docs, n) IS shingle_stream(docs, n).distinct()
+        # (pinned by test_precomputed_shingles_parity) — reuse the shared
+        # (possibly checkpointed) stream instead of re-tokenizing
+        sh_stream.distinct(),
         word_shingles(eval_docs, shingle_n, id_col=id_col, text=text),
         max_contamination,
         id_col=id_col,

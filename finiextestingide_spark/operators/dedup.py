@@ -306,6 +306,7 @@ def minhash_lsh_dedup(
     *,
     id_col: str = "doc_id",
     text: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full pipeline: shingle (map) -> ONE combined per-doc aggregate
     (k minhash minima AND the distinct-shingle set in the same exchange,
@@ -319,7 +320,15 @@ def minhash_lsh_dedup(
     # duplicate shingle occurrences are harmless to BOTH consumers (min is
     # idempotent, collect_set dedups), so skip word_shingles' distinct
     # exchange and aggregate the raw occurrence stream directly.
-    sh = shingle_stream(docs, shingle_n, id_col=id_col, text=text)
+    # ``shingles`` (r15): a caller that already holds the raw occurrence
+    # stream (curate_corpus shares one materialized pass between this
+    # pipeline and decontamination) passes it here so the corpus is not
+    # re-tokenized; must be exactly shingle_stream(docs, shingle_n).
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_stream(docs, shingle_n, id_col=id_col, text=text)
+    )
     combined = sh.groupBy(id_col).agg(
         F.collect_set("shingle").alias("shingles"),
         *[F.min(_mh_slice(i)).alias(f"mh_{i}") for i in range(num_hashes)],
@@ -432,12 +441,20 @@ def neardup_clusters(
     *,
     id_col: str = "doc_id",
     text: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH pairs -> connected components -> (doc, cluster, size).
     Singleton documents (no near-dup partner) are excluded — at scale you
     left-join this table back to assign every other doc its own id."""
     pairs = minhash_lsh_dedup(
-        docs, shingle_n, num_hashes, bands, min_jaccard, id_col=id_col, text=text
+        docs,
+        shingle_n,
+        num_hashes,
+        bands,
+        min_jaccard,
+        id_col=id_col,
+        text=text,
+        shingles=shingles,
     )
     cc = connected_components(pairs)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -512,6 +529,7 @@ def neardup_dedup_keep_best(
     *,
     id_col: str = "doc_id",
     text: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-level curation — the end-to-end near-dup dedup decision a
     training-data pipeline actually ships: MinHash+LSH near-dup clusters
@@ -527,7 +545,14 @@ def neardup_dedup_keep_best(
     from pyspark.sql import Window
 
     clusters = neardup_clusters(
-        docs, shingle_n, num_hashes, bands, min_jaccard, id_col=id_col, text=text
+        docs,
+        shingle_n,
+        num_hashes,
+        bands,
+        min_jaccard,
+        id_col=id_col,
+        text=text,
+        shingles=shingles,
     ).select(id_col, "cluster_id")
     labeled = (
         docs.select(F.col(id_col), score.alias("__score"))

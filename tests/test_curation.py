@@ -154,6 +154,32 @@ def test_winnow_max_pairs_none_skips_budget_action(spark, monkeypatch):
     assert "is_contained" in df.columns  # still the five-judgment shape
 
 
+def test_precomputed_shingles_parity(spark):
+    # r15 optimization: curate_corpus tokenizes the corpus once and hands
+    # the shingle stream to both the near-dup chain and decontamination.
+    # The injection contract: minhash_lsh_dedup(docs, shingles=s) with
+    # s = shingle_stream(docs, n) must equal the self-computed path, and
+    # word_shingles(docs, n) must equal shingle_stream(docs, n).distinct()
+    # (the identity the decon side relies on).
+    from finiextestingide_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        shingle_stream,
+        word_shingles,
+    )
+
+    docs = _corpus(spark)
+    base = minhash_lsh_dedup(docs, 3, min_jaccard=0.3)
+    shared = minhash_lsh_dedup(
+        docs, 3, min_jaccard=0.3, shingles=shingle_stream(docs, 3)
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, shared.collect())
+    )
+    ws = sorted(map(tuple, word_shingles(docs, 3).collect()))
+    ss = sorted(map(tuple, shingle_stream(docs, 3).distinct().collect()))
+    assert ws == ss
+
+
 def test_quality_flags_replayed_rows_fold(spark):
     # At-least-once recovery replays identical flag rows; the per-id fold
     # collapses them so the decision table stays one-row-per-doc
