@@ -131,10 +131,21 @@ def curate_corpus(
     # per-invocation, never shared across separately-built queries.
     # Measured (interleaved same-box A/B, min of clean samples): sf0.1
     # 7.99 -> 6.98 s (0.87x), synthetic sf1 33.9 -> 28.6 s (0.84x).
-    from .dedup import shingle_stream
+    from .dedup import shingle_stream, token_positions
 
-    sh_stream = shingle_stream(docs, shingle_n, id_col=id_col, text=text)
-    if winnow_k is not None and winnow_max_pairs is not None:
+    import os as _os
+
+    _share_words = _os.environ.get("FINIEX_CURATION_SHARE_WORDS", "1") != "0"
+    _eager = winnow_k is not None and winnow_max_pairs is not None
+    words: DataFrame | None = None
+    if _share_words:
+        words = token_positions(docs, id_col=id_col, text=text)
+        if _eager:
+            words = words.localCheckpoint()
+    sh_stream = shingle_stream(
+        docs, shingle_n, id_col=id_col, text=text, words=words
+    )
+    if _eager:
         # the builder is already eager on this path (fps checkpoint + pairs
         # budget below) — one more small up-front job; the lazy contract
         # (winnow_max_pairs=None / no winnow) stays lazy: the shared frame
@@ -157,7 +168,9 @@ def curate_corpus(
     def _build_cont() -> DataFrame | None:
         if winnow_k is None:
             return None
-        fps = winnow_fingerprints(docs, winnow_k, winnow_w, id_col=id_col, text=text)
+        fps = winnow_fingerprints(
+            docs, winnow_k, winnow_w, id_col=id_col, text=text, words=words
+        )
         materialized = False
         if winnow_max_pairs is not None:
             # r15: the pairs budget below runs an eager planning count

@@ -26,7 +26,27 @@ from pyspark.sql import Column, DataFrame
 from .text import normalized_text
 
 
-def shingle_stream(docs: DataFrame, n: int = 3, *, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+def token_positions(
+    docs: DataFrame, *, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(id_col, pos, w) — normalized word occurrences with their position.
+    The shared tokenize front of shingle_stream and winnow_fingerprints;
+    callers that need both (curate_corpus) compute it once and pass it to
+    each via their ``words=`` parameter."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(F.col(text)), " ")).alias("pos", "w"),
+    ).where(F.col("w") != "")
+
+
+def shingle_stream(
+    docs: DataFrame,
+    n: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text: str = "text",
+    words: DataFrame | None = None,
+) -> DataFrame:
     """Word n-gram shingles per document, one row per OCCURRENCE (duplicates
     kept — cheaper by one exchange; use word_shingles when per-doc
     distinctness matters to the consumer).
@@ -43,13 +63,14 @@ def shingle_stream(docs: DataFrame, n: int = 3, *, id_col: str = "doc_id", text:
     CPU-dense md5 fan-out downstream, so no explicit repartition of the
     document frame is needed — an earlier docs-level repartition here both
     shuffled full bodies (violating this contract) and added bench
-    variance, and was removed."""
+    variance, and was removed.
+
+    ``words`` (r15): a caller that already holds the token_positions frame
+    passes it here so the corpus is not re-tokenized."""
     from pyspark.sql import Window
 
-    words = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(normalized_text(F.col(text)), " ")).alias("pos", "w"),
-    ).where(F.col("w") != "")
+    if words is None:
+        words = token_positions(docs, id_col=id_col, text=text)
     win = Window.partitionBy(id_col).orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", k).over(win) for k in range(1, n)]
     return (

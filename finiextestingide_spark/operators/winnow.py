@@ -51,6 +51,7 @@ def winnow_fingerprints(
     *,
     id_col: str = "doc_id",
     text: str = "text",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct winnowing fingerprints per document: (id_col, fp).
 
@@ -63,13 +64,18 @@ def winnow_fingerprints(
 
     Documents shorter than k + window - 1 words produce no fingerprints
     (no full window exists) — the scheme's stated minimum match length.
+
+    ``words`` (r15): a caller that already holds the token_positions frame
+    (see dedup.token_positions) passes it here so the corpus is not
+    re-tokenized.
     """
     if k < 1 or window < 1:
         raise ValueError(f"k={k} and window={window} must be >= 1")
-    words = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(normalized_text(F.col(text)), " ")).alias("pos", "w"),
-    ).where(F.col("w") != "")
+    if words is None:
+        words = docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(normalized_text(F.col(text)), " ")).alias("pos", "w"),
+        ).where(F.col("w") != "")
     win = Window.partitionBy(id_col).orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, k)]
     grams = words.select(
