@@ -52,6 +52,7 @@ path on the proven operator.)
 
 from __future__ import annotations
 
+import pickle
 from collections.abc import Iterator
 from decimal import Decimal
 
@@ -61,6 +62,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -238,6 +240,7 @@ def reconcile_stream(
     weekend_aware: bool = True,
     restore_now=None,
     on_stale: str = "warn",
+    state_buckets: int | None = None,
 ) -> DataFrame:
     """orders(order_key, expected_amount) STREAM x executions(order_key,
     qty) STREAM -> revision stream (order_key, expected_amount,
@@ -298,7 +301,16 @@ def reconcile_stream(
     the check reproducible. ``on_stale="warn"`` logs the advisory and
     proceeds (the reference's warn policy); ``"error"`` raises before any
     state is seeded (the discard policy — the caller decides whether to
-    re-derive a fresh snapshot)."""
+    re-derive a fresh snapshot).
+
+    ``state_buckets`` (r16, state_ttl_ms == 0 only): the per-key pairing
+    state is sharded into this many hash buckets, one pickled book per
+    bucket, so the stateful boundary pays Python's per-GROUP framing cost
+    per BUCKET instead of per key (the reconcile family's measured floor;
+    see the bucketed-path comment). Default: 8x the session's shuffle
+    partitions. Per-key fold, revision counters and emitted rows are
+    identical to the per-key layout; TTL-armed streams (state_ttl_ms > 0)
+    always use per-key state, where expiry semantics live."""
     if (bootstrap is None) != (bootstrap_dir is None):
         raise ValueError("bootstrap and bootstrap_dir must be passed together")
     if on_stale not in ("warn", "error"):
@@ -383,6 +395,98 @@ def reconcile_stream(
         src = src.unionByName(seed_src)
 
     out_cols = [f.name for f in out_schema.fields]
+
+    if state_ttl_ms == 0:
+        # r16 BUCKETED STATE (guide §4.1 taken to the operator level): the
+        # per-KEY Python invocation cost of applyInPandasWithState (~1-2.4
+        # ms/key/batch of group framing on both sides of the Arrow
+        # boundary — measured r15, and nothing inside the API shaves it) is
+        # the reconcile family's floor. Grouping by a HASH BUCKET of the
+        # key instead of the key itself turns that per-key framing into a
+        # per-bucket cost: one Python invocation folds every key in the
+        # bucket with plain dict operations (~1 us/event) and emits all of
+        # the bucket's revision rows as ONE frame. Per-key semantics are
+        # unchanged — same fold (`_fold_payloads` inlined per key, same
+        # event order within a key), same revision counter per key, same
+        # one-revision-per-key-per-batch emission — only the state LAYOUT
+        # differs: one pickled {key: (has, exp, exec_text, n, rev)} book
+        # per bucket rather than one typed row per key. Trade-off: a
+        # touched bucket rewrites its whole book each batch, so this path
+        # is gated to state_ttl_ms == 0 (bounded books by design: the
+        # open-order restart seed, availableNow audits); TTL streams keep
+        # per-key state below, where expiry is per-key and books stay
+        # bounded by expiry rather than by the caller.
+        #
+        # Bucket count is scale-adaptive, never a local constant: default
+        # 8x the session's shuffle partitions (so each state partition
+        # holds ~8 buckets — enough for even task sizes — and blobs stay
+        # small); callers with very large books pass ``state_buckets``.
+        n_buckets = state_buckets
+        if n_buckets is None:
+            n_buckets = 8 * int(
+                orders.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        srcb = src.select(
+            F.pmod(F.xxhash64("__key"), F.lit(n_buckets)).alias("__bucket"),
+            "__key",
+            "__ev",
+        )
+        blob_schema = StructType([StructField("book", BinaryType())])
+
+        def run_bucket(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+            book = pickle.loads(state.get[0]) if state.exists else {}
+            touched: dict = {}
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                for k, p in zip(pdf["__key"].tolist(), pdf["__ev"].tolist()):
+                    st = touched.get(k)
+                    if st is None:
+                        prev = book.get(k)
+                        if prev is None:
+                            st = [0, None, Decimal(0), 0, 0]
+                        else:
+                            st = [prev[0], prev[1], Decimal(prev[2]), prev[3], prev[4]]
+                        touched[k] = st
+                    c = p[0]
+                    if c == "1":  # order (same fold as _fold_payloads)
+                        st[0] = 1
+                        st[1] = float(p[1:])
+                    elif c == "0":  # execution
+                        st[2] += Decimal(p[1:])
+                        st[3] += 1
+                    else:  # snapshot seed: commutative merge
+                        _, e_s, q_s, n_s, h_s = p.split("|")
+                        st[0] = max(st[0], int(h_s))
+                        if st[1] is None and e_s:
+                            st[1] = float(e_s)
+                        st[2] += Decimal(q_s)
+                        st[3] += int(n_s)
+            if not touched:
+                return
+            rows = np.empty((len(touched), 6), dtype=object)
+            for i, (k, st) in enumerate(touched.items()):
+                st[4] += 1
+                book[k] = (st[0], st[1], str(st[2]), st[3], st[4])
+                status, e_out, x_out = _classify(
+                    st[0], st[1], st[2], st[3], tolerance
+                )
+                rows[i, 0] = k
+                rows[i, 1] = e_out
+                rows[i, 2] = x_out
+                rows[i, 3] = st[3]
+                rows[i, 4] = status
+                rows[i, 5] = st[4]
+            state.update((pickle.dumps(book, protocol=4),))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+        return srcb.groupBy("__bucket").applyInPandasWithState(
+            run_bucket,
+            outputStructType=out_schema,
+            stateStructType=blob_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
 
     def run(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (k,) = key

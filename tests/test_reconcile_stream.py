@@ -825,3 +825,94 @@ def test_bootstrap_staleness_policy(spark, tmp_path):
             restore_now=datetime(2026, 8, 24, 8, 0), on_stale="warn",
         )
     assert any("trading day" in str(w.message) for w in got)
+
+
+def test_bucketed_state_multibatch_parity(spark, tmp_path):
+    """r16 bucketed-state layout (state_ttl_ms == 0 groups by a hash BUCKET
+    of the key, one pickled book per bucket): per-key semantics must be
+    unchanged — one revision per key per batch-with-events, monotone
+    counters starting at 1, and finals equal to the batch reconcile — even
+    when many keys share a bucket. state_buckets=2 forces heavy key
+    collisions; two availableNow drives against one checkpoint force a
+    deterministic 2-batch slicing so cross-batch state (the pickled book)
+    is exercised, not just the single-batch fold."""
+    from finiextestingide_spark.operators.reconcile import reconcile_orders
+
+    in_dir = tmp_path / "feed"
+    ckpt = str(tmp_path / "ckpt")
+    o_dir, e_dir = str(in_dir / "orders"), str(in_dir / "fills")
+
+    batch1_orders = [(k, v) for k, v in ORDERS.items() if k != 5]
+    batch1_fills = [(1, FILLS[1][0]), (3, FILLS[3][0]), (5, FILLS[5][0]),
+                    (8, FILLS[8][0]), (9, FILLS[9][0])]
+    batch2_orders = [(5, ORDERS[5])]
+    batch2_fills = [(1, FILLS[1][1]), (2, FILLS[2][0]), (3, FILLS[3][1]),
+                    (4, FILLS[4][0]), (5, FILLS[5][1]), (6, FILLS[6][0]),
+                    (8, FILLS[8][1]), (8, FILLS[8][2])]
+
+    out_dir = str(tmp_path / "out")
+
+    def _drive_batch(orders_rows, fills_rows):
+        spark.createDataFrame(
+            orders_rows, "order_id long, expected_amount double"
+        ).coalesce(1).write.mode("append").parquet(o_dir)
+        spark.createDataFrame(
+            fills_rows, "order_id long, qty double"
+        ).coalesce(1).write.mode("append").parquet(e_dir)
+        o = spark.readStream.schema("order_id long, expected_amount double").parquet(o_dir)
+        e = spark.readStream.schema("order_id long, qty double").parquet(e_dir)
+        rev = reconcile_stream(
+            o, e, order_key="order_id", expected="expected_amount",
+            qty="qty", tolerance=0.01, state_buckets=2,
+        )
+        # file sink: the one append sink that supports checkpoint recovery,
+        # which the two-drive slicing here depends on (memory does not)
+        q = (
+            rev.writeStream.format("parquet").option("path", out_dir)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).collect()
+
+    _drive_batch(batch1_orders, batch1_fills)
+    all_rows = _drive_batch(batch2_orders, batch2_fills)
+    rows1 = [r for r in all_rows if r["revision"] == 1]
+    rows2 = [r for r in all_rows if r["revision"] == 2]
+
+    # batch 1: every key with events emits revision 1 exactly once
+    assert sorted(r["order_id"] for r in rows1) == sorted(
+        set(k for k, _ in batch1_orders) | set(k for k, _ in batch1_fills)
+    )
+    assert all(r["revision"] == 1 for r in rows1)
+    # key 5's fill precedes its order: ORPHAN in batch 1
+    assert {r["order_id"]: r["status"] for r in rows1}[5] == "ORPHAN"
+
+    # batch 2: one revision-2 row per key with batch-2 events (key 5's
+    # counter survived the pickled book across the restart)
+    assert sorted(r["order_id"] for r in rows2) == sorted(
+        set(k for k, _ in batch2_orders) | set(k for k, _ in batch2_fills)
+    )
+    assert all(r["revision"] == 2 for r in rows2)
+
+    # finals (latest revision per key) == batch reconcile of the union
+    o_df = spark.createDataFrame(
+        [(k, v) for k, v in ORDERS.items()], "order_id long, expected double"
+    )
+    e_df = spark.createDataFrame(
+        [(k, q) for k, qs in FILLS.items() for q in qs], "order_id long, qty double"
+    )
+    batch = {
+        r["order_id"]: r
+        for r in reconcile_orders(
+            o_df, e_df, order_key="order_id",
+            expected=F.col("expected"), executed=F.sum("qty"), tolerance=0.01,
+        ).collect()
+    }
+    final = {r["order_id"]: r for r in rows1}
+    final.update({r["order_id"]: r for r in rows2})
+    assert set(final) == set(batch)
+    for k, br in batch.items():
+        lr = final[k]
+        for c in ("expected_amount", "executed_amount", "n_executions", "status"):
+            assert lr[c] == br[c], (k, c, lr[c], br[c])
