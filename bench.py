@@ -131,6 +131,64 @@ HEADLINE = [
     "ngram_mkn_perplexity",
 ]
 
+#: round-16 (VERDICT r15 #1: at sf0.1 the whole headline is fixed-cost
+#: dominated — the 8-core run BEAT the 32-core run, so the bench could not
+#: see a lost scan parallelism or a plan that stops scaling). The heavy
+#: rows are therefore ALSO timed at 10x the input: a synthetic 10x of
+#: $SPARK_GRAFT_SF_DIR is built fresh inside every invocation (scratch
+#: tempdir, deleted afterwards — nothing persists across runs; the build
+#: runs OUTSIDE every timed region, like warmup) and each row lands in the
+#: artifact as "<name>_x10". The original 26 rows and the headline
+#: value/value_min sums are UNCHANGED (same queries, same SF, same
+#: statistic) so round-over-round totals stay comparable; the _x10 rows
+#: are additive entries in `queries` per the driver contract.
+X10_ROWS = [
+    "curated_corpus",
+    "ngram_mkn_perplexity",
+    "merged_reconcile_view",
+    "embedding_neardup_lsh",
+    "winnow_pairs",
+    "replay_loadtest_40",
+]
+#: 2 samples per _x10 row: multi-second rows whose min-of-2 is enough for
+#: the scaling signal (is 32 cores faster than 8 at 10x data?) without
+#: doubling the bench wall; the sf0.1 rows keep their n=5/9 protocol.
+X10_RUNS = 2
+
+
+def x10_stats(spark, sf_dir: str, *, runs: int = X10_RUNS,
+              cotenant_threshold: float | None = 4.0,
+              names: list[str] | None = None) -> dict[str, dict[str, float]]:
+    """Build a fresh 10x synth of ``sf_dir`` in a scratch tempdir, time the
+    X10_ROWS there (same noop-sink methodology), and remove the scratch.
+    Returns {} (with a stderr note) if the synth build fails — the main
+    headline artifact must never be lost to the diagnostic block."""
+    import importlib.util
+    import shutil
+    import tempfile
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_check",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "scripts", "scale_check.py"),
+    )
+    scale_check = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(scale_check)
+    scratch = tempfile.mkdtemp(prefix="bench_x10_")
+    try:
+        try:
+            scale_check.build_synth(spark, scratch, src=sf_dir)
+        except Exception as e:  # noqa: BLE001 — diagnostic block, fail soft
+            print(f"bench: x10 synth build failed, skipping: {e}",
+                  file=sys.stderr)
+            return {}
+        return time_queries_stats(
+            spark, scratch, names=names or X10_ROWS, runs=runs,
+            cotenant_threshold=cotenant_threshold,
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
 
 def warmup(spark, sf_dir: str) -> None:
     """One-time process costs outside the timed region: JVM/codegen, parquet
@@ -432,9 +490,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     warmup(spark, sf_dir)
     stats = time_queries_stats(spark, sf_dir, runs=5, cotenant_threshold=4.0)
+    # 10x-scale diagnostic rows (VERDICT r15 #1) — timed AFTER the headline
+    # loop so co-tenant drift during the synth build cannot pollute the
+    # primary rows; fresh synth per invocation, removed afterwards.
+    x10 = {f"{n}_x10": s for n, s in x10_stats(spark, sf_dir).items()}
+    stats_all = {**stats, **x10}
     rejected = [
         {"query": name, **r}
-        for name, s in stats.items()
+        for name, s in stats_all.items()
         for r in s.get("rejected", ())
     ]
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -447,20 +510,33 @@ def main() -> int:
                 # like-for-like across engines and rounds (ADVICE r8
                 # medium: the round-8 artifact put min here, biased in this
                 # engine's favor; the min now lives in value_min).
+                # value/value_min sum the 26 HEADLINE rows ONLY: the _x10
+                # diagnostic rows are additive `queries` entries (r16) and
+                # folding them into the totals would break every
+                # round-over-round total comparison.
                 "value": round(sum(s["median"] for s in stats.values()), 4),
                 "unit": "sec",
-                "queries": {name: s["median"] for name, s in stats.items()},
+                "queries": {name: s["median"] for name, s in stats_all.items()},
                 # full distribution per query (min/median/max/n) so a
                 # recorded artifact is variance-aware: compare mins across
                 # rounds to separate real regressions from machine load
-                "queries_stats": stats,
-                "protocol": {"headline_stat": "median", "runs": 5},
+                "queries_stats": stats_all,
+                "protocol": {
+                    "headline_stat": "median",
+                    "runs": 5,
+                    "x10_rows_runs": X10_RUNS,
+                    "x10_note": (
+                        "_x10 rows run on a fresh 10x synth of sf_dir "
+                        "(built per invocation, outside the timed region); "
+                        "value/value_min sum the headline rows only"
+                    ),
+                },
                 # noise-robust secondary: a real regression shifts the MIN
                 # too, co-tenant load only inflates median/max (rounds 5/6
                 # both recorded phantom median regressions on untouched
                 # queries whose idle-box min was flat)
                 "value_min": round(sum(s["min"] for s in stats.values()), 4),
-                "queries_min": {name: s["min"] for name, s in stats.items()},
+                "queries_min": {name: s["min"] for name, s in stats_all.items()},
                 "idle_guard": idle_guard,
                 "load1_at_end": load_end,
                 # committed-band audit (VERDICT r12 What's-wrong #1b): rows
@@ -479,7 +555,7 @@ def main() -> int:
                 # co-tenant CPU — usable for trend-watching, NEVER as a
                 # certificate baseline (VERDICT r11 #4)
                 "tainted_queries": [
-                    n for n, s in stats.items() if s.get("tainted_cotenant")
+                    n for n, s in stats_all.items() if s.get("tainted_cotenant")
                 ],
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
