@@ -133,15 +133,20 @@ def curate_corpus(
     # 7.99 -> 6.98 s (0.87x), synthetic sf1 33.9 -> 28.6 s (0.84x).
     from .dedup import shingle_stream, token_positions
 
-    import os as _os
-
-    _share_words = _os.environ.get("FINIEX_CURATION_SHARE_WORDS", "1") != "0"
+    # r16: the FINIEX_CURATION_SHARE_WORDS escape hatch is GONE (ADVICE
+    # r15: an undocumented, parity-untested config fork). The shared
+    # token pass is the oracle-verified shape at 3 SFs; an escape hatch
+    # that silently changed the plan but not the results was risk, not
+    # safety. Storage note (ADVICE r15): on the budget-armed path BOTH the
+    # token-occurrence stream and the shingle stream below are
+    # localCheckpointed — two corpus-sized frames pinned in executor-local
+    # storage for the life of the job, and localCheckpoint does not
+    # survive executor loss; for very large corpora prefer reliable
+    # checkpoint() storage or winnow_max_pairs=None (fully lazy, no pins).
     _eager = winnow_k is not None and winnow_max_pairs is not None
-    words: DataFrame | None = None
-    if _share_words:
-        words = token_positions(docs, id_col=id_col, text=text)
-        if _eager:
-            words = words.localCheckpoint()
+    words = token_positions(docs, id_col=id_col, text=text)
+    if _eager:
+        words = words.localCheckpoint()
     sh_stream = shingle_stream(
         docs, shingle_n, id_col=id_col, text=text, words=words
     )

@@ -41,7 +41,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from .text import normalized_text
 
 
 def winnow_fingerprints(
@@ -72,10 +71,13 @@ def winnow_fingerprints(
     if k < 1 or window < 1:
         raise ValueError(f"k={k} and window={window} must be >= 1")
     if words is None:
-        words = docs.select(
-            F.col(id_col),
-            F.posexplode(F.split(normalized_text(F.col(text)), " ")).alias("pos", "w"),
-        ).where(F.col("w") != "")
+        # the ONE tokenize definition (ADVICE r15): this must stay the
+        # same expression shingle_stream consumes, or the shared-words
+        # path (curate_corpus passes words=) would silently diverge from
+        # the self-computed one
+        from .dedup import token_positions
+
+        words = token_positions(docs, id_col=id_col, text=text)
     win = Window.partitionBy(id_col).orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, k)]
     grams = words.select(

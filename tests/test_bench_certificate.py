@@ -27,6 +27,10 @@ from datetime import date, timedelta
 
 import pytest
 
+# perf-band regression gate; needs an idle box (r15's driver run flaked on
+# it under the driver's own load) — ~5 min
+pytestmark = pytest.mark.slow
+
 import bench
 
 CERT_PATH = os.path.join(

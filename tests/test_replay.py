@@ -469,6 +469,8 @@ def _assert_identical(fast, slow):
         assert fast[k] == slow[k], k
 
 
+@pytest.mark.slow  # 77 s: full golden-path sweep; the random-walk
+# Hypothesis parity test above keeps fast default coverage of the same path
 def test_fast_path_identical_on_golden_paths(spark):
     for prices in [
         PRICES,

@@ -9,6 +9,10 @@ ledger protocol as the reconcile and live-session bootstraps.
 from __future__ import annotations
 
 import pandas as pd
+import pytest
+
+# full seed+tail parity drives of the streaming bootstrap protocol (~4 min)
+pytestmark = pytest.mark.slow
 
 from finiextestingide_spark.streaming.dedup_stream import (
     bootstrap_dedup_state,
