@@ -2803,10 +2803,12 @@ def curated_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import curation as cu
 
     docs = _docs(spark, sf_dir)
-    ev = docs.where(F.col("doc_id") % 20 == 0)
+    # r16: the eval set is a slice of the corpus, so its shingles derive
+    # from curate_corpus's one shared tokenize pass (eval_filter) instead
+    # of a second tokenize over docs.where(%20) — same rows, one Generate
     out = cu.curate_corpus(
         docs,
-        ev,
+        eval_filter=F.col("doc_id") % 20 == 0,
         shingle_n=3,
         num_hashes=_MH_K,
         bands=_MH_BANDS,
@@ -4521,10 +4523,9 @@ def streaming_curated_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     merged = merged_quality_flags(
         hist, spark.table(name).select("doc_id", "keep")
     )
-    ev = docs.where(F.col("doc_id") % 20 == 0)
     out = cu.curate_corpus(
         docs,
-        ev,
+        eval_filter=F.col("doc_id") % 20 == 0,
         shingle_n=3,
         num_hashes=_MH_K,
         bands=_MH_BANDS,

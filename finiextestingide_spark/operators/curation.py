@@ -43,8 +43,9 @@ from .winnow import containment_dedup, winnow_candidate_pairs, winnow_fingerprin
 
 def curate_corpus(
     docs: DataFrame,
-    eval_docs: DataFrame,
+    eval_docs: DataFrame | None = None,
     *,
+    eval_filter: Column | None = None,
     score: Column | None = None,
     shingle_n: int = 3,
     num_hashes: int = 64,
@@ -75,6 +76,14 @@ def curate_corpus(
     which is exactly the removal decontamination exists for). ``score``
     defaults to the engine's deterministic quality heuristic rounded to 6
     decimals (cross-engine reproducible keep-best ties).
+
+    ``eval_filter`` (r16, pass INSTEAD of ``eval_docs``): when the eval set
+    is a SLICE of the input corpus (a predicate over ``id_col``), its
+    shingles are derived from the one shared shingle pass —
+    ``sh_stream.where(eval_filter).distinct()`` — instead of re-tokenizing
+    the slice from the raw documents (word_shingles(docs.where(f)) and the
+    filtered shared stream are the same rows: filtering by id commutes with
+    per-document tokenization). Exactly one of the two must be given.
 
     ``winnow_k`` (opt-in) adds the FIFTH judgment — span containment: a
     document whose winnowing fingerprints are >= ``min_containment``
@@ -112,6 +121,8 @@ def curate_corpus(
     vanishing from the output, and two rows that DISAGREE about one
     document also raise (a replay never disagrees; disagreement means
     the caller merged flags from two different rule versions)."""
+    if (eval_docs is None) == (eval_filter is None):
+        raise ValueError("pass exactly one of eval_docs or eval_filter")
     sc = score if score is not None else F.round(quality_score(F.col(text)), 6)
 
     exact = exact_dedup_keep_best(docs, sc, id_col=id_col, text=text).select(
@@ -276,12 +287,21 @@ def curate_corpus(
             F.col(text), min_words=min_words, min_stop_hits=min_stop_hits
         )
         quality = docs.select(F.col(id_col), (~g["keep"]).alias("fails_quality"))
+    if eval_filter is not None:
+        # r16 (VERDICT r15 #5): the eval slice's shingles come from the
+        # SAME shared (possibly checkpointed) pass — the last tokenize
+        # Generate in the curated plan disappears
+        ev_shingles = sh_stream.where(eval_filter).distinct()
+    else:
+        ev_shingles = word_shingles(
+            eval_docs, shingle_n, id_col=id_col, text=text
+        )
     decon = decontaminate(
         # word_shingles(docs, n) IS shingle_stream(docs, n).distinct()
         # (pinned by test_precomputed_shingles_parity) — reuse the shared
         # (possibly checkpointed) stream instead of re-tokenizing
         sh_stream.distinct(),
-        word_shingles(eval_docs, shingle_n, id_col=id_col, text=text),
+        ev_shingles,
         max_contamination,
         id_col=id_col,
         train_ids=docs,

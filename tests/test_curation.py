@@ -5,6 +5,7 @@ flag, and kept is the conjunction."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from finiextestingide_spark.operators.curation import curate_corpus
 
@@ -225,3 +226,34 @@ def test_quality_flags_conflicting_rows_raise(spark):
     )
     with pytest.raises(Exception, match="conflicting quality_flags"):
         curate_corpus(docs, ev, quality_flags=flags).collect()
+
+
+def test_eval_filter_matches_eval_docs(spark):
+    """r16: eval_filter derives the eval shingles from the shared tokenize
+    pass; its decision table must equal the eval_docs form row for row
+    (including the winnow-armed eager path, where the shared stream is the
+    checkpointed one)."""
+    docs = _corpus(spark)
+    flt = F.col("doc_id") % 2 == 1
+    for extra in ({}, {"winnow_k": 2, "winnow_w": 2, "winnow_min_shared": 1}):
+        a = sorted(
+            curate_corpus(
+                docs, docs.where(flt), min_words=10, min_stop_hits=1,
+                min_jaccard=0.3, **extra,
+            ).collect()
+        )
+        b = sorted(
+            curate_corpus(
+                docs, eval_filter=flt, min_words=10, min_stop_hits=1,
+                min_jaccard=0.3, **extra,
+            ).collect()
+        )
+        assert a == b
+
+
+def test_eval_docs_filter_exclusive(spark):
+    docs = _corpus(spark)
+    with pytest.raises(ValueError, match="exactly one"):
+        curate_corpus(docs)
+    with pytest.raises(ValueError, match="exactly one"):
+        curate_corpus(docs, docs, eval_filter=F.col("doc_id") == 1)
