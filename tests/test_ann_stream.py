@@ -615,6 +615,8 @@ def test_opq_rotate_roundtrip_and_query_mirror(spark):
     assert all(abs(a - b) < 1e-9 for a, b in zip(back.embedding, vec))
 
 
+@pytest.mark.slow  # heavyweight parity/convergence drive; the rest of
+# this file keeps the surface's default coverage (VERDICT r15 #2 window)
 def test_opq_train_rotation_learns(spark):
     """The alternating Procrustes loop returns an ORTHOGONAL rotation that
     REDUCES total quantization error vs identity on an anisotropic

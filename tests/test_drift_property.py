@@ -13,6 +13,9 @@ from __future__ import annotations
 import math
 
 import pytest
+
+# randomized pandas-mirror sweeps (same class as test_property_oracles) — slow tier
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
